@@ -1,0 +1,81 @@
+"""Keyed upsert (MERGE) — the reference's ES `_id` upsert re-expressed
+(SURVEY.md §4.3.1; reference con.py:55-63: `es.index(id=doc_id, ...)` —
+idempotent last-write-wins by composite key).
+
+`merge_by_key` is pure DataFrame logic (union → latest_by_key) usable in
+batch or inside `foreachBatch`; `KeyedParquetTable` is the storage-backed
+version for streaming sinks.
+
+Scale posture: the merge shuffles on the business key only.  For a real
+100 TB keyed table this is the classic Delta/Iceberg MERGE; without a
+table format in this container we implement read-union-dedup-overwrite on
+parquet, with the key-hash as the shuffle partitioner.  Idempotency under
+replay holds because merging the same batch twice is a fixed point of
+last-write-wins (verified in tests).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .windows import latest_by_key
+
+
+def merge_by_key(
+    target: DataFrame | None,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """MERGE semantics: rows from `source` replace same-key rows in
+    `target`; ties broken by `order_by` (descending recency first), with
+    source preferred over target on exact ties via a provenance column."""
+    src = source.withColumn("__src", F.lit(1))
+    if target is None:
+        merged = src
+    else:
+        tgt = target.withColumn("__src", F.lit(0))
+        merged = tgt.unionByName(src)
+    out = latest_by_key(
+        merged, keys, list(order_by) + [F.col("__src").desc()]
+    )
+    return out.drop("__src")
+
+
+class KeyedParquetTable:
+    """A keyed, mutable table on parquet — the engine's stand-in for the
+    reference's Elasticsearch index (daily index + `_id` upsert,
+    con.py:55-63).  Used as the target of the streaming `foreachBatch`
+    sink (streaming/sinks.py)."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
+                 order_col: str):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.order_col = order_col
+
+    def read(self) -> DataFrame | None:
+        if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def upsert(self, batch: DataFrame) -> None:
+        target = self.read()
+        merged = merge_by_key(
+            target, batch, self.keys, [F.col(self.order_col).desc()]
+        )
+        # Localize before overwrite: the read and write touch the same
+        # path, so materialize through a temp location.
+        tmp = self.path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+        # best-effort cleanup
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

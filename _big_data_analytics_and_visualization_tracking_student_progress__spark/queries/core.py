@@ -1,0 +1,578 @@
+"""Core relational query set — SURVEY.md §2.2-2.7 inventory, each entry
+mapping a reference operator (P*/J*/A*/W*/F* citation in the docstring)
+onto the driver's star-schema fixtures, with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..functions.scalar import dround, dsum, grade_bucket_4pt
+from ..operators.cdc import diff_snapshots
+from ..operators.relational import anti_join, broadcast_lookup, semi_join
+from ..operators.windows import latest_by_key, top_k
+from ..plans.student_progress import (
+    FLAGSHIP_ORACLE_SQL,
+    flagship_progress,
+    transcript_lookup,
+)
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship + point lookup (reference E3 pipeline)
+# ---------------------------------------------------------------------------
+register("flagship_progress", FLAGSHIP_ORACLE_SQL,
+         doc="full app.py:58-191 pipeline: joins+CASE+weighted-avg+status")(
+    flagship_progress
+)
+
+
+@register(
+    "transcript_lookup",
+    """
+    SELECT c.c_custkey, l.l_orderkey, l.l_linenumber,
+           FLOOR(l.l_quantity / 5.0 * 10000.0 + 0.5) / 10000.0 AS grade10,
+           CASE WHEN l.l_quantity/5.0 >= 9.0 THEN 4.0
+                 WHEN l.l_quantity/5.0 >= 8.0 THEN 3.5
+                 WHEN l.l_quantity/5.0 >= 7.0 THEN 3.0
+                 WHEN l.l_quantity/5.0 >= 6.5 THEN 2.5
+                 WHEN l.l_quantity/5.0 >= 5.5 THEN 2.0
+                 WHEN l.l_quantity/5.0 >= 5.0 THEN 1.5
+                 WHEN l.l_quantity/5.0 >= 4.0 THEN 1.0
+                 ELSE 0.0 END AS grade4,
+           FLOOR(l.l_extendedprice / 10000.0 * 10000.0 + 0.5) / 10000.0 AS credits,
+           l.l_returnflag, l.l_linestatus
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey = 1
+    ORDER BY l.l_orderkey, l.l_linenumber
+    LIMIT 1000
+    """,
+    doc="P2 point filter + P1 projection + W1 sort + P9 limit (app.py:60-83)",
+)
+def q_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcript_lookup(spark, sf_dir, custkey=1)
+
+
+# ---------------------------------------------------------------------------
+# A1-A3 — weighted aggregate pipeline (TPC-H Q1 shape; GPA structure)
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,4))) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(22,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_disc_price,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(22,4))) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1/A2 weighted sums + A6 count, same shape as the GPA numerator/denominator (app.py:137-138)",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+            F.round(dsum(F.col("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2
+            ).cast("double").alias("sum_disc_price"),
+            dround(
+                dsum(F.col("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — broadcast dimension joins
+# ---------------------------------------------------------------------------
+@register(
+    "dim_join_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           FLOOR(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(22,4))) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="J1/J2 broadcast dim lookups (app.py:15-36,86,100-101) + grouped agg",
+)
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    enriched = broadcast_lookup(
+        broadcast_lookup(c, n, c.c_nationkey == n.n_nationkey, "inner"),
+        r,
+        F.col("n_regionkey") == r.r_regionkey,
+        "inner",
+    )
+    return enriched.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dround(
+            dsum(F.col("c_acctbal")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — anti join / semi join
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    doc="J3 left-anti join — the CDC hash-difference shape (pro.py:46-55); "
+        "date-bounded so the result is non-empty at every fixture scale",
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return anti_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    doc="left-semi join (existence filter)",
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return semi_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J4 — latest-by-key (read side of the ES upsert, con.py:55-63)
+# ---------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="J4 upsert read-side: last-write-wins per key via row_number window",
+)
+def q_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # order on the raw nanosecond long so tie-breaking matches DuckDB's
+    # nanosecond-precision ORDER BY ts DESC exactly
+    return latest_by_key(
+        e, ["user_id"], [F.col("ts_nanos").desc(), F.col("event_id").desc()]
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — top-k (TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="W2 sort+cap (ES size:1000, app.py:66,185) — heap top-k, no full sort",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking / analytic window (engine addition beyond reference, §2.5)
+# ---------------------------------------------------------------------------
+@register(
+    "order_rank_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="ranking + running aggregate over a per-key ordered window",
+)
+def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 + A7 — grade-scale bucketing → histogram (Kibana score distribution)
+# ---------------------------------------------------------------------------
+@register(
+    "grade_histogram",
+    """
+    SELECT CASE WHEN l_quantity/5.0 >= 9.0 THEN 4.0
+                WHEN l_quantity/5.0 >= 8.0 THEN 3.5
+                WHEN l_quantity/5.0 >= 7.0 THEN 3.0
+                WHEN l_quantity/5.0 >= 6.5 THEN 2.5
+                WHEN l_quantity/5.0 >= 5.5 THEN 2.0
+                WHEN l_quantity/5.0 >= 5.0 THEN 1.5
+                WHEN l_quantity/5.0 >= 4.0 THEN 1.0
+                ELSE 0.0 END AS grade4,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    doc="F6 10pt→4pt CASE (app.py:39-55) + A7 score-distribution histogram",
+)
+def q_grade_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(grade_bucket_4pt(F.col("l_quantity") / 5.0).alias("grade4"))
+        .groupBy("grade4")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — time trend (Kibana trend dashboards)
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_order_trend",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(22,4))), 2) AS DOUBLE) AS revenue,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    doc="A7 per-term trend (groupBy month + count/avg), README.md:26-27",
+)
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum(F.col("o_totalprice")), 2).cast("double").alias("revenue"),
+        dround(
+            dsum(F.col("o_totalprice")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — existential aggregate (program classification, app.py:90-93)
+# ---------------------------------------------------------------------------
+@register(
+    "nation_has_segment",
+    """
+    SELECT n.n_name,
+           CAST(MAX(CASE WHEN c.c_mktsegment LIKE 'BUILD%' THEN 1 ELSE 0 END) AS INT)
+               AS has_building,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="A4 existential ANY via max(when(startswith)) (app.py:90-93)",
+)
+def q_existential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        broadcast_lookup(c, n, c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.max(
+                F.when(F.col("c_mktsegment").startswith("BUILD"), 1).otherwise(0)
+            ).cast("int").alias("has_building"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — set operations
+# ---------------------------------------------------------------------------
+@register(
+    "segment_set_ops",
+    """
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT * FROM building UNION SELECT * FROM buyers)
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT * FROM building INTERSECT SELECT * FROM buyers)
+    UNION ALL
+    SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT * FROM building EXCEPT SELECT * FROM buyers)
+    """,
+    doc="union/intersect/except — generalizes the CDC set-difference (pro.py:46-55)",
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    buyers = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+
+    def tagged(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        tagged("union", building.union(buyers).distinct())
+        .unionByName(tagged("intersect", building.intersect(buyers)))
+        .unionByName(tagged("except", building.exceptAll(buyers).distinct()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (engine addition, §2.4 row)
+# ---------------------------------------------------------------------------
+@register(
+    "region_nation_rollup",
+    """
+    SELECT r.r_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="hierarchical subtotals via ROLLUP",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = broadcast_lookup(
+        broadcast_lookup(c, n, c.c_nationkey == n.n_nationkey, "inner"),
+        r,
+        F.col("n_regionkey") == r.r_regionkey,
+        "inner",
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "status_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="full cross-dimensional subtotals via CUBE",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F15/JSON — json field extraction (events.props)
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_agg",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 4) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="F15 JSON deserialize → field extraction → agg (con.py:20 analog)",
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dsum(F.col("value"), 6), 4).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/J3 — CDC snapshot diff on row hashes
+# ---------------------------------------------------------------------------
+_CDC_COLS = ["event_id", "event_type", "props", "user_id"]  # text/int only →
+# identical string rendering in Spark and DuckDB (doubles/timestamps render
+# differently and are excluded from the hashed payload on both sides).
+
+
+@register(
+    "cdc_changed_rows",
+    """
+    WITH hashed AS (
+        SELECT event_id, user_id, event_type, props,
+               md5(concat_ws(chr(1),
+                   COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'null'),
+                   COALESCE(event_type, chr(0) || 'null'),
+                   COALESCE(props, chr(0) || 'null'),
+                   COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'null')
+               )) AS row_hash
+        FROM events
+    ),
+    old AS (SELECT row_hash FROM hashed WHERE event_id % 10 <> 0)
+    SELECT h.event_id, h.user_id, h.event_type, h.props
+    FROM hashed h WHERE h.row_hash NOT IN (SELECT row_hash FROM old)
+    """,
+    doc="P6 row-hash CDC: md5 over canonical column order + anti-join vs snapshot (pro.py:29-32,46-55)",
+)
+def q_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(*_CDC_COLS)
+    old = e.filter(F.col("event_id") % 10 != 0)
+    return diff_snapshots(e, old, _CDC_COLS).select(
+        "event_id", "user_id", "event_type", "props"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F13/F14 — composite key + date-partition naming
+# ---------------------------------------------------------------------------
+@register(
+    "composite_doc_key",
+    """
+    SELECT event_id,
+           concat_ws('_', event_type, CAST(user_id AS VARCHAR),
+                     CAST(event_id AS VARCHAR)) AS doc_id,
+           strftime(ts, '%Y.%m.%d') AS index_date
+    FROM events
+    """,
+    doc="F13 composite `_id` (con.py:23-30) + F14 dated index name (con.py:58)",
+)
+def q_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import composite_key
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        composite_key(F.col("event_type"), F.col("user_id"), F.col("event_id")).alias(
+            "doc_id"
+        ),
+        F.date_format("ts", "yyyy.MM.dd").alias("index_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — lenient cast; F1/F4 — substring + cast
+# ---------------------------------------------------------------------------
+@register(
+    "lenient_casts",
+    """
+    SELECT c_custkey,
+           TRY_CAST(substring(c_name, 10) AS DOUBLE) AS id_num,
+           TRY_CAST(c_mktsegment AS DOUBLE) AS seg_num,
+           (TRY_CAST(c_mktsegment AS DOUBLE) IS NULL) AS seg_is_null
+    FROM customer
+    """,
+    doc="F5 lenient numeric cast: NULL on failure (con.py:39-43, app.py:124-125)",
+)
+def q_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import lenient_double
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        lenient_double(F.substring(F.col("c_name"), 10, 100)).alias("id_num"),
+        lenient_double(F.col("c_mktsegment")).alias("seg_num"),
+        lenient_double(F.col("c_mktsegment")).isNull().alias("seg_is_null"),
+    )
+
+
+@register(
+    "term_key_parts",
+    """
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y%m') AS INT) AS term_key,
+           CAST(substring(strftime(o_orderdate, '%Y%m'), 1, 4) AS INT) AS term_year,
+           substring(o_orderpriority, 1, 1) AS priority_code
+    FROM orders
+    """,
+    doc="F1 substring slicing + F4 string→int cast (NHHK term key, app.py:181-182)",
+)
+def q_termkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyyMM")
+    return o.select(
+        "o_orderkey",
+        ym.cast("int").alias("term_key"),
+        F.substring(ym, 1, 4).cast("int").alias("term_year"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 — derived per-program columns (con.py:46-52)
+# ---------------------------------------------------------------------------
+@register(
+    "derived_program_columns",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment LIKE 'BUILD%' THEN c_name END AS building_name,
+           CASE WHEN c_mktsegment LIKE 'AUTO%' THEN c_name END AS auto_name,
+           CASE WHEN c_mktsegment LIKE 'BUILD%' THEN c_acctbal END AS building_bal
+    FROM customer
+    """,
+    doc="F7 conditional column fan-out by prefix (NNA/MMT derivation, con.py:46-52)",
+)
+def q_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.when(seg.startswith("BUILD"), F.col("c_name")).alias("building_name"),
+        F.when(seg.startswith("AUTO"), F.col("c_name")).alias("auto_name"),
+        F.when(seg.startswith("BUILD"), F.col("c_acctbal")).alias("building_bal"),
+    )
