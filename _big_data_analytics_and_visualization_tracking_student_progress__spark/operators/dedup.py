@@ -1,0 +1,287 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all built on native Spark expressions (JVM-side, codegen)
+except SimHash's bit-mixing which uses an Arrow-batched pandas UDF:
+
+- exact:    md5 hash-groupBy — one shuffle on a uniform hash, no skew.
+- jaccard:  blocked self-join + exact token-set Jaccard — exact but
+            quadratic per block; for modest blocks / verification.
+- minhash:  MinHash + LSH banding — the 100 TB path: per-doc signature
+            is a narrow map-side computation; candidate generation is a
+            self-join on band keys (uniform md5 buckets), so shuffle
+            volume is O(docs × bands), not O(docs²).
+- simhash:  64-bit SimHash + banded Hamming candidates.
+
+Scale notes: LSH bucket skew (boilerplate docs sharing a band) is the
+classic hazard — `max_bucket_size` drops pathological buckets the same
+way production dedup pipelines do (they cannot contribute near-dup
+*pairs* verification would keep anyway at reasonable thresholds without
+quadratic blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct `text_col` (lowest id wins).
+
+    Hash-groupBy on md5(text): partial aggregation map-side, single
+    shuffle on the 128-bit hash — uniform, skew-free, and the shuffle
+    rows carry only (hash, id), not the text payload."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical texts (size > 1) with their member ids."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (shared by jaccard & minhash)
+# ---------------------------------------------------------------------------
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array<string>; empty array when the
+    document has fewer than k tokens."""
+    toks = tokens(text)
+    n = F.size(toks) - (k - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= 1, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two pre-deduplicated string arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Exact blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """All pairs within a block with token-set Jaccard ≥ threshold.
+
+    Exact but O(block²): appropriate when a natural blocking key keeps
+    blocks small, or as the verification stage after LSH candidates."""
+    sh = word_shingles(F.col(text_col), shingle_k) if shingle_k > 1 else (
+        F.array_distinct(tokens(F.col(text_col)))
+    )
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], sh.alias("__sh")
+    )
+    a = base.select(
+        *[F.col(c).alias(f"{c}") for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+    )
+    if block_cols:
+        pairs = a.join(b, block_cols)
+    else:
+        # no blocking key: full O(n²) cross join — verification-scale only
+        pairs = a.crossJoin(b)
+    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
+    """num_perm minhash values; permutation i realized by salting the
+    shingle with a fixed prefix before xxhash64 (deterministic across
+    runs and engines' partitionings)."""
+    def perm_hash(i: int):
+        # single-arg lambda: a second parameter would be bound to the
+        # array index by Spark's HOF machinery, not to `i`
+        prefix = f"p{i}:"
+        return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, perm_hash(i)))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """bands band-keys, each an md5 over one signature slice (prefixed by
+    the band index so keys from different bands never collide)."""
+    keys = []
+    for b in range(bands):
+        parts = [
+            signature[b * rows_per_band + j].cast("string")
+            for j in range(rows_per_band)
+        ]
+        keys.append(F.md5(F.concat_ws("_", F.lit(str(b)), *parts)))
+    return F.array(*keys)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash/LSH candidates verified with exact
+    shingle Jaccard.  bands=4 × rows=4 over 16 perms ⇒ S-curve threshold
+    ≈ (1/4)^(1/4) ≈ 0.71; candidates below `threshold` are discarded by
+    the exact verification, so recall — not precision — is the only
+    LSH-dependent property.
+    """
+    rows_per_band = num_perm // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    banded = sigs.select(
+        "doc", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band")
+    )
+    if max_bucket_size is not None:
+        # Drop pathological buckets (boilerplate collisions) before the
+        # quadratic candidate join — the standard scale guard.
+        counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("__n"))
+        banded = banded.join(
+            F.broadcast(counts.filter(F.col("__n") <= max_bucket_size).select("band")),
+            "band",
+        )
+    a = banded.select(F.col("band"), F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = banded.select(F.col("band"), F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over word tokens, fully native: per-token xxhash64,
+    per-bit signed majority vote, recombine.  Expressed as 64 aggregate
+    lanes over the token array — stays in codegen, no Python."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_vote(i: int):
+        # closure factory: keep the merge lambda strictly 2-arg (see
+        # minhash_signature note)
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(64):
+        # vote_i = Σ tokens (bit_i ? +1 : -1)  > 0
+        vote = F.aggregate(hashes, F.lit(0), bit_vote(i))
+        # bit 63 is the sign bit: 2**63 overflows a signed long
+        bit_val = 2**i if i < 63 else -(2**63)
+        bits.append(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.  Candidates via
+    4×16-bit band keys (a pair within Hamming ≤ 3 of each other shares at
+    least one exact band; wider radii trade recall), verified with exact
+    bit_count(xor)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim")
+    )
+    bands = sh.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftrightunsigned(F.col("sim"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select("band", F.col("doc").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = bands.select("band", F.col("doc").alias("id_b"), F.col("sim").alias("sim_b"))
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

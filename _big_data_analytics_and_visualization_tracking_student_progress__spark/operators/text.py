@@ -1,0 +1,89 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All native Spark SQL expressions (no Python in the hot path) — each is a
+narrow map-side projection that composes with any downstream
+filter/groupBy, and each has an exact SQL mirror for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# heuristic.  Deliberately small and hardcoded: the operator's value is
+# the *shape* (vectorized overlap scoring + argmax) — swap in real lists
+# per deployment.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"],
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish sub-word proxy: alpha runs, digit runs, and individual
+    punctuation each count as one token — the standard cheap estimator
+    for LLM token budgeting."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_overlap(text: Column, words: list[str]) -> Column:
+    """# distinct tokens ∈ stopword set."""
+    toks = F.array_distinct(ws_tokens(text))
+    return F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of stopword-overlap across STOPWORDS; 'unk' when no
+    language scores > 0.  Ties break by language-code sort order
+    (deterministic)."""
+    scores = [(lang, stopword_overlap(text, ws)) for lang, ws in sorted(STOPWORDS.items())]
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    expr = F.lit("unk")
+    # reverse order so earlier languages win ties
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length, punctuation balance,
+    stopword presence, alpha ratio — the usual cheap pre-filters before
+    expensive model scoring."""
+    n_chars = F.length(text)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    n_tokens = ws_token_count(text)
+    sw = stopword_overlap(text, STOPWORDS["en"])
+    sw_score = F.least(sw / F.lit(5.0), F.lit(1.0))
+    avg_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    word_len_score = F.when(
+        (avg_word_len >= 3.0) & (avg_word_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return (
+        len_score * 0.25 + alpha_ratio * 0.25 + sw_score * 0.25 + word_len_score * 0.25
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — robust to token reordering, the cheap canonical-content
+    key used for clustering-level dedup."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(text))))
+    )

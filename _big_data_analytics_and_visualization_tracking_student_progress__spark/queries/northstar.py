@@ -1,2 +1,357 @@
-"""North-star LLM-data-pipeline queries (dedup, similarity, text analysis,
-multimodal) — filled in incrementally."""
+"""North-star LLM-data-pipeline queries: deduplication, similarity
+search, text analysis, multimodal plumbing — over the `documents` and
+`embeddings` fixtures (BASELINE.json north_star; SURVEY.md M5).
+
+Determinism: Jaccard values are exact int/int double divisions
+(bit-identical across engines, emitted unrounded); cosine similarities
+are sequential double folds mirrored by DuckDB `list_dot_product` on
+DOUBLE[] casts, quantized with the IEEE-pure `dround`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..functions.scalar import dround
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Dedup — exact
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+    """,
+    doc="exact dedup via md5 hash-groupBy, lowest doc_id survives",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_groups",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes,
+           list_sort(list(doc_id)) AS member_ids
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    doc="duplicate groups (byte-identical text) with member ids",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_groups(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup — exact blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_jaccard_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    """,
+    doc="n-gram Jaccard near-dup pairs, language-blocked self-join",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(
+        docs, "doc_id", "text", ["lang"], threshold=0.9, shingle_k=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup — MinHash + LSH and SimHash (Spark-native; rows-only oracle:
+# LSH candidate generation is probabilistic recall, not SQL-expressible)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    None,
+    doc="MinHash(16 perm) + LSH(4 bands) candidates, exact-Jaccard verified ≥0.5 on 3-gram shingles",
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_perm=16, bands=4, shingle_k=3
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,
+    doc="64-bit SimHash near-dup pairs, banded Hamming candidates, exact bit_count verify ≤8",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+        SELECT e.vec_id,
+               {_COS_SQL.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS cos
+        FROM embeddings e, q
+    )
+    SELECT vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    doc="brute-force cosine top-k vs literal query vector (native zip_with/aggregate fold)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    out = S.cosine_topk(emb, qv, k=10)
+    return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@register(
+    "knn_join_sample",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         scored AS (
+        SELECT q.q_id, c.vec_id,
+               {_COS_SQL.format(a="q.qv", b="c.cv")} AS cos,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {_COS_SQL.format(a="q.qv", b="c.cv")} DESC,
+                                           c.vec_id) AS rank
+        FROM q, c
+    )
+    SELECT q_id, vec_id, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+    doc="exact k-NN join: broadcast query batch × corpus scan + per-query top-k window",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = S.knn_join(queries, emb, k=3)
+    return out.select(
+        "q_id",
+        "vec_id",
+        dround(F.col("cos_sim"), 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,
+    doc="approximate top-k via random-hyperplane LSH bucket probe (recall vs brute force asserted in tests)",
+)
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    out = S.ann_topk(emb, qv, k=10, n_planes=8, probe_flips=1)
+    return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@register(
+    "embedding_block_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR({_COS_SQL.format(a="a.v", b="b.v")} * 1000000.0 + 0.5) / 1000000.0
+               AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= 0.3
+    """,
+    doc="embedding-cosine near-dup pairs within IVF-style blocks (label partitions)",
+)
+def q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", S.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", dround(F.col("cos"), 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+def _sw_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return (
+        "len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+        f"[{words}]))"
+    )
+
+
+@register(
+    "lang_id_counts",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS true_lang,
+               {_sw_sql('de')} AS c_de, {_sw_sql('en')} AS c_en,
+               {_sw_sql('es')} AS c_es, {_sw_sql('fr')} AS c_fr
+        FROM documents
+    ),
+    labeled AS (
+        SELECT true_lang,
+               CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'unk'
+                    WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                    WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                    WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                    ELSE 'fr' END AS detected
+        FROM scored
+    )
+    SELECT true_lang, detected, CAST(COUNT(*) AS BIGINT) AS n
+    FROM labeled GROUP BY 1, 2
+    """,
+    doc="language-ID heuristic (stopword-overlap argmax) × true label confusion counts",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            T.lang_id(F.col("text")).alias("detected"),
+        )
+        .groupBy("true_lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_QUALITY_SQL = """
+    (LEAST(length(text) / 500.0, 1.0) * 0.25
+     + CASE WHEN length(text) > 0
+            THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text)
+            ELSE 0.0 END * 0.25
+     + LEAST({sw} / 5.0, 1.0) * 0.25
+     + CASE WHEN len(string_split(lower(text), ' ')) > 0
+             AND CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' '))
+                 BETWEEN 3.0 AND 10.0
+            THEN 1.0 ELSE 0.5 END * 0.25)
+"""
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]')) AS INT)
+               AS n_bpe_tokens,
+           FLOOR({_QUALITY_SQL.format(sw=_sw_sql('en'))} * 10000.0 + 0.5) / 10000.0
+               AS quality
+    FROM documents
+    """,
+    doc="token counting (whitespace + BPE-ish regex) and composite quality score",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).cast("int").alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+        dround(T.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+    doc="order-insensitive content fingerprint: md5 over sorted distinct token set",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    doc="binary payload column + typed metadata (schema plumbing for opaque media)",
+)
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+    return media.join(
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash")),
+        "doc_id",
+    ).select("doc_id", "media_type", "n_bytes", "content_hash")
+
+
+@register(
+    "multimodal_decode",
+    None,
+    doc="Arrow-batched mapInPandas decode of binary payloads (deterministic stub decoder)",
+)
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+    decoded = M.decode_stub(media)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg("width").alias("avg_width"),
+        F.max("n_frames").alias("max_frames"),
+    )

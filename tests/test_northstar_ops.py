@@ -1,0 +1,159 @@
+"""Behavior tests for the non-SQL-expressible north-star operators:
+MinHash/LSH, SimHash, ANN recall, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestMinhashLSH:
+    def test_finds_planted_near_dup(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+        near = base.replace("today", "tonight")
+        far = "completely different words about spark shuffle partitions and broadcast joins"
+        df = _docs(spark, [(1, base), (2, near), (3, far)])
+        pairs = minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, num_perm=16, bands=4, shingle_k=3
+        ).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 2) in found
+        assert all(3 not in p for p in found)
+
+    def test_signature_permutations_differ(self, spark):
+        # regression: a HOF lambda arity bug once made all 16 permutations
+        # identical — verify the signature has diverse values
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+            minhash_signature,
+            word_shingles,
+        )
+
+        df = _docs(spark, [(1, "a b c d e f g h i j k l m n o p")])
+        sig = df.select(
+            minhash_signature(word_shingles(F.col("text"), 3), 16).alias("sig")
+        ).head()[0]
+        assert len(set(sig)) > 8
+
+    def test_lsh_matches_exact_jaccard_on_fixture(self, spark):
+        # recall on real fixture data: every 3-gram-Jaccard >= 0.8 pair
+        # must be produced by the LSH path (at 0.8 the 4x4 S-curve
+        # collision probability is ~1 - (1-0.8^4)^4 ~ 0.87 per band set;
+        # the fixture's high-overlap pairs collide in practice -- this
+        # pins the behavior deterministically since everything is seeded)
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+            load_table,
+        )
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+            jaccard_pairs,
+            minhash_lsh_pairs,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents").limit(200)
+        exact = {
+            (r.id_a, r.id_b)
+            for r in jaccard_pairs(
+                docs, "doc_id", "text", [], threshold=0.8, shingle_k=3
+            ).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", threshold=0.8, num_perm=16, bands=4,
+                shingle_k=3,
+            ).collect()
+        }
+        # LSH is verified by exact jaccard, so lsh ⊆ exact always;
+        # recall must be high on this corpus
+        assert lsh <= exact
+        if exact:
+            assert len(lsh) / len(exact) >= 0.8
+
+
+class TestSimhash:
+    def test_identical_and_near_texts(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+            simhash_pairs,
+        )
+
+        # simhash stability needs enough tokens that one edit flips few
+        # majority votes — use a ~100-token doc with one changed word
+        words = [f"tok{i}" for i in range(100)]
+        a = " ".join(words)
+        b = " ".join(words[:-1] + ["changed"])
+        df = _docs(spark, [(1, a), (2, a), (3, b)])
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(df, "doc_id", "text", max_hamming=16).collect()
+        }
+        assert pairs.get((1, 2)) == 0  # identical → hamming 0
+        assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 16
+
+
+class TestANN:
+    def test_recall_vs_brute_force(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+            load_table,
+        )
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.similarity import (
+            ann_topk,
+            cosine_topk,
+        )
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        exact = [r.vec_id for r in cosine_topk(emb, qv, k=10).collect()]
+        approx = [
+            r.vec_id
+            for r in ann_topk(emb, qv, k=10, n_planes=4, probe_flips=2).collect()
+        ]
+        # query point itself must always be found (cos=1, same bucket)
+        assert 0 in approx
+        # the fixture embeddings are UNclustered random vectors — the
+        # hardest case for LSH; with 4 planes + 2-flip multiprobe the
+        # deterministic (seeded) recall on this fixture is 0.4
+        overlap = len(set(exact) & set(approx)) / 10
+        assert overlap >= 0.4, f"ANN recall regressed: {overlap}"
+
+
+class TestMultimodal:
+    def test_decode_stub_schema_and_determinism(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+            load_table,
+        )
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.multimodal import (
+            attach_binary_payload,
+            decode_stub,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents").limit(20)
+        media = attach_binary_payload(docs, "text", "doc_id")
+        out = decode_stub(media)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(rows) == 20
+        # deterministic fake: width = n_bytes % 640 + 1
+        for r in rows.values():
+            assert r.width == r.n_bytes % 640 + 1
+            assert r.n_frames == r.n_bytes % 30 + 1
+        # run twice → identical (no hidden state)
+        again = {r.doc_id: r for r in decode_stub(media).collect()}
+        assert {k: tuple(v) for k, v in rows.items()} == {
+            k: tuple(v) for k, v in again.items()
+        }
+
+    def test_real_decode_is_explicit_stub(self):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.multimodal import (
+            real_decode,
+        )
+
+        with pytest.raises(NotImplementedError):
+            real_decode(b"bytes")
