@@ -65,16 +65,22 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles as an array<string>; empty array when the
-    document has fewer than k tokens."""
+    document has fewer than k tokens.
+
+    Built by zipping k shifted copies of the token array rather than a
+    `transform` over positions: a positional lambda would re-evaluate the
+    tokenizer expression per element (O(n²·len) per row); the shifted-copy
+    form evaluates it k times per row.  zip_with null-pads the short side,
+    `concat` propagates those nulls, and the trailing incomplete shingles
+    are filtered out."""
     toks = tokens(text)
-    n = F.size(toks) - (k - 1)
-    sh = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.when(n >= 1, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    sh = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.size(toks))
+        sh = F.zip_with(
+            sh, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -131,22 +137,33 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
-    """num_perm minhash values; permutation i realized by salting the
-    shingle with a fixed prefix before xxhash64 (deterministic across
-    runs and engines' partitionings)."""
+def shingle_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle — the single pass over string payloads;
+    every permutation afterwards re-hashes only this 8-byte long."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_from_hashes(hashes: Column, num_perm: int = 16) -> Column:
+    """num_perm minhash values over pre-hashed shingles; permutation i is
+    xxhash64(h, i) — full avalanche, overflow-free under ANSI, and ~40×
+    cheaper than re-hashing the shingle strings per permutation."""
     def perm_hash(i: int):
         # single-arg lambda: a second parameter would be bound to the
         # array index by Spark's HOF machinery, not to `i`
-        prefix = f"p{i}:"
-        return lambda s: F.xxhash64(F.concat(F.lit(prefix), s))
+        return lambda h: F.xxhash64(h, F.lit(i))
 
     return F.array(
         *[
-            F.array_min(F.transform(shingles, perm_hash(i)))
+            F.array_min(F.transform(hashes, perm_hash(i)))
             for i in range(num_perm)
         ]
     )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
+    """num_perm minhash values (deterministic across runs and engines'
+    partitionings)."""
+    return minhash_from_hashes(shingle_hashes(shingles), num_perm)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -177,14 +194,29 @@ def minhash_lsh_pairs(
     ≈ (1/4)^(1/4) ≈ 0.71; candidates below `threshold` are discarded by
     the exact verification, so recall — not precision — is the only
     LSH-dependent property.
+
+    Shuffle discipline (the 100 TB story): the band self-join and the
+    pair-dedup shuffle only (band, doc_id) / (id, id) — never shingle
+    payloads.  Shingles live in a persisted side table joined back in
+    for the final exact-Jaccard verify; the signature table is persisted
+    so the three consumers of the banded table (bucket-size counts, join
+    side A, join side B) don't each recompute the minhash pass.
     """
     rows_per_band = num_perm // bands
-    sigs = df.select(
+    sh_tbl = df.select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
-    banded = sigs.select(
-        "doc", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band")
+    ).persist()
+    banded = (
+        sh_tbl.withColumn("hh", shingle_hashes(F.col("sh")))
+        .withColumn("sig", minhash_from_hashes(F.col("hh"), num_perm))
+        .select(
+            "doc",
+            F.explode(
+                lsh_band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("band"),
+        )
+        .persist()
     )
     if max_bucket_size is not None:
         # Drop pathological buckets (boilerplate collisions) before the
@@ -194,16 +226,24 @@ def minhash_lsh_pairs(
             F.broadcast(counts.filter(F.col("__n") <= max_bucket_size).select("band")),
             "band",
         )
-    a = banded.select(F.col("band"), F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = banded.select(F.col("band"), F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = banded.select(F.col("band"), F.col("doc").alias("id_a"))
+    b = banded.select(F.col("band"), F.col("doc").alias("id_b"))
     cand = (
         a.join(b, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(
+            sh_tbl.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_tbl.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -212,12 +252,12 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over word tokens, fully native: per-token xxhash64,
-    per-bit signed majority vote, recombine.  Expressed as 64 aggregate
-    lanes over the token array — stays in codegen, no Python."""
-    toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from pre-hashed tokens: per-bit signed majority
+    vote, recombine.  Expressed as 64 aggregate lanes over the hash
+    array — stays in codegen, no Python.  Callers should materialize the
+    hash array as its own column first so the 64 lanes share one token
+    hashing pass instead of embedding it 64×."""
     def bit_vote(i: int):
         # closure factory: keep the merge lambda strictly 2-arg (see
         # minhash_signature note)
@@ -242,6 +282,18 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over word tokens (single-expression convenience;
+    prefer materializing `token_hashes` as a column in pipelines)."""
+    return simhash_from_hashes(token_hashes(text))
+
+
+def token_hashes(text: Column) -> Column:
+    return F.transform(
+        F.array_distinct(tokens(text)), lambda t: F.xxhash64(t)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -252,8 +304,13 @@ def simhash_pairs(
     4×16-bit band keys (a pair within Hamming ≤ 3 of each other shares at
     least one exact band; wider radii trade recall), verified with exact
     bit_count(xor)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim")
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            token_hashes(F.col(text_col)).alias("hh"),
+        )
+        .select("doc", simhash_from_hashes(F.col("hh")).alias("sim"))
+        .persist()
     )
     bands = sh.select(
         "doc",

