@@ -53,11 +53,13 @@ class KeyedParquetTable:
     sink (streaming/sinks.py)."""
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
-                 order_col: str):
+                 order_cols: Sequence[str] | str):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
-        self.order_col = order_col
+        self.order_cols = (
+            [order_cols] if isinstance(order_cols, str) else list(order_cols)
+        )
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
@@ -67,7 +69,7 @@ class KeyedParquetTable:
     def upsert(self, batch: DataFrame) -> None:
         target = self.read()
         merged = merge_by_key(
-            target, batch, self.keys, [F.col(self.order_col).desc()]
+            target, batch, self.keys, [F.col(c).desc() for c in self.order_cols]
         )
         # Localize before overwrite: the read and write touch the same
         # path, so materialize through a temp location.

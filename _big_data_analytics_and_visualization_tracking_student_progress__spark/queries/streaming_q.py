@@ -1,2 +1,267 @@
-"""Streaming query registrations (Structured Streaming over the events
-fixture) — filled in incrementally."""
+"""Streaming query registrations (SURVEY.md §2.8, M3): each entry runs a
+REAL Structured Streaming query over the `events` fixture (file-stream
+source, availableNow trigger, checkpointed sink) and returns the final
+result as a batch DataFrame, so the driver's DuckDB oracle can check the
+stream's end-to-end output against batch semantics.
+
+Window starts are epoch-aligned on both engines (Spark `window()` default
+origin ⇔ DuckDB `time_bucket`), timestamps are emitted as formatted
+strings, and double sums go through DECIMAL — the same determinism rules
+as the batch queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dround, dsum
+from ..operators.upsert import KeyedParquetTable
+from ..registry import register
+from ..sources import events_file_stream
+from ..streaming.pipeline import (
+    _workdir,
+    append_sink_run,
+    cdc_stream,
+    refresh_sink_run,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+    upsert_stream_run,
+)
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+_STAGED: dict[str, str] = {}
+
+
+def _events_path(sf_dir: str) -> str:
+    """The file-stream source requires a *directory* to watch; the fixture
+    is a single parquet file.  Stage it once per sf_dir into a temp dir
+    via hardlink (zero-copy) — exactly the "drop a file into the watched
+    folder" shape of the reference's watchdog source (pro.py:94-108)."""
+    if sf_dir not in _STAGED:
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sparkgraft_events_dir_")
+        src = os.path.join(sf_dir, "events.parquet")
+        dst = os.path.join(d, "events.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+        _STAGED[sf_dir] = d
+    return _STAGED[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# T1/T-window — watermarked tumbling window aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "stream_tumbling_counts",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}')
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="streaming tumbling 1h window × event_type counts/sums (watermark 10m, availableNow)",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    agg = tumbling_agg(
+        ev,
+        window="1 hour",
+        watermark="10 minutes",
+        group_extra=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 6).cast("double").alias("total_value"),
+        ],
+    )
+    out = refresh_sink_run(spark, agg, output_mode="complete")
+    return out.select(
+        F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sliding_avg",
+    f"""
+    WITH shifted AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+        FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_value
+    FROM shifted GROUP BY ws
+    """,
+    doc="streaming sliding window (1h width, 30m hop) event-rate average",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    agg = sliding_agg(
+        ev,
+        window="1 hour",
+        slide="30 minutes",
+        watermark="10 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            dround(
+                dsum(F.col("value"), 6).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+        ],
+    )
+    out = refresh_sink_run(spark, agg, output_mode="complete")
+    return out.select(
+        F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+        "n",
+        "avg_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gaps-and-islands in the batch oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_session_windows",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="streaming session windows (30m gap) per user vs gaps-and-islands batch oracle",
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    agg = session_agg(
+        ev,
+        gap="30 minutes",
+        watermark="10 minutes",
+        key="user_id",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).cast("double").alias("total_value"),
+        ],
+    )
+    out = refresh_sink_run(spark, agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/T2 — keyed upsert sink, idempotent under full replay
+# ---------------------------------------------------------------------------
+@register(
+    "stream_keyed_upsert",
+    f"""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts_s, value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="streaming keyed MERGE sink (latest event per user×type), run twice to prove replay idempotency (T2)",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wd = _workdir("upsert_q")
+    table = KeyedParquetTable(
+        spark,
+        os.path.join(wd, "table"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+    )
+    # Two full replays from scratch (fresh checkpoints) — the keyed merge
+    # makes the second a no-op, which is the T2 effectively-once claim.
+    for run in ("r1", "r2"):
+        ev = events_file_stream(spark, _events_path(sf_dir))
+        upsert_stream_run(
+            spark, ev, table, workdir=os.path.join(wd, run)
+        )
+    out = table.read()
+    assert out is not None
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/T3 — CDC anti-join inside the stream
+# ---------------------------------------------------------------------------
+_CDC_COLS = ["event_id", "event_type", "props", "user_id"]
+
+
+@register(
+    "stream_cdc_changed",
+    """
+    WITH hashed AS (
+        SELECT event_id, user_id, event_type, props,
+               md5(concat_ws(chr(1),
+                   COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'null'),
+                   COALESCE(event_type, chr(0) || 'null'),
+                   COALESCE(props, chr(0) || 'null'),
+                   COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'null')
+               )) AS row_hash
+        FROM events
+    ),
+    old AS (SELECT row_hash FROM hashed WHERE event_id % 10 <> 0)
+    SELECT h.event_id, h.user_id, h.event_type, h.props
+    FROM hashed h WHERE h.row_hash NOT IN (SELECT row_hash FROM old)
+    """,
+    doc="streaming CDC: stream-static row-hash anti-join vs snapshot, append sink (pro.py:46-55 as a stream)",
+)
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasets import load_table
+
+    ev = events_file_stream(spark, _events_path(sf_dir)).select(*_CDC_COLS)
+    snapshot = (
+        load_table(spark, sf_dir, "events")
+        .select(*_CDC_COLS)
+        .filter(F.col("event_id") % 10 != 0)
+    )
+    changed = cdc_stream(ev, snapshot, _CDC_COLS)
+    out = append_sink_run(spark, changed)
+    return out.select("event_id", "user_id", "event_type", "props")

@@ -1,0 +1,183 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S7).
+
+The reference composes openpyxl (Excel scan, pro.py:34-44), watchdog (a
+directory watcher, pro.py:94-108), and a Kafka producer/consumer pair
+(pro.py:85; con.py:14-21).  Spark-first equivalents:
+
+- batch scans   → `spark.read` (parquet/csv/json; Excel gated behind an
+                  optional dependency),
+- the watcher   → the Structured Streaming **file source** (new files are
+                  discovered per micro-batch; no thread choreography),
+- Kafka         → `format("kafka")` source/sink builders (config only —
+                  the driver environment has no broker, so these are
+                  exercised by construction, not by a live round-trip).
+
+Scale notes: the file-stream source lists the input directory every
+trigger — at 100 TB keep per-directory file counts bounded (date-bucketed
+subdirs) and set `maxFilesPerTrigger` so one micro-batch fits the
+cluster.  All readers take an explicit schema in streaming mode (required
+by Spark, and the right call at scale anyway: inference reads footers of
+every file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamReader
+
+
+# ---------------------------------------------------------------------------
+# S1 — batch file scans
+# ---------------------------------------------------------------------------
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """Excel scan (reference pro.py:34-44: header row 1, data rows 2+,
+    all-empty rows skipped).  Requires an xlsx engine (openpyxl), which
+    this container does not ship — gated import, same row semantics as
+    the reference when available: pandas localizes the sheet, Spark takes
+    over from `createDataFrame`."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Excel scan requires openpyxl; install it or convert the "
+            "workbook to parquet/csv upstream"
+        ) from exc
+    pdf = pd.read_excel(path, header=0)  # pragma: no cover
+    pdf = pdf.dropna(how="all")  # pragma: no cover - P5 all-empty-row skip
+    return spark.createDataFrame(pdf)  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# S2 — streaming file source (the watcher, pro.py:94-108)
+# ---------------------------------------------------------------------------
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """New-file discovery per micro-batch — replaces the reference's
+    watchdog observer thread.  `modified` files are NOT re-emitted (the
+    file source tracks seen paths); the reference's whole-file reprocess
+    on modify is covered by the CDC diff (operators/cdc.py) applied to a
+    fresh snapshot drop."""
+    reader: DataStreamReader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def events_stream_schema() -> str:
+    return EVENTS_STREAM_SCHEMA
+
+
+def events_file_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of datasets.load_table("events"): the fixture's
+    TIMESTAMP(NANOS) column is read as a nanos long
+    (legacy.parquet.nanosAsLong) and re-derived as a microsecond
+    timestamp `ts`, keeping `ts_nanos` for precision-sensitive order."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = file_stream(
+        spark,
+        path,
+        EVENTS_STREAM_SCHEMA,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return raw.withColumnRenamed("ts", "ts_nanos").withColumn(
+        "ts",
+        F.timestamp_micros(F.floor(F.col("ts_nanos") / 1000).cast("long")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3/S4 — Kafka sink / source (pro.py:13-24,85; con.py:14-21)
+# ---------------------------------------------------------------------------
+def kafka_json_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source with the reference consumer's posture (earliest
+    offsets, con.py:17; replay T5).  Offset tracking moves from manual
+    batch commits (con.py:79-83) to the streaming checkpoint — the same
+    at-least-once + idempotent-sink = effectively-once contract (T2)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def parse_kafka_json(raw: DataFrame, schema: str) -> DataFrame:
+    """JSON deserialize (con.py:20) + event-time surfacing.  Absent JSON
+    keys become NULL columns — exactly the reference's ragged-message
+    semantics (pro.py:76 drops empty fields; con.py:25-29 checks
+    presence).  The broker timestamp is kept alongside the payload's own
+    event time rather than overwriting it (the reference's con.py:35-36
+    overwrite quirk, documented not reproduced)."""
+    return raw.select(
+        F.col("timestamp").alias("broker_ts"),
+        F.from_json(F.col("value").cast("string"), schema).alias("j"),
+    ).select("broker_ts", "j.*")
+
+
+def kafka_json_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """JSON-serialize every column into the message value (pro.py:23,
+    79-82) and hand the stream to the Kafka sink.  Returns the unstarted
+    writer so callers own trigger/lifecycle."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )

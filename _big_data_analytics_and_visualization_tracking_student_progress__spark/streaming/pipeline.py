@@ -1,0 +1,182 @@
+"""Structured Streaming pipelines (SURVEY.md §2.8 T1-T6 + the windowed
+semantics the reference lacks).
+
+The reference's streaming runtime is hand-rolled: watchdog thread → Kafka
+→ consumer poll loop with manual offset commits every 100 messages
+(con.py:71-88) and a ThreadPool of row-at-a-time index calls.  Here every
+pipeline is ONE declarative streaming query: micro-batching (T1) is the
+engine's trigger, delivery (T2) is checkpoint + idempotent sink, state
+(T3) lives in the state store / snapshot tables, parallelism (T4) is
+partition-level, replay (T5) is `startingOffsets`/file-source catch-up.
+
+All runners use `trigger(availableNow=True)`: process everything
+currently in the source, then stop — which makes streams testable against
+batch oracles (driver fixtures have no live Kafka/broker).  The same
+pipelines run unbounded by swapping the trigger.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import row_hash
+from ..operators.upsert import KeyedParquetTable
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations (absent in reference — engine additions per §2.8)
+# ---------------------------------------------------------------------------
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    group_extra: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation.  Windows are epoch-aligned
+    (Spark's default origin) so a batch engine bucketing with
+    `time_bucket`/`date_trunc` produces identical window starts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), *group_extra)
+        .agg(*aggs)
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide
+    overlapping windows — state is per-window, input is not duplicated."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(*aggs)
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key: str = "user_id",
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Session windows: a session extends while the next event arrives
+    strictly within `gap` of the previous one (an event at exactly
+    prev+gap starts a new session — mirrored by the `>= gap` island test
+    in the batch oracle)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(*aggs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC over a stream (P6/J3/T3)
+# ---------------------------------------------------------------------------
+def cdc_stream(
+    stream: DataFrame, snapshot: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Emit only rows whose canonical row-hash is absent from the
+    snapshot (reference pro.py:46-55).  Stream-static left-anti join:
+    fully incremental — each micro-batch hashes only its own rows; the
+    snapshot side is broadcast when small, shuffled-by-hash when not
+    (uniform md5 keys, skew-free)."""
+    cols = list(cols)
+    hashed = stream.withColumn("__rh", row_hash(cols))
+    snap = snapshot.select(row_hash(cols).alias("__rh")).distinct()
+    return hashed.join(snap, "__rh", "left_anti").drop("__rh")
+
+
+# ---------------------------------------------------------------------------
+# Runners (availableNow lifecycle + sinks)
+# ---------------------------------------------------------------------------
+def _workdir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"sparkgraft_{prefix}_")
+
+
+def refresh_sink_run(
+    spark: SparkSession,
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    workdir: str | None = None,
+) -> DataFrame:
+    """Run a streaming query to completion (availableNow), refreshing a
+    parquet result per micro-batch (overwrite = the dashboard-refresh
+    sink; idempotent under batch replay by construction).  Returns the
+    final refreshed result as a batch DataFrame."""
+    wd = workdir or _workdir("refresh")
+    data, ckpt = os.path.join(wd, "data"), os.path.join(wd, "ckpt")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(data)
+
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(data)
+
+
+def append_sink_run(
+    spark: SparkSession,
+    sdf: DataFrame,
+    workdir: str | None = None,
+) -> DataFrame:
+    """Run an append-mode stream to completion into a parquet dir and
+    return the accumulated rows."""
+    wd = workdir or _workdir("append")
+    data, ckpt = os.path.join(wd, "data"), os.path.join(wd, "ckpt")
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(data)
+
+
+def upsert_stream_run(
+    spark: SparkSession,
+    sdf: DataFrame,
+    table: KeyedParquetTable,
+    workdir: str | None = None,
+) -> DataFrame:
+    """Stream → keyed MERGE sink (S5/T2; reference con.py:55-63).  Each
+    micro-batch upserts into the keyed table inside foreachBatch;
+    checkpoint + last-write-wins merge gives effectively-once output
+    under replay (merging the same batch twice is a fixed point)."""
+    wd = workdir or _workdir("upsert")
+    ckpt = os.path.join(wd, "ckpt")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert(batch_df)
+
+    q = (
+        sdf.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = table.read()
+    assert out is not None
+    return out

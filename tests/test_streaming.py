@@ -1,0 +1,172 @@
+"""Streaming semantics tests (SURVEY.md §2.8 T1-T6 + §5.3): multi-batch
+incremental processing, replay idempotency of the keyed upsert sink, and
+watermark-driven late-data dropping across checkpointed restarts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+    KeyedParquetTable,
+    merge_by_key,
+)
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources import (
+    file_stream,
+)
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (
+    parse_kafka_json,
+)
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (
+    upsert_stream_run,
+)
+
+SCHEMA = "k string, seq bigint, v double"
+
+
+def _write_chunk(spark, rows, dir_path):
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(dir_path)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# T1/T3 — multi-batch upsert: 3 files, one micro-batch each; final table
+# is the same latest-by-key regardless of the batch split.
+# ---------------------------------------------------------------------------
+def test_multibatch_upsert_latest_by_key(spark, workdir):
+    src = os.path.join(workdir, "src")
+    _write_chunk(spark, [("a", 1, 1.0), ("b", 1, 10.0)], src)
+    _write_chunk(spark, [("a", 2, 2.0), ("c", 1, 100.0)], src)
+    _write_chunk(spark, [("b", 3, 30.0), ("a", 3, 3.0)], src)
+
+    table = KeyedParquetTable(
+        spark, os.path.join(workdir, "tbl"), keys=["k"], order_cols=["seq"]
+    )
+    stream = file_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    out = upsert_stream_run(
+        spark, stream, table, workdir=os.path.join(workdir, "run")
+    )
+    got = {(r.k, r.seq, r.v) for r in out.collect()}
+    assert got == {("a", 3, 3.0), ("b", 3, 30.0), ("c", 1, 100.0)}
+
+
+# ---------------------------------------------------------------------------
+# T2 — replay idempotency: running the identical stream again (fresh
+# checkpoint = full replay) leaves the keyed table unchanged.
+# ---------------------------------------------------------------------------
+def test_upsert_replay_is_idempotent(spark, workdir):
+    src = os.path.join(workdir, "src")
+    _write_chunk(spark, [("a", 1, 1.0), ("a", 2, 2.0), ("b", 5, 50.0)], src)
+
+    table = KeyedParquetTable(
+        spark, os.path.join(workdir, "tbl"), keys=["k"], order_cols=["seq"]
+    )
+    first = upsert_stream_run(
+        spark,
+        file_stream(spark, src, SCHEMA),
+        table,
+        workdir=os.path.join(workdir, "run1"),
+    ).collect()
+    second = upsert_stream_run(
+        spark,
+        file_stream(spark, src, SCHEMA),
+        table,
+        workdir=os.path.join(workdir, "run2"),
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    assert {(r.k, r.seq) for r in second} == {("a", 2), ("b", 5)}
+
+
+# ---------------------------------------------------------------------------
+# merge_by_key unit semantics: source beats target on exact order ties.
+# ---------------------------------------------------------------------------
+def test_merge_source_wins_ties(spark):
+    tgt = spark.createDataFrame([("a", 1, "old")], "k string, seq bigint, tag string")
+    src = spark.createDataFrame([("a", 1, "new")], "k string, seq bigint, tag string")
+    out = merge_by_key(tgt, src, ["k"], [F.col("seq").desc()]).collect()
+    assert [(r.k, r.tag) for r in out] == [("a", "new")]
+
+
+# ---------------------------------------------------------------------------
+# Watermark — late rows older than the watermark are dropped across a
+# checkpointed restart (append mode: only finalized windows are emitted).
+# ---------------------------------------------------------------------------
+def test_watermark_drops_late_rows(spark, workdir):
+    src = os.path.join(workdir, "src")
+    sink = os.path.join(workdir, "sink")
+    ckpt = os.path.join(workdir, "ckpt")
+    ev_schema = "ts timestamp, v long"
+
+    def run_once():
+        stream = file_stream(spark, src, ev_schema)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # Phase 1: events in the 09h and 11h windows; max ts 12:05 ⇒ watermark
+    # after the batch = 11:55.
+    _write_chunk_ts(spark, [(t(9, 10), 1), (t(9, 40), 2), (t(11, 20), 3), (t(12, 5), 4)], src, ev_schema)
+    run_once()
+
+    # Phase 2 (restart from checkpoint): a LATE event in the 09h window
+    # (behind the 11:55 watermark ⇒ dropped) plus a fresh 13:10 event that
+    # advances the watermark past 12:00, flushing the 11h and 12h windows.
+    _write_chunk_ts(spark, [(t(9, 50), 99), (t(13, 10), 5)], src, ev_schema)
+    run_once()
+
+    got = {
+        (r.ws.hour, r.n)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # 09h window emitted with count 2 — the late 09:50 event was dropped.
+    assert (9, 2) in got
+    assert (9, 3) not in got
+    # 11h and 12h windows finalized once the watermark passed them.
+    assert (11, 1) in got and (12, 1) in got
+
+
+def _write_chunk_ts(spark, rows, dir_path, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(dir_path)
+
+
+# ---------------------------------------------------------------------------
+# S4 — Kafka-shaped JSON parsing (batch twin of the stream source;
+# ragged/absent keys become NULLs like the reference's sparse messages).
+# ---------------------------------------------------------------------------
+def test_parse_kafka_json_ragged_messages(spark):
+    raw = spark.createDataFrame(
+        [
+            (b'{"a": 1, "b": "x"}',),
+            (b'{"a": 2}',),  # pro.py:76 drops empty fields → absent key
+            (b"not json",),
+        ],
+        "value binary",
+    ).withColumn("timestamp", F.current_timestamp())
+    out = parse_kafka_json(raw, "a bigint, b string").collect()
+    assert [(r.a, r.b) for r in out] == [(1, "x"), (2, None), (None, None)]
