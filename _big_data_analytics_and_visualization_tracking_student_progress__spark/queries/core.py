@@ -576,3 +576,162 @@ def q_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(seg.startswith("AUTO"), F.col("c_name")).alias("auto_name"),
         F.when(seg.startswith("BUILD"), F.col("c_acctbal")).alias("building_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (engine addition — Spark lacks it; union-merge realization in
+# operators/relational.py keeps it one shuffle).  DuckDB's native ASOF
+# JOIN is the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_click_error",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         errors AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts_s,
+           e.value AS err_value
+    FROM clicks c ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    doc="as-of join: each click matched to the user's most recent prior error (single-shuffle union-merge)",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("value").alias("err_value")
+    )
+    out = asof_join(
+        clicks, errors, key="user_id", left_ts="ts", right_ts="err_ts",
+        right_cols=["err_ts", "err_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("err_ts", "yyyy-MM-dd HH:mm:ss").alias("err_ts_s"),
+        "err_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join against a dimension-sized interval table (broadcast
+# nested-loop — fact side never shuffles).
+# ---------------------------------------------------------------------------
+_VALUE_BUCKETS = [
+    (0.0, 5.0, "tiny"),
+    (5.0, 20.0, "small"),
+    (20.0, 100.0, "medium"),
+    (100.0, 1e9, "large"),
+]
+_VALUE_BUCKETS_SQL = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _VALUE_BUCKETS)
+
+
+@register(
+    "range_join_buckets",
+    f"""
+    SELECT e.event_id, r.bucket,
+           CAST(COUNT(*) OVER (PARTITION BY r.bucket) AS BIGINT) AS bucket_n
+    FROM events e
+    JOIN (VALUES {_VALUE_BUCKETS_SQL}) r(lo, hi, bucket)
+      ON e.value >= r.lo AND e.value < r.hi
+    """,
+    doc="range (theta) join: event value vs broadcast [lo,hi) interval dim",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import range_join_broadcast
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        _VALUE_BUCKETS, "lo double, hi double, bucket string"
+    )
+    joined = range_join_broadcast(e, ranges, "value", "lo", "hi")
+    return joined.select(
+        "event_id",
+        "bucket",
+        F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias("bucket_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation (absent in reference; §2.4 "free in Spark" row)
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_users_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="distinct aggregate: daily active users (two-phase distinct agg, map-side partial)",
+)
+def q_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (linear interpolation on both engines)
+# ---------------------------------------------------------------------------
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           FLOOR(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           FLOOR(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+           FLOOR(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0 AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="exact percentiles per event type (Spark `percentile` ⇔ DuckDB quantile_cont)",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        dround(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        dround(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
+        dround(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide dashboard table; compiles to a single-pass conditional agg)
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+    doc="pivot: daily × event-type count matrix (explicit value list ⇒ no extra distinct pass)",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (day, type) cell had no rows; the oracle's
+    # FILTER counts yield 0 — align.
+    return out.select(
+        "d", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )

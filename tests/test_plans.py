@@ -1,0 +1,132 @@
+"""Physical-plan assertions — the 100 TB posture, pinned in CI.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is
+the one that survives a 1000-executor scale-up: filters reach the parquet
+scan, dimension joins broadcast instead of shuffling the fact side,
+aggregations have a map-side partial phase, and the as-of join performs
+exactly one exchange.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+    load_table,
+)
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Predicate pushdown: an equality filter must reach the parquet scan.
+# ---------------------------------------------------------------------------
+def test_point_filter_pushed_to_scan(spark):
+    o = load_table(spark, SF_SMALL, "orders")
+    plan = _formatted(o.filter(F.col("o_custkey") == 7).select("o_orderkey"))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(o_custkey,7\)", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# Column pruning: a two-column projection must not read the full schema.
+# ---------------------------------------------------------------------------
+def test_projection_prunes_scan_schema(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plan = _formatted(li.select("l_orderkey", "l_quantity"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert sorted(cols) == ["l_orderkey", "l_quantity"]
+
+
+# ---------------------------------------------------------------------------
+# Dimension joins broadcast — the fact side must not shuffle for them.
+# ---------------------------------------------------------------------------
+def test_flagship_dimension_joins_are_broadcast(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.plans import (
+        flagship_progress,
+    )
+
+    plan = _plan(flagship_progress(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # customer⋈nation⋈region (dims) broadcast; lineitem⋈orders may be
+    # SMJ or (at tiny SF, via AQE) broadcast — but nation/region must
+    # never appear on the build side of a shuffle join.
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Aggregation runs partial (map-side combine) before the exchange.
+# ---------------------------------------------------------------------------
+def test_groupby_has_partial_aggregate(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(df)
+    assert re.search(r"partial_count|HashAggregate\(keys=\[l_returnflag[^\]]*\], functions=\[partial_", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# As-of join: exactly ONE exchange hashpartitioned on the key (the
+# union-merge realization), not a quadratic range join.
+# ---------------------------------------------------------------------------
+def test_asof_join_single_shuffle(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.relational import (
+        asof_join,
+    )
+
+    e = load_table(spark, SF_SMALL, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("value").alias("err_value")
+    )
+    out = asof_join(
+        clicks, errors, key="user_id", left_ts="ts", right_ts="err_ts",
+        right_cols=["err_ts", "err_value"],
+    )
+    plan = _plan(out)
+    exchanges = re.findall(r"Exchange hashpartitioning\(__k", plan)
+    assert len(exchanges) == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup shuffles only (hash, id) — the text payload must be pruned
+# before the exchange.
+# ---------------------------------------------------------------------------
+def test_exact_dedup_does_not_shuffle_text(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(exact_dedup(docs, "text", "doc_id"))
+    # every Exchange in the plan must carry only hash/id-width columns
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), plan
+
+
+# ---------------------------------------------------------------------------
+# Top-k compiles to TakeOrderedAndProject (bounded heap, no global sort).
+# ---------------------------------------------------------------------------
+def test_topk_is_take_ordered(spark):
+    o = load_table(spark, SF_SMALL, "orders")
+    df = o.orderBy(F.col("o_totalprice").desc()).limit(10)
+    assert "TakeOrderedAndProject" in _plan(df)
