@@ -132,3 +132,39 @@ def range_join_broadcast(
     reference's dimension-shaped lookups."""
     cond = (F.col(value_col) >= ranges[lo_col]) & (F.col(value_col) < ranges[hi_col])
     return fact.join(F.broadcast(ranges), cond, how)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting — the skew guard for a
+    groupBy whose key distribution is pathological (one key holding a
+    large fraction of all rows, e.g. a boilerplate document hash or a
+    bot user id).
+
+    Phase 1 groups on (key, salt) so the hot key's rows spread across
+    `salt_buckets` reducers; phase 2 re-aggregates the per-salt partials
+    on the key alone — by then the hot key is one row per bucket.  Only
+    decomposable aggregates (sum/count/min/max) are valid here; the
+    caller provides the partial expression per output column and this
+    helper applies the same combiner (sum for sums/counts, min/max for
+    min/max is the caller's choice via `aggs` semantics: partials are
+    re-summed).
+
+    AQE's skew-join handling covers *joins*; for aggregations Spark
+    already does map-side partials, which usually suffices — salting is
+    for the case where even the partial rows of one key overwhelm a
+    single reducer (billions of identical keys per partition count).
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, expr in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"__p_{name}").alias(name) for name in aggs]
+    )

@@ -53,13 +53,18 @@ class KeyedParquetTable:
     sink (streaming/sinks.py)."""
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
-                 order_cols: Sequence[str] | str):
+                 order_cols: Sequence[str] | str,
+                 partition_by: Sequence[str] = ()):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.order_cols = (
             [order_cols] if isinstance(order_cols, str) else list(order_cols)
         )
+        # S6 — date-partitioned sink naming (reference daily index
+        # `phantich1-YYYY.MM.DD`, con.py:58): partition dirs replace the
+        # per-day index, and queries prune on the partition column.
+        self.partition_by = list(partition_by)
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
@@ -76,7 +81,10 @@ class KeyedParquetTable:
         tmp = self.path + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+        writer = final.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
         # best-effort cleanup
         import shutil
 

@@ -735,3 +735,60 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "d", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-guard aggregation: salted two-phase groupBy, semantics identical
+# to the plain aggregate (the oracle is the plain GROUP BY).
+# ---------------------------------------------------------------------------
+@register(
+    "salted_user_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="salted two-phase aggregation (skew guard) — result identical to plain groupBy",
+)
+def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["user_id"],
+        {"n": F.count(F.lit(1)), "total_value": dsum(F.col("value"), 6)},
+        salt_buckets=16,
+    )
+    return out.select(
+        "user_id", "n", F.col("total_value").cast("double").alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: ONE ANSI query string executed verbatim by BOTH engines
+# (Catalyst here, DuckDB as the oracle) — the engine's `spark.sql` API.
+# ---------------------------------------------------------------------------
+_SHARED_SQL_REVENUE = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_revenue_by_nation",
+    _SHARED_SQL_REVENUE,
+    doc="SQL API surface: identical ANSI text runs on Catalyst and the DuckDB oracle",
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql import sql
+
+    return sql(spark, sf_dir, _SHARED_SQL_REVENUE)

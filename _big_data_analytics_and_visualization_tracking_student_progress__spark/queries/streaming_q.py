@@ -265,3 +265,74 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed = cdc_stream(ev, snapshot, _CDC_COLS)
     out = append_sink_run(spark, changed)
     return out.select("event_id", "user_id", "event_type", "props")
+
+
+# ---------------------------------------------------------------------------
+# E1→E2 end-to-end ingest: file stream → CDC → canonical typed rows with
+# composite key + dated partition → keyed MERGE sink.  This is the
+# reference's whole producer/consumer pipeline (pro.py + con.py) as ONE
+# declarative streaming query.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_ingest_e2e",
+    """
+    SELECT concat_ws('_', event_type, CAST(user_id AS VARCHAR),
+                     CAST(event_id AS VARCHAR)) AS doc_id,
+           event_id, user_id, event_type,
+           strftime(ts, '%Y.%m.%d') AS index_date,
+           CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+           CASE WHEN event_type = 'error' THEN value END AS error_value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events WHERE event_id % 10 = 0
+    """,
+    doc="E1+E2 pipeline: stream → row-hash CDC → typed derive (F7/F13/F14/F15) → date-partitioned keyed upsert",
+)
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasets import load_table
+    from ..functions.scalar import composite_key
+
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    snapshot = (
+        load_table(spark, sf_dir, "events")
+        .select(*_CDC_COLS)
+        .filter(F.col("event_id") % 10 != 0)
+    )
+    changed = cdc_stream(ev, snapshot, _CDC_COLS)
+    canonical = changed.select(
+        composite_key(
+            F.col("event_type"), F.col("user_id"), F.col("event_id")
+        ).alias("doc_id"),
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy.MM.dd").alias("index_date"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+        F.when(F.col("event_type") == "error", F.col("value")).alias(
+            "error_value"
+        ),
+        F.get_json_object("props", "$.k").cast("bigint").alias("props_k"),
+        "ts_nanos",
+    )
+    wd = _workdir("ingest_e2e")
+    table = KeyedParquetTable(
+        spark,
+        os.path.join(wd, "table"),
+        keys=["doc_id"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["index_date"],
+    )
+    out = upsert_stream_run(
+        spark, canonical, table, workdir=os.path.join(wd, "run")
+    )
+    return out.select(
+        "doc_id",
+        "event_id",
+        "user_id",
+        "event_type",
+        "index_date",
+        "purchase_value",
+        "error_value",
+        "props_k",
+    )
