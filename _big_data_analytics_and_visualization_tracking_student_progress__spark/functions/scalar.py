@@ -122,3 +122,16 @@ def wavg(value: Column, weight: Column, scale: int = 6) -> Column:
     num = dsum(value * weight, scale).cast("double")
     den = dsum(weight, scale)
     return F.when(den > 0, num / den.cast("double")).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# F11 — monotonic event-time synthesis (reference pro.py:27,71-73: the
+# producer stamps each row with last_timestamp += 100µs so event times
+# are strictly increasing and unique).  Spark twin: one base timestamp
+# plus a per-row unique increasing id scaled to 100µs ticks.  Unique and
+# monotone within each partition (the id's partition prefix keeps
+# cross-partition ids disjoint), without any driver-side sequencing.
+# ---------------------------------------------------------------------------
+def synthetic_event_time(base: Column | None = None) -> Column:
+    base_us = F.unix_micros(base if base is not None else F.current_timestamp())
+    return F.timestamp_micros(base_us + F.monotonically_increasing_id() * 100)

@@ -792,3 +792,77 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql import sql
 
     return sql(spark, sf_dir, _SHARED_SQL_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# P5/P7 — row & field cleaning: drop all-null rows, normalize empty
+# strings to NULL (the reference drops all-empty Excel rows, pro.py:41,
+# and prunes None/'' fields before send, pro.py:76).
+# ---------------------------------------------------------------------------
+@register(
+    "clean_rows",
+    """
+    SELECT c_custkey,
+           CASE WHEN trim(c_mktsegment) = '' THEN NULL
+                ELSE c_mktsegment END AS segment_n,
+           c_acctbal
+    FROM customer
+    WHERE NOT (c_name IS NULL AND c_mktsegment IS NULL AND c_acctbal IS NULL)
+    """,
+    doc="P5 all-null row drop + P7 empty-string→NULL normalization",
+)
+def q_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cleaned = c.select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    ).na.drop(how="all", subset=["c_name", "c_mktsegment", "c_acctbal"])
+    return cleaned.select(
+        "c_custkey",
+        F.when(F.trim(F.col("c_mktsegment")) == "", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment_n"),
+        "c_acctbal",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — substring-prefix broadcast lookup (reference cohort map: first 3
+# chars of the student id → intake year, app.py:15-21,86).  Here: first
+# two letters of the market segment → cohort label.
+# ---------------------------------------------------------------------------
+_SEG_PREFIX_DIM = [
+    ("AU", "K46"),
+    ("BU", "K47"),
+    ("FU", "K48"),
+    ("HO", "K49"),
+    ("MA", "K50"),
+]
+_SEG_PREFIX_SQL = ", ".join(f"('{p}', '{z}')" for p, z in _SEG_PREFIX_DIM)
+
+
+@register(
+    "prefix_cohort_join",
+    f"""
+    SELECT c.c_custkey, d.cohort,
+           CAST(COUNT(*) OVER (PARTITION BY d.cohort) AS BIGINT) AS cohort_n
+    FROM customer c
+    LEFT JOIN (VALUES {_SEG_PREFIX_SQL}) d(prefix, cohort)
+      ON substr(c.c_mktsegment, 1, 2) = d.prefix
+    """,
+    doc="J1 substring-prefix broadcast dim lookup (cohort map analog, app.py:15-21,86)",
+)
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.relational import broadcast_lookup
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = spark.createDataFrame(_SEG_PREFIX_DIM, "prefix string, cohort string")
+    out = broadcast_lookup(
+        c, dim, F.substring(F.col("c_mktsegment"), 1, 2) == dim.prefix, "left"
+    )
+    return out.select(
+        "c_custkey",
+        "cohort",
+        F.count(F.lit(1)).over(Window.partitionBy("cohort")).alias("cohort_n"),
+    )

@@ -71,6 +71,10 @@ def main() -> None:
     for name in HEADLINE:
         if name not in registry:
             continue
+        # Drop persisted tables left by the previous query (e.g. LSH
+        # signature caches) so each timing is independent of executor
+        # memory pressure from its predecessors.
+        spark.catalog.clearCache()
         fn = registry[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -170,3 +170,74 @@ def test_parse_kafka_json_ragged_messages(spark):
     ).withColumn("timestamp", F.current_timestamp())
     out = parse_kafka_json(raw, "a bigint, b string").collect()
     assert [(r.a, r.b) for r in out] == [(1, "x"), (2, None), (None, None)]
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — arbitrary stateful operator (applyInPandasWithState): per-key
+# accumulators survive across micro-batches and match the batch answer.
+# ---------------------------------------------------------------------------
+def test_stateful_running_totals_across_batches(spark, workdir):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.stateful import (
+        running_totals,
+    )
+
+    src = os.path.join(workdir, "src")
+    schema = "user_id bigint, value double"
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 10.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, 4.0), (2, 20.0), (3, 5.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    out_dir = os.path.join(workdir, "out")
+
+    def append_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(append_batch)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(out_dir).collect()
+    # Two micro-batches ⇒ per-key snapshots after each; the final (max n)
+    # snapshot per key must equal the batch aggregate.
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n > final[r.user_id][0]:
+            final[r.user_id] = (r.n, r.total)
+    assert final == {1: (3, 7.0), 2: (2, 30.0), 3: (1, 5.0)}
+    # State carried across batches: user 1 must have an intermediate
+    # snapshot (n=2) from batch 1 and the cumulative one (n=3) after
+    # batch 2 — not a fresh count.
+    assert {r.n for r in rows if r.user_id == 1} == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# F11 — synthetic monotonic event time: unique, strictly increasing
+# within every partition.
+# ---------------------------------------------------------------------------
+def test_synthetic_event_time_monotonic(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.functions.scalar import (
+        synthetic_event_time,
+    )
+
+    df = (
+        spark.range(0, 1000, 1, 4)
+        .withColumn("ts", synthetic_event_time(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    rows = df.collect()
+    assert len({r.ts for r in rows}) == 1000  # unique
+    by_pid = {}
+    for r in sorted(rows, key=lambda r: r.id):
+        by_pid.setdefault(r.pid, []).append(r.ts)
+    for ts_list in by_pid.values():
+        assert all(a < b for a, b in zip(ts_list, ts_list[1:]))
