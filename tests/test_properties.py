@@ -1,0 +1,185 @@
+"""Property-based tests (hypothesis): operator laws that must hold for
+ANY input, not just the fixtures — merge idempotency/commutativity-ish,
+salted aggregation ≡ plain aggregation, as-of join ≡ naive per-row
+lookup, and the pinned grade-bucket boundaries.
+
+Data strategy note: small row counts (≤30) keep each Spark job sub-second
+while hypothesis explores the space; `deadline=None` because JVM jobs
+have long tails hypothesis would otherwise flag.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+KEYS = st.sampled_from(["a", "b", "c"])
+ROWS = st.lists(
+    st.tuples(KEYS, st.integers(0, 20), st.integers(-5, 5)),
+    min_size=1,
+    max_size=30,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, s, float(v)) for k, s, v in rows], "k string, seq bigint, v double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge_by_key: upsert twice with the same source == upsert once
+# (idempotency — the T2 effectively-once foundation).
+# ---------------------------------------------------------------------------
+@given(tgt=ROWS, src=ROWS)
+@settings(**SETTINGS)
+def test_merge_idempotent(spark, tgt, src):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        merge_by_key,
+    )
+
+    order = [F.col("seq").desc()]
+    once = merge_by_key(_df(spark, tgt), _df(spark, src), ["k"], order)
+    twice = merge_by_key(once, _df(spark, src), ["k"], order)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge_by_key result: exactly one row per key, and it carries the max
+# seq present across target∪source for that key.
+# ---------------------------------------------------------------------------
+@given(tgt=ROWS, src=ROWS)
+@settings(**SETTINGS)
+def test_merge_keeps_latest(spark, tgt, src):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        merge_by_key,
+    )
+
+    out = merge_by_key(
+        _df(spark, tgt), _df(spark, src), ["k"], [F.col("seq").desc()]
+    ).collect()
+    assert len({r.k for r in out}) == len(out)
+    expected_max = {}
+    for k, s, _ in tgt + src:
+        expected_max[k] = max(expected_max.get(k, -1), s)
+    for r in out:
+        assert r.seq == expected_max[r.k]
+
+
+# ---------------------------------------------------------------------------
+# salted_agg ≡ plain groupBy for decomposable aggregates, for any salt
+# bucket count.
+# ---------------------------------------------------------------------------
+@given(rows=ROWS, buckets=st.sampled_from([1, 2, 7]))
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain(spark, rows, buckets):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.relational import (
+        salted_agg,
+    )
+
+    df = _df(spark, rows)
+    salted = salted_agg(
+        df,
+        ["k"],
+        {"n": F.count(F.lit(1)), "s": F.sum(F.col("seq"))},
+        salt_buckets=buckets,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("seq").alias("s")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# asof_join ≡ naive per-row "greatest right ts <= left ts" lookup.
+# ---------------------------------------------------------------------------
+@given(
+    left=st.lists(
+        st.tuples(KEYS, st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(KEYS, st.integers(0, 50), st.integers(0, 9)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_equals_naive(spark, left, right):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.relational import (
+        asof_join,
+    )
+
+    # de-dup right on (key, ts): keep the max payload for determinism of
+    # the naive model (the operator breaks exact-ts ties arbitrarily
+    # among right rows — exclude that ambiguity from the property).
+    rmap = {}
+    for k, ts, p in right:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -1), p)
+    right = [(k, ts, p) for (k, ts), p in rmap.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "lid bigint, k string, lts bigint",
+    )
+    rdf = spark.createDataFrame(
+        right if right else [("zz", -999, -1)],
+        "k string, rts bigint, payload bigint",
+    )
+    out = asof_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        right_cols=["rts", "payload"],
+    ).collect()
+
+    naive = {}
+    for i, (k, lts) in enumerate(left):
+        best = None
+        for rk, rts, p in right:
+            if rk == k and rts <= lts and (best is None or rts > best[0]):
+                best = (rts, p)
+        naive[i] = best
+    assert len(out) == len(left)
+    for r in out:
+        exp = naive[r.lid]
+        got = None if r.rts is None else (r.rts, r.payload)
+        assert got == exp, (r.lid, got, exp)
+
+
+# ---------------------------------------------------------------------------
+# Grade-bucket boundaries pinned from the reference (app.py:39-55),
+# including the exact boundary values.
+# ---------------------------------------------------------------------------
+@given(score=st.one_of(
+    st.sampled_from([9.0, 8.0, 7.0, 6.5, 5.5, 5.0, 4.0, 0.0, 10.0, 3.999]),
+    st.floats(0, 10, allow_nan=False),
+))
+@settings(**SETTINGS)
+def test_grade_bucket_matches_reference_rules(spark, score):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.functions.scalar import (
+        grade_bucket_4pt,
+    )
+
+    def ref(x):  # app.py:39-55 rules
+        for lo, g in [(9, 4.0), (8, 3.5), (7, 3.0), (6.5, 2.5),
+                      (5.5, 2.0), (5, 1.5), (4, 1.0)]:
+            if x >= lo:
+                return g
+        return 0.0
+
+    got = (
+        spark.range(1)
+        .select(grade_bucket_4pt(F.lit(score)).alias("g"))
+        .first()
+        .g
+    )
+    assert got == ref(score)
