@@ -342,3 +342,60 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Label every node with the MIN node id of its connected component —
+    the transitive closure that turns pairwise near-dup hits into dedup
+    clusters (keep one doc per cluster).
+
+    Iterative min-label propagation: each round, a node adopts the
+    smallest label among itself and its neighbors; fixpoint after
+    O(component diameter) rounds.  Near-dup graphs are overwhelmingly
+    tiny cliques/chains, so convergence is fast regardless of corpus
+    size.  Scale discipline per iteration: one join on node id (labels ×
+    symmetric edges) + one groupBy min — both shuffle only (id, label)
+    longs; `localCheckpoint` truncates the lineage each round so the plan
+    doesn't grow with iterations (the classic iterative-Spark trap), and
+    convergence is checked with a count of changed labels (no driver
+    collect of data rows).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    )
+    labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            labels.join(sym, labels["n"] == sym["s"])
+            .groupBy("d")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["n"] == neighbor_min["d"], "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("nlbl") < F.col("lbl")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("cluster"))

@@ -866,3 +866,41 @@ def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort",
         F.count(F.lit(1)).over(Window.partitionBy("cohort")).alias("cohort_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling via unpivot (melt): per-column nulls / distincts /
+# min / max in one pass — the training-data triage table.
+# ---------------------------------------------------------------------------
+@register(
+    "table_profile",
+    """
+    WITH p AS (
+        SELECT 'event_type' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               MIN(event_type) AS min_s, MAX(event_type) AS max_s
+        FROM events
+        UNION ALL
+        SELECT 'props', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(props) AS BIGINT),
+               CAST(COUNT(DISTINCT props) AS BIGINT),
+               MIN(props), MAX(props)
+        FROM events
+    )
+    SELECT * FROM p
+    """,
+    doc="per-column profile (count/nulls/distinct/min/max) — melt/unpivot shape",
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    melted = e.unpivot(
+        [], ["event_type", "props"], "col", "val"
+    )
+    return melted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_s"),
+        F.max("val").alias("max_s"),
+    )

@@ -355,3 +355,42 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("width").alias("avg_width"),
         F.max("n_frames").alias("max_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: connected components over near-dup pairs (iterative
+# min-label propagation; oracle = recursive CTE transitive closure)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_labels",
+    """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS toks
+        FROM documents
+    ),
+    e AS (
+        SELECT a.doc_id AS s, b.doc_id AS t
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+    ),
+    sym AS (SELECT s, t FROM e UNION ALL SELECT t, s FROM e),
+    walk(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT sym.t, walk.lbl FROM walk JOIN sym ON sym.s = walk.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster FROM walk GROUP BY id
+    """,
+    doc="dedup clusters: iterative connected components over Jaccard≥0.9 pairs (min-label propagation ⇔ recursive-CTE closure)",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.jaccard_pairs(
+        docs, "doc_id", "text", ["lang"], threshold=0.9, shingle_k=1
+    )
+    nodes = docs.select("doc_id")
+    return D.connected_components(
+        nodes, edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )

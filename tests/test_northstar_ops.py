@@ -157,3 +157,23 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             real_decode(b"bytes")
+
+
+# ---------------------------------------------------------------------------
+# Connected components: crafted graph with a chain, a triangle, and
+# singletons — labels must be the component-min, found within diameter
+# iterations.
+# ---------------------------------------------------------------------------
+def test_connected_components_chain_triangle_singletons(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
+    # chain 0-1-2-3 (diameter 3), triangle 4-5-6, pair 7-8, singleton 9
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (7, 8)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r.id: r.cluster for r in connected_components(nodes, edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9}
