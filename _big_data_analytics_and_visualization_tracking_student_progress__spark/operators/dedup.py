@@ -33,21 +33,27 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Hash-groupBy on md5(text): partial aggregation map-side, single
     shuffle on the 128-bit hash — uniform, skew-free, and the shuffle
-    rows carry only (hash, id), not the text payload."""
+    rows carry only (hash, id), not the text payload.  NULL texts are
+    not "equal content": they bypass the dedup and survive unchanged
+    (md5(NULL) would otherwise collapse them into one bogus group)."""
+    nulls = df.filter(F.col(text_col).isNull())
+    nn = df.filter(F.col(text_col).isNotNull())
     h = F.md5(F.col(text_col)).alias("__h")
     keep = (
-        df.select(h, F.col(id_col))
+        nn.select(h, F.col(id_col))
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    return nn.join(keep, id_col, "left_semi").unionByName(nulls)
 
 
 def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Groups of byte-identical texts (size > 1) with their member ids."""
+    """Groups of byte-identical texts (size > 1) with their member ids.
+    NULL texts are excluded — absent content is not duplicate content."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
         .agg(
             F.count(F.lit(1)).alias("n_dupes"),
             F.sort_array(F.collect_list(id_col)).alias("member_ids"),
@@ -108,7 +114,7 @@ def jaccard_pairs(
     sh = word_shingles(F.col(text_col), shingle_k) if shingle_k > 1 else (
         F.array_distinct(tokens(F.col(text_col)))
     )
-    base = df.select(
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), *[F.col(c) for c in block_cols], sh.alias("__sh")
     )
     a = base.select(
@@ -203,7 +209,9 @@ def minhash_lsh_pairs(
     side A, join side B) don't each recompute the minhash pass.
     """
     rows_per_band = num_perm // bands
-    sh_tbl = df.select(
+    # NULL texts can't near-duplicate anything; dropping them up front
+    # also prevents every null doc landing in one degenerate LSH bucket.
+    sh_tbl = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).persist()
@@ -305,7 +313,8 @@ def simhash_pairs(
     least one exact band; wider radii trade recall), verified with exact
     bit_count(xor)."""
     sh = (
-        df.select(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col).alias("doc"),
             token_hashes(F.col(text_col)).alias("hh"),
         )

@@ -18,6 +18,7 @@ and require no state.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -159,3 +160,32 @@ def ann_topk(
         F.col(id_col), cosine(F.col("v"), q).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized alternative path: identical semantics to the native
+# `cosine` expression, computed by numpy over Arrow batches.  The native
+# expression is the default (stays in codegen); this exists for the
+# cases where the scoring function outgrows SQL expressions (learned
+# re-rankers, quantized distance kernels) — and its equality with the
+# native path is pinned in tests.
+# ---------------------------------------------------------------------------
+def cosine_pandas_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        mask = a.notna() & b.notna()
+        if not mask.any():
+            return pd.Series([None] * len(a), dtype="float64")
+        xa = np.stack(a[mask].to_numpy())  # (n, d) — fixed-dim embeddings
+        yb = np.stack(b[mask].to_numpy())
+        num = np.einsum("ij,ij->i", xa, yb)
+        den = np.linalg.norm(xa, axis=1) * np.linalg.norm(yb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den > 0, num / den, 0.0)
+        out = pd.Series([None] * len(a), dtype="float64")
+        out[mask.to_numpy()] = cos
+        return out
+
+    return _cos

@@ -904,3 +904,48 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_s"),
         F.max("val").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 applyInPandas grouped-map: per-user EWMA — recursively defined,
+# beyond any SQL window; oracle = recursive CTE running the identical
+# IEEE arithmetic (alpha*x + (1-alpha)*prev).
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_user_values",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ew(user_id, event_id, rn, ewma) AS (
+        SELECT user_id, event_id, rn, value FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.rn,
+               0.25 * o.value + (1 - 0.25) * e.ewma
+        FROM ordered o JOIN ew e
+          ON o.user_id = e.user_id AND o.rn = e.rn + 1
+    )
+    SELECT user_id, event_id,
+           FLOOR(ewma * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM ew
+    """,
+    doc="applyInPandas grouped-map EWMA per user (recursive smoothing ⇔ recursive-CTE oracle, bit-identical IEEE arithmetic)",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_by_key
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_nanos", "value"
+    )
+    out = ewma_by_key(
+        e,
+        key="user_id",
+        order_cols=["ts_nanos", "event_id"],
+        value_col="value",
+        alpha=0.25,
+        out_cols=["user_id", "event_id"],
+    )
+    return out.select("user_id", "event_id", dround(F.col("ewma"), 6).alias("ewma"))

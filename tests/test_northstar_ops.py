@@ -177,3 +177,103 @@ def test_connected_components_chain_triangle_singletons(spark):
     )
     out = {r.id: r.cluster for r in connected_components(nodes, edges).collect()}
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9}
+
+
+# ---------------------------------------------------------------------------
+# NULL-text robustness: null documents pass through exact dedup
+# untouched, are excluded from dup groups and pair generation, and never
+# crash the shingle/hash pipelines.
+# ---------------------------------------------------------------------------
+def test_dedup_ops_null_text_safety(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        dedup as D,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog", "en"),
+            (2, "the quick brown fox jumps over the dog", "en"),
+            (3, None, "en"),
+            (4, None, "en"),
+            (5, "completely different text entirely here now", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    kept = {r.doc_id for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert kept == {1, 3, 4, 5}  # both nulls survive; 2 deduped into 1
+
+    groups = D.duplicate_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0].member_ids == [1, 2]
+
+    pairs = D.jaccard_pairs(df, "doc_id", "text", ["lang"], 0.9, 1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    mh = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in mh} == {(1, 2)}
+
+    sh = D.simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    assert {(r.id_a, r.id_b) for r in sh} == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized cosine UDF ≡ native expression (within float noise:
+# numpy uses pairwise/SIMD summation, the native fold is sequential).
+# ---------------------------------------------------------------------------
+def test_cosine_pandas_udf_matches_native(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        similarity as S,
+    )
+    from .conftest import SF_SMALL
+
+    emb = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(50)
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    udf_cos = S.cosine_pandas_udf()
+    both = pairs.select(
+        "ia", "ib",
+        S.cosine(F.col("va"), F.col("vb")).alias("native"),
+        udf_cos(F.col("va"), F.col("vb")).alias("vectorized"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r.native - r.vectorized) < 1e-9, (r.ia, r.ib)
+
+
+# ---------------------------------------------------------------------------
+# EWMA grouped-map ≡ a plain Python reference over collected rows.
+# ---------------------------------------------------------------------------
+def test_ewma_matches_python_reference(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.timeseries import (
+        ewma_by_key,
+    )
+    from .conftest import SF_SMALL
+
+    e = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "ts_nanos", "value"
+    )
+    out = ewma_by_key(
+        e, key="user_id", order_cols=["ts_nanos", "event_id"],
+        value_col="value", alpha=0.25, out_cols=["user_id", "event_id"],
+    )
+    got = {(r.user_id, r.event_id): r.ewma for r in out.collect()}
+
+    rows = sorted(
+        e.collect(), key=lambda r: (r.user_id, r.ts_nanos, r.event_id)
+    )
+    alpha, beta = 0.25, 1.0 - 0.25
+    prev_user, prev = None, 0.0
+    for r in rows:
+        prev = r.value if r.user_id != prev_user else alpha * r.value + beta * prev
+        prev_user = r.user_id
+        assert got[(r.user_id, r.event_id)] == prev, (r.user_id, r.event_id)
