@@ -189,3 +189,120 @@ def cosine_pandas_udf():
         return out
 
     return _cos
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cluster-probed
+# brute force — the other classic scale path beside hyperplane LSH.
+# ---------------------------------------------------------------------------
+def _sq_dist(v: Column, lit_c: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_cluster(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "__c",
+) -> DataFrame:
+    """Stamp each row with the argmin-squared-distance centroid index.
+
+    The centroid table rides in as DATA (a broadcast single-row
+    array<array<double>> column), not as literals: a literal formulation
+    embeds k×dim constants in the expression tree, so every Lloyd
+    iteration produces a new plan and pays whole-stage-codegen
+    compilation again.  As data, the expression (one indexed transform +
+    array_min over (dist, idx) structs — struct ordering is
+    lexicographic, so min dist wins and ties break to the lower index)
+    is IDENTICAL across iterations and compiles once.  No UDF, no
+    shuffle: the cross join is a broadcast of one row."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(centroids,)], "__cent array<array<double>>"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.transform(
+        F.col("__cent"),
+        lambda c, i: F.struct(
+            _sq_dist(v, c).alias("d"), i.cast("int").alias("i")
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(cent_df))
+        .withColumn(out_col, F.array_min(scored)["i"])
+        .drop("__cent")
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Lloyd's k-means, Spark-shaped: assignment is a distributed native
+    expression over the corpus; the centroid update shuffles only
+    (cluster, dim_pos, partial_sum) rows — k×dim values reach the
+    driver per iteration, never vectors.  Init = first k vectors in
+    deterministic hash order (seeded, restart-stable).  This is the
+    MLlib k-means communication pattern without the mllib dependency."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(v.alias("__v"), F.col(id_col)).persist()
+    init_rows = (
+        base.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["__v"]] for r in init_rows]
+    for _ in range(iters):
+        assigned = with_cluster(base, "__v", centroids).select("__c", "__v")
+        stats = (
+            assigned.select("__c", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("__c", "__p")
+            .agg(F.sum("__x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["__c"], [0.0] * dim)[r["__p"]] = r["s"]
+            counts[r["__c"]] = r["n"]
+        centroids = [
+            [s / counts[c] for s in sums[c]] if c in sums else centroids[c]
+            for c in range(k)
+        ]
+    base.unpersist()
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe clusters nearest the query and
+    brute-force only inside them.  In production the cluster id is a
+    stored (bucketed/partitioned) column written at ingest — the probe
+    then prunes partitions and scans nprobe/n_centroids of the corpus;
+    here the assignment is computed inline on the fixture."""
+    centroids = train_ivf_centroids(df, vec_col, id_col, k=n_centroids, iters=iters)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(
+        [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    )
+    probe = [int(i) for i in order[:nprobe]]
+    candidates = with_cluster(df, vec_col, centroids).filter(
+        F.col("__c").isin(probe)
+    ).drop("__c")
+    return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)

@@ -394,3 +394,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(
         nodes, edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
+
+
+@register(
+    "ann_ivf_topk",
+    None,
+    doc="IVF ANN: Lloyd k-means coarse quantizer (distributed assign, driver-coordinated update) + nprobe cluster-probed cosine top-k; recall vs brute force asserted in tests",
+)
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    # 8 centroids × 2 Lloyd rounds: each round re-codegens the literal
+    # assignment expression, so training rounds are priced at fixture
+    # scale; at production scale the quantizer is trained once offline
+    # and the cluster id is a stored column.
+    out = S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3, iters=2)
+    return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))

@@ -277,3 +277,27 @@ def test_ewma_matches_python_reference(spark):
         prev = r.value if r.user_id != prev_user else alpha * r.value + beta * prev
         prev_user = r.user_id
         assert got[(r.user_id, r.event_id)] == prev, (r.user_id, r.event_id)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN recall: probing 4/16 clusters must recover most of the exact
+# top-10 (the fixture's embeddings are label-clustered, so the coarse
+# quantizer aligns well).
+# ---------------------------------------------------------------------------
+def test_ivf_recall_vs_brute_force(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        similarity as S,
+    )
+    from .conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {r.vec_id for r in S.cosine_topk(emb, qv, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3, iters=3).collect()
+    }
+    assert len(exact & approx) >= 6, (exact, approx)
