@@ -87,3 +87,39 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(text))))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint (rolling k-gram hashes + sliding-window minima —
+# the MOSS algorithm).  Guarantees: any shared substring of length
+# >= w+k-1 between two documents produces at least one shared
+# fingerprint, so plagiarism/near-copy detection reduces to a join on
+# fingerprint values.  All native expressions: the char-gram hash array
+# is materialized once per row, window minima are slices over it (the
+# lambda touches only the bound array ref — no re-tokenization).
+# ---------------------------------------------------------------------------
+def gram_hashes(text: Column, k: int) -> Column:
+    n = F.length(text) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(F.substring(text, i, k)),
+    )
+    return F.when(n >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def winnow_min_set(hashes: Column, w: int) -> Column:
+    """Sorted distinct sliding-window minima (md5 hex ordering is plain
+    lexicographic in every engine).  Fewer than w grams ⇒ one window."""
+    m = F.size(hashes) - (w - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    picked = (
+        F.when(m >= 1, wins)
+        .when(F.size(hashes) > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.array_sort(F.array_distinct(picked))

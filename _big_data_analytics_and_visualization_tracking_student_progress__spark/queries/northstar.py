@@ -410,3 +410,43 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the cluster id is a stored column.
     out = S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3, iters=2)
     return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@register(
+    "winnow_fingerprints",
+    """
+    WITH hs AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 4
+                    THEN [md5(text[i:i+3]) FOR i IN generate_series(1, length(text)-3)]
+                    ELSE CAST([] AS VARCHAR[]) END AS h
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               CASE WHEN len(h) >= 5
+                    THEN [list_min(h[j:j+4]) FOR j IN generate_series(1, len(h)-4)]
+                    WHEN len(h) > 0 THEN [list_min(h)]
+                    ELSE CAST([] AS VARCHAR[]) END AS w
+        FROM hs
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(w)) AS INT) AS n_fp,
+           md5(array_to_string(list_sort(list_distinct(w)), '|')) AS fingerprint
+    FROM wins
+    """,
+    doc="winnowing (MOSS) fingerprint: rolling 4-gram md5 + 5-wide window minima; shared substrings ≥ w+k-1 guarantee shared fingerprints",
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hs = docs.select(
+        "doc_id", T.gram_hashes(F.col("text"), 4).alias("__h")
+    )
+    fp = hs.select(
+        "doc_id", T.winnow_min_set(F.col("__h"), 5).alias("__w")
+    )
+    return fp.select(
+        "doc_id",
+        F.size("__w").alias("n_fp"),
+        F.md5(F.concat_ws("|", F.col("__w"))).alias("fingerprint"),
+    )
