@@ -112,3 +112,82 @@ def decode_stub(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """1→1 payload transform (the resize shape): bytes in, bytes out,
+    metadata updated.  The stub 'resize' deterministically truncates/pads
+    the payload to width×height bytes; production swaps the inner
+    function for PIL resize + re-encode without touching the plan."""
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def fake(payload: bytes) -> bytes:
+            return payload[:target].ljust(target, b"\x00")
+
+        for pdf in batches:
+            out = pdf["payload"].map(fake)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "n_bytes": out.map(len),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """1→N expansion (the video frame-sampling shape): each payload emits
+    one row per sampled 'frame' (here: every_n_bytes chunk).  mapInPandas
+    is the right surface because the output row count per input row is
+    data-dependent — no exploding array materialization of all frames at
+    once; batches stream out as Arrow."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for j, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(payload[off : off + every_n_bytes])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_payload": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return media.mapInPandas(_sample, FRAMES_SCHEMA)

@@ -159,16 +159,31 @@ def upsert_stream_run(
     sdf: DataFrame,
     table: KeyedParquetTable,
     workdir: str | None = None,
+    quarantine_predicate: Column | None = None,
 ) -> DataFrame:
     """Stream → keyed MERGE sink (S5/T2; reference con.py:55-63).  Each
     micro-batch upserts into the keyed table inside foreachBatch;
     checkpoint + last-write-wins merge gives effectively-once output
-    under replay (merging the same batch twice is a fixed point)."""
+    under replay (merging the same batch twice is a fixed point).
+
+    `quarantine_predicate`: rows NOT satisfying it (e.g. null business
+    keys) are diverted to a quarantine parquet dir instead of being
+    silently dropped — the reference logs-and-drops them (con.py:65-66);
+    a quarantine sink keeps them replayable.  Returns the keyed table
+    (empty-schema DataFrame when the source produced no batches)."""
     wd = workdir or _workdir("upsert")
     ckpt = os.path.join(wd, "ckpt")
+    quarantine_dir = os.path.join(wd, "quarantine")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table.upsert(batch_df)
+        good = batch_df
+        if quarantine_predicate is not None:
+            bad = batch_df.filter(~F.coalesce(quarantine_predicate, F.lit(False)))
+            bad.write.mode("append").parquet(quarantine_dir)
+            good = batch_df.filter(
+                F.coalesce(quarantine_predicate, F.lit(False))
+            )
+        table.upsert(good)
 
     q = (
         sdf.writeStream.foreachBatch(merge_batch)
@@ -178,5 +193,15 @@ def upsert_stream_run(
     )
     q.awaitTermination()
     out = table.read()
-    assert out is not None
+    if out is None:
+        return spark.createDataFrame([], sdf.schema)
     return out
+
+
+def read_quarantine(
+    spark: SparkSession, workdir: str
+) -> DataFrame | None:
+    path = os.path.join(workdir, "quarantine")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)

@@ -241,3 +241,77 @@ def test_synthetic_event_time_monotonic(spark):
         by_pid.setdefault(r.pid, []).append(r.ts)
     for ts_list in by_pid.values():
         assert all(a < b for a, b in zip(ts_list, ts_list[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Quarantine path: rows failing the key predicate are diverted to a
+# replayable quarantine sink instead of silently dropped (the
+# reference's con.py:65-66 log-and-drop, made durable).
+# ---------------------------------------------------------------------------
+def test_upsert_quarantines_null_keys(spark, workdir):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (
+        read_quarantine,
+    )
+
+    src = os.path.join(workdir, "src")
+    _write_chunk(spark, [("a", 1, 1.0), (None, 2, 2.0), ("b", 3, 3.0)], src)
+    table = KeyedParquetTable(
+        spark, os.path.join(workdir, "tbl"), keys=["k"], order_cols=["seq"]
+    )
+    run_dir = os.path.join(workdir, "run")
+    out = upsert_stream_run(
+        spark,
+        file_stream(spark, src, SCHEMA),
+        table,
+        workdir=run_dir,
+        quarantine_predicate=F.col("k").isNotNull(),
+    )
+    assert {r.k for r in out.collect()} == {"a", "b"}
+    quarantined = read_quarantine(spark, run_dir).collect()
+    assert [(r.k, r.seq) for r in quarantined] == [(None, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Empty source: zero micro-batches must yield an empty result, not a
+# crash (table never created).
+# ---------------------------------------------------------------------------
+def test_upsert_empty_source(spark, workdir):
+    src = os.path.join(workdir, "src")
+    os.makedirs(src)
+    table = KeyedParquetTable(
+        spark, os.path.join(workdir, "tbl"), keys=["k"], order_cols=["seq"]
+    )
+    out = upsert_stream_run(
+        spark,
+        file_stream(spark, src, SCHEMA),
+        table,
+        workdir=os.path.join(workdir, "run"),
+    )
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing shapes: 1→1 resize and 1→N frame sampling via
+# mapInPandas (batch-streamed Arrow, data-dependent output cardinality).
+# ---------------------------------------------------------------------------
+def test_multimodal_resize_and_frame_sample(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        multimodal as M,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 700)], "doc_id bigint, text string"
+    )
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+
+    resized = {r.doc_id: r for r in M.resize_stub(media, 8, 8).collect()}
+    assert all(r.n_bytes == 64 for r in resized.values())
+    assert resized[1].payload[:100] == b"x" * 64
+
+    frames = M.frame_sample_stub(media, every_n_bytes=256).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[1]) == 1          # 100 bytes → 1 frame
+    assert len(per_doc[2]) == 3          # 700 bytes → 3 frames
+    assert per_doc[2][2].n_bytes == 700 - 512
