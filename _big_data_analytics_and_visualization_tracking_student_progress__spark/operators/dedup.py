@@ -224,16 +224,23 @@ def minhash_lsh_pairs(
                 lsh_band_keys(F.col("sig"), bands, rows_per_band)
             ).alias("band"),
         )
-        .persist()
     )
     if max_bucket_size is not None:
         # Drop pathological buckets (boilerplate collisions) before the
-        # quadratic candidate join — the standard scale guard.
-        counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("__n"))
-        banded = banded.join(
-            F.broadcast(counts.filter(F.col("__n") <= max_bucket_size).select("band")),
-            "band",
+        # quadratic candidate join — the standard scale guard.  A window
+        # count over `band` shares the hash-partitioning the candidate
+        # self-join needs anyway, so the guard costs no extra shuffle
+        # (vs. a separate aggregate + broadcast-join round trip).
+        from pyspark.sql import Window
+
+        banded = (
+            banded.withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy("band"))
+            )
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
         )
+    banded = banded.persist()
     a = banded.select(F.col("band"), F.col("doc").alias("id_a"))
     b = banded.select(F.col("band"), F.col("doc").alias("id_b"))
     cand = (

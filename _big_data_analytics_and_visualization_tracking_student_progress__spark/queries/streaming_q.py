@@ -336,3 +336,50 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_value",
         "props_k",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: purchases joined to the same user's
+# clicks within the prior 15 minutes — watermarked on BOTH sides so
+# join state is evicted as event time advances.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_join",
+    f"""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 15 MINUTE
+    """,
+    doc="stream-stream interval join (watermarked both sides, bounded state) vs batch range-join oracle",
+)
+def q_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import interval_stream_join
+
+    purchases = events_file_stream(spark, _events_path(sf_dir)).filter(
+        F.col("event_type") == "purchase"
+    ).select(F.col("event_id").alias("p_id"), "user_id", "ts")
+    clicks = events_file_stream(spark, _events_path(sf_dir)).filter(
+        F.col("event_type") == "click"
+    ).select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    joined = interval_stream_join(
+        purchases.withColumnRenamed("user_id", "user_id"),
+        clicks.withColumnRenamed("c_user", "user_id").withColumnRenamed("c_ts", "ts"),
+        key="user_id",
+        watermark="30 minutes",
+        max_lag="15 minutes",
+    )
+    out = append_sink_run(
+        spark,
+        joined.select(
+            F.col("l.p_id").alias("purchase_id"),
+            F.col("r.c_id").alias("click_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.date_format(F.col("l.ts"), _TS_FMT_SPARK).alias("purchase_ts"),
+            F.date_format(F.col("r.ts"), _TS_FMT_SPARK).alias("click_ts"),
+        ),
+    )
+    return out

@@ -205,3 +205,31 @@ def read_quarantine(
     if not os.path.isdir(path):
         return None
     return spark.read.parquet(path)
+
+
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "30 minutes",
+    max_lag: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right rows within (left_ts - max_lag, left_ts].  Both sides carry
+    watermarks, so the join state store evicts rows once they can no
+    longer match — bounded state, the thing the naive cache-both-streams
+    approach lacks.  Semantically equal to the batch range join of the
+    same inputs (oracle-checked in the registered query)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            > F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return l.join(r, cond, "inner")
