@@ -949,3 +949,85 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_cols=["user_id", "event_id"],
     )
     return out.select("user_id", "event_id", dround(F.col("ewma"), 6).alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Shared-ANSI SQL suite over the previously-unexercised part/supplier
+# tables — each query is ONE SQL text executed verbatim by Catalyst and
+# by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+_SHARED_SQL_PROMO = """
+    SELECT p.p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+           FLOOR(CAST(SUM(CAST(l.l_quantity AS DECIMAL(22,4))) AS DOUBLE)
+                 / COUNT(*) * 1e4 + 0.5e0) / 1e4 AS avg_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+"""
+# NOTE: decimal-pointed literals (10000.0) parse as DECIMAL in Spark SQL
+# but the FLOOR quantization needs pure-DOUBLE arithmetic — scientific
+# notation (1e4) is DOUBLE in both engines.
+
+
+@register(
+    "sql_promo_revenue_by_type",
+    _SHARED_SQL_PROMO,
+    doc="lineitem⋈part revenue by part type (broadcast dim join; shared ANSI text on both engines)",
+)
+def q_sql_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql import sql
+
+    return sql(spark, sf_dir, _SHARED_SQL_PROMO)
+
+
+_SHARED_SQL_SUPPLIER = """
+    SELECT n.n_name,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_supplier_revenue_by_nation",
+    _SHARED_SQL_SUPPLIER,
+    doc="lineitem⋈supplier⋈nation revenue + distinct-supplier counts per nation",
+)
+def q_sql_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql import sql
+
+    return sql(spark, sf_dir, _SHARED_SQL_SUPPLIER)
+
+
+_SHARED_SQL_SHIPPING = """
+    SELECT l.l_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 20
+"""
+
+
+@register(
+    "sql_shipping_priority_topk",
+    _SHARED_SQL_SHIPPING,
+    doc="Q3-shaped shipping priority: join + filter + grouped revenue + deterministic top-k",
+)
+def q_sql_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql import sql
+
+    return sql(spark, sf_dir, _SHARED_SQL_SHIPPING)
