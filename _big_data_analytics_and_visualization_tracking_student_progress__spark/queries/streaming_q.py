@@ -383,3 +383,49 @@ def q_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# T3 — streaming dedup: the same file delivered twice (two micro-batches
+# via maxFilesPerTrigger=1); state-store dropDuplicates suppresses the
+# replayed copies across batches.  Unbounded keys ⇒ production bounds
+# the state with dropDuplicatesWithinWatermark; exact-key dedup is used
+# here so the output is oracle-comparable.
+# ---------------------------------------------------------------------------
+_DUP_STAGED: dict[str, str] = {}
+
+
+def _events_path_duplicated(sf_dir: str) -> str:
+    if sf_dir not in _DUP_STAGED:
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sparkgraft_events_dup_")
+        src = os.path.join(sf_dir, "events.parquet")
+        for name in ("a.parquet", "b.parquet"):
+            try:
+                os.link(src, os.path.join(d, name))
+            except OSError:
+                shutil.copyfile(src, os.path.join(d, name))
+        _DUP_STAGED[sf_dir] = d
+    return _DUP_STAGED[sf_dir]
+
+
+@register(
+    "stream_dedup_replay",
+    f"""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts_s
+    FROM events
+    """,
+    doc="streaming dropDuplicates state across micro-batches: double-delivered file collapses to one copy (T3)",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(
+        spark, _events_path_duplicated(sf_dir), max_files_per_trigger=1
+    )
+    deduped = ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+    )
+    return append_sink_run(spark, deduped)
