@@ -1031,3 +1031,124 @@ def q_sql_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql import sql
 
     return sql(spark, sf_dir, _SHARED_SQL_SHIPPING)
+
+
+# ---------------------------------------------------------------------------
+# Reference-domain pipeline in the driver gate: the app.py analytics
+# over the reference's OWN schema, on a deterministic inline dataset —
+# the oracle replicates the full pipeline in pure SQL over the same
+# VALUES, so the gate checks reference-exact semantics end-to-end.
+# ---------------------------------------------------------------------------
+_REF_ROWS_SQL = """
+    (VALUES
+      ('B2010001','CT101','Giai tich','3','DI20A',20231,'9.0','100','2020'),
+      ('B2010001','CT102','Vat ly','2','DI20A',20232,'6.5','100','2020'),
+      ('B2010001','CT103','Mon sao *','3','DI20A',20232,'8.0','100','2020'),
+      ('B2010001','CT104','Hoa hoc','4','DI20A',20231,'3.9','100','2020'),
+      ('B2010001','CT105','Do an','2','DI20A',20251,'9.5','120','2020'),
+      ('B2230002','AV201','Anh van','5','FL22B',20241,'8.0','141','2022'),
+      ('B2450003','CT301','Mang may tinh','abc','DI24C',20241,'2.0','10','2024')
+    ) r(F_MASV,F_MAMH,F_TENMHVN,F_DVHT,F_TENLOP,NHHK,F_DIEM2,F_TCDTTL,F_KHOAHOC)
+"""
+
+
+@register(
+    "reference_domain_report",
+    f"""
+    WITH rec AS (
+        SELECT F_MASV, F_MAMH, F_TENMHVN,
+               TRY_CAST(F_DVHT AS DOUBLE) AS dvht,
+               F_TENLOP, NHHK,
+               TRY_CAST(F_DIEM2 AS DOUBLE) AS diem2,
+               TRY_CAST(F_TCDTTL AS DOUBLE) AS tcdttl,
+               ROW_NUMBER() OVER (ORDER BY F_MASV, F_MAMH) AS rn
+        FROM {_REF_ROWS_SQL}
+    ),
+    graded AS (
+        SELECT *,
+               CASE WHEN diem2 >= 9.0 THEN 4.0 WHEN diem2 >= 8.0 THEN 3.5
+                    WHEN diem2 >= 7.0 THEN 3.0 WHEN diem2 >= 6.5 THEN 2.5
+                    WHEN diem2 >= 5.5 THEN 2.0 WHEN diem2 >= 5.0 THEN 1.5
+                    WHEN diem2 >= 4.0 THEN 1.0 ELSE 0.0 END AS diem4,
+               (diem2 >= 4.0 AND NOT contains(F_TENMHVN, '*')
+                AND NHHK <> 20251) AS passed
+        FROM rec
+    ),
+    per_student AS (
+        SELECT F_MASV,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MAX(CASE WHEN F_TENLOP LIKE 'DI%' THEN 1 ELSE 0 END) AS is_mmt,
+               MAX(CASE WHEN F_TENLOP LIKE 'FL%' THEN 1 ELSE 0 END) AS is_nna,
+               SUM(CASE WHEN passed THEN diem4 * dvht ELSE 0.0 END) AS pts,
+               SUM(CASE WHEN passed THEN dvht ELSE 0.0 END) AS cr,
+               arg_max(tcdttl, rn) AS credits_completed
+        FROM graded GROUP BY F_MASV
+    ),
+    dims AS (
+        SELECT s.*,
+               CASE WHEN is_mmt = 1 THEN 'MMT'
+                    WHEN is_nna = 1 THEN 'NNA' END AS nganh,
+               CASE substr(F_MASV, 1, 3)
+                    WHEN 'B20' THEN 46 WHEN 'B21' THEN 47 WHEN 'B22' THEN 48
+                    WHEN 'B23' THEN 49 WHEN 'B24' THEN 50 END AS khoa
+        FROM per_student s
+    ),
+    prog AS (
+        SELECT d.*,
+               CASE WHEN nganh = 'NNA' THEN 141
+                    WHEN nganh = 'MMT' AND khoa <= 47 THEN 156
+                    WHEN nganh = 'MMT' THEN 161 END AS total_credits,
+               CASE WHEN nganh = 'NNA' THEN 12 ELSE 13 END AS total_semesters
+        FROM dims d
+    )
+    SELECT F_MASV, nganh, khoa, n_rows,
+           FLOOR(CASE WHEN cr > 0 THEN pts / cr ELSE 0.0 END * 1e4 + 0.5e0)
+               / 1e4 AS dtbctl,
+           credits_completed,
+           CAST(total_credits AS INT) AS total_credits,
+           total_credits - COALESCE(credits_completed, 0.0)
+               AS remaining_credits,
+           CAST(total_semesters - (2024 - (2020 + khoa - 46)) * 3 AS INT)
+               AS remaining_semesters,
+           CASE WHEN total_credits - COALESCE(credits_completed, 0.0) <= 0
+                THEN 'completed'
+                WHEN total_credits - COALESCE(credits_completed, 0.0)
+                     <= (total_semesters - (2024 - (2020 + khoa - 46)) * 3) * 20
+                THEN 'on_track' ELSE 'behind' END AS status
+    FROM prog
+    """,
+    doc="reference-exact app.py pipeline over the reference's own schema (inline VALUES dataset, full-SQL oracle)",
+)
+def q_reference_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from ..plans.reference_domain import student_progress_report
+
+    rows = [
+        ("B2010001", "CT101", "Giai tich", "3", "DI20A", 20231, "9.0", "100", "2020"),
+        ("B2010001", "CT102", "Vat ly", "2", "DI20A", 20232, "6.5", "100", "2020"),
+        ("B2010001", "CT103", "Mon sao *", "3", "DI20A", 20232, "8.0", "100", "2020"),
+        ("B2010001", "CT104", "Hoa hoc", "4", "DI20A", 20231, "3.9", "100", "2020"),
+        ("B2010001", "CT105", "Do an", "2", "DI20A", 20251, "9.5", "120", "2020"),
+        ("B2230002", "AV201", "Anh van", "5", "FL22B", 20241, "8.0", "141", "2022"),
+        ("B2450003", "CT301", "Mang may tinh", "abc", "DI24C", 20241, "2.0", "10", "2024"),
+    ]
+    # @timestamp mirrors the oracle's rn order (sorted by F_MASV, F_MAMH)
+    ordered = sorted(rows, key=lambda r: (r[0], r[1]))
+    with_ts = [
+        r + (dt.datetime(2024, 1, 1, 0, 0, i),) for i, r in enumerate(ordered)
+    ]
+    records = spark.createDataFrame(
+        with_ts,
+        "F_MASV string, F_MAMH string, F_TENMHVN string, F_DVHT string, "
+        "F_TENLOP string, NHHK int, F_DIEM2 string, F_TCDTTL string, "
+        "F_KHOAHOC string, `@timestamp` timestamp",
+    )
+    out = student_progress_report(spark, records)
+    return out.select(
+        "F_MASV", "nganh", "khoa", "n_rows", "dtbctl", "credits_completed",
+        F.col("total_credits").cast("int").alias("total_credits"),
+        "remaining_credits",
+        F.col("remaining_semesters").cast("int").alias("remaining_semesters"),
+        "status",
+    )
