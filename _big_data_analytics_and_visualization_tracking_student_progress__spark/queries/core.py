@@ -1152,3 +1152,24 @@ def q_reference_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("remaining_semesters").cast("int").alias("remaining_semesters"),
         "status",
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates — the scale path for dashboard distincts and
+# quantiles (exact distinct shuffles every key; HLL sketches merge in
+# fixed space).  Rows-only in the driver gate (sketch internals are
+# engine-specific); error bounds vs the exact answers are pinned in
+# tests/test_northstar_ops.py.
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_and_quantiles",
+    None,
+    doc="HLL approx_count_distinct + approx_percentile per event type (error bounds pinned in tests)",
+)
+def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -301,3 +301,38 @@ def test_ivf_recall_vs_brute_force(spark):
         for r in S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3, iters=3).collect()
     }
     assert len(exact & approx) >= 6, (exact, approx)
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates: sketch answers must land within their error
+# bounds of the exact answers.
+# ---------------------------------------------------------------------------
+def test_approx_aggregates_error_bounds(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from .conftest import SF_ORACLE
+
+    e = load_table(spark, SF_ORACLE, "events")
+    approx = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.au - ex.u) <= max(2, 0.05 * ex.u), et
+        assert abs(ap.p50 - ex.p50) <= 0.05 * max(1.0, ex.p50), et

@@ -172,3 +172,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning: a filter on the partition column must surface as a
+# PartitionFilter, scanning only matching directories.
+# ---------------------------------------------------------------------------
+def test_partition_pruning_on_date_partitioned_sink(spark, tmp_path):
+    e = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "by_date")
+    (
+        e.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("d")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("d") == "2024-01-02")
+    plan = _formatted(df)
+    assert re.search(r"PartitionFilters: \[.*d.*2024-01-02", plan), plan
+    assert df.count() > 0
