@@ -33,13 +33,22 @@ def merge_by_key(
 ) -> DataFrame:
     """MERGE semantics: rows from `source` replace same-key rows in
     `target`; ties broken by `order_by` (descending recency first), with
-    source preferred over target on exact ties via a provenance column."""
+    source preferred over target on exact ties via a provenance column.
+
+    Schema evolution: a source batch may carry columns the target lacks
+    (the reference's ragged Excel rows — new headers appear mid-stream,
+    pro.py:38) and vice versa; the union fills either side's missing
+    columns with NULL (`allowMissingColumns`), so the table widens
+    additively instead of rejecting the batch.
+
+    Concurrency: single-writer, like any non-transactional table layout —
+    the streaming runner serializes batches through one foreachBatch."""
     src = source.withColumn("__src", F.lit(1))
     if target is None:
         merged = src
     else:
         tgt = target.withColumn("__src", F.lit(0))
-        merged = tgt.unionByName(src)
+        merged = tgt.unionByName(src, allowMissingColumns=True)
     out = latest_by_key(
         merged, keys, list(order_by) + [F.col("__src").desc()]
     )

@@ -315,3 +315,33 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(per_doc[1]) == 1          # 100 bytes → 1 frame
     assert len(per_doc[2]) == 3          # 700 bytes → 3 frames
     assert per_doc[2][2].n_bytes == 700 - 512
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: a later batch carrying a NEW column widens the keyed
+# table additively (reference's ragged Excel rows, pro.py:38); earlier
+# rows read NULL for it.
+# ---------------------------------------------------------------------------
+def test_upsert_schema_evolution(spark, workdir):
+    table = KeyedParquetTable(
+        spark, os.path.join(workdir, "tbl"), keys=["k"], order_cols=["seq"]
+    )
+    table.upsert(
+        spark.createDataFrame([("a", 1, 1.0)], "k string, seq bigint, v double")
+    )
+    table.upsert(
+        spark.createDataFrame(
+            [("b", 2, 2.0, "extra")],
+            "k string, seq bigint, v double, note string",
+        )
+    )
+    rows = {r.k: r for r in table.read().collect()}
+    assert rows["a"].note is None
+    assert rows["b"].note == "extra"
+    # and the reverse direction: a narrower later batch still merges
+    table.upsert(
+        spark.createDataFrame([("a", 9, 9.0)], "k string, seq bigint, v double")
+    )
+    rows = {r.k: r for r in table.read().collect()}
+    assert rows["a"].seq == 9 and rows["a"].note is None
+    assert rows["b"].note == "extra"
