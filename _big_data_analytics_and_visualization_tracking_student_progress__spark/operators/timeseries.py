@@ -21,8 +21,6 @@ performs, so results are bit-identical cross-engine.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 
