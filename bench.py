@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "cosine_topk",
     "text_quality_scores",
+    "asof_click_error",
+    "stream_tumbling_counts",
 ]
 
 
