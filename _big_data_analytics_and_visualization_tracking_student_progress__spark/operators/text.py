@@ -123,3 +123,24 @@ def winnow_min_set(hashes: Column, w: int) -> Column:
         .otherwise(F.array().cast("array<string>"))
     )
     return F.array_sort(F.array_distinct(picked))
+
+
+# ---------------------------------------------------------------------------
+# PII-style scrubbing: regex redaction of emails / long digit runs /
+# @handles before training-data use.  Plain regexp_replace — JVM-side,
+# vectorized; patterns kept to the regex subset with identical semantics
+# in Java regex and RE2 (no backrefs/lookaround) so the DuckDB oracle
+# runs the same expressions.
+# ---------------------------------------------------------------------------
+SCRUB_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9][0-9 ()\-]{6,}[0-9]", "<PHONE>"),
+    (r"@[A-Za-z0-9_]{2,}", "<HANDLE>"),
+]
+
+
+def scrub_text(text: Column) -> Column:
+    out = text
+    for pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

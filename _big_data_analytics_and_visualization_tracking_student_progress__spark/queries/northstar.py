@@ -450,3 +450,33 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__w").alias("n_fp"),
         F.md5(F.concat_ws("|", F.col("__w"))).alias("fingerprint"),
     )
+
+
+_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'[0-9][0-9 ()\\-]{6,}[0-9]', '<PHONE>', 'g'), "
+    "'@[A-Za-z0-9_]{2,}', '<HANDLE>', 'g')"
+)
+
+
+@register(
+    "text_scrubbed",
+    f"""
+    SELECT doc_id,
+           md5({_SCRUB_SQL}) AS scrubbed_hash,
+           CAST(length({_SCRUB_SQL}) AS INT) AS scrubbed_len,
+           CAST(({_SCRUB_SQL} <> text) AS BOOLEAN) AS was_scrubbed
+    FROM documents
+    """,
+    doc="PII-style scrubbing (email/phone/handle redaction) — identical regex semantics on both engines",
+)
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = T.scrub_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).cast("int").alias("scrubbed_len"),
+        (scrubbed != F.col("text")).alias("was_scrubbed"),
+    )

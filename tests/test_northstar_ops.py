@@ -336,3 +336,48 @@ def test_approx_aggregates_error_bounds(spark):
         ap = approx[et]
         assert abs(ap.au - ex.u) <= max(2, 0.05 * ex.u), et
         assert abs(ap.p50 - ex.p50) <= 0.05 * max(1.0, ex.p50), et
+
+
+# ---------------------------------------------------------------------------
+# Scrubbing redacts the target shapes and nothing else.
+# ---------------------------------------------------------------------------
+def test_scrub_text_redacts_pii_shapes(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        text as T,
+    )
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk today"),
+        (2, "call 0123 456-7890 now"),
+        (3, "ping @alice_б on the platform"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, text string")
+    out = {r.i: r.s for r in df.select("i", T.scrub_text(F.col("text")).alias("s")).collect()}
+    assert out[1] == "contact me at <EMAIL> today"
+    assert out[2] == "call <PHONE> now"
+    assert out[3].startswith("ping <HANDLE>")
+    assert out[4] == "nothing sensitive here"
+
+
+# ---------------------------------------------------------------------------
+# Language-ID quality on real sentences (the fixture's synthetic text is
+# not actually in its labeled language, so the oracle query only checks
+# the confusion-matrix computation; THIS pins detection quality).
+# ---------------------------------------------------------------------------
+def test_lang_id_detects_real_sentences(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        text as T,
+    )
+
+    rows = [
+        ("en", "the quick brown fox and the lazy dog are in the yard with a ball"),
+        ("de", "der hund und die katze sind nicht mit dem mann in das haus gegangen"),
+        ("es", "el perro y el gato no se ven en la casa de los abuelos por que si"),
+        ("fr", "le chien et le chat ne sont pas dans la maison de la grande ville"),
+        ("unk", "zzz qqq xxx yyy 123 456"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r.lang: r.det for r in df.select(
+        "lang", T.lang_id(F.col("text")).alias("det")).collect()}
+    assert out == {k: k for k in out}
