@@ -172,6 +172,30 @@ def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
     return minhash_from_hashes(shingle_hashes(shingles), num_perm)
 
 
+def portable_hash64(s: Column) -> Column:
+    """60-bit integer hash from the md5 hex prefix — bit-identical in
+    Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    (`('0x'||substr(md5(x),1,15))::BIGINT`).  The engine-portable twin
+    of xxhash64, used by the oracle-checked dedup variants; ~3× the cost
+    of xxhash64, so the fast paths keep xxhash64."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def portable_minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
+    """Portable-hash minhash: permutation i hashes the shingle string
+    suffixed with '#i'.  One md5 per (shingle, perm) — heavier than the
+    two-level xxhash64 scheme but reproducible in any engine with md5."""
+    def perm_hash(i: int):
+        return lambda s: portable_hash64(F.concat_ws("#", s, F.lit(str(i))))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, perm_hash(i)))
+            for i in range(num_perm)
+        ]
+    )
+
+
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """bands band-keys, each an md5 over one signature slice (prefixed by
     the band index so keys from different bands never collide)."""
@@ -194,6 +218,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash/LSH candidates verified with exact
     shingle Jaccard.  bands=4 × rows=4 over 16 perms ⇒ S-curve threshold
@@ -211,14 +236,23 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     # NULL texts can't near-duplicate anything; dropping them up front
     # also prevents every null doc landing in one degenerate LSH bucket.
+    # Shingle-less docs (fewer than k tokens) can only ever verify at
+    # jaccard 0/0 → 0 < threshold, so skipping them changes no results
+    # and keeps them out of a shared degenerate bucket.
     sh_tbl = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).persist()
+    ).filter(F.size("sh") > 0).persist()
+    if portable:
+        signed = sh_tbl.withColumn(
+            "sig", portable_minhash_signature(F.col("sh"), num_perm)
+        )
+    else:
+        signed = sh_tbl.withColumn("hh", shingle_hashes(F.col("sh"))).withColumn(
+            "sig", minhash_from_hashes(F.col("hh"), num_perm)
+        )
     banded = (
-        sh_tbl.withColumn("hh", shingle_hashes(F.col("sh")))
-        .withColumn("sig", minhash_from_hashes(F.col("hh"), num_perm))
-        .select(
+        signed.select(
             "doc",
             F.explode(
                 lsh_band_keys(F.col("sig"), bands, rows_per_band)
@@ -309,21 +343,30 @@ def token_hashes(text: Column) -> Column:
     )
 
 
+def portable_token_hashes(text: Column) -> Column:
+    """Distinct-token 60-bit portable hashes (oracle-checked simhash)."""
+    return F.transform(
+        F.array_distinct(tokens(text)), lambda t: portable_hash64(t)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.  Candidates via
     4×16-bit band keys (a pair within Hamming ≤ 3 of each other shares at
     least one exact band; wider radii trade recall), verified with exact
     bit_count(xor)."""
+    th = portable_token_hashes if portable else token_hashes
     sh = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc"),
-            token_hashes(F.col(text_col)).alias("hh"),
+            th(F.col(text_col)).alias("hh"),
         )
         .select("doc", simhash_from_hashes(F.col("hh")).alias("sim"))
         .persist()

@@ -106,6 +106,138 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup — MinHash+LSH, oracle-checked twin.  Same pipeline as
+# dedup_minhash_lsh but the hash is portable_hash64 (md5-prefix), which
+# DuckDB computes bit-identically — so the *entire* LSH candidate
+# generation (signatures, band keys, bucket join) is verified against
+# SQL, not just row counts.  The xxhash64 variant stays as the fast path.
+# ---------------------------------------------------------------------------
+def _portable_minhash_sql(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    rows = num_perm // bands
+
+    def h64(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}),1,15)) AS BIGINT)"
+
+    sig_exprs = ", ".join(
+        "list_min(list_transform(sh, s -> %s))" % h64("s || '#%d'" % i)
+        for i in range(num_perm)
+    )
+    band_exprs = ", ".join(
+        "md5('{b}_' || {parts})".format(
+            b=b,
+            parts=" || '_' || ".join(
+                f"CAST(sig[{b * rows + j + 1}] AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), sh_t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM toks
+    ), docs3 AS (
+        SELECT * FROM sh_t WHERE len(sh) > 0
+    ), sigs AS (
+        SELECT doc_id, [{sig_exprs}] AS sig FROM docs3
+    ), banded AS (
+        SELECT doc_id, unnest([{band_exprs}]) AS band FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        FROM cand c
+        JOIN docs3 x ON c.id_a = x.doc_id
+        JOIN docs3 y ON c.id_b = y.doc_id
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_portable",
+    _portable_minhash_sql(),
+    doc=(
+        "MinHash(16)+LSH(4 bands) with engine-portable md5-prefix hashing "
+        "— full pipeline (signatures, band keys, candidates, verify) "
+        "oracle-checked, not rows-only"
+    ),
+)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_perm=16,
+        bands=4,
+        shingle_k=3,
+        max_bucket_size=None,
+        portable=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup — SimHash, oracle-checked twin (portable 60-bit hashes; bits
+# 60-63 of the simhash are structurally 0 on both engines since every
+# token hash < 2^60, so the banded candidates and Hamming verify agree).
+# ---------------------------------------------------------------------------
+def _portable_simhash_sql(max_hamming: int = 8) -> str:
+    bit_terms = " + ".join(
+        "(CASE WHEN SUM(CASE WHEN (h>>%d)&1=1 THEN 1 ELSE -1 END)>0"
+        " THEN %d::BIGINT ELSE 0::BIGINT END)" % (i, 2**i)
+        for i in range(60)
+    )
+    band_exprs = ", ".join(
+        "'%d:' || CAST((sim>>%d)&65535 AS VARCHAR)" % (i, 16 * i)
+        for i in range(4)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t
+        FROM documents WHERE text IS NOT NULL
+    ), hh AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) AS h FROM tok
+    ), sims AS (
+        SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sim FROM hh GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, sim, unnest([{band_exprs}]) AS band FROM sims
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sim AS sim_a, b.sim AS sim_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_portable",
+    _portable_simhash_sql(),
+    doc=(
+        "SimHash near-dup pairs with engine-portable md5-prefix token "
+        "hashes — signature bits, 16-bit bands, and Hamming verify all "
+        "oracle-checked"
+    ),
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=8, portable=True)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
