@@ -1,0 +1,111 @@
+"""Sink-layout layer: partitioned writes, file stats, compaction,
+range clustering.  These are layout properties — file counts, dir
+structure, per-file key ranges — not just data round-trips."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+    load_table,
+)
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources import (
+    writers as W,
+)
+
+from .conftest import SF_SMALL
+
+
+def _parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_write_partitioned_one_file_per_partition(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    path = str(tmp_path / "events_by_day")
+    W.write_partitioned(events, path, partition_by=["day"], sort_within=["user_id"])
+
+    days = events.select("day").distinct().count()
+    part_dirs = [d for d in os.listdir(path) if d.startswith("day=")]
+    assert len(part_dirs) == days
+    # the whole point: one writer task per partition → one file per dir
+    for d in part_dirs:
+        assert len(_parquet_files(os.path.join(path, d))) == 1
+
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    orders = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_fragged")
+    # simulate micro-batch ingest: 16 slivers
+    orders.repartition(16).write.parquet(path)
+    assert len(_parquet_files(path)) == 16
+
+    before = orders.withColumn("__h", F.md5(F.concat_ws("|", *orders.columns)))
+    before_hash = before.agg(F.sum(F.crc32(F.col("__h")))).head()[0]
+
+    report = W.compact(spark, path, target_file_bytes=1 << 30)
+    assert report["files_before"] == 16
+    assert report["files_after"] == 1
+    assert len(_parquet_files(path)) == 1
+
+    after = spark.read.parquet(path)
+    after = after.withColumn("__h", F.md5(F.concat_ws("|", *orders.columns)))
+    assert after.agg(F.sum(F.crc32(F.col("__h")))).head()[0] == before_hash
+
+
+def test_compact_partitioned_keeps_dirs(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    path = str(tmp_path / "events_fragged")
+    # worst-case ingest layout: every task writes into every partition
+    events.repartition(8).write.partitionBy("day").parquet(path)
+    n_frag = len(_parquet_files(path))
+    days = events.select("day").distinct().count()
+    assert n_frag > days
+
+    report = W.compact(
+        spark, path, target_file_bytes=1 << 30, partition_by=["day"]
+    )
+    assert report["files_after"] == days
+    assert spark.read.parquet(path).count() == events.count()
+
+
+def test_file_stats_inventory(spark, tmp_path):
+    orders = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_stats")
+    orders.repartition(4).write.parquet(path)
+    stats = W.file_stats(spark, path).collect()
+    assert len(stats) == 4
+    assert sum(r.rows for r in stats) == orders.count()
+    from urllib.parse import urlparse
+
+    for r in stats:
+        assert r.file_bytes == os.path.getsize(urlparse(r.file_path).path)
+
+
+def test_write_clustered_files_own_disjoint_ranges(spark, tmp_path):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    path = str(tmp_path / "lineitem_clustered")
+    W.write_clustered(li, path, cluster_by=["l_orderkey"], num_files=4)
+
+    ranges = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) == 4
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi <= cur.lo  # disjoint key ranges ⇒ file-level skipping
