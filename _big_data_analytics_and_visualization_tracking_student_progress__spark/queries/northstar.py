@@ -238,6 +238,69 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic hash sampling / splitting (operators/sampling.py) —
+# map-side-only, reproducible on any engine; the DuckDB oracle runs the
+# identical bucket arithmetic.
+# ---------------------------------------------------------------------------
+_BUCKET_SQL = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000)"
+)
+
+
+@register(
+    "sample_hash_10pct",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_BUCKET_SQL} < 1000
+    """,
+    doc="deterministic 10% sample by key-hash bucket — reproducible, shuffle-free",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "source")
+
+
+@register(
+    "split_train_val_test",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="leakage-free 80/10/10 train/val/test split by key hash (same key ⇒ same split on any engine)",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@register(
+    "sample_stratified_by_lang",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_BUCKET_SQL} <
+          (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 5000 ELSE 10000 END)
+    """,
+    doc="stratified sampling: 5% of dominant 'en', 50% of 'de', 100% of rare strata",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.05, "de": 0.5}, default_fraction=1.0
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:

@@ -365,6 +365,56 @@ def test_scrub_text_redacts_pii_shapes(spark):
 # not actually in its labeled language, so the oracle query only checks
 # the confusion-matrix computation; THIS pins detection quality).
 # ---------------------------------------------------------------------------
+def test_hash_split_is_deterministic_partition(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        sampling as SA,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    s1 = SA.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    s2 = SA.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # total partition: every row labeled, rerun bit-identical
+    assert s1.filter(F.col("split").isNull()).count() == 0
+    assert s1.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() == 0
+    n = docs.count()
+    by = {r.split: r.c for r in s1.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(by) <= {"train", "val", "test"}
+    assert abs(by.get("train", 0) / n - 0.8) < 0.1
+
+
+def test_cluster_aware_split_has_no_leakage(spark):
+    """Near-dup cluster members must never straddle splits (train/test
+    contamination): split on the cluster label, not the doc id."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        dedup as D,
+        sampling as SA,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", ["lang"], threshold=0.8)
+    labels = D.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    split = SA.hash_split(labels, "cluster", {"train": 0.9, "test": 0.1})
+    leaks = (
+        split.groupBy("cluster")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaks == 0
+    # sanity: some cluster actually has >1 member, so the property bites
+    assert (
+        split.groupBy("cluster").count().filter(F.col("count") > 1).count() > 0
+    )
+
+
 def test_lang_id_detects_real_sentences(spark):
     from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
         text as T,
