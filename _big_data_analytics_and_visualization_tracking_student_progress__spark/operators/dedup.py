@@ -226,12 +226,15 @@ def minhash_lsh_pairs(
     the exact verification, so recall — not precision — is the only
     LSH-dependent property.
 
-    Shuffle discipline (the 100 TB story): the band self-join and the
-    pair-dedup shuffle only (band, doc_id) / (id, id) — never shingle
-    payloads.  Shingles live in a persisted side table joined back in
-    for the final exact-Jaccard verify; the signature table is persisted
-    so the three consumers of the banded table (bucket-size counts, join
-    side A, join side B) don't each recompute the minhash pass.
+    Shuffle discipline (the 100 TB story): candidate generation is ONE
+    shuffle of (band, doc_id) — a groupBy(band) that gathers each LSH
+    bucket, bounds it (`max_bucket_size`, the boilerplate-collision
+    guard), and explodes in-bucket ordered pairs — then one (id, id)
+    pair-dedup shuffle.  Shingle payloads never shuffle: they live in a
+    persisted side table joined back in for the final exact-Jaccard
+    verify.  (A band self-join would shuffle both sides and need a
+    separate window/aggregate for the bucket guard; gathering the bucket
+    makes the guard a free filter and halves the candidate shuffles.)
     """
     rows_per_band = num_perm // bands
     # NULL texts can't near-duplicate anything; dropping them up front
@@ -251,36 +254,33 @@ def minhash_lsh_pairs(
         signed = sh_tbl.withColumn("hh", shingle_hashes(F.col("sh"))).withColumn(
             "sig", minhash_from_hashes(F.col("hh"), num_perm)
         )
-    banded = (
-        signed.select(
-            "doc",
-            F.explode(
-                lsh_band_keys(F.col("sig"), bands, rows_per_band)
-            ).alias("band"),
-        )
+    banded = signed.select(
+        "doc",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
     )
+    buckets = banded.groupBy("band").agg(
+        F.sort_array(F.collect_list("doc")).alias("ds")
+    ).filter(F.size("ds") > 1)
     if max_bucket_size is not None:
-        # Drop pathological buckets (boilerplate collisions) before the
-        # quadratic candidate join — the standard scale guard.  A window
-        # count over `band` shares the hash-partitioning the candidate
-        # self-join needs anyway, so the guard costs no extra shuffle
-        # (vs. a separate aggregate + broadcast-join round trip).
-        from pyspark.sql import Window
-
-        banded = (
-            banded.withColumn(
-                "__n", F.count(F.lit(1)).over(Window.partitionBy("band"))
-            )
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
-    banded = banded.persist()
-    a = banded.select(F.col("band"), F.col("doc").alias("id_a"))
-    b = banded.select(F.col("band"), F.col("doc").alias("id_b"))
+        buckets = buckets.filter(F.size("ds") <= max_bucket_size)
+    ds = F.col("ds")
     cand = (
-        a.join(b, "band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ds,
+                        lambda x, i: F.transform(
+                            F.slice(ds, i + 2, F.size(ds)),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
