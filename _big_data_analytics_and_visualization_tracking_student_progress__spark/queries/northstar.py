@@ -301,6 +301,104 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus statistics (operators/corpus.py): TF-IDF, vocabulary head,
+# train/test contamination.
+# ---------------------------------------------------------------------------
+_UNNEST_TOKS = (
+    "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t "
+    "FROM documents WHERE text IS NOT NULL"
+)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ({_UNNEST_TOKS}) WHERE t <> '' GROUP BY doc_id, t
+    ), dfq AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / dfq.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id ORDER BY
+                   CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / dfq.df DESC,
+                   tf.term ASC
+               ) AS rank
+        FROM tf JOIN dfq USING (term)
+    ) WHERE rank <= 3
+    """,
+    doc="top-3 characteristic terms per doc by rational TF-IDF (tf·N/df — log-free, bit-identical ranking)",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "vocab_top_terms",
+    f"""
+    SELECT term, n, CAST(rank AS INT) AS rank FROM (
+        SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) AS rank
+        FROM ({_UNNEST_TOKS}) WHERE t <> '' GROUP BY t
+    ) WHERE rank <= 100
+    """,
+    doc="global vocabulary head: top-100 terms by corpus frequency",
+)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.top_terms(docs, "text", k=100)
+
+
+@register(
+    "split_contamination",
+    f"""
+    WITH sp AS (
+        SELECT doc_id, text,
+               CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                    WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents WHERE text IS NOT NULL
+    ), toks AS (
+        SELECT doc_id, split, string_split_regex(lower(text), '\\s+') AS t FROM sp
+    ), shs AS (
+        SELECT doc_id, split,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        FROM toks
+    ), tr AS (
+        SELECT DISTINCT sh FROM shs WHERE split = 'train'
+    )
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM (SELECT doc_id, sh FROM shs WHERE split = 'test') s
+    JOIN tr USING (sh) GROUP BY s.doc_id
+    """,
+    doc="benchmark-contamination scan: test-split docs sharing ≥1 3-gram shingle with any train doc",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as C
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = SA.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return C.cross_split_contamination(
+        split, "doc_id", "text", "split", shingle_k=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
