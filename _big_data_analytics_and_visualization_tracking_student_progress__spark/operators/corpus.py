@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import tokens, word_shingles
+from .dedup import portable_hash64, tokens, word_shingles
 
 
 def doc_term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -101,10 +101,18 @@ def cross_split_contamination(
     — the benchmark-contamination scan run before an eval set is trusted.
 
     Returns (id, n_shared) for contaminated test docs.  Both sides
-    explode to (shingle, id) and meet in one shuffle on the shingle;
-    the train side is pre-deduplicated so the join's build input is the
-    distinct shingle universe, not the corpus."""
-    sh = F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    explode to (shingle_hash, id) and meet in one shuffle on the 8-byte
+    hash — shingle *strings* never shuffle (at 100 TB the exchange is
+    keyed on fixed-width longs).  The hash is `portable_hash64`, so the
+    DuckDB oracle joins on bit-identical keys; the train side is
+    pre-deduplicated so the join's build input is the distinct shingle
+    universe, not the corpus."""
+    sh = F.explode(
+        F.transform(
+            word_shingles(F.col(text_col), shingle_k),
+            lambda s: portable_hash64(s),
+        )
+    ).alias("sh")
     train = (
         df.filter((F.col(split_col) == train_split) & F.col(text_col).isNotNull())
         .select(sh)

@@ -57,3 +57,65 @@ def ewma_by_key(
         return res
 
     return df.groupBy(key).applyInPandas(smooth, schema)
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "10 minutes",
+    scale: int = 4,
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid per key:
+    bucket-average, then densify (emit EVERY bucket between each key's
+    first and last observation) and forward-fill gaps — the hypertable
+    `time_bucket_gapfill` + `locf` shape, composed from native ops:
+
+      1. bucket + aggregate  (one shuffle on (key, bucket))
+      2. per-key spine        `sequence(min, max, step)` + explode —
+         gap rows are *generated*, never read
+      3. left join spine⋈agg  (shuffle on (key, bucket))
+      4. forward fill         `last(value, ignorenulls=True)` over an
+         unbounded-preceding row frame (same (key) partitioning)
+
+    The bucket average uses the decimal-sum + IEEE quantization pattern
+    (exact, partition-order-independent), so the whole operator is
+    oracle-checkable.  Emits (key, bucket_ts, value, is_gap)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.scalar import dround, dsum
+
+    bucketed = df.select(
+        F.col(key_col),
+        F.window(F.col(ts_col), step)["start"].alias("__mb"),
+        F.col(value_col).alias("__v0"),
+    )
+    agg = bucketed.groupBy(key_col, "__mb").agg(
+        dround(
+            dsum(F.col("__v0"), scale).cast("double") / F.count(F.lit(1)), 4
+        ).alias("__v")
+    )
+    spine = (
+        agg.groupBy(key_col)
+        .agg(F.min("__mb").alias("__mn"), F.max("__mb").alias("__mx"))
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.sequence(F.col("__mn"), F.col("__mx"), F.expr(f"interval {step}"))
+            ).alias("__mb"),
+        )
+    )
+    j = spine.join(agg, [key_col, "__mb"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__mb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col(key_col),
+        F.col("__mb").alias("bucket_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNull().alias("is_gap"),
+    )

@@ -952,6 +952,47 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hypertable-style resample: time_bucket_gapfill + locf composed from
+# native ops (bucket-agg → generated spine → left join → forward fill).
+# ---------------------------------------------------------------------------
+@register(
+    "resample_10min_gapfill",
+    """
+    WITH agg AS (
+        SELECT user_id, time_bucket(INTERVAL 10 MINUTE, ts) AS mb,
+               FLOOR(CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) / COUNT(*)
+                     * 10000.0 + 0.5) / 10000.0 AS v
+        FROM events GROUP BY user_id, time_bucket(INTERVAL 10 MINUTE, ts)
+    ), spine AS (
+        SELECT user_id,
+               unnest(generate_series(mn, mx, INTERVAL 10 MINUTE)) AS mb
+        FROM (SELECT user_id, min(mb) AS mn, max(mb) AS mx FROM agg GROUP BY user_id)
+    )
+    SELECT s.user_id,
+           strftime(s.mb, '%Y-%m-%d %H:%M:%S') AS bucket,
+           last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.mb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value,
+           (a.v IS NULL) AS is_gap
+    FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.mb = a.mb
+    """,
+    doc="per-user 10-min resample with generated gap rows and forward fill (time_bucket_gapfill + locf shape)",
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_gapfill
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = resample_gapfill(e, "user_id", "ts", "value", step="10 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value",
+        "is_gap",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shared-ANSI SQL suite over the previously-unexercised part/supplier
 # tables — each query is ONE SQL text executed verbatim by Catalyst and
 # by the DuckDB oracle.

@@ -373,9 +373,13 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, split, string_split_regex(lower(text), '\\s+') AS t FROM sp
     ), shs AS (
         SELECT doc_id, split,
-               unnest(list_distinct(list_transform(range(1, len(t) - 1),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        FROM toks
+               CAST(('0x' || substr(md5(sh_s),1,15)) AS BIGINT) AS sh
+        FROM (
+            SELECT doc_id, split,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh_s
+            FROM toks
+        )
     ), tr AS (
         SELECT DISTINCT sh FROM shs WHERE split = 'train'
     )

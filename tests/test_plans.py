@@ -175,6 +175,58 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Hash sampling is a pure map-side filter: NO exchange anywhere in the
+# plan — the property that makes it free at any scale.
+# ---------------------------------------------------------------------------
+def test_hash_sample_has_no_exchange(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    assert "Exchange" not in _plan(hash_sample(docs, "doc_id", 0.1))
+    assert "Exchange" not in _plan(
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH candidate generation: no exchange may carry the shingle
+# payload — bands and ids only ever shuffle as narrow columns.
+# ---------------------------------------------------------------------------
+def test_minhash_exchanges_never_carry_shingles(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text"))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "sh" not in m.group(1).split(",")[0], m.group(0)
+        assert "text" not in m.group(1), m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# Contamination scan: the shingle join must be keyed on the 64-bit hash
+# (bigint), never on shingle strings or document text.
+# ---------------------------------------------------------------------------
+def test_contamination_joins_on_hash_not_text(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.corpus import (
+        cross_split_contamination,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    plan = _plan(cross_split_contamination(split, "doc_id", "text", "split"))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+# ---------------------------------------------------------------------------
 # Partition pruning: a filter on the partition column must surface as a
 # PartitionFilter, scanning only matching directories.
 # ---------------------------------------------------------------------------
