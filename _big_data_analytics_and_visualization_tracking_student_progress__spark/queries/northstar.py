@@ -777,3 +777,65 @@ def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(scrubbed).cast("int").alias("scrubbed_len"),
         (scrubbed != F.col("text")).alias("was_scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline — the north-star ops COMPOSED the way a
+# training-data run actually chains them: quality gate → PII scrub →
+# exact dedup on the scrubbed content → leakage-free split.  One
+# declarative plan (Catalyst fuses the scalar stages into the scan
+# projection; the only shuffles are the dedup hash-groupBy and its
+# semi-join), oracle-checked end to end.
+# ---------------------------------------------------------------------------
+def _curation_sql() -> str:
+    quality = "FLOOR({q} * 10000.0 + 0.5) / 10000.0".format(
+        q=_QUALITY_SQL.format(sw=_sw_sql("en"))
+    )
+    return f"""
+    WITH kept AS (
+        SELECT doc_id, lang, text, {quality} AS quality
+        FROM documents
+        WHERE text IS NOT NULL AND {quality} >= 0.5
+    ), cleaned AS (
+        SELECT doc_id, lang, quality, {_SCRUB_SQL} AS clean FROM kept
+    ), dedup AS (
+        SELECT * FROM cleaned
+        WHERE doc_id IN (SELECT min(doc_id) FROM cleaned GROUP BY md5(clean))
+    )
+    SELECT doc_id, lang, quality, md5(clean) AS content_hash,
+           CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM dedup
+    """
+
+
+@register(
+    "curation_pipeline",
+    _curation_sql(),
+    doc=(
+        "end-to-end curation: quality gate ≥0.5 → PII scrub → exact dedup "
+        "on scrubbed content → 80/10/10 leakage-free split"
+    ),
+)
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    kept = docs.withColumn(
+        "quality", dround(T.quality_score(F.col("text")), 4)
+    ).filter(F.col("quality") >= 0.5)
+    cleaned = kept.withColumn("clean", T.scrub_text(F.col("text")))
+    deduped = D.exact_dedup(cleaned, "clean", "doc_id")
+    split = SA.hash_split(
+        deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.md5(F.col("clean")).alias("content_hash"),
+        "split",
+    )

@@ -38,6 +38,7 @@ HEADLINE = [
     "grade_histogram",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "curation_pipeline",
     "cosine_topk",
     "text_quality_scores",
     "asof_click_error",
