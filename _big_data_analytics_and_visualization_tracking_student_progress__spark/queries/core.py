@@ -705,6 +705,59 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Robust anomaly detection: median-absolute-deviation outliers per event
+# type.  Two exact-percentile passes + a conditional count; the group
+# medians are broadcast back to the fact side, so the events table never
+# shuffles — at 100 TB swap `percentile` for `approx_percentile` (same
+# plan shape, sketch-mergeable) as in approx_distinct_and_quantiles.
+# ---------------------------------------------------------------------------
+@register(
+    "value_outliers_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           FLOOR(min(d.med) * 1000000.0 + 0.5) / 1000000.0 AS med,
+           FLOOR(min(ma.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad,
+           CAST(COUNT(CASE WHEN d.adev > 3 * 1.4826 * ma.mad THEN 1 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad ma USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="robust outlier counts per event type via median absolute deviation (3·1.4826·MAD fence)",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    fence = F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            dround(F.min("med"), 6).alias("med"),
+            dround(F.min("mad"), 6).alias("mad"),
+            F.count(F.when(F.col("adev") > fence, F.lit(1))).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pivot (wide dashboard table; compiles to a single-pass conditional agg)
 # ---------------------------------------------------------------------------
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

@@ -819,6 +819,8 @@ def _curation_sql() -> str:
     ),
 )
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..operators import sampling as SA
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -827,15 +829,23 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.withColumn(
         "quality", dround(T.quality_score(F.col("text")), 4)
     ).filter(F.col("quality") >= 0.5)
-    cleaned = kept.withColumn("clean", T.scrub_text(F.col("text")))
-    deduped = D.exact_dedup(cleaned, "clean", "doc_id")
-    split = SA.hash_split(
-        deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
-    )
-    return split.select(
+    # Hash the scrubbed content ONCE and drop the text before the dedup
+    # shuffle: the exchange carries (id, lang, quality, 32-char hash),
+    # never document payloads, and the regex stages run exactly once (a
+    # groupBy+semi-join dedup would evaluate them on both branches).
+    hashed = kept.select(
         "doc_id",
         "lang",
         "quality",
-        F.md5(F.col("clean")).alias("content_hash"),
-        "split",
+        F.md5(T.scrub_text(F.col("text"))).alias("content_hash"),
     )
+    w = Window.partitionBy("content_hash")
+    deduped = (
+        hashed.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    split = SA.hash_split(
+        deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.select("doc_id", "lang", "quality", "content_hash", "split")
