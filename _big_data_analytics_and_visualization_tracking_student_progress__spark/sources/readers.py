@@ -57,6 +57,24 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (both
+    columnar with min/max stats; Catalyst emits PushedFilters/ReadSchema
+    identically)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan: one `value` string column per line — the
+    raw-corpus ingestion shape (each line a document/record) feeding the
+    text operators."""
+    return spark.read.text(path)
+
+
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel scan (reference pro.py:34-44: header row 1, data rows 2+,
     all-empty rows skipped).  Requires an xlsx engine (openpyxl), which

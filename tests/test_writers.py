@@ -94,6 +94,43 @@ def test_file_stats_inventory(spark, tmp_path):
         assert r.file_bytes == os.path.getsize(urlparse(r.file_path).path)
 
 
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (
+        read_orc,
+        write_orc,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    assert (
+        back.exceptAll(orders).count() == 0
+        and orders.exceptAll(back).count() == 0
+    )
+    # filters reach the ORC scan just like parquet
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("o_custkey") == 7).explain("formatted")
+    assert "PushedFilters" in buf.getvalue()
+
+
+def test_read_text_lines(spark, tmp_path):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (
+        read_text,
+    )
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\ngamma\n")
+    df = read_text(spark, str(tmp_path))
+    assert sorted(r.value for r in df.collect()) == ["alpha beta", "gamma"]
+
+
 def test_write_clustered_files_own_disjoint_ranges(spark, tmp_path):
     li = load_table(spark, SF_SMALL, "lineitem")
     path = str(tmp_path / "lineitem_clustered")
