@@ -705,6 +705,50 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-range rolling window (RANGE frame): per-user trailing-10-minute
+# event count and mean — the telemetry "rolling rate" shape, distinct
+# from tumbling/sliding windows (every EVENT gets its own trailing
+# frame, not a fixed grid).  The frame is keyed directly on the raw
+# nanosecond longs (no float conversion: ns since epoch exceed 2^53, a
+# double round-trip would corrupt them); the mean goes through the
+# decimal-sum pattern, so the frame's accumulation order can't leak in.
+# One shuffle on user_id; the sort inside the window serves both aggs.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_10min_user_stats",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_10min,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w * 10000.0 + 0.5) / 10000.0 AS avg_10min
+    FROM (SELECT event_id, user_id, value, epoch_ns(ts) AS tns FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tns
+                 RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="per-event trailing-10-minute count/mean via RANGE frame on nanosecond longs",
+)
+def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts_nanos"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_nanos")
+        .rangeBetween(-600_000_000_000, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = dsum(F.col("value"), 6).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        n.alias("n_10min"),
+        dround(s.cast("double") / n, 4).alias("avg_10min"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Robust anomaly detection: median-absolute-deviation outliers per event
 # type.  Two exact-percentile passes + a conditional count; the group
 # medians are broadcast back to the fact side, so the events table never

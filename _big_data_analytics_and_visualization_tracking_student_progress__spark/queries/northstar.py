@@ -516,6 +516,61 @@ def q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-label embedding centroids — the class-prototype summary behind IVF
+# coarse quantizers and nearest-centroid classification.  Emitted long
+# (label, dim, centroid): cross-row double sums are made reproducible by
+# folding each (label, dim) group's values in vec_id order (identical
+# left fold on both engines); the production-scale variant is a plain
+# order-free avg (used by similarity.train_ivf_centroids), which trades
+# bit-reproducibility for a single pass.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_label_centroids",
+    """
+    WITH x AS (
+        SELECT label, vec_id, u['dim'] AS dim, u['v'] AS v FROM (
+            SELECT label, vec_id,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                       i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+            FROM embeddings
+        )
+    ), g AS (
+        SELECT label, dim,
+               list_reduce(list(v ORDER BY vec_id), (acc, e) -> acc + e) AS s,
+               COUNT(*) AS n
+        FROM x GROUP BY label, dim
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           FLOOR(s / n * 1000000.0 + 0.5) / 1000000.0 AS centroid
+    FROM g
+    """,
+    doc="per-label embedding centroids (long form), vec_id-ordered fold for cross-engine exactness",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    g = (
+        emb.groupBy("label", "dim")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("xs"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.aggregate(
+                F.col("xs"), F.lit(0.0), lambda acc, e: acc + e["v"]
+            ).alias("s"),
+            F.size("xs").alias("n"),
+        )
+    )
+    return g.select(
+        "label", "dim", dround(F.col("s") / F.col("n"), 6).alias("centroid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 def _sw_sql(lang: str) -> str:
