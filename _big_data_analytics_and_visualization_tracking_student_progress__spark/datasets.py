@@ -47,9 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return (
             df.withColumnRenamed("ts", "ts_nanos")
+            # integer `div`, not `/`: double division of 2024-epoch nanos
+            # (~1.7e18 > 2^53) is ±128 ns imprecise and can shift the
+            # derived microsecond by one
             .withColumn(
                 "ts",
-                F.timestamp_micros(F.floor(F.col("ts_nanos") / 1000).cast("long")),
+                F.timestamp_micros(F.expr("ts_nanos div 1000")),
             )
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

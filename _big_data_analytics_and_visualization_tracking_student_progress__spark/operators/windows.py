@@ -33,3 +33,32 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """W2 — sort + cap (reference ES size:1000, app.py:66,185).
     Catalyst plans TakeOrderedAndProject — no full sort, no full shuffle."""
     return df.orderBy(*order_by).limit(k)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Batch sessionization: assign a session id per key where
+    consecutive events more than `gap` (same units as `ts_col`) apart
+    start a new session — the batch complement of the streaming session
+    window (streaming/pipeline.py).
+
+    Two window passes over ONE shuffle on the key (both windows share
+    the (key, ts) sort): lag() marks session starts, a running sum of
+    start-flags numbers them.  `session_id` = (key, seq) is stable and
+    dense; `ts_col` must be totally ordered per key via `tiebreak_col`
+    (ties would otherwise make lag() partition-order-dependent)."""
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_start = (
+        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap))
+    ).cast("int")
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_seq", F.sum(is_start).over(run))

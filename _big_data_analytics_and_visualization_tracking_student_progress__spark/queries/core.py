@@ -705,6 +705,58 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch sessionization (gap-based): the batch complement of the
+# streaming session window — lag() marks >30-min gaps, a running sum
+# numbers sessions, then one aggregate per (user, session).  All three
+# phases share a single shuffle on user_id.
+# ---------------------------------------------------------------------------
+@register(
+    "user_sessions_30min",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, tus,
+               CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ), sess AS (
+        SELECT user_id, event_id, tus,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(min(tus) AS BIGINT) AS start_us,
+           CAST(max(tus) AS BIGINT) AS end_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="gap-based batch sessionization (30-min gap on microsecond longs) with per-session aggregates",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sessionize
+
+    # microsecond longs on both engines: DuckDB's parquet reader narrows
+    # TIMESTAMP(NANOS) to us, so the session grid is defined on us.
+    # `div` (integer division) on the raw nanos — a double division
+    # would lose ~128 ns at 2024-epoch magnitudes and shift 1 us.
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_nanos div 1000").alias("tus")
+    )
+    s = sessionize(
+        e, "user_id", "tus", gap=1_800_000_000, tiebreak_col="event_id"
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tus").alias("start_us"),
+        F.max("tus").alias("end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-range rolling window (RANGE frame): per-user trailing-10-minute
 # event count and mean — the telemetry "rolling rate" shape, distinct
 # from tumbling/sliding windows (every EVENT gets its own trailing

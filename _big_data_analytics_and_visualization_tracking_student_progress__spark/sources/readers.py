@@ -142,9 +142,12 @@ def events_file_stream(
         EVENTS_STREAM_SCHEMA,
         max_files_per_trigger=max_files_per_trigger,
     )
+    # integer `div`: double division of epoch nanos is ±128 ns imprecise
+    # (see datasets.load_table) — batch and stream must derive the SAME
+    # microsecond or availableNow oracles drift
     return raw.withColumnRenamed("ts", "ts_nanos").withColumn(
         "ts",
-        F.timestamp_micros(F.floor(F.col("ts_nanos") / 1000).cast("long")),
+        F.timestamp_micros(F.expr("ts_nanos div 1000")),
     )
 
 
