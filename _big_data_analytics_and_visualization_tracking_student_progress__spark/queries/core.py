@@ -705,6 +705,53 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: two disjoint halves of the fact
+# table are summarized independently and MERGED — the result must equal
+# a direct aggregate over everything (materialized-view refresh
+# algebra).  The oracle computes the direct aggregate, so the merge
+# path's exactness is what's being checked.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_event_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="incremental summary maintenance: merge of two disjoint partial summaries ≡ direct aggregate",
+)
+def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import merge_summaries, read_metrics, summarize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    half_a = e.filter(F.col("event_id") % 2 == 0)
+    half_b = e.filter(F.col("event_id") % 2 == 1)
+    mk = lambda d: summarize(  # noqa: E731
+        d,
+        ["event_type"],
+        {"value": F.col("value")},
+        {"value": F.col("value")},
+    )
+    merged = merge_summaries(mk(half_a), mk(half_b), ["event_type"])
+    m = read_metrics(merged, ["event_type"])
+    return m.select(
+        "event_type",
+        "n",
+        "sum_value",
+        dround(F.col("avg_value"), 4).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch sessionization (gap-based): the batch complement of the
 # streaming session window — lag() marks >30-min gaps, a running sum
 # numbers sessions, then one aggregate per (user, session).  All three

@@ -415,6 +415,43 @@ def test_cluster_aware_split_has_no_leakage(spark):
     )
 
 
+def test_incremental_merge_equals_direct_any_batching(spark):
+    """Fold history in 1, 2, and 5 arbitrary batches — every batching
+    must converge to the byte-identical summary (merge is a monoid)."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.incremental import (
+        merge_summaries,
+        read_metrics,
+        summarize,
+    )
+
+    e = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    mk = lambda d: summarize(  # noqa: E731
+        d, ["event_type"], {"value": F.col("value")}, {"value": F.col("value")}
+    )
+
+    def canon(summary):
+        return sorted(
+            tuple(str(x) for x in r)
+            for r in read_metrics(summary, ["event_type"]).collect()
+        )
+
+    direct = canon(mk(e))
+    for n_batches in (2, 5):
+        parts = [
+            mk(e.filter(F.col("event_id") % n_batches == i))
+            for i in range(n_batches)
+        ]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = merge_summaries(acc, p, ["event_type"])
+        assert canon(acc) == direct, n_batches
+
+
 def test_lang_id_detects_real_sentences(spark):
     from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
         text as T,
