@@ -62,3 +62,23 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn("session_seq", F.sum(is_start).over(run))
+
+
+def grouped_top_k(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group (generalizes latest_by_key's k=1): one
+    shuffle on the keys, rank inside the sorted partition, cut at k.
+    `order_by` must totally order each group (unique tiebreaker) or the
+    selected rows are partition-order-dependent.  At scale prefer this
+    over per-group sort+limit loops: the window's sort is the only cost
+    and rows beyond k never leave their executor."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .withColumnRenamed("__rank", "rank")
+    )

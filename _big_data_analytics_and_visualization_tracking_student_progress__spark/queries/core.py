@@ -705,6 +705,38 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped top-k (windowed rank ≤ k): the "leaderboard per segment"
+# shape; rows beyond k never leave their executor.
+# ---------------------------------------------------------------------------
+@register(
+    "top3_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+                   AS rank
+        FROM orders
+    ) WHERE rank <= 3
+    """,
+    doc="grouped top-k: 3 highest-value orders per priority class via windowed rank",
+)
+def q_top3_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_top_k
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return grouped_top_k(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental aggregate maintenance: two disjoint halves of the fact
 # table are summarized independently and MERGED — the result must equal
 # a direct aggregate over everything (materialized-view refresh
