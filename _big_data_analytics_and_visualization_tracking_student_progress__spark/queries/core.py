@@ -1442,3 +1442,157 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes (TPC-H Q17/Q18/Q22/Q4 silhouettes on the
+# driver fixtures).  The reference has no subqueries at all, but the
+# capability class (interactive relational analytics) implies them; in
+# Spark each decorrelates into an aggregate + join the optimizer can
+# place — the per-group aggregate is computed once and broadcast/shuffled
+# instead of re-evaluated per outer row.  Double sums go through
+# DECIMAL (dsum) so values hash-match the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "small_qty_part_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(22,4))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="Q17 shape: correlated scalar AVG decorrelated to one per-part aggregate, "
+    "computed on the brand-filtered slice only (same groups, ~25x less input)",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    # Semi-reduce lineitem to the brand's parts first: the per-part AVG over
+    # the slice equals the AVG over all of lineitem (grouping key = the
+    # filter key), so the heavy aggregate runs on 1/|brands| of the data.
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    # l_quantity is integer-valued → sum/avg are exact in double on any engine.
+    avg_qty = brand_li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        brand_li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "big_qty_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(22,4))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="Q18 shape: HAVING-filtered IN-subquery folded into one aggregate that "
+    "serves as both the filter and the projected total (lineitem scanned once)",
+)
+def q_big_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select(
+            F.col("l_orderkey"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+    # After the HAVING filter `big` is a sliver of the order keys →
+    # broadcast it into both probe joins; no shuffle of orders/customer.
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@register(
+    "rich_idle_customers",
+    """
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(22,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(22,4))) AS DOUBLE)
+                                / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Q22 shape: scalar-subquery threshold broadcast to every row + anti join "
+    "against the (pre-filtered, broadcastable) big-ticket orders",
+)
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    # Exact threshold: decimal sum / count — one double division at the edge,
+    # bit-identical across engines (a raw AVG(double) is partition-order
+    # dependent in the last ulp and could flip boundary rows).
+    cutoff = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dsum(F.col("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        cust.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(big_orders), cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "late_ship_priority_counts",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Q4 shape: EXISTS with a non-equi residual → left-semi hash join on the "
+    "equi key; the quarter filter prunes orders before the join",
+)
+def q_late_ship_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = quarter.join(
+        li,
+        (quarter.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > quarter.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))

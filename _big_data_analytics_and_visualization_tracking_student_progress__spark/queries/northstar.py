@@ -904,3 +904,43 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return split.select("doc_id", "lang", "quality", "content_hash", "split")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (SURVEY.md north-star "token counting: whitespace + a
+# BPE-ish regex") — the per-doc token budget columns every training-data
+# pipeline stamps before packing/sampling.  Pure map-side projection
+# (regex + size, no shuffle); chars-per-token is the usual cheap
+# fertility proxy for tokenizer cost estimation.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_counts",
+    r"""
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+               AS n_bpe_tokens,
+           CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) > 0
+                THEN FLOOR(CAST(length(text) AS DOUBLE)
+                           / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                           * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END AS chars_per_token
+    FROM documents WHERE text IS NOT NULL
+    """,
+    doc="per-doc token budgets: whitespace + BPE-ish regex counts, chars/token fertility",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_bpe = T.bpe_ish_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(
+            n_bpe > 0,
+            dround(F.length("text").cast("double") / n_bpe, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+    )
