@@ -126,3 +126,30 @@ def cross_split_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    part_col: str,
+) -> DataFrame:
+    """Concat-then-chunk context packing (the GPT-pretraining layout):
+    stream documents in `id_col` order within each `part_col` partition,
+    lay them end to end, and assign each doc the pack its first token
+    lands in (`pack_seq` = start_offset div budget).
+
+    One shuffle on `part_col`; the running sum streams inside the sorted
+    partition.  Exact long arithmetic end to end — `div` integer
+    division, never double `/` — so pack ids are engine-portable at any
+    corpus size."""
+    w = Window.partitionBy(part_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(token_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    return df.withColumn("offset_tokens", cum_before).withColumn(
+        "pack_seq", F.expr(f"offset_tokens div {int(budget)}")
+    )

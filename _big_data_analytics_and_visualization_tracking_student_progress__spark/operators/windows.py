@@ -82,3 +82,66 @@ def grouped_top_k(
         .filter(F.col("__rank") <= k)
         .withColumnRenamed("__rank", "rank")
     )
+
+
+def sequential_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Exact ordered funnel: a user reaches stage k iff events of types
+    steps[0..k-1] occur in strictly increasing (ts, tiebreak) order.
+    Stronger than the min-per-type approximation (which misses a later
+    re-occurrence of an early step) and still one shuffle: every window
+    shares the (user, ts, tiebreak) partitioning+sort, so Catalyst plans
+    a single Exchange followed by stacked running-max scans.
+
+    Returns (step, step_name, users_reached, conversion) with one row
+    per step; conversion = users_reached / step-1 users (exact int/int
+    double division)."""
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_prev = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = df
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == F.lit(step)
+        if i > 0:
+            # coalesce: the frame is empty on each user's first row and
+            # max() yields NULL there — flags must stay strictly 0/1 or
+            # the stage aggregate below inherits three-valued logic.
+            prev_seen = F.coalesce(
+                F.max(F.col(f"__hit{i - 1}")).over(w_prev), F.lit(0)
+            )
+            cond = cond & (prev_seen == 1)
+        out = out.withColumn(f"__hit{i}", F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+    stage = F.greatest(
+        F.lit(0),
+        *[F.max(F.col(f"__hit{i}") * (i + 1)) for i in range(len(steps))],
+    )
+    per_user = out.groupBy(user_col).agg(stage.alias("stage"))
+    # users_reached(k) = Σ users with stage ≥ k.  Aggregate to per-stage
+    # counts first (≤ |steps|+1 rows), then a tiny ≥-join against the
+    # step dimension — NOT an equality join on stage, which would report
+    # 0 for a step no user stopped at exactly.
+    by_stage = per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    steps_dim = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], ["step", "step_name"]
+    )
+    reached = (
+        steps_dim.join(by_stage, F.col("stage") >= F.col("step"), "left")
+        .groupBy("step", "step_name")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("users_reached"))
+    )
+    return reached.withColumn(
+        "conversion",
+        F.col("users_reached").cast("double")
+        / F.first("users_reached").over(
+            Window.orderBy("step").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )

@@ -1596,3 +1596,97 @@ def q_late_ship_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel + period-over-period — the two dashboard shapes (A7
+# family) the Kibana surface implies but the reference computes nowhere.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH h0 AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS hit0
+        FROM events
+    ), h1 AS (
+        SELECT *, CASE WHEN event_type = 'click'
+                        AND COALESCE(MAX(hit0) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+                       THEN 1 ELSE 0 END AS hit1
+        FROM h0
+    ), h2 AS (
+        SELECT *, CASE WHEN event_type = 'purchase'
+                        AND COALESCE(MAX(hit1) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+                       THEN 1 ELSE 0 END AS hit2
+        FROM h1
+    ), per_user AS (
+        SELECT user_id,
+               GREATEST(0, MAX(hit0 * 1), MAX(hit1 * 2), MAX(hit2 * 3)) AS stage
+        FROM h2 GROUP BY user_id
+    ), by_stage AS (
+        SELECT stage, CAST(COUNT(*) AS BIGINT) AS n FROM per_user GROUP BY stage
+    ), steps(step, step_name) AS (
+        VALUES (1, 'view'), (2, 'click'), (3, 'purchase')
+    ), reached AS (
+        SELECT s.step, s.step_name, COALESCE(SUM(b.n), 0) AS users_reached
+        FROM steps s LEFT JOIN by_stage b ON b.stage >= s.step
+        GROUP BY s.step, s.step_name
+    )
+    SELECT CAST(step AS INT) AS step, step_name,
+           CAST(users_reached AS BIGINT) AS users_reached,
+           CAST(users_reached AS DOUBLE)
+               / FIRST_VALUE(users_reached) OVER (ORDER BY step) AS conversion
+    FROM reached
+    """,
+    doc="exact ordered funnel view→click→purchase: stacked prefix-max windows over "
+    "one (user, ts) shuffle — catches re-occurrences the min-per-type shortcut misses",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sequential_funnel
+
+    events = load_table(spark, sf_dir, "events")
+    out = sequential_funnel(events, ["view", "click", "purchase"])
+    return out.select(
+        F.col("step").cast("int").alias("step"),
+        "step_name",
+        "users_reached",
+        "conversion",
+    )
+
+
+@register(
+    "monthly_revenue_mom",
+    """
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY month))
+               / LAG(revenue) OVER (ORDER BY month) AS mom_change
+    FROM m
+    """,
+    doc="period-over-period: monthly revenue with LAG delta ratio; the global window "
+    "runs on the already-aggregated handful of month rows, not the fact table",
+)
+def q_monthly_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        # DuckDB's date_trunc('month') yields DATE; match the type so the
+        # driver's value hash agrees.
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(dsum(F.col("o_totalprice")).cast("double").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_change"),
+    )

@@ -944,3 +944,42 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context packing — concat-then-chunk assignment of docs to fixed token
+# budgets (the step after token counting in a pretraining pipeline).
+# ---------------------------------------------------------------------------
+@register(
+    "token_pack_assignments",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang, n_tokens, offset_tokens, offset_tokens // 2048 AS pack_seq
+    FROM (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS offset_tokens
+        FROM t
+    )
+    """,
+    doc="concat-then-chunk packing: per-lang doc stream laid end to end, pack id = start offset div 2048-token budget",
+)
+def q_token_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pack_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_by_token_budget(toks, "doc_id", "n_tokens", 2048, "lang").select(
+        "doc_id", "lang", "n_tokens", "offset_tokens", "pack_seq"
+    )
