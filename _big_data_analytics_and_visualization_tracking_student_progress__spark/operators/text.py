@@ -144,3 +144,55 @@ def scrub_text(text: Column) -> Column:
     for pat, repl in SCRUB_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word pairs from a token array — native transform over a
+    slice, no explode until the caller needs counts."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.slice(toks, 1, n - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals per document:
+    distinct-token fraction (unique/total words, map-side only) and
+    top-bigram fraction (occurrences of the most frequent word pair /
+    all pairs).  Highly repetitive machine-generated text scores low on
+    the first and high on the second.
+
+    The bigram mode needs a (doc, bigram) hash aggregate — the shuffle
+    carries bigram strings, but only one row per *distinct* pair per doc
+    after the map-side partial, which is what makes this viable at
+    corpus scale."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+    per_doc = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("__toks")).cast("double")
+            / F.size("__toks")
+        ).alias("distinct_token_frac"),
+    )
+    bi = base.select(
+        F.col(id_col), F.explode(word_bigrams(F.col("__toks"))).alias("bg")
+    )
+    top = (
+        bi.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return per_doc.join(top, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        "distinct_token_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+    )

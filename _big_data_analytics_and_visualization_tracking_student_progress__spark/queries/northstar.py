@@ -983,3 +983,40 @@ def q_token_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(toks, "doc_id", "n_tokens", 2048, "lang").select(
         "doc_id", "lang", "n_tokens", "offset_tokens", "pack_seq"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-style filters).
+# ---------------------------------------------------------------------------
+@register(
+    "repetition_scores",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), per_doc AS (
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_frac
+        FROM toks
+    ), u AS (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+    ), bi AS (
+        SELECT doc_id,
+               tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+        FROM u
+    ), bc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bi WHERE bg IS NOT NULL
+        GROUP BY doc_id, bg
+    ), top AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+        FROM bc GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, p.distinct_token_frac,
+           COALESCE(top.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM per_doc p LEFT JOIN top USING (doc_id)
+    """,
+    doc="Gopher-style repetition filters: distinct-token fraction + top-bigram fraction per doc",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, "doc_id", "text")

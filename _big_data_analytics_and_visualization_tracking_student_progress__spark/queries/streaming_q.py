@@ -429,3 +429,31 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
     )
     return append_sink_run(spark, deduped)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join: streaming facts against a batch dimension — the
+# canonical enrich-then-aggregate.  The static side is broadcast to every
+# micro-batch task; no state store is involved for the join itself.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_static_dim_join",
+    """
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="stream-static broadcast dim join (events enriched with customer segment) + streaming aggregate",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasets import load_table
+
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 6).cast("double").alias("total_value"),
+    )
+    return refresh_sink_run(spark, agg, output_mode="complete")

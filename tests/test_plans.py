@@ -242,3 +242,40 @@ def test_partition_pruning_on_date_partitioned_sink(spark, tmp_path):
     plan = _formatted(df)
     assert re.search(r"PartitionFilters: \[.*d.*2024-01-02", plan), plan
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: the stacked prefix-max windows and the per-user stage
+# aggregate must share ONE user_id exchange — a second exchange would
+# mean the windows re-shuffled the fact table.
+# ---------------------------------------------------------------------------
+def test_funnel_has_single_user_exchange(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.windows import (
+        sequential_funnel,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = sequential_funnel(ev, ["view", "click", "purchase"])
+    plan = _plan(out)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Context packing: one exchange on the partition key; the running sum
+# must not introduce a second shuffle or a global sort.
+# ---------------------------------------------------------------------------
+def test_token_packing_single_exchange(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.corpus import (
+        pack_by_token_budget,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.text import (
+        bpe_ish_token_count,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    toks = docs.select(
+        "doc_id", "lang", bpe_ish_token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_by_token_budget(toks, "doc_id", "n_tokens", 2048, "lang")
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
