@@ -183,3 +183,89 @@ def test_grade_bucket_matches_reference_rules(spark, score):
         .g
     )
     assert got == ref(score)
+
+
+# ---------------------------------------------------------------------------
+# sequential_funnel ≡ naive per-user scan: a user reaches stage k iff a
+# strictly increasing event subsequence matches the step prefix.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = st.sampled_from(["view", "click", "purchase", "other"])
+EVENT_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), EVENT_TYPES),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _naive_stage(events, steps):
+    """Greedy scan = earliest-match funnel; greedy is optimal here (taking
+    the earliest possible match for each step never hurts later steps)."""
+    stage = 0
+    for _, _, typ in sorted(events, key=lambda r: (r[1], r[0])):
+        if stage < len(steps) and typ == steps[stage]:
+            stage += 1
+    return stage
+
+
+@given(rows=EVENT_ROWS)
+@settings(**SETTINGS)
+def test_funnel_equals_naive(spark, rows):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.windows import (
+        sequential_funnel,
+    )
+
+    steps = ["view", "click", "purchase"]
+    # unique (user, ts) tiebreak ids
+    uniq = [(u, t, typ, i) for i, (u, t, typ) in enumerate(rows)]
+    df = spark.createDataFrame(
+        uniq, "user_id bigint, ts bigint, event_type string, event_id bigint"
+    )
+    got = {
+        r["step"]: r["users_reached"]
+        for r in sequential_funnel(df, steps).collect()
+    }
+    by_user: dict[int, list] = {}
+    for u, t, typ, i in uniq:
+        by_user.setdefault(u, []).append((u, t, typ, i))
+    stages = [
+        _naive_stage([(u, (t, i), typ) for u, t, typ, i in evs], steps)
+        for u, evs in by_user.items()
+    ]
+    for k in range(1, len(steps) + 1):
+        assert got[k] == sum(1 for s in stages if s >= k), (rows, got, stages)
+
+
+# ---------------------------------------------------------------------------
+# pack_by_token_budget invariants: offsets are the exclusive running sum
+# in id order, pack ids are non-decreasing, and every pack except
+# possibly the last per partition spans ≥ budget tokens of layout.
+# ---------------------------------------------------------------------------
+PACK_ROWS = st.lists(
+    st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 4096)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=PACK_ROWS, budget=st.sampled_from([64, 1024]))
+@settings(**SETTINGS)
+def test_packing_is_concat_then_chunk(spark, rows, budget):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.corpus import (
+        pack_by_token_budget,
+    )
+
+    uniq = [(part, n, i) for i, (part, n) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "part string, n_tokens bigint, doc_id bigint")
+    out = pack_by_token_budget(df, "doc_id", "n_tokens", budget, "part")
+    got = {
+        (r["part"], r["doc_id"]): (r["offset_tokens"], r["pack_seq"])
+        for r in out.collect()
+    }
+    by_part: dict[str, list] = {}
+    for part, n, i in uniq:
+        by_part.setdefault(part, []).append((i, n))
+    for part, docs in by_part.items():
+        cum = 0
+        for i, n in sorted(docs):
+            assert got[(part, i)] == (cum, cum // budget), (rows, budget, got)
+            cum += n
