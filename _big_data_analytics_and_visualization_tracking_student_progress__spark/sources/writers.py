@@ -131,3 +131,54 @@ def compact(
     n_after = file_stats(spark, path).count()
     return {"files_before": n_before, "files_after": n_after,
             "bytes": total_bytes, "rows": total_rows}
+
+
+def morton_interleave(cols: Sequence[F.Column], bits: int) -> F.Column:
+    """Z-order key: bit-interleave `bits` low bits of each (already
+    bucketized, non-negative long) column — pure native shifts/masks, so
+    the key computes inside codegen with zero Python in the write path."""
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered layout (Delta OPTIMIZE ZORDER BY re-expressed on
+    plain parquet): min/max-normalize each cluster column to `bits`-bit
+    buckets (one cheap agg, broadcast as literals), bit-interleave into a
+    Morton key, then range-partition + sort on it.  Unlike
+    `write_clustered` (disjoint ranges on ONE key family), every file
+    covers a small hyper-rectangle of ALL cluster columns, so min/max
+    skipping works for predicates on any subset of them."""
+    lo_hi = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cluster_by],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cluster_by],
+    ).head()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cluster_by:
+        lo, hi = lo_hi[f"lo_{c}"], lo_hi[f"hi_{c}"]
+        span = (hi - lo) if (hi is not None and hi > lo) else 1.0
+        scaled.append(
+            F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(top))
+            ).cast("long")
+        )
+    out = (
+        df.withColumn("__z", morton_interleave(scaled, bits))
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).parquet(path)

@@ -146,3 +146,33 @@ def test_write_clustered_files_own_disjoint_ranges(spark, tmp_path):
     assert len(ranges) == 4
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev.hi <= cur.lo  # disjoint key ranges ⇒ file-level skipping
+
+
+def test_zorder_files_cover_small_hyperrectangles(spark, tmp_path):
+    """Each z-ordered file must own a small 2-D region of the
+    (user_id, value) space — the property range clustering on user_id
+    alone cannot give for predicates on value."""
+    events = load_table(spark, SF_SMALL, "events")
+    dest = str(tmp_path / "zordered")
+    W.write_zordered(events, dest, ["user_id", "value"], num_files=8)
+
+    per_file = (
+        spark.read.parquet(dest)
+        .groupBy(F.col("_metadata.file_path"))
+        .agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+            F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+        )
+        .collect()
+    )
+    assert len(per_file) == 8
+    g = events.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).head()
+    u_span, v_span = (g[1] - g[0]) or 1, (g[3] - g[2]) or 1.0
+    # average file covers a fraction of the 2-D area; 8 z-order files
+    # should land well under half the full rectangle each
+    fracs = [
+        ((r.uhi - r.ulo) / u_span) * ((r.vhi - r.vlo) / v_span) for r in per_file
+    ]
+    assert sum(fracs) / len(fracs) < 0.5, fracs
