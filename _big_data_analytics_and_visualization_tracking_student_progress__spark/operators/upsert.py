@@ -98,3 +98,82 @@ class KeyedParquetTable:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class SnapshotKeyedTable:
+    """Time-travel variant of KeyedParquetTable: every upsert commits a
+    new immutable snapshot dir `v=N` instead of overwriting in place —
+    MVCC on plain parquet (the read half of a Delta/Iceberg commit,
+    without the transaction log).  Readers pin any retained version;
+    rollback = re-pointing to an older N; concurrent readers never see a
+    half-written table because a snapshot only becomes visible once its
+    `_SUCCESS` marker exists.
+
+    Scale note: each commit rewrites the full table (copy-on-write of
+    every file), which is the right shape for a dimension/state table
+    but NOT for a 100 TB fact table — there you'd keep the same MERGE
+    dataflow and commit only changed files plus a manifest.  The merge
+    itself still shuffles on the business key only."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
+                 order_cols: Sequence[str] | str, keep_versions: int | None = None):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.order_cols = (
+            [order_cols] if isinstance(order_cols, str) else list(order_cols)
+        )
+        self.keep_versions = keep_versions
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v={v:05d}")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v=") and os.path.exists(
+                os.path.join(self.path, name, "_SUCCESS")
+            ):
+                out.append(int(name[2:]))
+        return sorted(out)
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        vs = self.versions()
+        if not vs:
+            return None
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            raise ValueError(f"version {version} not in {vs}")
+        return self.spark.read.parquet(self._vdir(version))
+
+    def upsert(self, batch: DataFrame) -> int:
+        target = self.read()
+        merged = merge_by_key(
+            target, batch, self.keys, [F.col(c).desc() for c in self.order_cols]
+        )
+        new_v = (self.versions()[-1] + 1) if self.versions() else 1
+        merged.write.mode("overwrite").parquet(self._vdir(new_v))
+        if self.keep_versions is not None:
+            self.vacuum()
+        return new_v
+
+    def rollback(self, version: int) -> None:
+        """Drop all snapshots newer than `version` (it becomes latest)."""
+        import shutil
+
+        for v in self.versions():
+            if v > version:
+                shutil.rmtree(self._vdir(v), ignore_errors=True)
+
+    def vacuum(self) -> None:
+        """Retain only the newest `keep_versions` snapshots."""
+        import shutil
+
+        if self.keep_versions is None:
+            return
+        vs = self.versions()
+        for v in vs[: max(0, len(vs) - self.keep_versions)]:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
