@@ -43,6 +43,10 @@ HEADLINE = [
     "text_quality_scores",
     "asof_click_error",
     "stream_tumbling_counts",
+    "small_qty_part_revenue",
+    "funnel_view_click_purchase",
+    "token_pack_assignments",
+    "repetition_scores",
 ]
 
 
