@@ -1690,3 +1690,35 @@ def q_monthly_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("mom_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (shared ANSI text): cube/rollup's general form, with
+# GROUPING() flags disambiguating "grouped-out" from a genuinely NULL
+# key.  Catalyst expands the sets into one Expand + single aggregate —
+# one pass over the joined input, not one scan per set.
+# ---------------------------------------------------------------------------
+_SHARED_SQL_GROUPING_SETS = """
+    SELECT r.r_name, o.o_orderpriority,
+           CAST(GROUPING(r.r_name) AS INT) AS g_region,
+           CAST(GROUPING(o.o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, o.o_orderpriority), (r.r_name),
+                            (o.o_orderpriority), ())
+"""
+
+
+@register(
+    "sql_grouping_sets_revenue",
+    _SHARED_SQL_GROUPING_SETS,
+    doc="GROUPING SETS with GROUPING() flags — identical ANSI text on both engines, one Expand+aggregate pass",
+)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql import sql
+
+    return sql(spark, sf_dir, _SHARED_SQL_GROUPING_SETS)
