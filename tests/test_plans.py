@@ -279,3 +279,31 @@ def test_token_packing_single_exchange(spark):
     out = pack_by_token_budget(toks, "doc_id", "n_tokens", 2048, "lang")
     plan = _plan(out)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Whole-registry invariant: no batch query may plan a non-broadcast
+# cartesian product (quadratic shuffle) or a row-at-a-time Python UDF
+# (BatchEvalPython).  Arrow-vectorized nodes (ArrowEvalPython,
+# MapInPandas, FlatMapGroupsInPandas) are the sanctioned Python escape
+# hatches.  Streaming queries are excluded — building their "plan" runs
+# a full stream; their discipline is pinned by the streaming tests.
+# ---------------------------------------------------------------------------
+def test_no_cartesian_or_row_python_udf_anywhere(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    offenders = {}
+    for name, qd in sorted(all_queries().items()):
+        if name.startswith("stream_"):
+            continue
+        plan = _plan(qd.fn(spark, SF_SMALL))
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
