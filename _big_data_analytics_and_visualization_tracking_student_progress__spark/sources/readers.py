@@ -202,3 +202,32 @@ def kafka_json_sink(
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def read_json_quarantined(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON scan split into (good, quarantine): malformed
+    lines land in `_corrupt_record` instead of failing the job or being
+    silently dropped — the durable version of the reference's
+    log-and-skip on unparseable rows (con.py:65-66).  Returns the clean
+    frame (without the corrupt column) and the quarantined raw lines.
+
+    One scan feeds both frames; at scale write the quarantine side to
+    its own dir and alert on its row rate."""
+    full_schema = schema.rstrip() + ", _corrupt_record string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # Spark requires a materialization barrier before filtering on
+        # the corrupt column (SPARK-21610: referencing only the corrupt
+        # column in a filter over the raw scan is disallowed).
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, quarantine

@@ -410,3 +410,24 @@ def test_stream_restart_processes_only_new_files(spark, workdir):
     out2 = append_sink_run(spark, file_stream(spark, src, SCHEMA), workdir=sink)
     rows = sorted((r.k, r.seq) for r in out2.collect())
     assert rows == [("a", 1), ("b", 1), ("c", 2)], rows
+
+
+def test_json_quarantine_splits_malformed_lines(spark, workdir):
+    """S1 hardening: malformed JSON lines must surface in the quarantine
+    frame with their raw text, never silently drop or fail the scan."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (
+        read_json_quarantined,
+    )
+
+    src = os.path.join(workdir, "in.json")
+    with open(src, "w") as f:
+        f.write('{"k": "a", "seq": 1, "v": 1.5}\n')
+        f.write('{"k": "b", "seq": broken!!\n')
+        f.write('{"k": "c", "seq": 3, "v": 3.5}\n')
+    good, quarantine = read_json_quarantined(spark, src, SCHEMA)
+    assert sorted((r.k, r.seq, r.v) for r in good.collect()) == [
+        ("a", 1, 1.5),
+        ("c", 3, 3.5),
+    ]
+    bad = quarantine.collect()
+    assert len(bad) == 1 and "broken" in bad[0].raw
