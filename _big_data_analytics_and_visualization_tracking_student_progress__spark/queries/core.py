@@ -1722,3 +1722,125 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql import sql
 
     return sql(spark, sf_dir, _SHARED_SQL_GROUPING_SETS)
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — "suppliers who kept waiting orders": the classic double
+# correlated subquery (EXISTS another supplier in the order, NOT EXISTS
+# another LATE supplier in the order) over a fact-table self-join.  The
+# reference has no join at all (SURVEY §2.3); this is the hardest shape
+# its capability class implies.  Spark-first rewrite: instead of two
+# self-joins (three shuffles of lineitem + quadratic skew risk on big
+# orders), fold both existence tests into ONE per-order aggregate —
+# n_suppliers, n_late_suppliers, and (when unique) the late supplier —
+# then re-aggregate by supplier.  Two shuffles total, each a shrinking
+# aggregation; the oracle keeps the textbook EXISTS/NOT EXISTS form to
+# prove the rewrite equivalent.  Lateness is derived from l_shipdate vs
+# o_orderdate (+60d) because the fixtures carry no l_receiptdate.
+# ---------------------------------------------------------------------------
+@register(
+    "only_late_supplier_waits",
+    """
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lo l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s.s_name
+    """,
+    doc="Q21 shape: double-correlated EXISTS/NOT EXISTS self-join, rewritten "
+    "as one per-order aggregate + one per-supplier aggregate (two shrinking "
+    "shuffles, no self-join)",
+)
+def q_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    waits = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        waits.groupBy("late_supp")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(F.broadcast(sup), F.col("late_supp") == sup.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — top supplier(s) by quarterly revenue: aggregate → global
+# scalar MAX → equality join-back, returning ALL argmax ties (the classic
+# view + scalar-subquery form).  Spark-first: the max of the aggregated
+# frame is broadcast-joined back (tiny single-row build side) instead of
+# an all-to-one window sort; revenue is an exact decimal sum so the
+# cross-engine equality on the max is safe.
+# ---------------------------------------------------------------------------
+@register(
+    "top_supplier_revenue",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(22,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="Q15 shape: aggregate → scalar MAX subquery → join-back keeping all "
+    "argmax ties; max row broadcast back instead of a global window sort",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue")
+        )
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

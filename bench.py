@@ -47,6 +47,7 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "token_pack_assignments",
     "repetition_scores",
+    "only_late_supplier_waits",
 ]
 
 
