@@ -45,3 +45,65 @@ def diff_snapshots(
     new_h = with_row_hash(new, cols)
     old_h = with_row_hash(old.select(*[c for c in old.columns if c in set(cols)]), cols)
     return anti_join(new_h, old_h.select(HASH_COL), [HASH_COL]).drop(HASH_COL)
+
+
+def apply_cdc_ops(
+    ops: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse an insert/update/delete op log to final keyed state.
+
+    Generalizes the reference's single-op upsert (con.py:55-63 only ever
+    overwrites by `_id`; it has no delete path) to the full CDC op set:
+    per key, the LATEST op (by `order_cols`, e.g. ts + a unique
+    tie-break) wins; a winning delete removes the key.  One shuffle on
+    the key, one window pass — the op payload rides along, so replaying
+    any suffix of the log over a previous application is idempotent.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        ops.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col(op_col) != delete_op)
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: compress an attribute's change
+    log into validity intervals [valid_from, valid_to) per key, with
+    `valid_to` NULL on the current row.
+
+    Run-compression (keep a row only when the attribute differs from
+    its predecessor, null-safe) and the LEAD that closes each interval
+    share one partitioning on the key: the filter preserves sort order
+    and distribution, so the second window adds no exchange — one
+    shuffle total regardless of history length.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    changed = df.withColumn("__prev", F.lag(attr_col).over(w)).filter(
+        ~F.col("__prev").eqNullSafe(F.col(attr_col))
+    )
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(ts_col, "valid_from")
+        .drop("__prev")
+    )

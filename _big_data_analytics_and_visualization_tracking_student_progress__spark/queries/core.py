@@ -1844,3 +1844,136 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC op-log apply + SCD2 — the reference's upsert (con.py:55-63, J4)
+# only ever overwrites by `_id`; the full CDC vocabulary a warehouse
+# sink needs is insert/update/DELETE resolution (latest op per key
+# wins) and type-2 history (validity intervals instead of overwrite).
+# Both are one shuffle on the key.  The events table stands in as the
+# op log: event_type 'purchase' plays the delete op / the changing
+# dimension attribute.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_apply_latest",
+    """
+    WITH ops AS (
+        SELECT user_id, epoch_us(ts) AS tus, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY tus DESC, event_id DESC) AS rn
+        FROM ops
+    )
+    SELECT user_id, CAST(tus AS BIGINT) AS last_us, value AS last_value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC apply: latest insert/update/delete op per key wins, winning "
+    "delete removes the key (J4 generalized to the full op set)",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import apply_cdc_ops
+
+    ops = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_nanos div 1000").alias("tus"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    applied = apply_cdc_ops(ops, ["user_id"], ["tus", "event_id"], "op", "D")
+    return applied.select(
+        "user_id",
+        F.col("tus").alias("last_us"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+    ), c AS (
+        SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY tus, event_id) AS prev
+        FROM o
+    ), ch AS (
+        SELECT * FROM c WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           CAST(tus AS BIGINT) AS valid_from_us,
+           CAST(lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                AS BIGINT) AS valid_to_us,
+           lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+               AS is_current
+    FROM ch
+    """,
+    doc="SCD type 2: run-compressed attribute changes -> [valid_from, "
+    "valid_to) intervals per key, NULL-open current row; one shuffle "
+    "(run-compress filter preserves the window partitioning)",
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import scd2_intervals
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_nanos div 1000").alias("tus"),
+        "event_type",
+    )
+    iv = scd2_intervals(e, ["user_id"], "event_type", "tus", "event_id")
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch — oracle-checked end to end via the
+# portable md5-prefix hash (operators/sketches.py): registers are
+# integer-exact on both engines and the raw-HLL estimate is a single
+# shared IEEE division.  The 100 TB story: COUNT(DISTINCT) shuffles
+# every distinct key; the register table is 2^p rows, merges with MAX,
+# and one map pass builds it.
+# ---------------------------------------------------------------------------
+@register(
+    "hll_distinct_users",
+    """
+    WITH h AS (
+        SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+        FROM events
+    ), br AS (
+        SELECT hv & 15 AS bucket,
+               CASE WHEN (hv >> 4) = 0 THEN 57
+                    ELSE 57 - LENGTH(bin(hv >> 4)) END AS rho
+        FROM h
+    ), regs AS (
+        SELECT bucket, MAX(rho) AS register FROM br GROUP BY bucket
+    ), s AS (
+        SELECT COUNT(*) AS nb, SUM(1::BIGINT << (57 - register)) AS observed
+        FROM regs
+    )
+    SELECT CAST(nb AS BIGINT) AS n_buckets,
+           CAST(observed + (16 - nb) * (1::BIGINT << 57) AS BIGINT) AS sum_scaled,
+           FLOOR(((0.673 * 256.0) * POWER(2.0, 57.0))
+                 / CAST(observed + (16 - nb) * (1::BIGINT << 57) AS DOUBLE)
+                 * 1000.0 + 0.5) / 1000.0 AS est_distinct
+    FROM s
+    """,
+    doc="HLL(p=4) distinct-user sketch: portable-hash registers + raw "
+    "estimate, both hash-compared against the identical DuckDB algorithm",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_registers(e, F.col("user_id"), p=4)
+    return hll_estimate(regs, p=4)

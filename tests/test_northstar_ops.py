@@ -468,3 +468,86 @@ def test_lang_id_detects_real_sentences(spark):
     out = {r.lang: r.det for r in df.select(
         "lang", T.lang_id(F.col("text")).alias("det")).collect()}
     assert out == {k: k for k in out}
+
+
+def test_hll_registers_merge_is_exact_monoid(spark):
+    """Sketch mergeability: registers built per arbitrary split, merged
+    with MAX, must equal the whole-table registers row for row — and the
+    estimate must land near the exact cardinality (raw-HLL regime)."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_SMALL, "events")
+    whole = hll_registers(e, F.col("user_id"), p=4)
+    parts = [
+        hll_registers(e.filter(F.col("event_id") % 3 == i), F.col("user_id"), p=4)
+        for i in range(3)
+    ]
+    merged = hll_merge(parts[0].union(parts[1]).union(parts[2]))
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    exact = e.select("user_id").distinct().count()
+    est = hll_estimate(whole, p=4).collect()[0].est_distinct
+    assert abs(est - exact) / exact < 0.6, (est, exact)  # p=4 -> ~26% SE
+
+
+def test_apply_cdc_ops_replay_is_idempotent(spark):
+    """Re-applying any suffix of the op log over an already-applied state
+    must not change the state (the T2 effectively-once guarantee)."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.cdc import (
+        apply_cdc_ops,
+    )
+    from pyspark.sql import functions as F
+
+    ops = load_table(spark, SF_SMALL, "events").select(
+        "user_id",
+        F.expr("ts_nanos div 1000").alias("tus"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    once = apply_cdc_ops(ops, ["user_id"], ["tus", "event_id"])
+    suffix = ops.filter(F.col("tus") >= ops.agg(F.expr("percentile(tus, 0.5)")).collect()[0][0])
+    twice = apply_cdc_ops(once.unionByName(suffix), ["user_id"], ["tus", "event_id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_intervals_tile_history(spark):
+    """SCD2 shape: per key exactly one open (current) interval; each
+    closed interval's valid_to equals the next interval's valid_from
+    (contiguous tiling, no gaps or overlaps)."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.cdc import (
+        scd2_intervals,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", F.expr("ts_nanos div 1000").alias("tus"), "event_type"
+    )
+    iv = scd2_intervals(e, ["user_id"], "event_type", "tus", "event_id")
+    rows = iv.select("user_id", "valid_from", "valid_to").collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append((r.valid_from, r.valid_to))
+    assert by_key
+    for _, ivs in by_key.items():
+        ivs.sort()
+        assert sum(1 for _, to in ivs if to is None) == 1
+        for (_, to), (nxt_from, _) in zip(ivs, ivs[1:]):
+            assert to == nxt_from
