@@ -117,3 +117,61 @@ def hll_estimate(
     return out.withColumn(
         "est_distinct", F.floor(est * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — point-frequency estimates / heavy hitters.  Like
+# the HLL above, built on the portable md5-prefix hash with pure
+# integer counters, so build AND probe are oracle-checkable in DuckDB.
+# The sketch is depth x width counters (<= 256 rows at the defaults):
+# a SUM-mergeable monoid, one map pass + one shrinking groupBy to
+# build, a broadcast join to probe — the 100 TB alternative to a full
+# per-key count when only frequent keys (or a probe set) matter.
+# ---------------------------------------------------------------------------
+def cms_build(
+    df: DataFrame, value: Column, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """(row_i, pos, cnt) counter table: row_i's hash is seeded by
+    prefixing the row index to the value string ('i:v'), the standard
+    independent-hash-family construction."""
+    keyed = df.select(value.cast("string").alias("v")).select(
+        "v",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row_i"),
+    )
+    pos = portable_hash64(
+        F.concat_ws(":", F.col("row_i"), F.col("v"))
+    ) % width
+    return (
+        keyed.select("row_i", pos.alias("pos"))
+        .groupBy("row_i", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge unioned counter tables (counters add)."""
+    return sketches.groupBy("row_i", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key: Column,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Estimate each probe key's frequency: min over the key's depth
+    counters (empty counter = 0).  The sketch is tiny — broadcast — so
+    the probe costs one map-side join + a groupBy on the probe key."""
+    p = probes.select(key.cast("string").alias("k")).distinct()
+    pe = p.select(
+        "k",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row_i"),
+    ).withColumn(
+        "pos",
+        portable_hash64(F.concat_ws(":", F.col("row_i"), F.col("k"))) % width,
+    )
+    joined = pe.join(F.broadcast(sketch), ["row_i", "pos"], "left")
+    return joined.groupBy("k").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )

@@ -1776,11 +1776,16 @@ def q_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
+    # collect_set instead of two countDistincts: multiple distinct
+    # aggregates plan as an Expand (3x the join output re-shuffled on a
+    # wide key); per-order supplier sets are tiny (TPC-H orders have <=7
+    # lines), so set-aggregate them in one exchange on l_orderkey with
+    # map-side partials.
     per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey")))
+        ).alias("n_late_supp"),
         F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     waits = per_order.filter(
@@ -1788,7 +1793,7 @@ def q_only_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         waits.groupBy("late_supp")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))  # one row per order already
         .join(F.broadcast(sup), F.col("late_supp") == sup.s_suppkey)
         .select("s_name", "numwait")
     )
@@ -1977,3 +1982,89 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     regs = hll_registers(e, F.col("user_id"), p=4)
     return hll_estimate(regs, p=4)
+
+
+@register(
+    "hll_distinct_users_by_type",
+    """
+    WITH h AS (
+        SELECT event_type,
+               ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+        FROM events
+    ), br AS (
+        SELECT event_type, hv & 15 AS bucket,
+               CASE WHEN (hv >> 4) = 0 THEN 57
+                    ELSE 57 - LENGTH(bin(hv >> 4)) END AS rho
+        FROM h
+    ), regs AS (
+        SELECT event_type, bucket, MAX(rho) AS register
+        FROM br GROUP BY event_type, bucket
+    ), s AS (
+        SELECT event_type, COUNT(*) AS nb,
+               SUM(1::BIGINT << (57 - register)) AS observed
+        FROM regs GROUP BY event_type
+    )
+    SELECT event_type, CAST(nb AS BIGINT) AS n_buckets,
+           CAST(observed + (16 - nb) * (1::BIGINT << 57) AS BIGINT) AS sum_scaled,
+           FLOOR(((0.673 * 256.0) * POWER(2.0, 57.0))
+                 / CAST(observed + (16 - nb) * (1::BIGINT << 57) AS DOUBLE)
+                 * 1000.0 + 0.5) / 1000.0 AS est_distinct
+    FROM s
+    """,
+    doc="grouped HLL: one register table per group in the same two-level "
+    "aggregation — per-group distinct estimates without a per-group "
+    "distinct shuffle",
+)
+def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_registers(e, F.col("user_id"), p=4, group_cols=["event_type"])
+    return hll_estimate(regs, p=4, group_cols=["event_type"])
+
+
+@register(
+    "cms_heavy_users",
+    """
+    WITH vals AS (
+        SELECT CAST(user_id AS VARCHAR) AS v FROM events
+    ), keyed AS (
+        SELECT v, unnest([0, 1, 2, 3]) AS row_i FROM vals
+    ), sketch AS (
+        SELECT row_i,
+               ('0x'||substr(md5(row_i::VARCHAR||':'||v),1,15))::BIGINT % 64
+                   AS pos,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keyed GROUP BY 1, 2
+    ), probes AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+    ), pe AS (
+        SELECT k, unnest([0, 1, 2, 3]) AS row_i FROM probes
+    ), pos_ AS (
+        SELECT k, row_i,
+               ('0x'||substr(md5(row_i::VARCHAR||':'||k),1,15))::BIGINT % 64
+                   AS pos
+        FROM pe
+    ), est AS (
+        SELECT p.k, MIN(COALESCE(s.cnt, 0)) AS est_count
+        FROM pos_ p LEFT JOIN sketch s
+          ON p.row_i = s.row_i AND p.pos = s.pos
+        GROUP BY p.k
+    )
+    SELECT CAST(k AS BIGINT) AS user_id, CAST(est_count AS BIGINT) AS est_count
+    FROM est WHERE est_count >= 100
+    """,
+    doc="count-min heavy hitters: portable-hash integer counters "
+    "(4x64), SUM-mergeable, broadcast probe — build and probe both "
+    "oracle-checked",
+)
+def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_lookup
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_build(e, F.col("user_id"), depth=4, width=64)
+    est = cms_lookup(sketch, e, F.col("user_id"), depth=4, width=64)
+    return est.filter(F.col("est_count") >= 100).select(
+        F.col("k").cast("long").alias("user_id"),
+        F.col("est_count").cast("long").alias("est_count"),
+    )

@@ -457,3 +457,49 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value"), 6).cast("double").alias("total_value"),
     )
     return refresh_sink_run(spark, agg, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL distinct sketch — the register build (operators/
+# sketches.py) is a stateless projection + a groupBy-MAX, which
+# Structured Streaming maintains natively as running state: at most
+# 2^p register rows of state, no per-key distinct state, and the
+# MAX-monoid makes the result independent of micro-batch boundaries.
+# The oracle is the identical batch SQL — the stream must converge to
+# the exact same registers and estimate.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_hll_distinct_users",
+    """
+    WITH h AS (
+        SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+        FROM events
+    ), br AS (
+        SELECT hv & 15 AS bucket,
+               CASE WHEN (hv >> 4) = 0 THEN 57
+                    ELSE 57 - LENGTH(bin(hv >> 4)) END AS rho
+        FROM h
+    ), regs AS (
+        SELECT bucket, MAX(rho) AS register FROM br GROUP BY bucket
+    ), s AS (
+        SELECT COUNT(*) AS nb, SUM(1::BIGINT << (57 - register)) AS observed
+        FROM regs
+    )
+    SELECT CAST(nb AS BIGINT) AS n_buckets,
+           CAST(observed + (16 - nb) * (1::BIGINT << 57) AS BIGINT) AS sum_scaled,
+           FLOOR(((0.673 * 256.0) * POWER(2.0, 57.0))
+                 / CAST(observed + (16 - nb) * (1::BIGINT << 57) AS DOUBLE)
+                 * 1000.0 + 0.5) / 1000.0 AS est_distinct
+    FROM s
+    """,
+    doc="streaming HLL: running distinct-user sketch as a native "
+    "streaming groupBy-MAX (<= 2^p rows of state), estimate read from "
+    "the final register sink; converges to the batch sketch exactly",
+)
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    regs = hll_registers(ev, F.col("user_id"), p=4)
+    out = refresh_sink_run(spark, regs, output_mode="complete")
+    return hll_estimate(out, p=4)

@@ -551,3 +551,35 @@ def test_scd2_intervals_tile_history(spark):
         assert sum(1 for _, to in ivs if to is None) == 1
         for (_, to), (nxt_from, _) in zip(ivs, ivs[1:]):
             assert to == nxt_from
+
+
+def test_cms_merge_monoid_and_overestimate_bound(spark):
+    """Count-min guarantees: (a) counter tables built per split and
+    summed equal the whole-table sketch; (b) every estimate >= the true
+    count (one-sided error)."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.sketches import (
+        cms_build,
+        cms_lookup,
+        cms_merge,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_SMALL, "events")
+    whole = cms_build(e, F.col("user_id"))
+    parts = [cms_build(e.filter(F.col("event_id") % 2 == i), F.col("user_id")) for i in range(2)]
+    merged = cms_merge(parts[0].union(parts[1]))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    est = {
+        int(r.k): r.est_count
+        for r in cms_lookup(whole, e, F.col("user_id")).collect()
+    }
+    exact = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
