@@ -2068,3 +2068,87 @@ def q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("user_id"),
         F.col("est_count").cast("long").alias("est_count"),
     )
+
+
+@register(
+    "hll_user_overlap",
+    """
+    WITH base AS (
+        SELECT event_type,
+               ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), br AS (
+        SELECT event_type, hv & 15 AS bucket,
+               CASE WHEN (hv >> 4) = 0 THEN 57
+                    ELSE 57 - LENGTH(bin(hv >> 4)) END AS rho
+        FROM base
+    ), regs AS (
+        SELECT event_type, bucket, MAX(rho) AS register
+        FROM br GROUP BY event_type, bucket
+    ), tagged AS (
+        SELECT 'a' AS part, bucket, register FROM regs WHERE event_type = 'view'
+        UNION ALL
+        SELECT 'b', bucket, register FROM regs WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'u', bucket, MAX(register) FROM regs GROUP BY bucket
+    ), s AS (
+        SELECT part, COUNT(*) AS nb,
+               SUM(1::BIGINT << (57 - register)) AS observed
+        FROM tagged GROUP BY part
+    ), e AS (
+        SELECT part,
+               FLOOR(((0.673 * 256.0) * POWER(2.0, 57.0))
+                     / CAST(observed + (16 - nb) * (1::BIGINT << 57) AS DOUBLE)
+                     * 1000.0 + 0.5) / 1000.0 AS est
+        FROM s
+    )
+    SELECT MAX(CASE WHEN part = 'a' THEN est END) AS est_view,
+           MAX(CASE WHEN part = 'b' THEN est END) AS est_purchase,
+           MAX(CASE WHEN part = 'u' THEN est END) AS est_union,
+           (MAX(CASE WHEN part = 'a' THEN est END)
+            + MAX(CASE WHEN part = 'b' THEN est END))
+           - MAX(CASE WHEN part = 'u' THEN est END) AS est_overlap
+    FROM e
+    """,
+    doc="HLL set algebra: union = register MAX-merge, intersection via "
+    "inclusion-exclusion over three estimates — audience-overlap style "
+    "sketch query, one scan",
+)
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    regs = hll_registers(e, F.col("user_id"), p=4, group_cols=["event_type"])
+    a = (
+        regs.filter(F.col("event_type") == "view")
+        .select("bucket", "register")
+        .withColumn("part", F.lit("a"))
+    )
+    b = (
+        regs.filter(F.col("event_type") == "purchase")
+        .select("bucket", "register")
+        .withColumn("part", F.lit("b"))
+    )
+    u = hll_merge(regs.select("bucket", "register")).withColumn(
+        "part", F.lit("u")
+    )
+    ests = hll_estimate(
+        a.unionByName(b).unionByName(u), p=4, group_cols=["part"]
+    )
+    wide = ests.groupBy().agg(
+        F.max(F.when(F.col("part") == "a", F.col("est_distinct"))).alias(
+            "est_view"
+        ),
+        F.max(F.when(F.col("part") == "b", F.col("est_distinct"))).alias(
+            "est_purchase"
+        ),
+        F.max(F.when(F.col("part") == "u", F.col("est_distinct"))).alias(
+            "est_union"
+        ),
+    )
+    return wide.withColumn(
+        "est_overlap",
+        (F.col("est_view") + F.col("est_purchase")) - F.col("est_union"),
+    )

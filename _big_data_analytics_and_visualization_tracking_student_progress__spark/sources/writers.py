@@ -182,3 +182,46 @@ def write_zordered(
         .drop("__z")
     )
     out.write.mode(mode).parquet(path)
+
+
+def column_stats(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-file min/max for `cols` — the data-skipping index that table
+    formats (Delta/Iceberg) keep in their commit log.  Built here with
+    one aggregate over `_metadata.file_path`; persist it next to the
+    data and refresh on write to skip the scan."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(
+        F.col("_metadata.file_path").alias("file_path")
+    ).agg(*aggs)
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Range scan with explicit file-level skipping: drop every file
+    whose [min,max] envelope misses [lo, hi], read only survivors, then
+    apply the exact predicate.  Returns (frame, files_kept, files_total).
+
+    Pays off on top of write_clustered/write_zordered layouts, where
+    files own disjoint key ranges — a narrow range touches 1-2 files.
+    The file list is collected on the driver (one row per file, the
+    standard metadata-index pattern); at extreme file counts keep the
+    stats as a table and semi-join the scan instead."""
+    stats = column_stats(spark, path, [col]).collect()
+    keep = [
+        r["file_path"]
+        for r in stats
+        if r[f"max_{col}"] is not None
+        and not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    ]
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:
+        base = spark.read.parquet(path).filter(F.lit(False))
+        return base.filter(pred), 0, len(stats)
+    return spark.read.parquet(*keep).filter(pred), len(keep), len(stats)

@@ -176,3 +176,31 @@ def test_zorder_files_cover_small_hyperrectangles(spark, tmp_path):
         ((r.uhi - r.ulo) / u_span) * ((r.vhi - r.vlo) / v_span) for r in per_file
     ]
     assert sum(fracs) / len(fracs) < 0.5, fracs
+
+
+def test_read_pruned_skips_files_outside_range(spark, tmp_path):
+    """File-skipping correctness + effectiveness: on a range-clustered
+    layout a narrow range must read a strict subset of files and return
+    exactly the full-scan filter result."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.writers import (
+        read_pruned,
+        write_clustered,
+    )
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "clustered")
+    orders = load_table(spark, SF_SMALL, "orders")
+    write_clustered(orders, out, ["o_orderkey"], num_files=8)
+
+    lo, hi = 100, 300
+    got, kept, total = read_pruned(spark, out, "o_orderkey", lo, hi)
+    assert total == 8 and 0 < kept < total, (kept, total)
+    expected = orders.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    )
+    assert sorted(map(tuple, got.select(*orders.columns).collect())) == sorted(
+        map(tuple, expected.collect())
+    )
