@@ -107,3 +107,74 @@ def scd2_intervals(
         .withColumnRenamed(ts_col, "valid_from")
         .drop("__prev")
     )
+
+
+def reconcile_tables(
+    a: DataFrame, b: DataFrame, n_buckets: int = 64
+) -> DataFrame:
+    """Merkle-style table reconciliation: find keys that differ between
+    two snapshots without full-table comparison.
+
+    Inputs are frames of (k, fp) — key plus a row fingerprint (use
+    `portable_hash64` over the canonicalized row).  Phase 1 reduces each
+    side to `n_buckets` (count, XOR-of-fingerprints) summaries — a
+    map-side-combinable aggregate, so 100 TB collapses to n_buckets rows
+    before anything crosses the network.  Phase 2 full-joins only the
+    rows of MISMATCHED buckets to classify each differing key as
+    added / deleted / changed.  With drift touching few buckets, phase 2
+    reads ~drift-sized input instead of two full tables — the anti-entropy
+    pattern of Dynamo/Cassandra replica repair, here as two shuffles.
+
+    XOR checksums cannot overflow (unlike SUM) and are order/partition
+    independent; a bucket whose count AND checksum match is skipped, so
+    the diff is exact up to XOR-collision (2^-60 per bucket).
+    (Generalizes the reference's row-hash CDC diff, pro.py:46-55, from
+    one file vs its snapshot to whole-table vs whole-table.)
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import portable_hash64
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(portable_hash64(F.col("k").cast("string")), F.lit(n_buckets)),
+        )
+
+    ba, bb = bucketize(a), bucketize(b)
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.expr("bit_xor(fp)").alias(f"cs_{tag}"),
+        )
+
+    bad = (
+        summarize(ba, "a")
+        .join(summarize(bb, "b"), "bucket", "full")
+        .filter(
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
+            | (F.col("n_a") != F.col("n_b"))
+            | (F.col("cs_a") != F.col("cs_b"))
+        )
+        .select("bucket")
+    )
+    fa = ba.join(F.broadcast(bad), "bucket", "left_semi").select(
+        F.col("k").alias("k_a"), F.col("fp").alias("fp_a")
+    )
+    fb = bb.join(F.broadcast(bad), "bucket", "left_semi").select(
+        F.col("k").alias("k_b"), F.col("fp").alias("fp_b")
+    )
+    d = fa.join(fb, fa["k_a"] == fb["k_b"], "full")
+    return d.filter(
+        F.col("k_b").isNull()
+        | F.col("k_a").isNull()
+        | (F.col("fp_a") != F.col("fp_b"))
+    ).select(
+        F.coalesce("k_a", "k_b").alias("k"),
+        F.when(F.col("k_b").isNull(), F.lit("deleted"))
+        .when(F.col("k_a").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("diff_type"),
+    )

@@ -2152,3 +2152,255 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_overlap",
         (F.col("est_view") + F.col("est_purchase")) - F.col("est_union"),
     )
+
+
+@register(
+    "bloom_pruned_revenue",
+    """
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 280000
+    GROUP BY l.l_returnflag
+    """,
+    doc="Bloom-filter runtime join pruning: filter built from the selective "
+    "dim side, probed on the fact side BEFORE the join shuffle; exact join "
+    "culls false positives so the result is identical to the plain join "
+    "(which is what the oracle runs)",
+)
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 280000)
+        )
+        .select("o_orderkey")
+    )
+    joined = bloom_pruned_join(li, dim, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "cust_order_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="Q13 shape: left outer join with a join-side residual predicate + "
+    "two-level aggregate — order-count distribution including zero-order "
+    "customers (the rows an inner join would lose)",
+)
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events),
+    c AS (
+        SELECT user_id, wk,
+               MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        FROM uw),
+    r AS (
+        SELECT cohort_wk,
+               CAST(datediff('day', cohort_wk, wk) // 7 AS INT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM c GROUP BY cohort_wk, week_offset)
+    SELECT cohort_wk, week_offset, active_users,
+           MAX(CASE WHEN week_offset = 0 THEN active_users END)
+               OVER (PARTITION BY cohort_wk) AS cohort_size,
+           FLOOR(CAST(active_users AS DOUBLE)
+                 / MAX(CASE WHEN week_offset = 0 THEN active_users END)
+                     OVER (PARTITION BY cohort_wk)
+                 * 10000.0 + 0.5) / 10000.0 AS retention_pct
+    FROM r
+    """,
+    doc="cohort retention matrix: first-seen week per user x weeks-since "
+    "activity, with per-cohort retention rate — the A7 dashboard surface "
+    "generalized; one user-shuffle (distinct + window share the partitioning)",
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    c = uw.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    r = c.groupBy(
+        "cohort_wk",
+        (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+    wc = Window.partitionBy("cohort_wk")
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("active_users"))
+    ).over(wc)
+    return r.select(
+        "cohort_wk",
+        "week_offset",
+        "active_users",
+        size.alias("cohort_size"),
+        dround(F.col("active_users").cast("double") / size, 4).alias(
+            "retention_pct"
+        ),
+    )
+
+
+@register(
+    "fuzzy_pairs_editdist",
+    """
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // 32 AS lb, substr(text, 1, 60) AS head
+        FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 20
+    """,
+    doc="fuzzy near-dup pairs via edit distance within (lang, length-bucket) "
+    "blocks: the O(n^2) levenshtein only runs inside small blocks, never "
+    "across the corpus — blocking turns quadratic matching into a "
+    "self-equi-join; at 100 TB add the offset-by-half second block pass "
+    "to catch boundary straddlers",
+)
+def q_fuzzy_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 32").alias("lb"),
+        F.substring("text", 1, 60).alias("head"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "lb",
+        F.col("head").alias("head_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "lb",
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(b, ["lang", "lb"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("head_a"), F.col("head_b")).cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+_RECONCILE_FP_SQL = (
+    "('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||'|'||{status}||'|'||"
+    "CAST(CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT) AS VARCHAR)||'|'||"
+    "o_orderpriority),1,15))::BIGINT"
+)
+
+
+@register(
+    "table_diff_audit",
+    f"""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               {_RECONCILE_FP_SQL.format(status="o_orderstatus")} AS fp,
+               ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+                   % 64 AS bucket
+        FROM orders),
+    b AS (
+        SELECT o_orderkey AS k,
+               {_RECONCILE_FP_SQL.format(
+                   status="CASE WHEN o_orderkey % 97 = 0 THEN 'X' "
+                   "ELSE o_orderstatus END")} AS fp,
+               ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+                   % 64 AS bucket
+        FROM orders WHERE o_orderkey % 101 <> 0),
+    sa AS (SELECT bucket, COUNT(*) AS n, bit_xor(fp) AS cs FROM a GROUP BY bucket),
+    sb AS (SELECT bucket, COUNT(*) AS n, bit_xor(fp) AS cs FROM b GROUP BY bucket),
+    bad AS (
+        SELECT COALESCE(sa.bucket, sb.bucket) AS bucket
+        FROM sa FULL JOIN sb ON sa.bucket = sb.bucket
+        WHERE sa.bucket IS NULL OR sb.bucket IS NULL
+           OR sa.n <> sb.n OR sa.cs <> sb.cs),
+    fa AS (SELECT * FROM a WHERE bucket IN (SELECT bucket FROM bad)),
+    fb AS (SELECT * FROM b WHERE bucket IN (SELECT bucket FROM bad))
+    SELECT COALESCE(fa.k, fb.k) AS o_orderkey,
+           CASE WHEN fb.k IS NULL THEN 'deleted'
+                WHEN fa.k IS NULL THEN 'added'
+                ELSE 'changed' END AS diff_type
+    FROM fa FULL JOIN fb ON fa.k = fb.k
+    WHERE fb.k IS NULL OR fa.k IS NULL OR fa.fp <> fb.fp
+    """,
+    doc="Merkle-style snapshot reconciliation: per-bucket count+XOR "
+    "checksums prune matching buckets, then only mismatched buckets' rows "
+    "full-join to classify added/deleted/changed keys (replica drift "
+    "simulated as in-place updates + deletes); oracle runs the identical "
+    "two-phase algorithm",
+)
+def q_table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import reconcile_tables
+    from ..operators.dedup import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def fingerprint(df, status):
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            portable_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    status,
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                    .cast("long")
+                    .cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("fp"),
+        )
+
+    a = fingerprint(o, F.col("o_orderstatus"))
+    replica = o.filter(F.col("o_orderkey") % 101 != 0)
+    b = fingerprint(
+        replica,
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return reconcile_tables(a, b, n_buckets=64).select(
+        F.col("k").alias("o_orderkey"), "diff_type"
+    )

@@ -269,3 +269,84 @@ def test_packing_is_concat_then_chunk(spark, rows, budget):
         for i, n in sorted(docs):
             assert got[(part, i)] == (cum, cum // budget), (rows, budget, got)
             cum += n
+
+
+def test_bloom_probe_has_no_false_negatives_and_prunes(spark):
+    """Bloom prefilter correctness (every true match survives the probe)
+    and effectiveness (a selective dim prunes most fact rows before the
+    join shuffle)."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    dim = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(dim, F.col("o_orderkey"))
+    survivors = bloom_probe(li, F.col("l_orderkey"), bloom)
+
+    true_keys = {r[0] for r in dim.collect()}
+    expected = li.filter(F.col("l_orderkey").isin(true_keys))
+    surv_rows = {tuple(r) for r in survivors.collect()}
+    for row in expected.collect():
+        assert tuple(row) in surv_rows  # no false negatives
+    n_total, n_surv = li.count(), len(surv_rows)
+    assert n_surv < n_total * 0.2, (n_surv, n_total)  # real pruning
+
+
+def test_reconcile_tables_classifies_drift(spark):
+    """Added / deleted / changed keys are each recovered exactly; clean
+    buckets never contribute rows."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.cdc import (
+        reconcile_tables,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+        portable_hash64,
+    )
+
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        portable_hash64(F.concat_ws("|", F.col("id"), F.lit("v1"))).alias("fp"),
+    )
+    # replica: drop k%71==0, change fp for k%53==0, add keys 1000..1004
+    replica = (
+        spark.range(0, 500)
+        .filter(F.col("id") % 71 != 0)
+        .select(
+            F.col("id").alias("k"),
+            portable_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("id"),
+                    F.when(F.col("id") % 53 == 0, F.lit("v2")).otherwise(
+                        F.lit("v1")
+                    ),
+                )
+            ).alias("fp"),
+        )
+        .unionByName(
+            spark.range(1000, 1005).select(
+                F.col("id").alias("k"),
+                portable_hash64(
+                    F.concat_ws("|", F.col("id"), F.lit("v1"))
+                ).alias("fp"),
+            )
+        )
+    )
+    got = {(r["k"], r["diff_type"]) for r in reconcile_tables(base, replica).collect()}
+    want = set()
+    for k in range(500):
+        if k % 71 == 0:
+            want.add((k, "deleted"))
+        elif k % 53 == 0:
+            want.add((k, "changed"))
+    for k in range(1000, 1005):
+        want.add((k, "added"))
+    assert got == want
