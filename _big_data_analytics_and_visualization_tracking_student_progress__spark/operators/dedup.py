@@ -458,3 +458,89 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph) dedup — the C4/RefinedWeb span-removal pattern
+# ---------------------------------------------------------------------------
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 4,
+) -> DataFrame:
+    """Remove duplicated word-chunks ACROSS documents, keeping the first
+    occurrence (lowest (id, chunk_idx)), and reassemble the surviving
+    chunks into a cleaned text per document — sub-document dedup in the
+    style of C4's duplicate-span removal, where boilerplate repeated
+    across pages is stripped while each document's unique prose survives.
+
+    Plan shape (all native expressions, no per-word explode):
+      1. map-side: `split` once, then one row per chunk via
+         `explode(sequence(...))` + `slice` — chunking is O(words) and
+         never shuffles single words;
+      2. first-occurrence election: `row_number` over the 60-bit
+         portable hash of the chunk (uniform, skew-free key), ordered by
+         (id, chunk_idx) — one shuffle;
+      3. reassembly: groupBy(id) re-joining surviving chunks in order —
+         second shuffle, partitioned by doc id.
+    At 100 TB the election shuffle can carry (hash, id, idx) only and
+    semi-join winners back to map-side re-derived chunks; here chunks
+    ride along because two narrow shuffles beat three.
+
+    Output: (id, n_chunks, n_kept, cleaned_text); documents whose every
+    chunk was seen earlier survive with n_kept=0 and empty text.
+    (Generalizes exact_dedup from whole-document to sub-document
+    granularity; no reference analog — north-star operator.)
+    """
+    from pyspark.sql import Window
+
+    cw = int(chunk_words)
+    d = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    ).withColumn(
+        "n_chunks", F.expr(f"CAST((size(words)-1) div {cw} + 1 AS BIGINT)")
+    )
+    ch = d.select(
+        id_col,
+        "n_chunks",
+        F.explode(F.expr(f"sequence(0, int((size(words)-1) div {cw}))")).alias(
+            "ci"
+        ),
+        F.col("words"),
+    ).select(
+        id_col,
+        "n_chunks",
+        "ci",
+        F.array_join(F.expr(f"slice(words, ci*{cw}+1, {cw})"), " ").alias(
+            "chunk"
+        ),
+    )
+    win = Window.partitionBy(portable_hash64(F.col("chunk"))).orderBy(
+        id_col, "ci"
+    )
+    kept = (
+        ch.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    return (
+        d.select(id_col, "n_chunks")
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -2404,3 +2404,219 @@ def q_table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile_tables(a, b, n_buckets=64).select(
         F.col("k").alias("o_orderkey"), "diff_type"
     )
+
+
+@register(
+    "nation_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice, l_discount
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="Q7 shape: bidirectional two-nation trade volume by ship year — "
+    "nation dim filtered to the pair BEFORE joining (broadcast both "
+    "sides), so the disjunction collapses to a post-join inequality and "
+    "only one big shuffle (lineitem x orders) remains",
+)
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ["NATION_1", "NATION_2"]
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                             F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(s.select("s_suppkey", "supp_nation")),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.select("c_custkey", "cust_nation")),
+              o["o_custkey"] == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="Q19 shape: OR-of-ANDs join predicate — the union bounds of each "
+    "disjunct (brand IN set, size/quantity envelope) are manually "
+    "CNF-extracted and pushed below the join as scan filters Catalyst "
+    "can't derive itself, then the broadcast join applies the exact "
+    "residual; at 100 TB the scan prunes most of lineitem before any join",
+)
+def q_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brands = ["Brand#1", "Brand#2", "Brand#3"]
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(brands) & F.col("p_size").between(1, 50)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 50)
+    )
+    residual = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 30))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).filter(residual)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6), 2
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "returned_item_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(22,6))), 2) AS DOUBLE) AS lost_revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="Q10 shape: revenue lost to returns per customer — returnflag "
+    "filter at the lineitem scan, one fact shuffle, broadcast "
+    "customer/nation enrichment AFTER the aggregate shrinks the rows, "
+    "top-20 via TakeOrderedAndProject (no global sort)",
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6),
+                2,
+            )
+            .cast("double")
+            .alias("lost_revenue"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    enriched = per_cust.join(
+        F.broadcast(
+            c.select("c_custkey", "c_name", "c_nationkey").join(
+                F.broadcast(n.select("n_nationkey", "n_name")),
+                c["c_nationkey"] == n["n_nationkey"],
+            )
+        ),
+        per_cust["o_custkey"] == F.col("c_custkey"),
+    )
+    return (
+        enriched.select(
+            "c_custkey", "c_name", "n_name", "n_items", "lost_revenue"
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "order_value_deciles",
+    """
+    WITH t AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(22,6))), 2)
+                AS DOUBLE) AS decile_total
+    FROM t GROUP BY decile
+    """,
+    doc="NTILE decile summary of order values (tie-broken by key for "
+    "cross-engine determinism) — the global-sort window is the known "
+    "single-partition bottleneck; at 100 TB swap NTILE for "
+    "approx_percentile cut points + a map-side bucket join, same output "
+    "contract",
+)
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        F.round(dsum(F.col("o_totalprice"), 6), 2)
+        .cast("double")
+        .alias("decile_total"),
+    )

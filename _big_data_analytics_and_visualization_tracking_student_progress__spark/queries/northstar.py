@@ -1020,3 +1020,44 @@ def q_token_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.repetition_stats(docs, "doc_id", "text")
+
+
+@register(
+    "chunk_dedup_docs",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    tot AS (
+        SELECT doc_id, CAST((len(words)-1)//4 + 1 AS BIGINT) AS n_chunks
+        FROM d),
+    ix AS (
+        SELECT doc_id, words,
+               unnest(generate_series(0, (len(words)-1)//4)) AS ci
+        FROM d),
+    ch AS (
+        SELECT doc_id, ci,
+               array_to_string(words[ci*4+1:(ci+1)*4], ' ') AS chunk
+        FROM ix),
+    k AS (
+        SELECT doc_id, ci, chunk,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ('0x'||substr(md5(chunk),1,15))::BIGINT
+                   ORDER BY doc_id, ci) AS rn
+        FROM ch),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY ci) AS cleaned_text
+        FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(a.cleaned_text, '') AS cleaned_text
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    doc="sub-document (chunk-level) dedup, C4-style: 4-word chunks deduped "
+    "corpus-wide by portable hash (first occurrence wins), survivors "
+    "reassembled into cleaned per-doc text — boilerplate spans stripped "
+    "while unique prose survives; election = one skew-free hash shuffle",
+)
+def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.chunk_dedup(docs, "text", "doc_id", chunk_words=4)

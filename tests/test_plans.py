@@ -307,3 +307,20 @@ def test_no_cartesian_or_row_python_udf_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Q19 manual CNF extraction: the union envelope of the disjuncts must be
+# pushed into both parquet scans, and the join must broadcast `part`.
+# ---------------------------------------------------------------------------
+def test_disjunctive_join_pushes_envelope_filters(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.core import (
+        q_disjunctive_brand_revenue,
+    )
+
+    plan = _formatted(q_disjunctive_brand_revenue(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    flat = " ".join(pushed)
+    assert "GreaterThanOrEqual(l_quantity" in flat, plan
+    assert "In(p_brand" in flat, plan
