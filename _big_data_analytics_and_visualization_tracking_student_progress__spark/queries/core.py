@@ -2620,3 +2620,303 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("decile_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes, adapted to the fixture schema (no partsupp table:
+# supplier-part "offers" derive from lineitem; no ps_supplycost: p_retailprice
+# stands in as the cost basis).
+# ---------------------------------------------------------------------------
+@register(
+    "min_cost_supplier_per_part",
+    """
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'),
+    cand AS (
+        SELECT o.l_partkey AS p_partkey, e.s_name, e.n_name, o.offer_price,
+               MIN(o.offer_price) OVER (PARTITION BY o.l_partkey) AS min_price
+        FROM offers o JOIN eu e ON o.l_suppkey = e.s_suppkey)
+    SELECT c.p_partkey, c.s_name, c.n_name,
+           CAST(c.offer_price AS DOUBLE) AS offer_price
+    FROM cand c JOIN part p ON p.p_partkey = c.p_partkey
+    WHERE c.offer_price = c.min_price AND p.p_size = 20
+    ORDER BY offer_price, c.p_partkey, s_name LIMIT 100
+    """,
+    doc="Q2 shape: cheapest EUROPE supplier per size-20 part (all argmin "
+    "ties kept) — the correlated MIN subquery decorrelated into a window "
+    "over one (partkey,suppkey) pre-aggregate; supplier/nation/region dims "
+    "broadcast, so the only fact shuffle is the offers groupBy, and the "
+    "argmin window reuses that partitioning (no second exchange at scale)",
+)
+def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(eu), li["l_suppkey"] == eu["s_suppkey"])
+        .groupBy("l_partkey", "s_name", "n_name")
+        .agg(F.min("l_extendedprice").alias("offer_price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    cand = offers.withColumn("min_price", F.min("offer_price").over(w)).filter(
+        F.col("offer_price") == F.col("min_price")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 20)
+    return (
+        cand.join(
+            F.broadcast(p.select("p_partkey")),
+            cand["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.col("offer_price").cast("double").alias("offer_price"),
+        )
+        .orderBy("offer_price", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+    WITH rev AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               sn.n_name AS supp_nation,
+               l.l_extendedprice * (1 - l.l_discount) AS r
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+        WHERE cr.r_name = 'ASIA' AND p.p_type = 'PROMO'),
+    agg AS (
+        SELECT o_year,
+               CAST(ROUND(SUM(CAST(CASE WHEN supp_nation = 'NATION_1'
+                                        THEN r ELSE 0.0 END
+                                   AS DECIMAL(22,6))), 2) AS DOUBLE) AS nation_rev,
+               CAST(ROUND(SUM(CAST(r AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_rev
+        FROM rev GROUP BY o_year)
+    SELECT o_year, nation_rev, total_rev,
+           FLOOR(nation_rev / total_rev * 10000.0 + 0.5) / 10000.0 AS mkt_share
+    FROM agg
+    """,
+    doc="Q8 shape: NATION_1's share of PROMO-part revenue sold into ASIA "
+    "customers, per order year — share computed from the two decimal-"
+    "rounded sums so both engines divide identical doubles; part/supplier/"
+    "nation/region broadcast, orders joined on the fact key (one big "
+    "shuffle), customer-region filter applied as a broadcast semi-join "
+    "(at 100 TB: shuffle-join customers instead of broadcasting)",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf = lambda t: load_table(spark, sf_dir, t)  # noqa: E731
+    p = sf("part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n = sf("nation")
+    sn = sf("supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    ).select("s_suppkey", "supp_nation")
+    r = sf("region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        sf("customer")
+        .join(F.broadcast(n.join(F.broadcast(r),
+                                 n["n_regionkey"] == r["r_regionkey"])
+                          .select(F.col("n_nationkey").alias("c_nationkey"))),
+              "c_nationkey")
+        .select("c_custkey")
+    )
+    orders = sf("orders")
+    o = orders.join(
+        F.broadcast(asia_cust),
+        orders["o_custkey"] == asia_cust["c_custkey"],
+        "left_semi",
+    )
+    li = sf("lineitem")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"),
+        )
+    )
+    agg = rev.groupBy("o_year").agg(
+        F.round(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("r"))
+                .otherwise(0.0),
+                6,
+            ),
+            2,
+        ).cast("double").alias("nation_rev"),
+        F.round(dsum(F.col("r"), 6), 2).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        dround(F.col("nation_rev") / F.col("total_rev"), 4).alias("mkt_share"),
+    )
+
+
+@register(
+    "product_profit_by_nation",
+    """
+    SELECT sn.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(
+               l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * l.l_quantity * 0.1
+               AS DECIMAL(22,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY sn.n_name, o_year
+    """,
+    doc="Q9 shape: profit on 'red' parts by supplier nation and year, with "
+    "p_retailprice*qty*0.1 as the cost basis (fixtures have no partsupp/"
+    "ps_supplycost) — part filter broadcast against the scan, supplier+"
+    "nation broadcast, orders the single fact shuffle; profit expression "
+    "kept in one parenthesization so both engines do identical IEEE ops",
+)
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    n = load_table(spark, sf_dir, "nation")
+    sn = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             "n_name")),
+        "s_nationkey",
+    ).select("s_suppkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        j.select("n_name", F.year("o_orderdate").alias("o_year"),
+                 profit.alias("pr"))
+        .groupBy("n_name", "o_year")
+        .agg(F.round(dsum(F.col("pr"), 6), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "supplier_count_by_part",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT pc.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pc
+    JOIN part p ON p.p_partkey = pc.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 5, 10, 15, 20)
+      AND pc.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="Q16 shape: distinct supplier count per (brand,type,size) with a "
+    "NOT-IN exclusion (negative-balance suppliers stand in for the "
+    "complaints predicate) — exclusion as a broadcast anti-join BEFORE the "
+    "distinct so excluded rows never shuffle; single countDistinct plans "
+    "as two-level aggregate, no Expand",
+)
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20)
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+              "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type",
+                                   "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "excess_supply_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l.l_suppkey, CAST(SUM(l.l_quantity) AS DOUBLE) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 50)
+    SELECT s.s_name, n.n_name, sh.qty
+    FROM supplier s
+    JOIN shipped sh ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s.s_name
+    """,
+    doc="Q20 shape: suppliers who moved >50 units of 'red' parts in a "
+    "2-year window (correlated availability threshold folded into one "
+    "HAVING aggregate) — part filter broadcast, date range pushed to the "
+    "scan, per-supplier aggregate is the only shuffle and shrinks to "
+    "|suppliers| rows before the dim joins; qty is integer-valued so the "
+    "plain double SUM is exact",
+)
+def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        shipped.join(F.broadcast(s), shipped["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name", "qty")
+        .orderBy("s_name")
+    )
