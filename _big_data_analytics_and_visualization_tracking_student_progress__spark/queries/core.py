@@ -2665,8 +2665,15 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("s_suppkey", "s_name", "n_name")
     )
+    # One fact shuffle total: hash-partition on l_partkey alone, which
+    # satisfies ClusteredDistribution for BOTH the (partkey,supp) aggregate
+    # (subset partitioning) and the per-part argmin window — the alternative
+    # (groupBy's own 3-key shuffle, then a second window shuffle on partkey)
+    # moves the fact rows twice for a map-side combine that gains nothing
+    # when (partkey,supplier) pairs are near-unique.
     offers = (
         li.join(F.broadcast(eu), li["l_suppkey"] == eu["s_suppkey"])
+        .repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "s_name", "n_name")
         .agg(F.min("l_extendedprice").alias("offer_price"))
     )
@@ -2920,3 +2927,60 @@ def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name", "qty")
         .orderBy("s_name")
     )
+
+
+@register(
+    "segment_mode_median",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment, o.o_orderpriority, o.o_totalprice
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    cnt AS (
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        FROM j GROUP BY c_mktsegment, o_orderpriority),
+    m AS (
+        SELECT c_mktsegment, o_orderpriority AS modal_priority,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY n DESC, o_orderpriority) AS rn
+        FROM cnt),
+    med AS (
+        SELECT c_mktsegment,
+               CAST(MEDIAN(o_totalprice) AS DOUBLE) AS median_value,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM j GROUP BY c_mktsegment)
+    SELECT m.c_mktsegment, m.modal_priority, med.median_value, med.n_orders
+    FROM m JOIN med ON m.c_mktsegment = med.c_mktsegment
+    WHERE m.rn = 1
+    """,
+    doc="per-segment modal order priority (mode derived as count-argmax "
+    "with an explicit (count desc, value) tie-break — engine mode() "
+    "functions break ties arbitrarily, so the window form is the portable "
+    "one) + exact per-group median (even-count midpoint average, IEEE-"
+    "identical across engines); customer broadcast, counts pre-shrink "
+    "before the argmax window; at 100 TB swap exact median for "
+    "approx_percentile(0.5) — same output contract",
+)
+def q_segment_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderpriority", "o_totalprice"
+    )
+    cnt = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    mode = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("o_orderpriority").alias("modal_priority"))
+    )
+    med = j.groupBy("c_mktsegment").agg(
+        F.median("o_totalprice").cast("double").alias("median_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return mode.join(med, "c_mktsegment")

@@ -324,3 +324,18 @@ def test_disjunctive_join_pushes_envelope_filters(spark):
     flat = " ".join(pushed)
     assert "GreaterThanOrEqual(l_quantity" in flat, plan
     assert "In(p_brand" in flat, plan
+
+
+# ---------------------------------------------------------------------------
+# Q2 argmin: partitioning on l_partkey alone must serve the aggregate AND
+# the argmin window — exactly one fact-side shuffle before the final top-k.
+# ---------------------------------------------------------------------------
+def test_argmin_supplier_single_fact_shuffle(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.core import (
+        q_min_cost_supplier_per_part,
+    )
+
+    plan = _plan(q_min_cost_supplier_per_part(spark, SF_SMALL))
+    fact_exchanges = re.findall(r"Exchange hashpartitioning\(l_partkey", plan)
+    assert len(fact_exchanges) == 1, plan
+    assert "BroadcastExchange" in plan  # dims never shuffle the fact side
