@@ -204,3 +204,42 @@ def test_read_pruned_skips_files_outside_range(spark, tmp_path):
     assert sorted(map(tuple, got.select(*orders.columns).collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on read: generations with added + renamed columns are
+# unified without rewriting old files.
+# ---------------------------------------------------------------------------
+def test_read_evolved_unifies_generations(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (
+        read_evolved,
+    )
+
+    base = str(tmp_path / "evo")
+    spark.createDataFrame(
+        [(1, 10.0)], "a BIGINT, val DOUBLE"
+    ).write.parquet(base + "/gen=1")
+    spark.createDataFrame(
+        [(2, 20.0, "x")], "a BIGINT, value DOUBLE, c STRING"
+    ).write.parquet(base + "/gen=2")
+
+    target = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("c", T.StringType()),
+            T.StructField("added_later", T.IntegerType()),
+        ]
+    )
+    out = read_evolved(
+        spark, base, renames={"val": "value"}, target_schema=target
+    )
+    assert [f.name for f in out.schema.fields] == [
+        "a", "value", "c", "added_later",
+    ]
+    rows = {r["a"]: r for r in out.collect()}
+    assert rows[1]["value"] == 10.0 and rows[1]["c"] is None
+    assert rows[2]["value"] == 20.0 and rows[2]["c"] == "x"
+    assert rows[1]["added_later"] is None and rows[2]["added_later"] is None
