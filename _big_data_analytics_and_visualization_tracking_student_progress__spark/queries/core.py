@@ -2984,3 +2984,38 @@ def q_segment_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     return mode.join(med, "c_mktsegment")
+
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Q6 shape: ungrouped scalar aggregate under three range predicates "
+    "— every filter reaches the parquet scan (PushedFilters + min/max row-"
+    "group skipping), so at 100 TB the job reads only matching row groups "
+    "of three columns and reduces map-side to one row per task",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
