@@ -1428,7 +1428,9 @@ def q_reference_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantiles (exact distinct shuffles every key; HLL sketches merge in
 # fixed space).  Rows-only in the driver gate (sketch internals are
 # engine-specific); error bounds vs the exact answers are pinned in
-# tests/test_northstar_ops.py.
+# tests/test_northstar_ops.py.  Quantiles come back as SCALAR columns
+# (p50/p95), never array<double> — the driver's canonical compare sorts
+# the frame in pandas and array cells are unhashable there.
 # ---------------------------------------------------------------------------
 @register(
     "approx_distinct_and_quantiles",
@@ -1437,9 +1439,11 @@ def q_reference_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95], 10000)
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_pcts"),
+        pcts.getItem(0).alias("approx_p50"),
+        pcts.getItem(1).alias("approx_p95"),
         F.count(F.lit(1)).alias("n"),
     )
 
