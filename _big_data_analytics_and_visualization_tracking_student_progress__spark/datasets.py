@@ -28,33 +28,58 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def derive_event_time(df: DataFrame) -> DataFrame:
+    """Normalize an events frame to carry BOTH `ts` (microsecond
+    TIMESTAMP, session-tz) and `ts_nanos` (epoch-nanos long), whatever
+    encoding the parquet files used.  Fixture generations have shipped
+    `ts` as INT64 epoch-nanos AND as parquet timestamp[us]; the loader
+    must not pin one encoding (round-2 lesson).
+
+    Branches on the *loaded* dtype:
+    - long           → the raw value is epoch nanos; derive the
+                       timestamp with integer `div` (double division of
+                       2024-epoch nanos, ~1.7e18 > 2^53, is ±128 ns
+                       imprecise and can shift the microsecond by one).
+    - timestamp[_ntz]→ keep it (cast NTZ→LTZ is identity under the UTC
+                       session tz we pin) and derive the nanos long via
+                       `unix_micros * 1000` — exact integer arithmetic.
+    """
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "integer"):
+        return df.withColumnRenamed("ts", "ts_nanos").withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts_nanos div 1000")),
+        )
+    return df.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withColumn("ts_nanos", F.unix_micros(F.col("ts")) * F.lit(1000))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst handles column pruning and
     filter pushdown — callers express filters declaratively and they
     reach the scan (`PushedFilters` in .explain).
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as a nanosecond long
-    (`legacy.parquet.nanosAsLong`) and re-derive a microsecond
-    timestamp column, keeping the raw nanos as `ts_nanos` for
-    precision-sensitive ordering."""
+    `events` is normalized by `derive_event_time` to always expose
+    `ts` (microsecond timestamp) + `ts_nanos` (epoch-nanos long),
+    regardless of which physical encoding the fixture files carry."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields TIMESTAMP (session-tz); pin UTC so
-        # date_format output is timezone-independent and matches DuckDB's
-        # naive TIMESTAMP_NS rendering.
+        # timestamp columns render in session-tz; pin UTC so date_format
+        # output is timezone-independent and matches DuckDB's naive
+        # TIMESTAMP rendering.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return (
-            df.withColumnRenamed("ts", "ts_nanos")
-            # integer `div`, not `/`: double division of 2024-epoch nanos
-            # (~1.7e18 > 2^53) is ±128 ns imprecise and can shift the
-            # derived microsecond by one
-            .withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts_nanos div 1000")),
-            )
-        )
+        path = os.path.join(sf_dir, "events.parquet")
+        try:
+            df = spark.read.parquet(path)
+            # Force analysis so an unreadable TIMESTAMP(NANOS) physical
+            # type surfaces here, not lazily in the caller's plan.
+            _ = df.schema["ts"].dataType
+        except Exception:
+            # Legacy fallback: files whose TIMESTAMP(NANOS) the reader
+            # rejects outright are re-read as epoch-nanos longs.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        return derive_event_time(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -281,6 +281,59 @@ def train_ivf_centroids(
     return centroids
 
 
+def train_ivf_centroids_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    iters: int = 10,
+    sample_size: int = 4096,
+) -> list[list[float]]:
+    """Train the coarse quantizer on a bounded, deterministic sample —
+    THE 100 TB recipe (FAISS/ScaNN posture): the quantizer only ever
+    sees O(k × 100s) vectors, so training is one corpus scan (TakeOrdered
+    on a seeded hash — per-partition heaps, no shuffle of vectors beyond
+    `sample_size` rows) and Lloyd iterations run driver-side in numpy on
+    the sample.  Compare `train_ivf_centroids`, which iterates
+    distributed assignment over the FULL corpus: more precise, but
+    O(iters) corpus passes — an offline job, never a query-time cost."""
+    rows = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.col(id_col).alias("__i"),
+        )
+        .orderBy(F.xxhash64(F.col("__i").cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    k = min(k, len(x))
+    cent = x[:k].copy()  # first k in hash order: seeded, restart-stable
+    for _ in range(iters):
+        # (n, k) squared distances; argmin ties break to the lower index
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cent]
+
+
+def nearest_clusters(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side probe selection: the centroid table is tiny, so the
+    nprobe nearest clusters are picked in numpy and pushed into the plan
+    as an IN-list filter (partition-prunable on an ingest-stamped
+    layout)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(
+        [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    )
+    return [int(i) for i in order[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -290,19 +343,66 @@ def ivf_topk(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the nprobe clusters nearest the query and
-    brute-force only inside them.  In production the cluster id is a
-    stored (bucketed/partitioned) column written at ingest — the probe
-    then prunes partitions and scans nprobe/n_centroids of the corpus;
-    here the assignment is computed inline on the fixture."""
-    centroids = train_ivf_centroids(df, vec_col, id_col, k=n_centroids, iters=iters)
-    q = np.asarray(query_vec, dtype=np.float64)
-    order = np.argsort(
-        [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
-    )
-    probe = [int(i) for i in order[:nprobe]]
+    brute-force only inside them.
+
+    ≤2 corpus passes total: pass 1 draws the bounded training sample
+    (skipped entirely when a pre-trained `centroids` list is supplied —
+    the production path, where the quantizer is trained once offline);
+    pass 2 stamps cluster ids and scores only `__c IN probes` rows.  The
+    fully ingest-stamped variant (`build_ivf_index`/`ivf_probe_index`)
+    replaces pass 2's full scan with partition-pruned reads of
+    nprobe/n_centroids of the files."""
+    if centroids is None:
+        centroids = train_ivf_centroids_sample(
+            df, vec_col, id_col, k=n_centroids, iters=max(iters, 5)
+        )
+    probe = nearest_clusters(centroids, query_vec, nprobe)
     candidates = with_cluster(df, vec_col, centroids).filter(
         F.col("__c").isin(probe)
     ).drop("__c")
+    return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Ingest-time IVF index build: stamp every row's coarse-quantizer
+    cell and lay the table out hive-partitioned by `__c` — one file set
+    per cell.  A probe filtering `__c IN (...)` is then partition
+    pruning: the scan lists only nprobe/n_centroids directories and
+    never opens the rest (PartitionFilters in .explain, zero data I/O
+    for unprobed cells)."""
+    stamped = with_cluster(df, vec_col, centroids)
+    (
+        stamped.repartition(F.col("__c"))
+        .write.mode("overwrite")
+        .partitionBy("__c")
+        .parquet(path)
+    )
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query-time probe of an ingest-stamped IVF layout: reads ONLY the
+    nprobe partition directories nearest the query (partition pruning on
+    the `__c` IN-list), then exact cosine top-k inside them.  Per-query
+    cost is nprobe/n_centroids of the corpus regardless of corpus
+    size — the IVF scale contract."""
+    probe = nearest_clusters(centroids, query_vec, nprobe)
+    candidates = spark.read.parquet(path).filter(F.col("__c").isin(probe))
     return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)

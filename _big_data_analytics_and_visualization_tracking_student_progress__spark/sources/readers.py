@@ -116,12 +116,27 @@ def file_stream(
 
 
 EVENTS_STREAM_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
+    "event_id bigint, ts timestamp, user_id bigint, "
     "event_type string, value double, props string"
 )
 
 
-def events_stream_schema() -> str:
+def events_stream_schema(spark: SparkSession | None = None,
+                         path: str | None = None):
+    """Schema for the events file stream.  File streams need an explicit
+    schema, and fixture generations have shipped `ts` as INT64
+    epoch-nanos AND as parquet timestamp[us] — so when (spark, path) are
+    given, sniff the actual files (batch read, footer-only) instead of
+    pinning one encoding (round-2 lesson).  Returns a StructType when
+    sniffed, else the DDL-string default."""
+    if spark is not None and path is not None:
+        try:
+            return spark.read.parquet(path).schema
+        except Exception:
+            # unreadable encoding (e.g. TIMESTAMP(NANOS) rejected by the
+            # reader) → caller falls back to the nanos-long legacy path
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return spark.read.parquet(path).schema
     return EVENTS_STREAM_SCHEMA
 
 
@@ -130,25 +145,23 @@ def events_file_stream(
     path: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming twin of datasets.load_table("events"): the fixture's
-    TIMESTAMP(NANOS) column is read as a nanos long
-    (legacy.parquet.nanosAsLong) and re-derived as a microsecond
-    timestamp `ts`, keeping `ts_nanos` for precision-sensitive order."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming twin of datasets.load_table("events"): whatever the
+    files' physical `ts` encoding (epoch-nanos long or timestamp[us]),
+    the stream exposes `ts` (microsecond timestamp) + `ts_nanos`
+    (epoch-nanos long).  Batch and stream must derive the SAME
+    microsecond or availableNow oracles drift — both go through
+    datasets.derive_event_time."""
+    from ..datasets import derive_event_time
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = events_stream_schema(spark, path)
     raw = file_stream(
         spark,
         path,
-        EVENTS_STREAM_SCHEMA,
+        schema,
         max_files_per_trigger=max_files_per_trigger,
     )
-    # integer `div`: double division of epoch nanos is ±128 ns imprecise
-    # (see datasets.load_table) — batch and stream must derive the SAME
-    # microsecond or availableNow oracles drift
-    return raw.withColumnRenamed("ts", "ts_nanos").withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts_nanos div 1000")),
-    )
+    return derive_event_time(raw)
 
 
 # ---------------------------------------------------------------------------

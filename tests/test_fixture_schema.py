@@ -1,0 +1,106 @@
+"""Fixture-encoding sentinel (VERDICT r2 item 7).
+
+Round 2 regression: the events fixture changed from INT64 epoch-nanos to
+parquet timestamp[us] and the loader, pinned to one encoding, took down
+24 driver queries.  These tests synthesize events.parquet in every
+encoding a fixture generation has shipped (or plausibly could) and
+assert the batch loader and its streaming twin normalize all of them to
+the same (`ts` microsecond timestamp, `ts_nanos` epoch-nanos long)
+contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+    load_table,
+)
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (
+    events_file_stream,
+)
+
+# one event at 2024-01-01T00:00:01.500000 UTC + one 2.5 s later
+US = [1_704_067_201_500_000, 1_704_067_204_000_000]
+NS = [u * 1_000 for u in US]
+
+_BASE = {
+    "event_id": pa.array([1, 2], type=pa.int64()),
+    "user_id": pa.array([10, 20], type=pa.int64()),
+    "event_type": pa.array(["click", "view"]),
+    "value": pa.array([1.5, 2.5], type=pa.float64()),
+    "props": pa.array(['{"a":1}', '{"a":2}']),
+}
+
+
+def _write_events(tmp_path, ts_array) -> str:
+    cols = dict(_BASE)
+    cols["ts"] = ts_array
+    sf_dir = str(tmp_path)
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(pa.table(cols), os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+ENCODINGS = {
+    "timestamp_us": pa.array(US, type=pa.timestamp("us")),
+    "timestamp_ns": pa.array(NS, type=pa.timestamp("ns")),
+    "int64_nanos": pa.array(NS, type=pa.int64()),
+}
+
+
+@pytest.mark.parametrize("encoding", sorted(ENCODINGS))
+def test_load_table_normalizes_every_ts_encoding(spark, tmp_path, encoding):
+    sf_dir = _write_events(tmp_path, ENCODINGS[encoding])
+    df = load_table(spark, sf_dir, "events")
+
+    types = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)
+    assert types["ts"] == "timestamp", types
+    assert types["ts_nanos"] == "long", types
+
+    rows = {r.event_id: r for r in df.select("event_id", "ts", "ts_nanos").collect()}
+    assert rows[1].ts_nanos == NS[0]
+    assert rows[2].ts_nanos == NS[1]
+    # derived timestamp agrees with the nanos column at microsecond grain
+    for r in rows.values():
+        micros = int(r.ts.timestamp() * 1_000_000)
+        # float-epoch round-trips can wobble ±1 us; compare via isoformat
+        assert r.ts.isoformat()  # non-null, parseable
+        assert abs(micros - r.ts_nanos // 1_000) <= 1
+
+
+@pytest.mark.parametrize("encoding", ["timestamp_us", "int64_nanos"])
+def test_events_file_stream_matches_batch(spark, tmp_path, encoding):
+    sf_dir = _write_events(tmp_path / "data", ENCODINGS[encoding])
+
+    stream = events_file_stream(spark, sf_dir)
+    assert stream.isStreaming
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        r.event_id: r
+        for r in spark.read.parquet(out)
+        .select("event_id", "ts_nanos")
+        .collect()
+    }
+    batch = {
+        r.event_id: r
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "ts_nanos")
+        .collect()
+    }
+    assert set(got) == {1, 2}
+    for k in got:
+        assert got[k].ts_nanos == batch[k].ts_nanos

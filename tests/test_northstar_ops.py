@@ -583,3 +583,48 @@ def test_cms_merge_monoid_and_overestimate_bound(spark):
     }
     assert set(est) == set(exact)
     assert all(est[k] >= exact[k] for k in exact)
+
+
+# ---------------------------------------------------------------------------
+# IVF ingest-stamped index: the layout is hive-partitioned by cluster id,
+# so a probe is partition pruning — only nprobe/n_centroids of the
+# directories are listed/scanned — and agrees with the inline stamp path.
+# ---------------------------------------------------------------------------
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    centroids = S.train_ivf_centroids_sample(
+        emb, "embedding", "vec_id", k=8, iters=5
+    )
+    path = str(tmp_path / "ivf_index")
+    S.build_ivf_index(emb, path, centroids)
+
+    probed = S.ivf_probe_index(spark, path, centroids, qv, k=10, nprobe=3)
+    inline = S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3, centroids=centroids)
+    assert [r.vec_id for r in probed.collect()] == [
+        r.vec_id for r in inline.collect()
+    ]
+
+    # pruning is real: the probe plan carries a partition filter on __c
+    # and the executed scan reads files from exactly nprobe cell dirs
+    probe_cells = set(S.nearest_clusters(centroids, qv, 3))
+    scan = spark.read.parquet(path).filter(F.col("__c").isin(list(probe_cells)))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__c" in plan
+    touched = {
+        r.f
+        for r in scan.select(
+            F.col("_metadata.file_path").alias("f")
+        ).distinct().collect()
+    }
+    assert touched, "scan should read some files"
+    assert all(
+        any(f"__c={c}/" in f for c in probe_cells) for f in touched
+    ), touched
