@@ -1063,3 +1063,153 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.chunk_dedup(docs, "text", "doc_id", chunk_words=4)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: within a coarse embedding block, drop
+# every vector that has a >= tau cosine neighbor with a lower id (first
+# occurrence wins — the embedding-space analog of exact-hash dedup).
+# Blocks here are the fixture's label partitions; at 100 TB the block is
+# an IVF cell from a sample-trained quantizer (build_ivf_index), so the
+# quadratic compare is bounded per cell and cells join co-partitioned —
+# never an all-pairs corpus join.
+# ---------------------------------------------------------------------------
+@register(
+    "semantic_dedup_keep",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= 0.4
+    )
+    SELECT e.vec_id, e.label FROM e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+    doc="semantic (embedding-cosine) dedup: block-bounded near-dup drop, "
+    "keep-lowest-id survivor per similarity clique edge; blocks = IVF "
+    "cells in production, so cost is per-cell quadratic, not corpus "
+    "quadratic",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    dups = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(S.cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dups, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Overlapping context-window chunking (RAG / training-window prep):
+# fixed word window with stride overlap so no span is lost at chunk
+# boundaries.  Pure map-side (split + sequence + slice, one generate/
+# explode per row, no shuffle at all) — the complement of
+# pack_by_token_budget, which concatenates docs; this splits them.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 40
+_CHUNK_S = 30
+
+
+@register(
+    "doc_overlap_chunks",
+    f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS words
+        FROM documents
+    ), ix AS (
+        SELECT doc_id, words,
+               unnest(generate_series(0, (len(words)-1)//{_CHUNK_S})) AS chunk_id
+        FROM w WHERE len(words) >= 1
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(
+               words[chunk_id*{_CHUNK_S}+1 : chunk_id*{_CHUNK_S}+{_CHUNK_W}],
+               ' ') AS chunk
+    FROM ix
+    """,
+    doc=f"overlapping {_CHUNK_W}-word chunks at stride {_CHUNK_S} "
+    "(10-word overlap): RAG/context-window prep, fully map-side",
+)
+def q_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    out = (
+        docs.select("doc_id", words.alias("words"))
+        .filter(n >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("words") - 1) / _CHUNK_S)
+                )
+            ).alias("_p", "chunk_id"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(
+                    F.col("words"),
+                    F.col("chunk_id") * _CHUNK_S + 1,
+                    F.lit(_CHUNK_W),
+                ),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-quota stratified holdout: exactly N docs per language, membership
+# decided by portable key-hash order (reproducible on any engine / any
+# partitioning), not by rate.  Rate-based sampling (sample_stratified_by
+# _lang) can't promise "exactly 1000 eval docs per language"; this does.
+# One shuffle on the stratum key; Spark's WindowGroupLimit pushes the
+# rank<=N filter map-side so only ~N rows per stratum per task shuffle.
+# ---------------------------------------------------------------------------
+_QUOTA = 20
+
+
+@register(
+    "sample_quota_per_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+                            doc_id) AS rk
+        FROM documents)
+    WHERE rk <= {_QUOTA}
+    """,
+    doc=f"exact {_QUOTA}-doc-per-language holdout by portable hash order "
+    "— deterministic quota sampling (vs rate-based stratified sample)",
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        D.portable_hash64(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QUOTA)
+        .select("doc_id", "lang")
+    )

@@ -628,3 +628,20 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     assert all(
         any(f"__c={c}/" in f for c in probe_cells) for f in touched
     ), touched
+
+
+def test_approx_query_driver_compare_contract(spark):
+    # The driver's compare does toPandas().sort_values() over all
+    # columns — every output column must therefore be a sortable scalar
+    # (an array column here broke the r1 gate with unhashable-type).
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["approx_distinct_and_quantiles"].fn(spark, SF_SMALL)
+    pdf = df.toPandas()
+    pdf.sort_values(by=sorted(pdf.columns)).reset_index(drop=True)
+    assert all(
+        pdf[c].map(lambda v: not isinstance(v, (list, dict, set))).all()
+        for c in pdf.columns
+    )
