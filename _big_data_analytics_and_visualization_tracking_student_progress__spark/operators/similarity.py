@@ -406,3 +406,61 @@ def ivf_probe_index(
     probe = nearest_clusters(centroids, query_vec, nprobe)
     candidates = spark.read.parquet(path).filter(F.col("__c").isin(probe))
     return cosine_topk(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ann_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_flips: int = 1,
+) -> DataFrame:
+    """LSH-bucketed k-NN JOIN — the scale path for batch ANN lookups.
+
+    Both sides are stamped with the same seeded hyperplane signature;
+    the query side explodes its multi-probe neighborhood (own signature
+    + every ≤`probe_flips`-bit flip), and candidates come from an
+    equi-join on the probe key.  Shuffle volume is O(|corpus| +
+    |queries|·probes) keyed rows — vs `knn_join`'s |corpus|×|queries|
+    scored rows — and when the exploded query side is small Spark
+    broadcasts it, so the corpus never shuffles at all.  Exact cosine +
+    per-query top-k window inside the matched buckets; approximate in
+    recall only (missed buckets), never in precision."""
+    from pyspark.sql import Window
+
+    dim = len(queries.select(vec_col).head()[0])
+    planes = hyperplanes(dim, n_planes)
+
+    c = corpus.select(
+        F.col(c_id), F.col(vec_col).cast("array<double>").alias("c_vec")
+    ).withColumn("bkt", rh_signature(F.col("c_vec"), planes))
+
+    q = queries.select(
+        F.col(q_id), F.col(vec_col).cast("array<double>").alias("q_vec")
+    ).withColumn("sig", rh_signature(F.col("q_vec"), planes))
+    probe_cols = [F.col("sig")]
+    if probe_flips >= 1:
+        probe_cols += [
+            F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(n_planes)
+        ]
+    # probe keys are distinct by construction ⇒ the join emits each
+    # (query, candidate) pair at most once, no dedup shuffle needed
+    probed = q.select(
+        q_id, "q_vec", F.explode(F.array(*probe_cols)).alias("bkt")
+    )
+
+    w = Window.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
+    return (
+        c.join(probed, "bkt")
+        .select(
+            q_id,
+            c_id,
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cos_sim", "rank")
+    )

@@ -1213,3 +1213,81 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _QUOTA)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch ANN: LSH-bucketed k-NN JOIN.  knn_join (registered as
+# knn_join_sample) scores |corpus|x|queries| rows — fine for small
+# batches, quadratic at scale.  This joins on hyperplane-signature probe
+# keys instead: O(|corpus| + |queries|·probes) keyed rows through the
+# shuffle, then exact cosine only inside matched buckets.  The seeded
+# hyperplanes are embedded as literals in BOTH engines, so the entire
+# pipeline (signatures, probe explosion, bucket join, scoring, per-query
+# top-k) is oracle-checked — not rows-only.
+# ---------------------------------------------------------------------------
+def _ann_knn_join_sql(n_planes: int = 8, k: int = 3, n_queries: int = 20) -> str:
+    planes = S.hyperplanes(64, n_planes)
+
+    def sig_expr(v: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product({v}, {p!r}) > 0 "
+            f"THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
+            for i, p in enumerate(planes)
+        )
+        return f"({terms})"
+
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {2**i}::BIGINT)" for i in range(n_planes)]
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), cs AS (
+        SELECT vec_id, cv, {sig_expr("cv")} AS bkt FROM c
+    ), q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {n_queries}
+    ), qs AS (
+        SELECT q_id, qv, {sig_expr("qv")} AS sig FROM q
+    ), probed AS (
+        SELECT q_id, qv, unnest([{probe_list}]) AS bkt FROM qs
+    ), scored AS (
+        SELECT p.q_id, cs.vec_id,
+               list_dot_product(p.qv, cs.cv)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(cs.cv, cs.cv))) AS cos
+        FROM cs JOIN probed p ON cs.bkt = p.bkt
+    ), ranked AS (
+        SELECT q_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+    SELECT q_id, vec_id,
+           FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_knn_join",
+    _ann_knn_join_sql(),
+    doc="LSH-bucketed batch k-NN join: both sides signature-stamped, "
+    "query side multi-probe-exploded, equi-join on probe key — "
+    "O(corpus + queries·probes) shuffle rows vs the exact join's "
+    "corpus×queries; fully oracle-checked via literal hyperplanes",
+)
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = S.ann_knn_join(
+        queries, emb, k=3, n_planes=8, probe_flips=1
+    )
+    return out.select(
+        "q_id",
+        "vec_id",
+        dround(F.col("cos_sim"), 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -645,3 +645,33 @@ def test_approx_query_driver_compare_contract(spark):
         pdf[c].map(lambda v: not isinstance(v, (list, dict, set))).all()
         for c in pdf.columns
     )
+
+
+def test_ann_knn_join_recall_vs_exact(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in S.knn_join(queries, emb, k=3).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in S.ann_knn_join(
+            queries, emb, k=3, n_planes=4, probe_flips=1
+        ).collect()
+    }
+    # every query must find itself (cos=1 lives in the query's own bucket)
+    assert all((q, q) in approx for q in range(10))
+    # random unclustered fixture vectors = LSH's hardest case; seeded
+    # recall on this fixture with 4 planes + 1-flip probes is pinned
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.5, f"batch-ANN recall regressed: {overlap}"

@@ -339,3 +339,46 @@ def test_argmin_supplier_single_fact_shuffle(spark):
     fact_exchanges = re.findall(r"Exchange hashpartitioning\(l_partkey", plan)
     assert len(fact_exchanges) == 1, plan
     assert "BroadcastExchange" in plan  # dims never shuffle the fact side
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking must be pure map-side: split + sequence + slice
+# compose into a single stage — any Exchange here would shuffle full
+# document text for a per-row transformation.
+# ---------------------------------------------------------------------------
+def test_overlap_chunks_no_exchange(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["doc_overlap_chunks"].fn(spark, SF_SMALL)
+    assert "Exchange" not in _plan(df)
+
+
+# ---------------------------------------------------------------------------
+# Quota sampling's rank<=N filter must be pushed map-side
+# (WindowGroupLimit): only ~N rows per stratum per task reach the
+# shuffle, instead of every row.
+# ---------------------------------------------------------------------------
+def test_quota_sample_has_window_group_limit(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["sample_quota_per_lang"].fn(spark, SF_SMALL)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+# ---------------------------------------------------------------------------
+# Batch ANN join: the corpus side must NOT shuffle — the exploded probe
+# side is broadcast, so the only corpus movement is the final top-k
+# window's (q_id-partitioned) exchange of already-scored candidate rows.
+# ---------------------------------------------------------------------------
+def test_ann_knn_join_broadcasts_probe_side(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["ann_knn_join"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
