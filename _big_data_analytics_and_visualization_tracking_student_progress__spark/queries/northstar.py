@@ -1291,3 +1291,44 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("cos_sim"), 6).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: instead of dropping duplicates, weight every doc by
+# 1/duplicate-group-size so each unique text contributes unit mass to
+# the training mixture (the resampling-weight alternative to hard dedup
+# — keeps provenance diversity while removing duplication bias).  One
+# hash shuffle; text never shuffles (group key is md5(text)).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_soft_weights",
+    """
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS group_size,
+           FLOOR(1.0 / n * 1000000.0 + 0.5) / 1000000.0 AS weight
+    FROM (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) AS n
+        FROM documents)
+    """,
+    doc="soft dedup: per-doc resampling weight 1/duplicate-group-size "
+    "(unit mass per unique text) — the keep-everything alternative to "
+    "hard dedup; one md5-key shuffle, text never moves",
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-project first: a count window over md5(text) would shuffle
+    # full rows (text included); aggregating (hash → count) and joining
+    # back on the hash moves only (doc_id, hash) and (hash, count) rows
+    # — partial-aggregated map-side, text stays in the scan.
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("__h"))
+    counts = h.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    return (
+        h.join(counts, "__h")
+        .select(
+            "doc_id",
+            "group_size",
+            dround(F.lit(1.0) / F.col("group_size"), 6).alias("weight"),
+        )
+    )

@@ -91,7 +91,7 @@ _PRIORITY_WINDOW = (
     "hll_user_overlap",
     # LLM-pipeline north-star: dedup / similarity / curation / text
     "dedup_exact",
-    "dedup_groups",
+    "semantic_dedup_keep",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "dedup_minhash_lsh",
@@ -100,9 +100,9 @@ _PRIORITY_WINDOW = (
     "cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_knn_join",
     "curation_pipeline",
     "sample_hash_10pct",
-    "split_train_val_test",
     "tfidf_top_terms",
     "doc_token_counts",
     # streaming

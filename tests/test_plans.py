@@ -382,3 +382,23 @@ def test_ann_knn_join_broadcasts_probe_side(spark):
     df = all_queries()["ann_knn_join"].fn(spark, SF_SMALL)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup weights: the duplicate-group count must come from a
+# hash-key aggregate + join-back — no exchange may carry the text
+# payload (a count window over md5(text) would shuffle full rows).
+# ---------------------------------------------------------------------------
+def test_soft_dedup_weights_never_shuffles_text(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["dedup_soft_weights"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "text" in line
+    ]
+    assert not bad, bad
