@@ -242,17 +242,28 @@ def minhash_lsh_pairs(
     # Shingle-less docs (fewer than k tokens) can only ever verify at
     # jaccard 0/0 → 0 < threshold, so skipping them changes no results
     # and keeps them out of a shared degenerate bucket.
-    sh_tbl = df.filter(F.col(text_col).isNotNull()).select(
+    #
+    # Fast path persists HASHED shingles (distinct 64-bit longs) instead
+    # of shingle strings: the exact-Jaccard verify then intersects long
+    # arrays — same set cardinalities modulo xxhash64 collisions (~2^-64
+    # per pair), far cheaper to store, join, and intersect than strings.
+    # The portable (oracle-checked) twin keeps strings so its Jaccard is
+    # bit-identical to the DuckDB SQL.
+    raw = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0).persist()
+    ).filter(F.size("sh") > 0)
     if portable:
+        sh_tbl = raw.persist()
         signed = sh_tbl.withColumn(
             "sig", portable_minhash_signature(F.col("sh"), num_perm)
         )
     else:
-        signed = sh_tbl.withColumn("hh", shingle_hashes(F.col("sh"))).withColumn(
-            "sig", minhash_from_hashes(F.col("hh"), num_perm)
+        sh_tbl = raw.select(
+            "doc", F.array_distinct(shingle_hashes(F.col("sh"))).alias("sh")
+        ).persist()
+        signed = sh_tbl.withColumn(
+            "sig", minhash_from_hashes(F.col("sh"), num_perm)
         )
     banded = signed.select(
         "doc",
