@@ -1332,3 +1332,65 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.lit(1.0) / F.col("group_size"), 6).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation dashboard: per (lang, source) doc counts, token
+# totals, and mean quality with ROLLUP subtotals — the computational
+# content of the reference's Kibana/Streamlit monitoring surface aimed
+# at the LLM-curation side.  One Expand+aggregate pass (partial
+# aggregation map-side); the mean is derived from an exact DECIMAL sum
+# of per-doc 4-dp quality so grand totals are partition-order
+# independent and engine-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_quality_rollup",
+    f"""
+    WITH per AS (
+        SELECT lang, source,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks,
+               CAST(FLOOR({_QUALITY_SQL.format(sw=_sw_sql('en'))} * 10000.0 + 0.5)
+                    / 10000.0 AS DECIMAL(14,4)) AS q4
+        FROM documents
+    )
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           CAST(GROUPING(lang) AS INT) AS g_lang,
+           CAST(GROUPING(source) AS INT) AS g_source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           FLOOR(CAST(SUM(q4) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+               AS avg_quality
+    FROM per GROUP BY ROLLUP(lang, source)
+    """,
+    doc="curation dashboard rollup: (lang, source) doc/token/quality "
+    "stats with ROLLUP subtotals; exact decimal quality sums keep the "
+    "means partition-order independent",
+)
+def q_corpus_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        T.ws_token_count(F.col("text")).cast("bigint").alias("toks"),
+        dround(T.quality_score(F.col("text")), 4)
+        .cast("decimal(14,4)")
+        .alias("q4"),
+    )
+    return per.rollup("lang", "source").agg(
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        dround(
+            F.sum("q4").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_quality"),
+    ).select(
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        "g_lang",
+        "g_source",
+        "n_docs",
+        "total_tokens",
+        "avg_quality",
+    )
