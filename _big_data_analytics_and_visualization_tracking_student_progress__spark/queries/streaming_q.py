@@ -503,3 +503,117 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hll_registers(ev, F.col("user_id"), p=4)
     out = refresh_sink_run(spark, regs, output_mode="complete")
     return hll_estimate(out, p=4)
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation: the north-star curation pipeline (quality gate →
+# PII scrub-hash → exact dedup on scrubbed content → split) run as a
+# REAL Structured Streaming job.  Documents arrive through the file
+# stream; the quality/scrub/hash expressions run map-side per
+# micro-batch (text never reaches the sink); dedup is the keyed MERGE
+# sink itself — key = content_hash, election = min doc_id (replay- and
+# batch-boundary-independent: merging any batch twice, or splitting the
+# input across micro-batches, converges to the same survivors).  The
+# oracle is the BATCH curation SQL, proving stream ≡ batch end-to-end.
+# ---------------------------------------------------------------------------
+_DOC_STAGED: dict[str, str] = {}
+
+
+def _documents_path(sf_dir: str) -> str:
+    if sf_dir not in _DOC_STAGED:
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sparkgraft_docs_dir_")
+        src = os.path.join(sf_dir, "documents.parquet")
+        dst = os.path.join(d, "documents.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+        _DOC_STAGED[sf_dir] = d
+    return _DOC_STAGED[sf_dir]
+
+
+def _stream_curation_sql() -> str:
+    from .northstar import _BUCKET_SQL, _QUALITY_SQL, _SCRUB_SQL, _sw_sql
+
+    quality = "FLOOR({q} * 10000.0 + 0.5) / 10000.0".format(
+        q=_QUALITY_SQL.format(sw=_sw_sql("en"))
+    )
+    return f"""
+    WITH kept AS (
+        SELECT doc_id, lang, text, {quality} AS quality
+        FROM documents
+        WHERE text IS NOT NULL AND {quality} >= 0.5
+    ), cleaned AS (
+        SELECT doc_id, lang, quality, {_SCRUB_SQL} AS clean FROM kept
+    ), dedup AS (
+        SELECT * FROM cleaned
+        WHERE doc_id IN (SELECT min(doc_id) FROM cleaned GROUP BY md5(clean))
+    )
+    SELECT doc_id, lang, quality, md5(clean) AS content_hash,
+           CASE WHEN {_BUCKET_SQL} < 8000 THEN 'train'
+                WHEN {_BUCKET_SQL} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM dedup
+    """
+
+
+@register(
+    "stream_curation_pipeline",
+    _stream_curation_sql(),
+    doc="streaming curation: quality gate → PII scrub-hash → keyed-MERGE "
+    "exact dedup (min doc_id wins) → leakage-free split, checked against "
+    "the batch curation SQL — stream ≡ batch",
+)
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    return run_stream_curation(spark, _documents_path(sf_dir), schema)
+
+
+def run_stream_curation(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Core of stream_curation_pipeline, parameterized on the watched
+    directory so tests can split the input across files and prove the
+    survivors are micro-batch-boundary independent."""
+    from ..functions.scalar import dround
+    from ..operators import sampling as SA
+    from ..operators import text as T
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(docs_dir)
+    kept = (
+        sdf.filter(F.col("text").isNotNull())
+        .withColumn("quality", dround(T.quality_score(F.col("text")), 4))
+        .filter(F.col("quality") >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.md5(T.scrub_text(F.col("text"))).alias("content_hash"),
+            # keyed MERGE keeps the max of order_cols; negating the id
+            # makes "min doc_id wins" the merge's fixed point
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    )
+    wd = _workdir("stream_curation")
+    table = KeyedParquetTable(
+        spark,
+        os.path.join(wd, "table"),
+        keys=["content_hash"],
+        order_cols=["neg_id"],
+    )
+    out = upsert_stream_run(spark, kept, table, workdir=wd)
+    split = SA.hash_split(
+        out.drop("neg_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.select("doc_id", "lang", "quality", "content_hash", "split")

@@ -431,3 +431,30 @@ def test_json_quarantine_splits_malformed_lines(spark, workdir):
     ]
     bad = quarantine.collect()
     assert len(bad) == 1 and "broken" in bad[0].raw
+
+
+def test_stream_curation_batch_boundary_independent(spark, tmp_path):
+    # Split the corpus across two files and feed them one per
+    # micro-batch: the keyed-MERGE dedup (min doc_id wins) must elect
+    # the same survivors as the single-batch run — batch boundaries are
+    # invisible in the result.
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.streaming_q import (
+        run_stream_curation,
+    )
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    split_dir = str(tmp_path / "docs2")
+    docs.repartition(2).write.parquet(split_dir)
+    schema = docs.schema
+
+    two_batches = run_stream_curation(
+        spark, split_dir, schema, max_files_per_trigger=1
+    )
+    one_batch = run_stream_curation(spark, split_dir, schema)
+    got = sorted(tuple(r) for r in two_batches.collect())
+    want = sorted(tuple(r) for r in one_batch.collect())
+    assert got == want and len(got) > 0
