@@ -675,3 +675,26 @@ def test_ann_knn_join_recall_vs_exact(spark):
     # recall on this fixture with 4 planes + 1-flip probes is pinned
     overlap = len(exact & approx) / len(exact)
     assert overlap >= 0.5, f"batch-ANN recall regressed: {overlap}"
+
+
+def test_quantized_search_preserves_topk(spark):
+    # int8-dequantized scoring must reproduce the exact top-10 nearly
+    # verbatim (reconstruction cosine ~0.9999); quantization is the 4x
+    # payload lever for ANN candidate stages.
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r.vec_id for r in S.cosine_topk(emb, qv, k=10).collect()]
+
+    dq = S.quantize_int8(emb).select(
+        "vec_id",
+        S.dequantized(F.col("codes"), F.col("scale")).alias("embedding"),
+    )
+    quant = [r.vec_id for r in S.cosine_topk(dq, qv, k=10).collect()]
+    assert len(set(exact) & set(quant)) >= 9, (exact, quant)
