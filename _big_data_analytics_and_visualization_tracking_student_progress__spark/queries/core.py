@@ -3023,3 +3023,44 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user event sequences — the sessionized behavioral-model training
+# shape: each user's event types as one ordered array, truncated to the
+# first 20.  One user-shuffle; ordering pinned by (ts_nanos, event_id)
+# so the arrays are deterministic on any partitioning and both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "user_event_sequences",
+    """
+    SELECT user_id,
+           CAST(LEAST(COUNT(*), 20) AS BIGINT) AS seq_len,
+           array_to_string((list(event_type ORDER BY epoch_ns(ts), event_id))[1:20],
+                           ' ') AS seq
+    FROM events GROUP BY user_id
+    """,
+    doc="per-user ordered event-type sequence (first 20 events) — the "
+    "sessionized training-sequence shape; one user-shuffle, "
+    "deterministic (ts_nanos, event_id) ordering",
+)
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_nanos", "event_id"
+    )
+    ordered = F.transform(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts_nanos", "event_id", "event_type")
+                )
+            ),
+            1,
+            20,
+        ),
+        lambda s: s["event_type"],
+    )
+    return e.groupBy("user_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(20)).cast("bigint").alias("seq_len"),
+        F.array_join(ordered, " ").alias("seq"),
+    )

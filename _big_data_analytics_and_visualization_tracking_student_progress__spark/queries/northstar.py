@@ -1440,3 +1440,40 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("scale"), 9).alias("scale9"),
         dround(S.cosine(F.col("__v"), dq), 6).alias("cos_recon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-proportional (importance) sampling: keep each doc with
+# probability = its quality score, decided by the portable key hash —
+# deterministic, map-side, engine-identical.  The curation lever between
+# hard quality gating (curation_pipeline) and uniform sampling
+# (sample_hash_10pct): high-quality docs are kept at ~1.0, low-quality
+# docs survive at their score rate, so the corpus tilts toward quality
+# without a cliff.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_weighted_sample",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               FLOOR({_QUALITY_SQL.format(sw=_sw_sql('en'))} * 10000.0 + 0.5)
+                   AS q_buckets
+        FROM documents
+    )
+    SELECT doc_id, lang FROM scored
+    WHERE {_BUCKET_SQL} < q_buckets
+    """,
+    doc="importance sampling: keep-probability = quality score, decided "
+    "by portable key hash (deterministic, map-side) — quality-tilted "
+    "corpus without a hard gate",
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    q_buckets = F.floor(
+        dround(T.quality_score(F.col("text")), 4) * 10000.0 + F.lit(0.5)
+    )
+    return docs.filter(
+        SA.sample_bucket(F.col("doc_id")) < q_buckets
+    ).select("doc_id", "lang")
