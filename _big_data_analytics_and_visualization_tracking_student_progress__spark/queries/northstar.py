@@ -1477,3 +1477,148 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         SA.sample_bucket(F.col("doc_id")) < q_buckets
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality percentile: rank each doc's quality within its
+# language (percent_rank, ties broken by doc_id for determinism).
+# Quality scores aren't comparable across languages (stopword lists,
+# char ratios differ) — per-lang percentile normalization is how real
+# curation pipelines set one keep-threshold that means the same thing
+# in every language.  One shuffle on lang; rank is computed in the same
+# pass.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_percentile_by_lang",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               FLOOR({_QUALITY_SQL.format(sw=_sw_sql('en'))} * 10000.0 + 0.5)
+                   / 10000.0 AS quality
+        FROM documents
+    )
+    SELECT doc_id, lang, quality,
+           FLOOR(PERCENT_RANK() OVER (PARTITION BY lang
+                                      ORDER BY quality, doc_id)
+                 * 1000000.0 + 0.5) / 1000000.0 AS q_pctile
+    FROM scored
+    """,
+    doc="per-language quality percentile (percent_rank, doc_id "
+    "tie-break): cross-lingual quality normalization so one percentile "
+    "threshold means the same thing in every language",
+)
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        dround(T.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "quality",
+        dround(F.percent_rank().over(w), 6).alias("q_pctile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification confusion matrix — the embedding-
+# quality eval every labeled corpus gets: assign each vector to its
+# nearest label centroid and count (true, assigned) pairs.  Centroids
+# are the 6-dp-quantized vec_id-ordered folds (identical on both
+# engines, see embedding_label_centroids); distances are sequential
+# squared-difference folds with ties broken to the lexicographically
+# first label, so the whole classify → confusion pipeline is
+# oracle-checked.  Scale shape: centroids are broadcast data (labels ×
+# dim doubles), assignment is one map-side pass, confusion is a tiny
+# aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "centroid_confusion_matrix",
+    """
+    WITH x AS (
+        SELECT label, vec_id, u['dim'] AS dim, u['v'] AS v FROM (
+            SELECT label, vec_id,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                       i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+            FROM embeddings
+        )
+    ), g AS (
+        SELECT label, dim,
+               FLOOR(list_reduce(list(v ORDER BY vec_id), (acc, e) -> acc + e)
+                     / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS c
+        FROM x GROUP BY label, dim
+    ), cent AS (
+        SELECT label, list(c ORDER BY dim) AS cv FROM g GROUP BY label
+    ), e AS (
+        SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), scored AS (
+        SELECT e.vec_id, e.true_label, cent.label AS cand,
+               list_reduce(list_transform(list_zip(e.v, cent.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)
+                   AS d2
+        FROM e CROSS JOIN cent
+    ), assigned AS (
+        SELECT true_label, cand,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+        FROM scored
+    )
+    SELECT true_label, cand AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned WHERE rn = 1 GROUP BY true_label, cand
+    """,
+    doc="nearest-centroid classification confusion matrix over label "
+    "centroids (quantized ordered-fold centroids, sequential distance "
+    "folds, lexicographic tie-break) — embedding-quality eval, fully "
+    "oracle-checked; centroids ride as broadcast data at scale",
+)
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroid build: same ordered-fold + 6-dp quantization as
+    # embedding_label_centroids; collected to the driver (labels × dim
+    # doubles — broadcast-sized control data, like IVF centroids)
+    long = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    cent_rows = (
+        long.groupBy("label", "dim")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("xs"))
+        .select(
+            "label",
+            "dim",
+            dround(
+                F.aggregate(F.col("xs"), F.lit(0.0), lambda a, e: a + e["v"])
+                / F.size("xs"),
+                6,
+            ).alias("c"),
+        )
+        .collect()
+    )
+    by_label: dict[str, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r.label, {})[r.dim] = r.c
+    labels = sorted(by_label)
+    centroids = [
+        [by_label[lb][d] for d in sorted(by_label[lb])] for lb in labels
+    ]
+    assigned = S.with_cluster(
+        emb.select(F.col("label").alias("true_label"),
+                   F.col("embedding").alias("v")),
+        "v",
+        centroids,
+    )
+    label_arr = F.array(*[F.lit(lb) for lb in labels])
+    return (
+        assigned.select(
+            "true_label",
+            F.element_at(label_arr, F.col("__c") + 1).alias("assigned_label"),
+        )
+        .groupBy("true_label", "assigned_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
