@@ -617,3 +617,39 @@ def run_stream_curation(
         out.drop("neg_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return split.select("doc_id", "lang", "quality", "content_hash", "split")
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
+# key's dedup state only while it is within the watermark horizon, so
+# state size is O(keys per window), not O(all keys ever) — the fix for
+# stream_dedup_replay's unbounded-state caveat (SURVEY §2.8: the
+# reference's CDC snapshot grows forever, pro.py:18).  With the delay
+# chosen to cover the fixture's time span the result is exact, so the
+# batch DISTINCT oracle still applies; in production the delay is the
+# real re-delivery horizon and state stays bounded.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_dedup_bounded_state",
+    f"""
+    SELECT DISTINCT event_id, user_id, event_type,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts_s
+    FROM events
+    """,
+    doc="streaming dedup with watermark-bounded state "
+    "(dropDuplicatesWithinWatermark): double-delivered file collapses "
+    "to one copy while state stays O(keys within horizon)",
+)
+def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(
+        spark, _events_path_duplicated(sf_dir), max_files_per_trigger=1
+    )
+    deduped = (
+        ev.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id", "user_id", "event_type",
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        )
+    )
+    return append_sink_run(spark, deduped)
