@@ -1622,3 +1622,62 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "assigned_label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture rebalancing: sample the corpus DOWN to a target language
+# mixture (equal shares here).  Unlike the fixed-rate/quota samplers,
+# the per-language keep-rates are computed FROM the data: rate_l =
+# min(1, floor(total*weight) / n_l), then applied as the usual
+# deterministic hash filter.  Two passes: a tiny count aggregate
+# (broadcast back as data), then the map-side filter — the shape of
+# "hit the training-mixture spec" jobs at any scale.  All thresholds
+# are integer-derived (bucket = floor(rate*10000)) so both engines
+# keep exactly the same rows.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_rebalance_sample",
+    f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT SUM(n_l) AS n, COUNT(*) AS n_langs FROM counts
+    ), rates AS (
+        SELECT c.lang,
+               LEAST(10000,
+                     ((t.n // t.n_langs) * 10000) // c.n_l) AS keep_buckets
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN rates r ON d.lang = r.lang
+    WHERE {_BUCKET_SQL.replace('doc_id', 'd.doc_id')} < r.keep_buckets
+    """,
+    doc="mixture rebalancing: per-language keep-rates computed from the "
+    "data to hit an equal-share target mixture, applied as the "
+    "deterministic hash filter — count aggregate + map-side filter, "
+    "integer-derived thresholds",
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = counts.agg(
+        F.sum("n_l").alias("n"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(10000).cast("long"),
+            (F.floor(F.col("n") / F.col("n_langs")) * 10000)
+            .cast("long")
+            / F.col("n_l"),
+        )
+        .cast("long")
+        .alias("keep_buckets"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(SA.sample_bucket(F.col("doc_id")) < F.col("keep_buckets"))
+        .select("doc_id", "lang")
+    )
