@@ -3064,3 +3064,134 @@ def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.count(F.lit(1)), F.lit(20)).cast("bigint").alias("seq_len"),
         F.array_join(ordered, " ").alias("seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly counts: per (event_type, hour-of-day) mean
+# and stddev from EXACT decimal sums (sum and sum-of-squares are
+# order-independent decimals, so the derived doubles are identical on
+# both engines and any partitioning), then each event compares against
+# its group's mean ± 2σ.  The baseline table is tiny (types × 24 rows)
+# and broadcasts back — the standard shape for rate/metric anomaly
+# sweeps over event streams.
+# ---------------------------------------------------------------------------
+@register(
+    "hourly_baseline_outliers",
+    """
+    WITH base AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(22,6))) AS s,
+               SUM(CAST(value AS DECIMAL(22,6)) * CAST(value AS DECIMAL(22,6))) AS ss
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, hod, n,
+               CAST(s AS DOUBLE) / n AS mu,
+               sqrt(GREATEST(CAST(ss AS DOUBLE) / n
+                             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                             0.0)) AS sigma
+        FROM base
+    )
+    SELECT e.event_type, CAST(st.hod AS INT) AS hod,
+           CAST(st.n AS BIGINT) AS n,
+           FLOOR(st.mu * 10000.0 + 0.5) / 10000.0 AS mu,
+           CAST(COUNT(CASE WHEN abs(e.value - st.mu) > 2.0 * st.sigma
+                           THEN 1 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN stats st ON e.event_type = st.event_type
+                 AND EXTRACT(hour FROM e.ts) = st.hod
+    GROUP BY e.event_type, st.hod, st.n, st.mu
+    """,
+    doc="seasonal (hour-of-day) baseline anomaly counts per event type: "
+    "mean/sigma from exact decimal sums (order-independent), events "
+    "compared against their group's mu±2sigma via a broadcast join-back",
+)
+def q_hourly_baseline_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    v = F.col("value").cast("decimal(22,6)")
+    base = e.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    stats = base.select(
+        "event_type",
+        "hod",
+        "n",
+        mu.alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("ss").cast("double") / F.col("n") - mu * mu,
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    return (
+        e.join(F.broadcast(stats), ["event_type", "hod"])
+        .groupBy("event_type", "hod", "n", "mu")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu"))
+                    > F.lit(2.0) * F.col("sigma"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("hod").cast("int").alias("hod"),
+            F.col("n").cast("bigint").alias("n"),
+            dround(F.col("mu"), 4).alias("mu"),
+            "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared-ANSI windowed SQL: one query text executed verbatim by BOTH
+# Catalyst and DuckDB — monthly revenue per nation with each month's
+# share-of-total and rank computed by window functions over the
+# aggregate.  Widens the shared-SQL suite (aggregation + window in one
+# text); share divides two doubles both engines derive from the same
+# exact DECIMAL sums, so the quantized result is identical.
+# ---------------------------------------------------------------------------
+_SHARED_SQL_MONTHLY_SHARE = """
+    WITH m AS (
+        SELECT n.n_name AS nation,
+               SUBSTRING(CAST(o.o_orderdate AS VARCHAR(10)), 1, 7) AS month,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(22,4))) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, SUBSTRING(CAST(o.o_orderdate AS VARCHAR(10)), 1, 7)
+    )
+    SELECT nation, month,
+           CAST(rev AS DOUBLE) AS revenue,
+           FLOOR(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY month) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS month_share,
+           CAST(RANK() OVER (PARTITION BY month
+                             ORDER BY rev DESC, nation) AS INT) AS rnk
+    FROM m
+"""
+
+
+@register(
+    "sql_monthly_nation_share",
+    _SHARED_SQL_MONTHLY_SHARE,
+    doc="shared-ANSI windowed SQL: monthly nation revenue with "
+    "share-of-month and rank — identical text on Catalyst and DuckDB, "
+    "window over exact decimal aggregate",
+)
+def q_sql_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sql import sql
+
+    return sql(spark, sf_dir, _SHARED_SQL_MONTHLY_SHARE)
