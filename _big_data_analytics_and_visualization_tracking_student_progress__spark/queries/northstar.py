@@ -472,15 +472,67 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_topk_sql(n_planes: int = 8, k: int = 10) -> str:
+    """Portable twin of the hyperplane-LSH probe: the seeded planes are
+    literals in both engines and the query signature is computed by the
+    same sequential dot-product fold as the corpus signatures — no
+    driver-side numpy in the loop, so the bucket set is bit-identical."""
+    planes = S.hyperplanes(64, n_planes)
+
+    def sig_expr(v: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product({v}, {p!r}) > 0 "
+            f"THEN {2**i}::BIGINT ELSE 0::BIGINT END)"
+            for i, p in enumerate(planes)
+        )
+        return f"({terms})"
+
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {2**i}::BIGINT)" for i in range(n_planes)]
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), cs AS (
+        SELECT vec_id, cv, {sig_expr("cv")} AS bkt FROM c
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = 0
+    ), qs AS (
+        SELECT qv, {sig_expr("qv")} AS sig FROM q
+    ), probed AS (
+        SELECT qv, unnest([{probe_list}]) AS bkt FROM qs
+    )
+    SELECT cs.vec_id,
+           FLOOR(list_dot_product(p.qv, cs.cv)
+                 / (sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(cs.cv, cs.cv)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM cs JOIN probed p ON cs.bkt = p.bkt
+    ORDER BY list_dot_product(p.qv, cs.cv)
+             / (sqrt(list_dot_product(p.qv, p.qv))
+                * sqrt(list_dot_product(cs.cv, cs.cv))) DESC, cs.vec_id
+    LIMIT {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,
-    doc="approximate top-k via random-hyperplane LSH bucket probe (recall vs brute force asserted in tests)",
+    _ann_lsh_topk_sql(),
+    doc="approximate top-k via random-hyperplane LSH bucket probe — "
+    "signatures, multi-probe neighborhood, bucket filter, and scoring "
+    "all oracle-checked via literal hyperplanes (recall vs brute force "
+    "additionally asserted in tests)",
 )
 def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    out = S.ann_topk(emb, qv, k=10, n_planes=8, probe_flips=1)
+    # single-row query frame through the bucketed k-NN join: the query
+    # signature comes from the same in-plan fold as the corpus side
+    # (a driver-side numpy signature could flip a borderline bit)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("q_id"), "embedding"
+    )
+    out = S.ann_knn_join(queries, emb, k=10, n_planes=8, probe_flips=1)
     return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
