@@ -350,3 +350,86 @@ def test_reconcile_tables_classifies_drift(spark):
     for k in range(1000, 1005):
         want.add((k, "added"))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization: per-element reconstruction error is bounded by
+# scale/2 (half a code step), for ANY vector — the contract that makes
+# dequantized scoring trustworthy.
+# ---------------------------------------------------------------------------
+VECS = st.lists(
+    st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+        min_size=4,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(vecs=VECS)
+@settings(**SETTINGS)
+def test_quantize_int8_error_bound(spark, vecs):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.similarity import (
+        dequantized,
+        quantize_int8,
+    )
+
+    # pad/truncate to uniform dim (fixed-dim embedding contract)
+    dim = 4
+    rows = [(i, [float(x) for x in (v + [0.0] * dim)[:dim]]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        quantize_int8(df)
+        .withColumn("dq", dequantized(F.col("codes"), F.col("scale")))
+        .collect()
+    )
+    for r in out:
+        if r.codes is None:  # zero vector: scale 0, explicit NULL codes
+            assert all(x == 0.0 for x in r["__v"])
+            continue
+        assert all(abs(c) <= 127 for c in r.codes)
+        for orig, rec in zip(r["__v"], r.dq):
+            assert abs(orig - rec) <= r.scale / 2 + 1e-9 * abs(orig)
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking: every word appears in at least one chunk, chunk
+# starts advance by the stride, and consecutive full chunks overlap by
+# window - stride words — for ANY document.
+# ---------------------------------------------------------------------------
+WORDS = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1, max_size=120
+)
+
+
+@given(words=WORDS)
+@settings(**SETTINGS)
+def test_overlap_chunks_cover_every_word(spark, words):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.northstar import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_overlap_chunks,
+    )
+    import os
+    import tempfile
+
+    text = " ".join(words)
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    chunks = {r.chunk_id: r.chunk for r in q_overlap_chunks(spark, d).collect()}
+
+    n = len(words)
+    expect_chunks = (n - 1) // _CHUNK_S + 1
+    assert len(chunks) == expect_chunks
+    rebuilt = []
+    for i in range(expect_chunks):
+        got = chunks[i].split(" ") if chunks[i] else []
+        want = words[i * _CHUNK_S : i * _CHUNK_S + _CHUNK_W]
+        assert got == want, (i, got, want)
+        rebuilt.extend(want)
+    assert set(rebuilt) == set(words)
