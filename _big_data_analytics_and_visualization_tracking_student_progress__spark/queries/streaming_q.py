@@ -653,3 +653,71 @@ def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return append_sink_run(spark, deduped)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-stateful surface (§2.9) as a registered query: per-user
+# (count, sum) accumulators via applyInPandasWithState, fed the
+# double-delivered events directory one file per micro-batch — so every
+# key's final snapshot provably accumulated ACROSS batches (n = 2×
+# single-delivery count).  The oracle is the batch aggregate over the
+# doubled input; per-key snapshots are reduced to the final (max n) one
+# with a window.  State is partition-local and checkpointed (each
+# executor holds its key range), the update is Arrow-vectorized.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stateful_running_totals",
+    """
+    WITH doubled AS (
+        SELECT user_id, value FROM events
+        UNION ALL
+        SELECT user_id, value FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS total_4
+    FROM doubled GROUP BY user_id
+    """,
+    doc="custom stateful streaming op (applyInPandasWithState per-key "
+    "count/sum accumulators) across two micro-batches of a "
+    "double-delivered source — final snapshots equal the batch "
+    "aggregate over the doubled input",
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.readers import file_stream
+    from ..streaming.stateful import running_totals
+
+    wd = _workdir("stateful_q")
+    out_dir = os.path.join(wd, "out")
+
+    ev = events_file_stream(
+        spark, _events_path_duplicated(sf_dir), max_files_per_trigger=1
+    ).select("user_id", "value")
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        running_totals(ev)
+        .writeStream.outputMode("update")
+        .foreachBatch(append_batch)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    snaps = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        snaps.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n",
+            dround(F.col("total"), 4).alias("total_4"),
+        )
+    )
