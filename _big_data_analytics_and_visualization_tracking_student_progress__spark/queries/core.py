@@ -3195,3 +3195,81 @@ def q_sql_monthly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql import sql
 
     return sql(spark, sf_dir, _SHARED_SQL_MONTHLY_SHARE)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts for every FK edge of the
+# star schema in one result — the standing data-quality sweep that runs
+# after every load.  Each edge is a broadcast left-anti join (dim side
+# is the small side), aggregated to counts; a healthy load is all
+# zeros, and the query's cost is one fact-table scan per edge with no
+# fact shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "fk_orphan_audit",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN ok.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders ok ON l.l_orderkey = ok.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT)
+    FROM customer c2 LEFT JOIN nation n ON c2.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN n2.n_nationkey IS NULL THEN 1 END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN r.r_regionkey IS NULL THEN 1 END) AS BIGINT)
+    FROM nation na LEFT JOIN region r ON na.n_regionkey = r.r_regionkey
+    """,
+    doc="referential-integrity audit: orphan counts for every FK edge "
+    "of the star schema (broadcast left joins, no fact shuffle) — the "
+    "standing post-load data-quality sweep",
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(name, fact, fact_key, dim, dim_key):
+        f = load_table(spark, sf_dir, fact).select(F.col(fact_key))
+        d = load_table(spark, sf_dir, dim).select(F.col(dim_key))
+        joined = f.join(F.broadcast(d), f[fact_key] == d[dim_key], "left")
+        return joined.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col(dim_key).isNull(), 1))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+    edges = [
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
