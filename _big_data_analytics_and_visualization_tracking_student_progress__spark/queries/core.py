@@ -3273,3 +3273,55 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Windowed heavy hitters: top-3 users by event count per tumbling hour —
+# the per-window analog of cms_heavy_users' global sketch, and the
+# batch twin of the streaming tumbling aggregate.  Two shrinking
+# shuffles ((window,user) count, then the rank's window exchange);
+# WindowGroupLimit pushes the rank<=3 filter map-side so only a few
+# rows per (window) per task shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "windowed_heavy_hitters",
+    """
+    WITH c AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, user_id,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT w, user_id, n,
+               ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY n DESC, user_id) AS rnk
+        FROM c)
+    WHERE rnk <= 3
+    """,
+    doc="windowed heavy hitters: top-3 users per tumbling hour "
+    "(count aggregate then rank, WindowGroupLimit keeps the rank "
+    "filter map-side) — per-window analog of the CMS heavy hitters",
+)
+def q_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    )
+    counts = e.groupBy("w", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    rk = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(rk))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
