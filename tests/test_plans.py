@@ -402,3 +402,33 @@ def test_soft_dedup_weights_never_shuffles_text(spark):
         if "Exchange" in line and "text" in line
     ]
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# FK orphan audit: every edge must be a broadcast join — an audit that
+# shuffles its fact tables would be unrunnable as a standing post-load
+# check at scale.
+# ---------------------------------------------------------------------------
+def test_fk_audit_joins_are_broadcast(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["fk_orphan_audit"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Hourly baseline outliers: the (type, hour) stats table is tiny and
+# must broadcast back to the events scan — not shuffle events to it.
+# ---------------------------------------------------------------------------
+def test_hourly_baseline_stats_broadcast_back(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["hourly_baseline_outliers"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
