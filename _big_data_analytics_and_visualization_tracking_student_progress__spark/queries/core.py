@@ -3325,3 +3325,77 @@ def q_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MVCC time travel + change data feed as one registered flow: commit the
+# even-event half of the stream as snapshot v1, merge in the odd half as
+# v2, then read BOTH pinned versions and diff them into a per-key change
+# feed (insert / update / unchanged).  Exercises the snapshot table's
+# commit/read-version path end-to-end; the oracle reconstructs each
+# version as a latest-per-key window over the same subsets, proving the
+# copy-on-write merge ≡ declarative recompute at every version.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_change_feed",
+    """
+    WITH v1 AS (
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 0)
+        WHERE rn = 1
+    ), v2 AS (
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    )
+    SELECT v2.user_id,
+           CASE WHEN v1.user_id IS NULL THEN 'I'
+                WHEN v1.event_id <> v2.event_id THEN 'U'
+                ELSE 'N' END AS op,
+           v1.event_id AS v1_event_id,
+           v2.event_id AS v2_event_id
+    FROM v2 LEFT JOIN v1 ON v2.user_id = v1.user_id
+    """,
+    doc="MVCC time travel + change data feed: commit two snapshot "
+    "versions via copy-on-write keyed merges, read both pinned "
+    "versions, diff into per-key I/U/N ops — oracle recomputes each "
+    "version declaratively",
+)
+def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.upsert import SnapshotKeyedTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_nanos"
+    )
+    table = SnapshotKeyedTable(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_snap_"),
+        keys=["user_id"],
+        order_cols=["ts_nanos", "event_id"],
+    )
+    table.upsert(e.filter(F.col("event_id") % 2 == 0))
+    table.upsert(e.filter(F.col("event_id") % 2 == 1))
+
+    v1 = table.read(1).select(
+        F.col("user_id"), F.col("event_id").alias("v1_event_id")
+    )
+    v2 = table.read(2).select(
+        F.col("user_id"), F.col("event_id").alias("v2_event_id")
+    )
+    return v2.join(v1, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("v1_event_id").isNull(), "I")
+        .when(F.col("v1_event_id") != F.col("v2_event_id"), "U")
+        .otherwise("N")
+        .alias("op"),
+        "v1_event_id",
+        "v2_event_id",
+    )
