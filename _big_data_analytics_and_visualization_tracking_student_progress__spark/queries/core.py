@@ -3399,3 +3399,87 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v1_event_id",
         "v2_event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured handling via VariantType (Spark 4): props parses ONCE
+# into the binary variant encoding and every field access is a typed
+# path lookup — at scale this replaces repeated get_json_object string
+# re-parsing (one parse per row instead of one per extraction).  The
+# aggregate mirrors json_props_agg's shape over variant access instead
+# of string functions.
+# ---------------------------------------------------------------------------
+@register(
+    "variant_props_stats",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+               AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+               AS k_max
+    FROM events GROUP BY 1
+    """,
+    doc="semi-structured props via VariantType: parse once to the "
+    "binary variant encoding, typed path extraction, grouped stats — "
+    "replaces per-extraction JSON string re-parsing",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-flight metrics via the Observation API: the scan that feeds the
+# sink ALSO accumulates row counts and decimal sums, so data-quality
+# metrics cost zero extra passes (the production pattern: observe() on
+# the write path, alert on the metric stream).  The returned frame is
+# the observed metrics themselves; the oracle recomputes them
+# declaratively, proving observation ≡ aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "observed_scan_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_value,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+    doc="Observation API: row/null/sum metrics accumulated by the same "
+    "pass that feeds the sink (zero extra scans) — observation ≡ "
+    "declarative aggregate, oracle-proved",
+)
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation("scan_metrics")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.sum(F.col("value").cast("decimal(22,6)")).alias("total_value"),
+    )
+    # the action that would normally be the real sink write
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_value"]),
+                float(m["total_value"]),
+            )
+        ],
+        "n_rows bigint, n_null_value bigint, total_value double",
+    )
