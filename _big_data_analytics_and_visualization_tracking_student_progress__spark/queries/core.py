@@ -3483,3 +3483,45 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_null_value bigint, total_value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF — the last cell of the UDF surface
+# matrix (scalar / grouped-agg / grouped-map / map-iter / stateful).
+# Arrow ships each group's values as one pandas Series; the UDF sorts
+# before folding so the double accumulation order is deterministic on
+# any partitioning, and the oracle mirrors it with an ORDER BY fold.
+# Used where the aggregate genuinely isn't expressible in SQL (learned
+# scoring, model-based group summaries); for anything SQL can say,
+# native aggregates stay the fast path.
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_agg_udaf",
+    """
+    SELECT event_type,
+           FLOOR(list_reduce(list(value ORDER BY value, event_id),
+                             (acc, x) -> acc + x)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS folded_mean
+    FROM events GROUP BY event_type
+    """,
+    doc="grouped-aggregate pandas UDF (Arrow series per group, "
+    "sort-before-fold for order determinism) — completes the UDF "
+    "surface matrix; oracle mirrors the fold with ORDER BY",
+)
+def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the module's postponed annotations keep the
+    # type-hint inference from seeing the Series->scalar signature
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def folded_mean(v):
+        xs = v.sort_values(kind="mergesort").to_numpy()
+        acc = 0.0
+        for x in xs:
+            acc += float(x)
+        return acc / len(xs)
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").agg(
+        dround(folded_mean(F.col("value")), 4).alias("folded_mean")
+    )
