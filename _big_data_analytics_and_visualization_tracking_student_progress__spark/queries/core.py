@@ -3525,3 +3525,48 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         dround(folded_mean(F.col("value")), 4).alias("folded_mean")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 extension point) driven end-to-end:
+# the synthetic-events generator source plans disjoint id-range
+# partitions (dbgen-style parallel generation, no input files, no
+# shuffle on read) and the aggregate runs over it like any table.
+# Every generated column is a pure integer function of the row id, so
+# the DuckDB oracle reproduces the dataset exactly via generate_series.
+# ---------------------------------------------------------------------------
+@register(
+    "pyds_synthetic_agg",
+    """
+    WITH s AS (
+        SELECT i AS event_id, i % 97 AS user_id,
+               ['click','view','purchase','signup','error'][(i % 5) + 1]
+                   AS etype,
+               ((i * 2654435761) % 100000) / 100.0 AS value
+        FROM generate_series(0, 9999) t(i)
+    )
+    SELECT etype,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY etype
+    """,
+    doc="custom Python DataSource end-to-end: partitioned deterministic "
+    "generator source (dbgen pattern, id-range InputPartitions) + "
+    "aggregate; oracle reproduces the source via generate_series",
+)
+def q_pyds_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    s = (
+        spark.read.format("synthetic_events")
+        .option("n", 10_000)
+        .option("parts", 8)
+        .load()
+    )
+    return s.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dsum(F.col("value"), 6).cast("double").alias("total_value"),
+    )
