@@ -386,8 +386,11 @@ def test_quantize_int8_error_bound(spark, vecs):
         .collect()
     )
     for r in out:
-        if r.codes is None:  # zero vector: scale 0, explicit NULL codes
-            assert all(x == 0.0 for x in r["__v"])
+        if r.codes is None:
+            # scale 0 → NULL codes: the zero vector, or one so tiny that
+            # max|x|/127 underflows to 0 (subnormal range) — both are
+            # unrepresentable by int8 × double-scale by construction
+            assert all(abs(x) / 127.0 == 0.0 for x in r["__v"])
             continue
         assert all(abs(c) <= 127 for c in r.codes)
         for orig, rec in zip(r["__v"], r.dq):
