@@ -12,41 +12,42 @@ state, and recovery replays from the checkpoint.
 Arrow-batched: each group's rows arrive as pandas DataFrames; the
 accumulator update is vectorized (`len`/`sum` over the batch), never
 row-at-a-time Python.
+
+The update function is a SELF-CONTAINED closure (pickled by value, no
+reference to this module): executors never need this package importable,
+which matters because the driver process may run from any working
+directory.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-from typing import Any
-
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n bigint, total double"
 STATE_SCHEMA = "n bigint, total double"
 
 
-def _update(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        n, total = state.get
-    else:
-        n, total = 0, 0.0
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
-
-
 def running_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
     """Emit the updated (count, sum) per key after every micro-batch."""
+
+    def update(key_tuple, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key_tuple[0]], "n": [n], "total": [total]}
+        )
+
     return events.groupBy(key).applyInPandasWithState(
-        _update,
+        update,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
