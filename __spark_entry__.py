@@ -18,6 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (  # noqa: E402
     all_queries,
+    resolve_oracle,
+)
+
+# The driver compares Spark vs DuckDB at sf=0.01; data-dependent oracles
+# (lazy callables) are resolved against that same fixture dir.
+ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
 )
 
 
@@ -37,8 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return {
-        name: qd.oracle
-        for name, qd in all_queries().items()
-        if qd.oracle is not None
-    }
+    out: dict[str, str] = {}
+    for name, qd in all_queries().items():
+        sql = resolve_oracle(qd, ORACLE_SF_DIR)
+        if sql is not None:
+            out[name] = sql
+    return out

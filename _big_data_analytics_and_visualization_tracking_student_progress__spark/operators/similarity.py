@@ -307,6 +307,13 @@ def train_ivf_centroids_sample(
         .collect()
     )
     x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    return _lloyd(x, k, iters)
+
+
+def _lloyd(x: np.ndarray, k: int, iters: int) -> list[list[float]]:
+    """Driver-side Lloyd iterations over a bounded sample.  Shared by the
+    Spark-side trainer and the DuckDB-oracle generator so both produce
+    bit-identical centroids from the same sample."""
     k = min(k, len(x))
     cent = x[:k].copy()  # first k in hash order: seeded, restart-stable
     for _ in range(iters):
@@ -318,6 +325,58 @@ def train_ivf_centroids_sample(
             if len(members):
                 cent[c] = members.mean(axis=0)
     return [[float(v) for v in c] for c in cent]
+
+
+def _portable_hash_py(key) -> int:
+    """Pure-Python twin of operators.dedup.portable_hash64 (md5-prefix
+    60-bit hash) — used to replicate the Spark sample order engine-side
+    free (no SparkSession) when generating data-dependent oracles."""
+    import hashlib
+
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+
+def train_ivf_centroids_portable(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 10,
+    sample_size: int = 256,
+) -> list[list[float]]:
+    """`train_ivf_centroids_sample` with an engine-portable sample order:
+    rows are drawn in md5-prefix-hash order of the id (portable_hash64),
+    so a DuckDB/pyarrow reader of the same parquet can reproduce the
+    exact sample — and therefore, via the shared `_lloyd`, the exact
+    centroids — without Spark.  This is what lets the registered IVF
+    query be fully oracle-checked instead of rows-only."""
+    from .dedup import portable_hash64
+
+    rows = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.col(id_col).alias("__i"),
+        )
+        .orderBy(portable_hash64(F.col("__i").cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    return _lloyd(x, k, iters)
+
+
+def train_ivf_centroids_rows(
+    rows: list[tuple],
+    k: int = 8,
+    iters: int = 10,
+    sample_size: int = 256,
+) -> list[list[float]]:
+    """Oracle-side twin of `train_ivf_centroids_portable`: same hash
+    order, same sample bound, same `_lloyd` — over (id, vector) tuples
+    read outside Spark (e.g. DuckDB over the same parquet)."""
+    ordered = sorted(rows, key=lambda r: _portable_hash_py(r[0]))[:sample_size]
+    x = np.asarray([[float(v) for v in r[1]] for r in ordered], dtype=np.float64)
+    return _lloyd(x, k, iters)
 
 
 def nearest_clusters(
@@ -357,7 +416,7 @@ def ivf_topk(
     nprobe/n_centroids of the files."""
     if centroids is None:
         centroids = train_ivf_centroids_sample(
-            df, vec_col, id_col, k=n_centroids, iters=max(iters, 5)
+            df, vec_col, id_col, k=n_centroids, iters=iters
         )
     probe = nearest_clusters(centroids, query_vec, nprobe)
     candidates = with_cluster(df, vec_col, centroids).filter(

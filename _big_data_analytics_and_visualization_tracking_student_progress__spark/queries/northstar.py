@@ -800,10 +800,64 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K, _IVF_NPROBE, _IVF_ITERS, _IVF_SAMPLE = 8, 3, 10, 256
+
+
+def _ivf_oracle_sql(sf_dir: str) -> str:
+    """Data-dependent oracle: trains the SAME coarse quantizer as the
+    Spark query — identical md5-hash-ordered sample, identical `_lloyd`
+    numpy iterations — from a DuckDB read of the same parquet, then
+    embeds the resulting centroids (and the nprobe probe set) as
+    literals.  Assignment mirrors `with_cluster` exactly: squared
+    distance is the same sequential (x−y)² fold (`list_dot_product` of
+    the diff with itself ⇔ Spark's zip_with/aggregate), ties break to
+    the lower centroid index, then cosine top-k over the probed cells."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    centroids = S.train_ivf_centroids_rows(
+        rows, k=_IVF_K, iters=_IVF_ITERS, sample_size=_IVF_SAMPLE
+    )
+    qv = [float(x) for x in next(v for i, v in rows if i == 0)]
+    probes = S.nearest_clusters(centroids, qv, _IVF_NPROBE)
+    cent_values = ", ".join(
+        f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(centroids)
+    )
+    probe_list = ", ".join(str(p) for p in probes)
+    sqd = (
+        "list_dot_product("
+        "[e.v[i] - cv[i] FOR i IN generate_series(1, len(e.v))], "
+        "[e.v[i] - cv[i] FOR i IN generate_series(1, len(e.v))])"
+    )
+    return f"""
+    WITH cent(c, cv) AS (VALUES {cent_values}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assigned AS (
+        SELECT e.vec_id, e.v,
+               (SELECT c FROM cent ORDER BY {sqd} ASC, c ASC LIMIT 1) AS cl
+        FROM e
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    cand AS (SELECT vec_id, v FROM assigned WHERE cl IN ({probe_list}))
+    SELECT cand.vec_id,
+           FLOOR({_COS_SQL.format(a="cand.v", b="q.qv")} * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_sim
+    FROM cand, q
+    ORDER BY {_COS_SQL.format(a="cand.v", b="q.qv")} DESC, cand.vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "ann_ivf_topk",
-    None,
-    doc="IVF ANN: sample-trained k-means coarse quantizer (bounded driver-side Lloyd, one corpus scan) + nprobe cluster-probed cosine top-k in a second scan — <=2 corpus passes per query; recall vs brute force asserted in tests",
+    _ivf_oracle_sql,
+    doc="IVF ANN: sample-trained k-means coarse quantizer (bounded driver-side Lloyd over a portable md5-hash-ordered sample, one corpus scan) + nprobe cluster-probed cosine top-k in a second scan — <=2 corpus passes per query; fully oracle-checked via a lazy data-dependent oracle that retrains identical literal centroids from the same parquet (recall vs brute force additionally asserted in tests)",
 )
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -814,7 +868,11 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is an ingest-stamped partition column (build_ivf_index /
     # ivf_probe_index) — the probe then reads nprobe/n_centroids of the
     # FILES, not just of the rows.
-    out = S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
+    cent = S.train_ivf_centroids_portable(
+        emb, "embedding", "vec_id",
+        k=_IVF_K, iters=_IVF_ITERS, sample_size=_IVF_SAMPLE,
+    )
+    out = S.ivf_topk(emb, qv, k=10, nprobe=_IVF_NPROBE, centroids=cent)
     return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))
 
 

@@ -22,18 +22,35 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+# DuckDB SQL string, a lazy (sf_dir) -> SQL builder for oracles whose
+# literals are derived from fixture data (e.g. sample-trained IVF
+# centroids), or None → rows-only check.
+Oracle = str | Callable[[str], str] | None
+
+
 @dataclass(frozen=True)
 class QueryDef:
     name: str
     fn: QueryFn
-    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    oracle: Oracle
     doc: str = ""
 
 
 _REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def resolve_oracle(qd: QueryDef, sf_dir: str) -> str | None:
+    """Materialize a QueryDef's oracle SQL for a concrete fixture dir.
+
+    Most oracles are static strings; data-dependent ones (literal
+    centroids, etc.) are callables resolved against the SAME parquet the
+    query will read, so Spark and DuckDB see identical literals."""
+    if callable(qd.oracle):
+        return qd.oracle(sf_dir)
+    return qd.oracle
+
+
+def register(name: str, oracle: Oracle = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
@@ -115,10 +132,16 @@ def all_queries() -> dict[str, QueryDef]:
     # Import query modules lazily so registration happens on first use.
     from .queries import core, northstar, streaming_q  # noqa: F401
 
+    missing = [n for n in _PRIORITY_WINDOW if n not in _REGISTRY]
+    if missing:
+        # A typo / rename here would silently shift which 50 queries the
+        # driver's correctness gate sees — fail loudly instead.
+        raise LookupError(
+            f"_PRIORITY_WINDOW names not in registry: {missing}"
+        )
     ordered: dict[str, QueryDef] = {}
     for name in _PRIORITY_WINDOW:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
+        ordered[name] = _REGISTRY[name]
     for name, qd in _REGISTRY.items():
         if name not in ordered:
             ordered[name] = qd

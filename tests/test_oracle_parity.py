@@ -30,13 +30,18 @@ def test_query_matches_oracle(spark, duck, name):
         all_queries,
     )
 
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        resolve_oracle,
+    )
+
     qd = all_queries()[name]
     result = qd.fn(spark, SF_ORACLE)
-    if qd.oracle is None:
+    sql = resolve_oracle(qd, SF_ORACLE)
+    if sql is None:
         # rows-only check, mirroring the driver's weaker gate
         assert result.count() >= 0
         return
     from .oracle_harness import oracle_frame
 
-    oracle_df = oracle_frame(duck, qd.oracle)
+    oracle_df = oracle_frame(duck, sql)
     compare(result, oracle_df)
