@@ -196,3 +196,37 @@ def repetition_stats(df, id_col: str, text_col: str):
         "distinct_token_frac",
         F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+def text_search(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+):
+    """Tokenized full-text `match` (the analyzed-search analog of the
+    reference's Elasticsearch `match` query, app.py:62-64): a document
+    matches when it contains ANY analyzed query term; ranking is
+    (distinct terms matched, total term occurrences) — the coordination
+    + term-frequency core of practical relevance scoring, minus IDF.
+
+    Map-side only per document (tokenize + two array intersections), then
+    TakeOrdered for the top-k — no shuffle of text, no inverted index
+    needed for a one-shot scan.  At 100 TB the same expressions compute
+    an ingest-time (term → doc) posting table instead; this operator is
+    the query-side semantics either way."""
+    qt = F.array(*[F.lit(t) for t in query_terms])
+    toks = ws_tokens(F.col(text_col))
+    n_terms = F.size(F.array_intersect(F.array_distinct(toks), qt))
+    tf = F.size(F.filter(toks, lambda t: F.array_contains(qt, t)))
+    scored = df.select(
+        F.col(id_col),
+        n_terms.alias("n_terms_matched"),
+        tf.alias("total_tf"),
+    ).filter(F.col("n_terms_matched") > 0)
+    return scored.orderBy(
+        F.col("n_terms_matched").desc(),
+        F.col("total_tf").desc(),
+        F.col(id_col),
+    ).limit(k)

@@ -3499,9 +3499,10 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_agg_udaf",
     """
     SELECT event_type,
-           FLOOR(list_reduce(list(value ORDER BY value, event_id),
+           FLOOR(list_reduce(list(value ORDER BY value, event_id)
+                                 FILTER (WHERE value IS NOT NULL),
                              (acc, x) -> acc + x)
-                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS folded_mean
+                 / COUNT(value) * 10000.0 + 0.5) / 10000.0 AS folded_mean
     FROM events GROUP BY event_type
     """,
     doc="grouped-aggregate pandas UDF (Arrow series per group, "
@@ -3515,7 +3516,12 @@ def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # type-hint inference from seeing the Series->scalar signature
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def folded_mean(v):
-        xs = v.sort_values(kind="mergesort").to_numpy()
+        # NULLs arrive as NaN; drop them so the fold and the divisor
+        # match the oracle's FILTER(value IS NOT NULL) / COUNT(value)
+        # (an all-null group yields NULL on both engines)
+        xs = v.dropna().sort_values(kind="mergesort").to_numpy()
+        if len(xs) == 0:
+            return None
         acc = 0.0
         for x in xs:
             acc += float(x)

@@ -572,19 +572,44 @@ def q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse quantizers and nearest-centroid classification.  Emitted long
 # (label, dim, centroid): cross-row double sums are made reproducible by
 # folding each (label, dim) group's values in vec_id order (identical
-# left fold on both engines); the production-scale variant is a plain
-# order-free avg (used by similarity.train_ivf_centroids), which trades
-# bit-reproducibility for a single pass.
+# left fold on both engines).  The fold is computed over a BOUNDED
+# deterministic sample (portable md5-hash order on vec_id, the
+# train_ivf_centroids_portable recipe): per-group state is ≤ sample_size
+# regardless of corpus size, so no collect_list grows with the corpus —
+# the 100 TB posture for an exact-reproducible prototype.  (The
+# order-free full-corpus avg used by similarity.train_ivf_centroids is
+# the single-pass variant when bit-reproducibility isn't required.)
 # ---------------------------------------------------------------------------
+_CENT_SAMPLE = 256
+_CENT_SAMPLE_SQL = f"""
+        SELECT * FROM embeddings
+        ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT
+        LIMIT {_CENT_SAMPLE}
+"""
+
+
+def _sampled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bounded sample in portable-hash order — the Spark
+    twin of _CENT_SAMPLE_SQL (TakeOrdered on the seeded hash: one scan,
+    no full shuffle, ≤ sample_size rows thereafter)."""
+    from ..operators.dedup import portable_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.orderBy(
+        portable_hash64(F.col("vec_id").cast("string"))
+    ).limit(_CENT_SAMPLE)
+
+
 @register(
     "embedding_label_centroids",
-    """
-    WITH x AS (
+    f"""
+    WITH s AS ({_CENT_SAMPLE_SQL}),
+    x AS (
         SELECT label, vec_id, u['dim'] AS dim, u['v'] AS v FROM (
             SELECT label, vec_id,
                    unnest(list_transform(range(1, len(embedding) + 1),
-                       i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
-            FROM embeddings
+                       i -> {{'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}})) AS u
+            FROM s
         )
     ), g AS (
         SELECT label, dim,
@@ -596,10 +621,13 @@ def q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(s / n * 1000000.0 + 0.5) / 1000000.0 AS centroid
     FROM g
     """,
-    doc="per-label embedding centroids (long form), vec_id-ordered fold for cross-engine exactness",
+    doc="per-label embedding centroids (long form) over a bounded "
+    "deterministic hash-ordered sample, vec_id-ordered fold for "
+    "cross-engine exactness — per-group state ≤ sample_size at any "
+    "corpus scale",
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _sampled_embeddings(spark, sf_dir).select(
         "vec_id", "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
     )
@@ -720,6 +748,37 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
     )
+
+
+_SEARCH_TERMS = ["spark", "merge", "window"]
+
+
+@register(
+    "text_search_topk",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_intersect(
+                   list_distinct(string_split_regex(lower(text), '\\s+')),
+                   {_SEARCH_TERMS!r})) AS INT) AS n_terms_matched,
+               CAST(len(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> list_contains({_SEARCH_TERMS!r}, t))) AS INT)
+                   AS total_tf
+        FROM documents
+    )
+    SELECT doc_id, n_terms_matched, total_tf
+    FROM scored WHERE n_terms_matched > 0
+    ORDER BY n_terms_matched DESC, total_tf DESC, doc_id
+    LIMIT 10
+    """,
+    doc="tokenized full-text match (analyzed-search semantics, the S7 "
+    "Elasticsearch `match` analog): any-term containment, ranked by "
+    "(distinct terms matched, total term frequency), top-k",
+)
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.text_search(docs, _SEARCH_TERMS, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -1639,23 +1698,25 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Nearest-centroid classification confusion matrix — the embedding-
 # quality eval every labeled corpus gets: assign each vector to its
 # nearest label centroid and count (true, assigned) pairs.  Centroids
-# are the 6-dp-quantized vec_id-ordered folds (identical on both
-# engines, see embedding_label_centroids); distances are sequential
-# squared-difference folds with ties broken to the lexicographically
-# first label, so the whole classify → confusion pipeline is
-# oracle-checked.  Scale shape: centroids are broadcast data (labels ×
-# dim doubles), assignment is one map-side pass, confusion is a tiny
-# aggregate.
+# are the 6-dp-quantized vec_id-ordered folds over the SAME bounded
+# hash-ordered sample as embedding_label_centroids (per-group state ≤
+# sample_size — nothing here grows with the corpus); distances are
+# sequential squared-difference folds with ties broken to the
+# lexicographically first label, so the whole classify → confusion
+# pipeline is oracle-checked.  Scale shape: centroids are broadcast
+# data (labels × dim doubles), assignment is one map-side pass over the
+# FULL corpus, confusion is a tiny aggregate.
 # ---------------------------------------------------------------------------
 @register(
     "centroid_confusion_matrix",
-    """
-    WITH x AS (
+    f"""
+    WITH smp AS ({_CENT_SAMPLE_SQL}),
+    x AS (
         SELECT label, vec_id, u['dim'] AS dim, u['v'] AS v FROM (
             SELECT label, vec_id,
                    unnest(list_transform(range(1, len(embedding) + 1),
-                       i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
-            FROM embeddings
+                       i -> {{'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}})) AS u
+            FROM smp
         )
     ), g AS (
         SELECT label, dim,
@@ -1690,9 +1751,11 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # centroid build: same ordered-fold + 6-dp quantization as
-    # embedding_label_centroids; collected to the driver (labels × dim
-    # doubles — broadcast-sized control data, like IVF centroids)
-    long = emb.select(
+    # embedding_label_centroids, over the same bounded hash-ordered
+    # sample (≤ _CENT_SAMPLE rows of per-group state); collected to the
+    # driver (labels × dim doubles — broadcast-sized control data, like
+    # IVF centroids)
+    long = _sampled_embeddings(spark, sf_dir).select(
         "vec_id", "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
     )

@@ -96,6 +96,58 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T1/T-window — the same tumbling aggregate in APPEND mode: the 100 TB
+# form.  Complete mode (above) retains every window's state forever and
+# re-emits the whole result each batch — fine for a dashboard-refresh
+# sink over availableNow fixtures, a scale-killer on an unbounded
+# stream.  Append mode + watermark is the production shape: a window's
+# state is EVICTED (and the row emitted exactly once) when the watermark
+# passes its end, so state is O(windows within the lateness horizon) and
+# sink traffic is one row per closed window.  The oracle is the batch
+# aggregate restricted to closed windows: window_end <= max(ts) - delay
+# (Spark's final watermark under availableNow; the trailing open window
+# stays in state and is not emitted).
+# ---------------------------------------------------------------------------
+@register(
+    "stream_tumbling_append",
+    f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}')
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events, wm
+    WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+    doc="streaming tumbling 1h window × event_type in APPEND mode: "
+    "watermark-evicted bounded state, one emit per closed window — the "
+    "unbounded-stream form of stream_tumbling_counts (its complete-mode "
+    "sibling is the dashboard-refresh shape)",
+)
+def q_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    agg = tumbling_agg(
+        ev,
+        window="1 hour",
+        watermark="10 minutes",
+        group_extra=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value"), 6).cast("double").alias("total_value"),
+        ],
+    )
+    out = append_sink_run(spark, agg)
+    return out.select(
+        F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sliding (hopping) windows
 # ---------------------------------------------------------------------------
 @register(

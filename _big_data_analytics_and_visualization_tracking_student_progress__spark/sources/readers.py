@@ -77,21 +77,42 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel scan (reference pro.py:34-44: header row 1, data rows 2+,
-    all-empty rows skipped).  Requires an xlsx engine (openpyxl), which
-    this container does not ship — gated import, same row semantics as
-    the reference when available: pandas localizes the sheet, Spark takes
-    over from `createDataFrame`."""
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "Excel scan requires openpyxl; install it or convert the "
-            "workbook to parquet/csv upstream"
-        ) from exc
-    pdf = pd.read_excel(path, header=0)  # pragma: no cover
-    pdf = pdf.dropna(how="all")  # pragma: no cover - P5 all-empty-row skip
-    return spark.createDataFrame(pdf)  # pragma: no cover
+    all-empty rows skipped).  Backed by the vendored stdlib xlsx parser
+    (sources/xlsx.py — zip + worksheet/sharedStrings XML), so the
+    reference's actual input format runs with no optional dependency.
+    Column types are resolved per column (double / boolean when every
+    non-null cell agrees, string otherwise — xlsx numerics are doubles
+    by format); the sheet is driver-localized, which matches the ingest
+    shape: workbooks are small operational drops that immediately land
+    in a distributed format (pro.py pushes rows to Kafka one by one; a
+    100 TB corpus never arrives as xlsx)."""
+    from .xlsx import read_xlsx_rows
+
+    header, rows = read_xlsx_rows(path)
+
+    def col_type(i: int) -> str:
+        vals = [r[i] for r in rows if r[i] is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            return "boolean"
+        if vals and all(
+            isinstance(v, float) and not isinstance(v, bool) for v in vals
+        ):
+            return "double"
+        return "string"
+
+    types = [col_type(i) for i in range(len(header))]
+    norm = [
+        tuple(
+            v if v is None or types[i] != "string" or isinstance(v, str)
+            else str(v)
+            for i, v in enumerate(r)
+        )
+        for r in rows
+    ]
+    schema = ", ".join(
+        f"`{name}` {t}" for name, t in zip(header, types)
+    )
+    return spark.createDataFrame(norm, schema)
 
 
 # ---------------------------------------------------------------------------

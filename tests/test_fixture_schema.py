@@ -73,7 +73,7 @@ def test_load_table_normalizes_every_ts_encoding(spark, tmp_path, encoding):
         assert abs(micros - r.ts_nanos // 1_000) <= 1
 
 
-@pytest.mark.parametrize("encoding", ["timestamp_us", "int64_nanos"])
+@pytest.mark.parametrize("encoding", sorted(ENCODINGS))
 def test_events_file_stream_matches_batch(spark, tmp_path, encoding):
     sf_dir = _write_events(tmp_path / "data", ENCODINGS[encoding])
 
