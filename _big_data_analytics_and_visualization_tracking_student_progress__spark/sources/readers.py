@@ -142,22 +142,34 @@ EVENTS_STREAM_SCHEMA = (
 )
 
 
+_STREAM_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
+
 def events_stream_schema(spark: SparkSession | None = None,
                          path: str | None = None):
     """Schema for the events file stream.  File streams need an explicit
     schema, and fixture generations have shipped `ts` as INT64
     epoch-nanos AND as parquet timestamp[us] — so when (spark, path) are
     given, sniff the actual files (batch read, footer-only) instead of
-    pinning one encoding (round-2 lesson).  Returns a StructType when
-    sniffed, else the DDL-string default."""
+    pinning one encoding (round-2 lesson).  The sniff is cached per
+    (session, path) like datasets.load_table's — fixture files are
+    immutable within a round, so repeat stream constructions skip the
+    footer read.  Returns a StructType when sniffed, else the DDL-string
+    default."""
     if spark is not None and path is not None:
+        key = (id(spark), path)
+        cached = _STREAM_SCHEMA_CACHE.get(key)
+        if cached is not None:
+            return cached
         try:
-            return spark.read.parquet(path).schema
+            schema = spark.read.parquet(path).schema
         except Exception:
             # unreadable encoding (e.g. TIMESTAMP(NANOS) rejected by the
             # reader) → caller falls back to the nanos-long legacy path
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            return spark.read.parquet(path).schema
+            schema = spark.read.parquet(path).schema
+        _STREAM_SCHEMA_CACHE[key] = schema
+        return schema
     return EVENTS_STREAM_SCHEMA
 
 
@@ -172,9 +184,9 @@ def events_file_stream(
     (epoch-nanos long).  Batch and stream must derive the SAME
     microsecond or availableNow oracles drift — both go through
     datasets.derive_event_time."""
-    from ..datasets import derive_event_time
+    from ..datasets import _pin_utc, derive_event_time
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_utc(spark)
     schema = events_stream_schema(spark, path)
     raw = file_stream(
         spark,

@@ -698,3 +698,34 @@ def test_quantized_search_preserves_topk(spark):
     )
     quant = [r.vec_id for r in S.cosine_topk(dq, qv, k=10).collect()]
     assert len(set(exact) & set(quant)) >= 9, (exact, quant)
+
+
+def test_ivf_portable_trainer_matches_oracle_twin(spark):
+    """The Spark-side portable trainer and the engine-free rows trainer
+    must produce BIT-IDENTICAL centroids from the same parquet — this
+    equality is what makes the registered ann_ivf_topk query fully
+    oracle-checkable (the DuckDB oracle embeds the rows-trainer output
+    as literals)."""
+    import duckdb
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        similarity as S,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    spark_cent = S.train_ivf_centroids_portable(
+        emb, "embedding", "vec_id", k=8, iters=10, sample_size=256
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    oracle_cent = S.train_ivf_centroids_rows(
+        rows, k=8, iters=10, sample_size=256
+    )
+    assert spark_cent == oracle_cent

@@ -432,3 +432,38 @@ def test_hourly_baseline_stats_broadcast_back(spark):
     df = all_queries()["hourly_baseline_outliers"].fn(spark, SF_SMALL)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Text search stays map-side: tokenize + intersect are projections, the
+# top-k compiles to TakeOrderedAndProject (per-partition heaps) — no
+# Exchange anywhere, and document text never rides a shuffle.
+# ---------------------------------------------------------------------------
+def test_text_search_no_exchange(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.text import (
+        text_search,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = _plan(text_search(docs, ["spark", "merge", "window"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# The driver's correctness gate reads the FIRST 50 registry entries.
+# Pin the resolved window: exactly the 50 _PRIORITY_WINDOW names, in
+# order, with at most one rows-only entry (approx sketches — the single
+# justified no-oracle slot).
+# ---------------------------------------------------------------------------
+def test_priority_window_resolved_and_oracle_checked():
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        _PRIORITY_WINDOW,
+        all_queries,
+    )
+
+    qs = all_queries()
+    assert len(_PRIORITY_WINDOW) == 50
+    assert list(qs)[:50] == list(_PRIORITY_WINDOW)
+    rows_only = [n for n in _PRIORITY_WINDOW if qs[n].oracle is None]
+    assert rows_only == ["approx_distinct_and_quantiles"], rows_only
