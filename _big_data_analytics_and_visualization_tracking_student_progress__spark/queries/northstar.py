@@ -408,6 +408,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    if row is None:
+        # fail loudly: the oracles embed `WHERE vec_id = {vec_id}`, so a
+        # silent fallback here would diverge the two engines
+        raise LookupError(f"embeddings fixture has no vec_id={vec_id}")
     return [float(x) for x in row[0]]
 
 
@@ -472,12 +476,30 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_topk_sql(n_planes: int = 8, k: int = 10) -> str:
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality sniffed from the fixture parquet — the
+    Spark queries derive it from data (ann_knn_join reads len() of the
+    first vector), so dim-dependent oracle literals (hyperplanes) must
+    come from the same source or a fixture regeneration with a new dim
+    would silently diverge the two engines (the r2 encoding-drift
+    lesson, applied to shape)."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT len(embedding) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
+    con.close()
+    return int(n)
+
+
+def _ann_lsh_topk_sql(dim: int, n_planes: int = 8, k: int = 10) -> str:
     """Portable twin of the hyperplane-LSH probe: the seeded planes are
     literals in both engines and the query signature is computed by the
     same sequential dot-product fold as the corpus signatures — no
     driver-side numpy in the loop, so the bucket set is bit-identical."""
-    planes = S.hyperplanes(64, n_planes)
+    planes = S.hyperplanes(dim, n_planes)
 
     def sig_expr(v: str) -> str:
         terms = " + ".join(
@@ -518,7 +540,7 @@ def _ann_lsh_topk_sql(n_planes: int = 8, k: int = 10) -> str:
 
 @register(
     "ann_lsh_topk",
-    _ann_lsh_topk_sql(),
+    lambda sf_dir: _ann_lsh_topk_sql(dim=_emb_dim(sf_dir)),
     doc="approximate top-k via random-hyperplane LSH bucket probe — "
     "signatures, multi-probe neighborhood, bucket filter, and scoring "
     "all oracle-checked via literal hyperplanes (recall vs brute force "
@@ -1394,8 +1416,10 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline (signatures, probe explosion, bucket join, scoring, per-query
 # top-k) is oracle-checked — not rows-only.
 # ---------------------------------------------------------------------------
-def _ann_knn_join_sql(n_planes: int = 8, k: int = 3, n_queries: int = 20) -> str:
-    planes = S.hyperplanes(64, n_planes)
+def _ann_knn_join_sql(
+    dim: int, n_planes: int = 8, k: int = 3, n_queries: int = 20
+) -> str:
+    planes = S.hyperplanes(dim, n_planes)
 
     def sig_expr(v: str) -> str:
         terms = " + ".join(
@@ -1440,7 +1464,7 @@ def _ann_knn_join_sql(n_planes: int = 8, k: int = 3, n_queries: int = 20) -> str
 
 @register(
     "ann_knn_join",
-    _ann_knn_join_sql(),
+    lambda sf_dir: _ann_knn_join_sql(dim=_emb_dim(sf_dir)),
     doc="LSH-bucketed batch k-NN join: both sides signature-stamped, "
     "query side multi-probe-exploded, equi-join on probe key — "
     "O(corpus + queries·probes) shuffle rows vs the exact join's "

@@ -243,3 +243,24 @@ def test_read_evolved_unifies_generations(spark, tmp_path):
     assert rows[1]["value"] == 10.0 and rows[1]["c"] is None
     assert rows[2]["value"] == 20.0 and rows[2]["c"] == "x"
     assert rows[1]["added_later"] is None and rows[2]["added_later"] is None
+
+
+def test_report_tool_builds_dashboard(spark):
+    """The serving-layer report (tools/report.py) renders the registered
+    aggregations into a self-contained HTML dashboard: stat tiles, three
+    SVG charts with per-mark tooltips, and a table view per chart."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "report_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "report.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    html_text = mod.build_report(spark, "/root/testdata/sf0.001")
+    assert html_text.count('class="tile"') == 4
+    assert html_text.count("<svg") == 3
+    assert html_text.count('table class="data"') == 4
+    assert html_text.count("<title>") > 20  # hover tooltips on every mark
+    assert ">None<" not in html_text and ">NaN<" not in html_text
