@@ -562,3 +562,135 @@ def quantize_int8(
 def dequantized(codes: Column, scale: Column) -> Column:
     """Reconstruct the double vector from int8 codes + scale."""
     return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ) — the FAISS IVF-PQ memory-compression leg.
+# A d-dim vector is split into m contiguous subvectors; each subspace
+# gets its own k-entry codebook (k-means over the SAME bounded
+# md5-hash-ordered sample as the IVF coarse quantizer), and a vector is
+# stored as m small integer codes: d×4 bytes of float32 → m bytes at
+# k≤256.  Encoding is a pure map-side native expression (array_min over
+# k literal sub-centroids per subspace — no shuffle, no UDF), so at
+# 100 TB the encode pass is embarrassingly parallel and the codes ride
+# as tiny columns.  Query-time ADC (asymmetric distance computation)
+# reduces a distance evaluation to m literal-table lookups + (m−1)
+# additions — no vector arithmetic against the corpus at all.
+# ---------------------------------------------------------------------------
+def train_pq_codebooks_portable(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 8,
+    sample_size: int = 256,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks from the portable (md5-hash-ordered)
+    bounded sample — same recipe as `train_ivf_centroids_portable`, run
+    `m` times on column slices of the sample, so a DuckDB oracle can
+    reproduce the exact codebooks via `train_pq_codebooks_rows`."""
+    from .dedup import portable_hash64
+
+    rows = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.col(id_col).alias("__i"),
+        )
+        .orderBy(portable_hash64(F.col("__i").cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    return _pq_lloyd(x, m, k, iters)
+
+
+def train_pq_codebooks_rows(
+    rows: list[tuple],
+    m: int = 4,
+    k: int = 16,
+    iters: int = 8,
+    sample_size: int = 256,
+) -> list[list[list[float]]]:
+    """Oracle-side twin of `train_pq_codebooks_portable` over (id, vec)
+    tuples read outside Spark (same hash order, same `_lloyd`)."""
+    ordered = sorted(rows, key=lambda r: _portable_hash_py(r[0]))[:sample_size]
+    x = np.asarray([[float(v) for v in r[1]] for r in ordered], dtype=np.float64)
+    return _pq_lloyd(x, m, k, iters)
+
+
+def _pq_lloyd(
+    x: np.ndarray, m: int, k: int, iters: int
+) -> list[list[list[float]]]:
+    dim = x.shape[1]
+    ds = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        lo = j * ds
+        hi = dim if j == m - 1 else (j + 1) * ds  # last book absorbs remainder
+        books.append(_lloyd(x[:, lo:hi].copy(), k, iters))
+    return books
+
+
+def pq_subspace_offsets(codebooks: list[list[list[float]]]) -> list[int]:
+    """1-based slice start of each subspace, derived from codebook widths
+    (robust to a remainder-absorbing last subspace)."""
+    offs, pos = [], 1
+    for cb in codebooks:
+        offs.append(pos)
+        pos += len(cb[0])
+    return offs
+
+
+def pq_best(vec: Column, codebook: list[list[float]], start: int) -> Column:
+    """Nearest sub-centroid for one subspace as a native expression:
+    struct(d, i) minimum over k literal sub-centroids — squared distance
+    is the same sequential zip_with/aggregate fold as `with_cluster`,
+    ties break to the lower code.  Pure map-side; no shuffle."""
+    ds = len(codebook[0])
+    sub = F.slice(vec, start, ds)
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in codebook]
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            _sq_dist(sub, c).alias("d"), i.cast("int").alias("i")
+        ),
+    )
+    return F.array_min(scored)
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_prefix: str = "__pq",
+) -> DataFrame:
+    """Stamp per-subspace struct(d=residual sqdist, i=code) columns —
+    one map-side expression per subspace, zero exchanges added."""
+    v = F.col(vec_col).cast("array<double>")
+    out = df
+    for j, (cb, start) in enumerate(
+        zip(codebooks, pq_subspace_offsets(codebooks))
+    ):
+        out = out.withColumn(f"{out_prefix}{j}", pq_best(v, cb, start))
+    return out
+
+
+def pq_adc_tables(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> list[list[float]]:
+    """Driver-side ADC lookup tables: tables[j][c] = ||q_j − cb[j][c]||².
+    Tiny (m×k doubles) control data, embedded as literals in BOTH the
+    Spark plan and the DuckDB oracle, so the per-row distance is just
+    m lookups + sequential adds on identical constants."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    tabs: list[list[float]] = []
+    for cb, start in zip(codebooks, pq_subspace_offsets(codebooks)):
+        ds = len(cb[0])
+        qs = q[start - 1 : start - 1 + ds]
+        tabs.append(
+            [float(((qs - np.asarray(c, dtype=np.float64)) ** 2).sum()) for c in cb]
+        )
+    return tabs

@@ -1,0 +1,417 @@
+"""Advanced analytics round-4 additions: iterative graph ranking,
+Markov sequence analysis, unigram-LM corpus quality scoring, and
+product-quantization ANN — each fully DuckDB-oracle-checked.
+
+Determinism notes (the patterns this registry standardizes on):
+- PageRank runs in integer micro-units with floor division on both
+  engines — no float accumulation anywhere, so partition order can
+  never move a rank.
+- LM log-probabilities are quantized per token to a 1e-4 fixed-point
+  BIGINT before summation (exact, order-free), divided out only at the
+  edge.
+- PQ codebooks are trained by the shared `_lloyd` over the portable
+  md5-hash-ordered sample (`train_pq_codebooks_portable` ⇔
+  `train_pq_codebooks_rows`), so Spark and the oracle embed
+  bit-identical literal codebooks / ADC tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..functions.scalar import dround
+from ..operators import similarity as S
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm: PageRank over the customer↔supplier
+# bipartite transaction graph (edge = customer bought from supplier,
+# mirrored both ways).  3 damped iterations (d=0.85) in integer
+# micro-units: contribution = rank div out_degree, new rank =
+# 150000 + (85·Σcontrib) div 100 — all BIGINT ops, bit-identical on
+# any engine and independent of partition/summation order.
+#
+# Scale posture: per iteration = one equi-join (edges ⋈ ranks on src,
+# a stable key partitioning AQE reuses across iterations) + one
+# groupBy(dst) with map-side partial sums; the rank/degree state is
+# 2 longs per node.  At 100 TB you'd localCheckpoint each iteration to
+# truncate lineage — with a FIXED iteration count the uncheckpointed
+# plan stays shallow (3 levels) and is registered as-is.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+
+
+def _pagerank_iter_sql() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""
+    c{i} AS (
+        SELECT e.dst AS node, SUM({prev}.r // dg.d) AS s
+        FROM edges e
+        JOIN deg dg ON e.src = dg.src
+        JOIN {prev} ON e.src = {prev}.node
+        GROUP BY e.dst
+    ),
+    r{i} AS (SELECT node, 150000 + (85 * s) // 100 AS r FROM c{i})"""
+        )
+        prev = f"r{i}"
+    return ",".join(steps)
+
+
+@register(
+    "graph_pagerank_topk",
+    f"""
+    WITH e0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    {_pagerank_iter_sql()}
+    SELECT node, CAST(r AS BIGINT) AS rank_micro
+    FROM r{_PR_ITERS}
+    ORDER BY rank_micro DESC, node
+    LIMIT 100
+    """,
+    doc="PageRank (3 damped iterations, integer micro-unit fixed point) "
+    "over the customer↔supplier transaction graph; top-100 hubs. "
+    "Exact-integer arithmetic makes the iterative algorithm "
+    "order-independent and fully oracle-checkable.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ewd = edges.join(deg, "src")  # (src, dst, d) — reused every iteration
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = ewd.join(ranks, ewd.src == ranks.node).select(
+            F.col("dst").alias("node"), F.expr("r div d").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(150000) + F.expr("(85 * s) div 100"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), "node")
+        .limit(100)
+        .select("node", F.col("r").alias("rank_micro"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: P(next=dst |
+# cur=src) from lead() pairs ordered by (event time, event_id).  The
+# training-sequence statistic behind next-action models and funnel
+# anomaly detection.  One window shuffle on user_id + one (src,dst)
+# aggregate; probabilities are exact int/int divisions quantized at the
+# edge.
+# ---------------------------------------------------------------------------
+@register(
+    "event_transition_probs",
+    """
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+               ) AS dst
+        FROM events
+    ),
+    pairs AS (
+        SELECT src, dst, COUNT(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           FLOOR(n * 1000000.0 / SUM(n) OVER (PARTITION BY src) + 0.5)
+               / 1000000.0 AS p
+    FROM pairs
+    """,
+    doc="Markov next-event transition matrix (counts + row-normalized "
+    "probabilities) over (ts, event_id)-ordered per-user sequences",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_nanos", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_nanos", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.floor(F.col("n") * F.lit(1000000.0) / F.sum("n").over(tot) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM log-probability scoring — the CCNet/KenLM-style corpus
+# quality filter: score every document by the mean log-probability of
+# its tokens under the corpus's own unigram distribution (low = rare
+# junk tokens, the filtered tail in LLM data curation).
+#
+# Determinism: per-token lp = floor((ln n_t − ln N)·1e4 + 0.5) as
+# BIGINT (ln evaluated at integer counts only), summed exactly; the
+# division by token count happens once at the edge.  Scale posture:
+# token→count join keys on the token string (hash-partitionable;
+# ride-as-hash optional), corpus total is one broadcast scalar — the
+# whole query is two aggregates and one equi-join, no driver loops.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_lm_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n_t FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(n_t) AS n FROM counts),
+    per AS (
+        SELECT t.doc_id,
+               CAST(FLOOR((ln(c.n_t) - ln(tot.n)) * 10000.0 + 0.5)
+                    AS BIGINT) AS lp
+        FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_tok, SUM(lp) AS slp
+        FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           FLOOR(slp / (n_tok * 10000.0) * 1000000.0 + 0.5) / 1000000.0
+               AS avg_logprob
+    FROM agg
+    """,
+    doc="unigram-LM mean token log-probability per document (CCNet-style "
+    "perplexity quality filter) — fixed-point per-token quantization "
+    "makes the float fold exact and order-free",
+)
+def q_doc_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    total = counts.agg(F.sum("n_t").alias("n"))
+    per = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.log(F.col("n_t")) - F.log(F.col("n"))) * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"), F.sum("lp").alias("slp")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        dround(F.col("slp") / (F.col("n_tok") * F.lit(10000.0)), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — codes + ADC top-k (see operators/similarity.py
+# PQ section).  Both queries train the m per-subspace codebooks on the
+# portable bounded sample; the lazy oracles retrain bit-identical
+# codebooks from a DuckDB read of the same parquet and embed them (and
+# the ADC tables) as literals, the ann_ivf_topk pattern.
+# ---------------------------------------------------------------------------
+# m=8 subspaces × k=64 codes: 256 B float32 → 8 B codes (32×), ~7/10
+# exact-top-10 recall on the fixture embeddings (vs 2/10 at m=4,k=16 —
+# near-uniform vectors are the PQ worst case, so the codebook is sized
+# up; real embedding manifolds quantize far better at equal budget).
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SAMPLE = 8, 64, 8, 256
+
+
+def _pq_codebooks_oracle(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    books = S.train_pq_codebooks_rows(
+        rows, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, sample_size=_PQ_SAMPLE
+    )
+    qv = [float(x) for x in next(v for i, v in rows if i == 0)]
+    return books, qv
+
+
+def _pq_common_sql(books) -> str:
+    """Shared CTE block: literal codebooks, per-subspace slices, best
+    (code, residual-sqdist) per (vec, subspace) — mirrors `pq_encode`
+    (same sequential sqdist fold, same d-then-code tie-break)."""
+    offs = S.pq_subspace_offsets(books)
+    cb_values = ", ".join(
+        f"({j}, {c}, {off}, {len(cb[0])}, {cv!r}::DOUBLE[])"
+        for j, (cb, off) in enumerate(zip(books, offs))
+        for c, cv in enumerate(cb)
+    )
+    sqd = (
+        "list_dot_product("
+        "[sv[i] - cb.cv[i] FOR i IN generate_series(1, len(sv))], "
+        "[sv[i] - cb.cv[i] FOR i IN generate_series(1, len(sv))])"
+    )
+    return f"""
+    cb(j, c, off, ds, cv) AS (VALUES {cb_values}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT e.vec_id, cb.j, cb.c,
+               {sqd.replace('sv', 'e.v[cb.off : cb.off + cb.ds - 1]')} AS d
+        FROM e CROSS JOIN cb
+    ),
+    best AS (
+        SELECT vec_id, j, c, d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, j ORDER BY d ASC, c ASC
+               ) AS rn
+        FROM scored
+    )"""
+
+
+def _pq_codes_oracle_sql(sf_dir: str) -> str:
+    books, _ = _pq_codebooks_oracle(sf_dir)
+    return f"""
+    WITH {_pq_common_sql(books)}
+    SELECT vec_id,
+           array_to_string(list(c ORDER BY j), '|') AS codes,
+           FLOOR(list_reduce(list(d ORDER BY j), (a, x) -> a + x)
+                 * 1000000.0 + 0.5) / 1000000.0 AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+@register(
+    "embedding_pq_codes",
+    _pq_codes_oracle_sql,
+    doc="product-quantization encoding of every embedding (m=8 "
+    "subspaces × k=64 codes: 256 B float32 → 8 B) + total residual "
+    "squared error — map-side-only native expressions, sample-trained "
+    "codebooks, fully oracle-checked via literal-codebook retraining",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks_portable(
+        emb, "embedding", "vec_id",
+        m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, sample_size=_PQ_SAMPLE,
+    )
+    enc = S.pq_encode(emb, "embedding", books)
+    code_cols = [F.col(f"__pq{j}")["i"] for j in range(len(books))]
+    err = F.col("__pq0")["d"]
+    for j in range(1, len(books)):
+        err = err + F.col(f"__pq{j}")["d"]  # fixed left-to-right fold
+    return enc.select(
+        "vec_id",
+        F.concat_ws("|", *[c.cast("string") for c in code_cols]).alias("codes"),
+        dround(err, 6).alias("recon_err"),
+    )
+
+
+def _pq_adc_oracle_sql(sf_dir: str) -> str:
+    books, qv = _pq_codebooks_oracle(sf_dir)
+    tabs = S.pq_adc_tables(books, qv)
+    tab_values = ", ".join(
+        f"({j}, {c}, {t!r})"
+        for j, tab in enumerate(tabs)
+        for c, t in enumerate(tab)
+    )
+    return f"""
+    WITH {_pq_common_sql(books)},
+    tab(j, c, t) AS (VALUES {tab_values}),
+    adc AS (
+        SELECT b.vec_id,
+               list_reduce(list(tab.t ORDER BY b.j), (a, x) -> a + x) AS d2
+        FROM best b JOIN tab ON tab.j = b.j AND tab.c = b.c
+        WHERE b.rn = 1
+        GROUP BY b.vec_id
+    )
+    SELECT vec_id, FLOOR(d2 * 1000000.0 + 0.5) / 1000000.0 AS approx_d2
+    FROM adc
+    ORDER BY d2 ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    _pq_adc_oracle_sql,
+    doc="PQ asymmetric-distance (ADC) top-k: per-row distance to the "
+    "query is m literal-table lookups + sequential adds over the codes "
+    "— no vector math against the corpus at query time; the 100 TB "
+    "memory-bound ANN leg completing the IVF / int8 / PQ trio",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries.northstar import _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks_portable(
+        emb, "embedding", "vec_id",
+        m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, sample_size=_PQ_SAMPLE,
+    )
+    qv = _query_vec(spark, sf_dir, 0)
+    tabs = S.pq_adc_tables(books, qv)
+    enc = S.pq_encode(emb, "embedding", books)
+    d2 = None
+    for j, tab in enumerate(tabs):
+        term = F.element_at(
+            F.array(*[F.lit(float(t)) for t in tab]),
+            F.col(f"__pq{j}")["i"] + F.lit(1),
+        )
+        d2 = term if d2 is None else d2 + term  # fixed left-to-right fold
+    scored = enc.select("vec_id", d2.alias("__d2"))
+    return (
+        scored.orderBy(F.col("__d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", dround(F.col("__d2"), 6).alias("approx_d2"))
+    )

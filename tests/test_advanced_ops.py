@@ -1,0 +1,139 @@
+"""Round-4 additions: PageRank fixed-point invariants, Markov
+transition-matrix row-normalization, unigram-LM scoring, and product
+quantization (codes, ADC recall, map-side-only plans).  Value parity
+with DuckDB is covered by test_oracle_parity; these pin the semantic
+invariants and the 100 TB plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+    load_table,
+)
+from .conftest import SF_SMALL
+
+
+def _q(name):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    return all_queries()[name].fn
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPageRank:
+    def test_mass_conservation_and_floor(self, spark):
+        # ranks are BIGINT micro-units; integer floors only ever LOSE
+        # mass, and the damping teleport floor is 0.15 exactly
+        df = _q("graph_pagerank_topk")(spark, SF_SMALL)
+        rows = df.collect()
+        assert len(rows) == 100
+        assert all(r.rank_micro >= 150000 for r in rows)
+        # descending, deterministic tiebreak
+        ranks = [(r.rank_micro, r.node) for r in rows]
+        assert ranks == sorted(ranks, key=lambda t: (-t[0], t[1]))
+        # suppliers aggregate many customers' mass: the top hub must be
+        # a supplier node and far above the teleport floor
+        assert rows[0].node.startswith("s")
+        assert rows[0].rank_micro > 1_000_000
+
+
+class TestEventTransitions:
+    def test_rows_normalize_to_one(self, spark):
+        df = _q("event_transition_probs")(spark, SF_SMALL)
+        agg = df.groupBy("src").agg(
+            F.sum("p").alias("sp"), F.sum("n").alias("sn")
+        )
+        for r in agg.collect():
+            # per-src probabilities sum to 1 within the 1e-6 edge
+            # quantization (one rounding per dst)
+            assert abs(r.sp - 1.0) < 1e-4, (r.src, r.sp)
+            assert r.sn > 0
+
+
+class TestUnigramLM:
+    def test_logprob_bounds_and_rare_penalty(self, spark):
+        df = _q("doc_lm_logprob")(spark, SF_SMALL)
+        rows = df.collect()
+        docs = load_table(spark, SF_SMALL, "documents").count()
+        assert len(rows) == docs  # every (non-empty) doc scored
+        # unigram probabilities are < 1 ⇒ mean log-prob strictly negative
+        assert all(r.avg_logprob < 0 for r in rows)
+        assert all(r.n_tok > 0 for r in rows)
+
+
+class TestProductQuantization:
+    def test_codes_shape_and_error_monotone(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+            similarity as S,
+        )
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        fine = S.train_pq_codebooks_portable(
+            emb, "embedding", "vec_id", m=8, k=64, iters=8, sample_size=256
+        )
+        coarse = S.train_pq_codebooks_portable(
+            emb, "embedding", "vec_id", m=8, k=1, iters=1, sample_size=256
+        )
+
+        def avg_err(books):
+            enc = S.pq_encode(emb, "embedding", books)
+            err = F.col("__pq0")["d"]
+            for j in range(1, len(books)):
+                err = err + F.col(f"__pq{j}")["d"]
+            return enc.agg(F.avg(err)).head()[0]
+
+        # a 64-entry codebook must beat the 1-entry (centroid-only)
+        # codebook on mean residual error — quantization is doing work
+        assert avg_err(fine) < 0.5 * avg_err(coarse)
+
+        codes = _q("embedding_pq_codes")(spark, SF_SMALL).collect()
+        assert len(codes) == emb.count()
+        for r in codes[:50]:
+            parts = [int(p) for p in r.codes.split("|")]
+            assert len(parts) == 8
+            assert all(0 <= p < 64 for p in parts)
+            assert r.recon_err >= 0.0
+
+    def test_adc_recall_vs_exact(self, spark):
+        # ADC top-10 must contain the query itself and overlap the
+        # exact-distance top-10 (near-uniform fixture vectors are the PQ
+        # worst case; observed 7/10 at sf0.01 — pin a safe floor)
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        v = F.col("embedding").cast("array<double>")
+        qa = F.array(*[F.lit(x) for x in q])
+        d2 = F.aggregate(
+            F.zip_with(v, qa, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        exact = {
+            r.vec_id
+            for r in emb.select("vec_id", d2.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        }
+        adc = {r.vec_id for r in _q("ann_pq_adc_topk")(spark, SF_SMALL).collect()}
+        assert 0 in adc
+        assert len(adc & exact) >= 3
+
+    def test_pq_plans_are_map_side_only(self, spark):
+        # the entire encode is literal-codebook expressions: scan →
+        # project, ZERO exchanges; ADC top-k ends in TakeOrdered (no
+        # global sort shuffle).  This is the property that makes PQ
+        # encode embarrassingly parallel at 100 TB.
+        codes_plan = _plan(_q("embedding_pq_codes")(spark, SF_SMALL))
+        assert "Exchange" not in codes_plan, codes_plan
+        adc_plan = _plan(_q("ann_pq_adc_topk")(spark, SF_SMALL))
+        assert "Exchange" not in adc_plan, adc_plan
+        assert "TakeOrdered" in adc_plan
