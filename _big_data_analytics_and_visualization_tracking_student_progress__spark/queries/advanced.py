@@ -415,3 +415,204 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", dround(F.col("__d2"), 6).alias("approx_d2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable grid-histogram quantile sketch — the deterministic sibling
+# of approx_percentile: one (min,max,count) pass fixes a 1024-bin grid,
+# a second pass bins every value (map-side partial counts — the
+# "sketch" is 1024 mergeable integers per group, SUM-combinable across
+# partitions/days exactly like the HLL/CMS registers), and quantile
+# estimates walk the cumulative histogram.  Error is bounded by one bin
+# width; every step is integer or IEEE-pure double math, so unlike
+# t-digest/KLL the sketch is bit-reproducible and fully oracle-checked.
+# ---------------------------------------------------------------------------
+_HQ_BINS = 1024
+
+
+@register(
+    "histogram_quantile_sketch",
+    f"""
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    bounds AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+               COUNT(*) AS n
+        FROM v GROUP BY event_type
+    ),
+    binned AS (
+        SELECT v.event_type,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE CAST(LEAST({_HQ_BINS - 1},
+                         FLOOR((v.value - b.lo) /
+                               ((b.hi - b.lo) / {float(_HQ_BINS)})))
+                         AS INT) END AS bin
+        FROM v JOIN bounds b USING (event_type)
+    ),
+    hist AS (
+        SELECT event_type, bin, COUNT(*) AS c
+        FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+        SELECT event_type, bin, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cm
+        FROM hist
+    ),
+    picked AS (
+        SELECT event_type,
+               MIN(CASE WHEN cm >= 0.5 * n THEN bin END) AS b50,
+               MIN(CASE WHEN cm >= 0.9 * n THEN bin END) AS b90,
+               MIN(CASE WHEN cm >= 0.99 * n THEN bin END) AS b99
+        FROM cum JOIN bounds USING (event_type)
+        GROUP BY event_type
+    )
+    SELECT p.event_type,
+           FLOOR((b.lo + p.b50 * ((b.hi - b.lo) / {float(_HQ_BINS)}))
+                 * 1e6 + 0.5) / 1e6 AS p50_est,
+           FLOOR((b.lo + p.b90 * ((b.hi - b.lo) / {float(_HQ_BINS)}))
+                 * 1e6 + 0.5) / 1e6 AS p90_est,
+           FLOOR((b.lo + p.b99 * ((b.hi - b.lo) / {float(_HQ_BINS)}))
+                 * 1e6 + 0.5) / 1e6 AS p99_est
+    FROM picked p JOIN bounds b USING (event_type)
+    """,
+    doc="deterministic mergeable 1024-bin histogram quantile sketch per "
+    "event type (p50/p90/p99 left-edge estimates, error ≤ one bin "
+    "width) — the bit-reproducible, SUM-mergeable alternative to "
+    "t-digest/approx_percentile, fully oracle-checked",
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb = float(_HQ_BINS)
+    v = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    bounds = v.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(nb)
+    binned = v.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_HQ_BINS - 1),
+                F.floor((F.col("value") - F.col("lo")) / width),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cm", F.sum("c").over(wc)).join(
+        F.broadcast(bounds.select("event_type", "n")), "event_type"
+    )
+    picked = cum.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(F.col("cm") >= F.lit(q) * F.col("n"), F.col("bin"))
+            ).alias(f"b{tag}")
+            for q, tag in [(0.5, "50"), (0.9, "90"), (0.99, "99")]
+        ]
+    )
+    out = picked.join(F.broadcast(bounds), "event_type")
+    est = lambda b: dround(F.col("lo") + F.col(b) * width, 6)  # noqa: E731
+    return out.select(
+        "event_type",
+        est("b50").alias("p50_est"),
+        est("b90").alias("p90_est"),
+        est("b99").alias("p99_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout statistics — the OPTIMIZE ZORDER BY decision
+# computed as a query (see operators/layout.py for the writer +
+# prefix-pruned reader).  Orders are bucketized on (o_custkey,
+# order-day) with exact-integer grids, bit-interleaved to a 16-bit
+# Morton code, and grouped by the top-8-bit "file"; the per-file
+# min/max of BOTH dimensions is the zone-map a scan planner prunes
+# with.  Narrow ranges on both axes == data skipping works for
+# predicates on either column — the locality property is pinned in
+# tests, the arithmetic is oracle-checked here.
+# ---------------------------------------------------------------------------
+def _zorder_stats_sql() -> str:
+    from ..operators.layout import morton_sql
+
+    return f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        FROM orders
+    ),
+    b AS (
+        SELECT MIN(o_custkey) AS xlo, MAX(o_custkey) AS xhi,
+               MIN(day) AS ylo, MAX(day) AS yhi
+        FROM o
+    ),
+    bk AS (
+        SELECT o.o_custkey, o.day,
+               (o.o_custkey - b.xlo) // ((b.xhi - b.xlo) // 256 + 1) AS xb,
+               (o.day - b.ylo) // ((b.yhi - b.ylo) // 256 + 1) AS yb
+        FROM o CROSS JOIN b
+    ),
+    z AS (
+        SELECT o_custkey, day, {morton_sql('xb', 'yb', 8)} AS zv FROM bk
+    )
+    SELECT zv // 256 AS zfile, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(day) AS min_day, MAX(day) AS max_day
+    FROM z GROUP BY zv // 256
+    """
+
+
+@register(
+    "zorder_layout_stats",
+    _zorder_stats_sql(),
+    doc="Morton/z-order layout zone map: orders bucketized on "
+    "(o_custkey, order-day) 8 bits each, interleaved, grouped by "
+    "top-8-bit file cell with per-file min/max of BOTH dimensions — "
+    "exact-integer bucketing + bit interleave, fully oracle-checked; "
+    "locality (both ranges narrow ⇒ 2-D data skipping) pinned in tests",
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import morton
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    )
+    b = o.agg(
+        F.min("o_custkey").alias("xlo"),
+        F.max("o_custkey").alias("xhi"),
+        F.min("day").alias("ylo"),
+        F.max("day").alias("yhi"),
+    )
+    bk = o.crossJoin(F.broadcast(b))
+    wx = F.floor((F.col("xhi") - F.col("xlo")) / F.lit(256)) + F.lit(1)
+    wy = F.floor((F.col("yhi") - F.col("ylo")) / F.lit(256)) + F.lit(1)
+    xb = F.floor((F.col("o_custkey") - F.col("xlo")) / wx).cast("long")
+    yb = F.floor((F.col("day") - F.col("ylo")) / wy).cast("long")
+    z = bk.select(
+        "o_custkey", "day", morton(xb, yb, 8).alias("zv")
+    )
+    return (
+        z.groupBy(F.floor(F.col("zv") / F.lit(256)).cast("long").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )

@@ -774,10 +774,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEARCH_TERMS = ["spark", "merge", "window"]
 
-
-@register(
-    "text_search_topk",
-    f"""
+# brute-force scan semantics — shared by the scan query AND the
+# inverted-index query (index-backed search must return the identical
+# ranked result, so both are checked against the same oracle text)
+_TEXT_SEARCH_SQL = f"""
     WITH scored AS (
         SELECT doc_id,
                CAST(len(list_intersect(
@@ -793,7 +793,12 @@ _SEARCH_TERMS = ["spark", "merge", "window"]
     FROM scored WHERE n_terms_matched > 0
     ORDER BY n_terms_matched DESC, total_tf DESC, doc_id
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "text_search_topk",
+    _TEXT_SEARCH_SQL,
     doc="tokenized full-text match (analyzed-search semantics, the S7 "
     "Elasticsearch `match` analog): any-term containment, ranked by "
     "(distinct terms matched, total term frequency), top-k",
@@ -801,6 +806,27 @@ _SEARCH_TERMS = ["spark", "merge", "window"]
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.text_search(docs, _SEARCH_TERMS, k=10)
+
+
+@register(
+    "indexed_text_search",
+    _TEXT_SEARCH_SQL,
+    doc="the SAME full-text match served from a hive-partitioned "
+    "inverted index (term-hash bucket directories): query terms' "
+    "buckets computed driver-side with the portable hash, scan lists "
+    "only those directories — build-once/query-many, per-query cost "
+    "O(matching postings) independent of corpus size; oracle-checked "
+    "against the brute-force scan semantics",
+)
+def q_indexed_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.textindex import build_inverted_index, search_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sparkgraft_tidx_")
+    build_inverted_index(docs, path)
+    return search_inverted_index(spark, path, _SEARCH_TERMS, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -79,9 +79,11 @@ def register(name: str, oracle: Oracle = None, doc: str = ""):
 # json_props_agg, hll_user_overlap, composite_doc_key, sample_hash_10pct,
 # doc_token_counts, and — green in r3, families still represented —
 # hll_distinct_users, rolling_10min_user_stats, range_join_buckets,
-# chunk_dedup_docs, cosine_topk; swapped in the round-4 additions
+# chunk_dedup_docs, cosine_topk, value_percentiles,
+# sql_revenue_by_nation; swapped in the round-4 additions
 # graph_pagerank_topk, event_transition_probs, doc_lm_logprob,
-# embedding_pq_codes, ann_pq_adc_topk) and the xxhash64 fast-path
+# embedding_pq_codes, ann_pq_adc_topk, histogram_quantile_sketch,
+# zorder_layout_stats) and the xxhash64 fast-path
 # dedup_minhash_lsh (not
 # externally verifiable; its portable twin dedup_minhash_portable holds
 # the green row).
@@ -95,8 +97,8 @@ _PRIORITY_WINDOW = (
     "grade_histogram",
     "monthly_order_trend",
     "only_late_supplier_waits",
-    "sql_revenue_by_nation",
     "sql_grouping_sets_revenue",
+    "zorder_layout_stats",
     "order_rank_running_total",
     "min_cost_supplier_per_part",
     "cohort_retention_weekly",
@@ -107,7 +109,7 @@ _PRIORITY_WINDOW = (
     "snapshot_change_feed",
     "asof_click_error",
     "graph_pagerank_topk",
-    "value_percentiles",
+    "histogram_quantile_sketch",
     "user_sessions_30min",
     "event_transition_probs",
     "approx_distinct_and_quantiles",
@@ -134,9 +136,9 @@ _PRIORITY_WINDOW = (
     "doc_lm_logprob",
     "curation_pipeline",
     "mixture_rebalance_sample",
-    "tfidf_top_terms",
     "winnow_fingerprints",
     "text_search_topk",
+    "indexed_text_search",
     # streaming
     "stream_tumbling_counts",
     "stream_tumbling_append",

@@ -137,3 +137,63 @@ class TestProductQuantization:
         adc_plan = _plan(_q("ann_pq_adc_topk")(spark, SF_SMALL))
         assert "Exchange" not in adc_plan, adc_plan
         assert "TakeOrdered" in adc_plan
+
+
+class TestHistogramQuantileSketch:
+    def test_error_bounded_by_bin_width(self, spark):
+        # the sketch's contract: |estimate − exact quantile| ≤ one bin
+        # width (left-edge pick inside the covering bin)
+        est = {
+            r.event_type: r
+            for r in _q("histogram_quantile_sketch")(spark, SF_SMALL).collect()
+        }
+        import math
+
+        e = load_table(spark, SF_SMALL, "events").filter(
+            F.col("value").isNotNull()
+        )
+        by_type: dict[str, list[float]] = {}
+        for r in e.select("event_type", "value").collect():
+            by_type.setdefault(r.event_type, []).append(r.value)
+        assert set(est) == set(by_type)
+        for t, vals in by_type.items():
+            vals.sort()
+            n = len(vals)
+            w = (vals[-1] - vals[0]) / 1024.0
+            r = est[t]
+            for q, got in [(0.5, r.p50_est), (0.9, r.p90_est), (0.99, r.p99_est)]:
+                # the sketch returns the LEFT EDGE of the bin holding the
+                # type-1 (inverse-CDF) quantile, so the exact ⌈qn⌉-th
+                # order statistic lies within one bin width above it
+                t1 = vals[math.ceil(q * n) - 1]
+                assert -1e-6 <= t1 - got <= w + 1e-6, (t, q, got, t1, w)
+
+
+class TestInvertedIndex:
+    def test_index_search_equals_scan_and_prunes(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.text import (
+            text_search,
+        )
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (
+            build_inverted_index,
+            search_inverted_index,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        path = str(tmp_path / "tidx")
+        terms = ["spark", "merge", "window"]
+        build_inverted_index(docs, path)
+        idx = search_inverted_index(spark, path, terms, k=10)
+        scan = text_search(docs, terms, k=10)
+        assert [tuple(r) for r in idx.collect()] == [
+            tuple(r) for r in scan.collect()
+        ]
+        # the index read must partition-prune to the query terms'
+        # hash-bucket directories (≤ one per distinct term)
+        plan = _plan(idx)
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "__b" in pf.group(1), plan
+        n_buckets = len(re.findall(r"\d+", pf.group(1).split("IN")[-1]))
+        assert 0 < n_buckets <= len(terms)
