@@ -17,7 +17,7 @@ brute-force scan semantics (identical ranking and tie-breaks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash64
@@ -33,24 +33,45 @@ def build_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
+    mode: str = "overwrite",
 ) -> None:
-    """(term, doc_id, tf) postings, partitioned by term-hash bucket.
+    """(term, doc_id, tf, dl) postings, partitioned by term-hash bucket.
     One tokenize pass + one (term, doc) aggregate; `repartition` on the
     bucket gives one writer task per directory (no small-file spray).
-    Incremental maintenance appends new docs' postings to the same
-    bucket dirs."""
+    The document length `dl` rides denormalized in every posting
+    (Lucene's norms-in-postings layout) so BM25 scoring never joins a
+    doc-side table.  Corpus constants (N, total dl) land in a sibling
+    `<path>__meta` parquet.  Incremental maintenance = `mode="append"`
+    with the new docs' postings (same bucket dirs) + a fresh meta."""
+    nonempty = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(nonempty).alias("term"),
+        F.size(nonempty).alias("dl"),
+    )
     postings = (
-        df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term"))
-        .groupBy("term", id_col)
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        toks.groupBy("term", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.first("dl").cast("int").alias("dl"),
+        )
         .withColumn("__b", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)))
     )
     (
         postings.repartition(F.col("__b"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("__b")
         .parquet(path)
     )
+    meta = df.select(
+        F.size(
+            F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+        ).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    meta.write.mode(mode).parquet(path + "__meta")
 
 
 def search_inverted_index(
@@ -80,3 +101,68 @@ def search_inverted_index(
         F.col("total_tf").desc(),
         F.col(id_col),
     ).limit(k)
+
+
+def bm25_search(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """BM25 relevance top-k served from the inverted index: reads only
+    the query terms' bucket directories; df(t) comes from the pruned
+    postings themselves (a bucket holds ALL postings of its terms), dl
+    rides in the posting row, and (N, avgdl) are two longs from the
+    meta sidecar — so scoring never touches the corpus.
+
+    Determinism: every per-(doc, term) score is quantized to a 1e-4
+    fixed-point BIGINT before the per-doc sum (exact, order-free); the
+    idf ln() is evaluated only at integer (N, df) points.  An engine
+    mirroring these formulas reproduces the ranking bit-for-bit — the
+    registered `bm25_search_topk` query is DuckDB-oracle-checked."""
+    meta = (
+        spark.read.parquet(path + "__meta")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t"))
+        .head()
+    )
+    n_docs, avgdl = int(meta["n"]), float(meta["t"]) / int(meta["n"])
+    buckets = sorted({_portable_hash_py(t) % n_buckets for t in query_terms})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("__b").isin(buckets))
+        .filter(F.col("term").isin(query_terms))
+    )
+    wdf = Window.partitionBy("term")
+    df_t = F.count(F.lit(1)).over(wdf).cast("double")
+    idf = F.log(
+        (F.lit(float(n_docs)) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf * F.lit(k1 + 1.0) / (
+        tf
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+    )
+    scored = postings.select(
+        F.col(id_col),
+        F.floor(idf * norm * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("s_fp"),
+    )
+    agg = scored.groupBy(id_col).agg(F.sum("s_fp").alias("s"))
+    return (
+        agg.orderBy(F.col("s").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.col("s") / F.lit(10000.0)).alias("bm25"),
+        )
+    )

@@ -829,6 +829,64 @@ def q_indexed_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_inverted_index(spark, path, _SEARCH_TERMS, k=10)
 
 
+_NE_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "bm25_search_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NE_TOKS}) AS term,
+               len({_NE_TOKS}) AS dl
+        FROM documents
+    ),
+    meta AS (
+        SELECT COUNT(*) AS n, SUM(len({_NE_TOKS})) AS t FROM documents
+    ),
+    p AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf,
+               CAST(any_value(dl) AS INT) AS dl
+        FROM toks WHERE list_contains({_SEARCH_TERMS!r}, term)
+        GROUP BY term, doc_id
+    ),
+    d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(FLOOR(
+                   (ln((CAST(meta.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(p.tf AS DOUBLE) * 2.2
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                                   / (CAST(meta.t AS DOUBLE)
+                                      / CAST(meta.n AS DOUBLE))))))
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM p JOIN d USING (term) CROSS JOIN meta
+    )
+    SELECT doc_id, SUM(s_fp) / 10000.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY SUM(s_fp) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 relevance top-k (k1=1.2, b=0.75) served FROM the inverted "
+    "index: bucket-pruned postings carry tf and dl (Lucene "
+    "norms-in-postings), df comes from the pruned postings themselves, "
+    "N/avgdl from the two-long meta sidecar — scoring never rescans "
+    "the corpus.  Per-(doc,term) scores quantized to 1e-4 fixed-point "
+    "BIGINT before the order-free per-doc sum; fully oracle-checked "
+    "against a from-scratch DuckDB BM25.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.textindex import build_inverted_index, bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sparkgraft_bm25_")
+    build_inverted_index(docs, path)
+    return bm25_search(spark, path, _SEARCH_TERMS, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

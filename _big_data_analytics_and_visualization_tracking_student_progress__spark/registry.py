@@ -80,10 +80,11 @@ def register(name: str, oracle: Oracle = None, doc: str = ""):
 # doc_token_counts, and — green in r3, families still represented —
 # hll_distinct_users, rolling_10min_user_stats, range_join_buckets,
 # chunk_dedup_docs, cosine_topk, value_percentiles,
-# sql_revenue_by_nation; swapped in the round-4 additions
-# graph_pagerank_topk, event_transition_probs, doc_lm_logprob,
-# embedding_pq_codes, ann_pq_adc_topk, histogram_quantile_sketch,
-# zorder_layout_stats) and the xxhash64 fast-path
+# sql_revenue_by_nation, tfidf_top_terms, semantic_dedup_keep; swapped
+# in the round-4 additions graph_pagerank_topk, event_transition_probs,
+# doc_lm_logprob, embedding_pq_codes, ann_pq_adc_topk,
+# histogram_quantile_sketch, zorder_layout_stats, indexed_text_search,
+# bm25_search_topk) and the xxhash64 fast-path
 # dedup_minhash_lsh (not
 # externally verifiable; its portable twin dedup_minhash_portable holds
 # the green row).
@@ -123,7 +124,6 @@ _PRIORITY_WINDOW = (
     "cms_heavy_users",
     # LLM-pipeline north-star: dedup / similarity / curation / text
     "dedup_exact",
-    "semantic_dedup_keep",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "dedup_cluster_labels",
@@ -139,6 +139,7 @@ _PRIORITY_WINDOW = (
     "winnow_fingerprints",
     "text_search_topk",
     "indexed_text_search",
+    "bm25_search_topk",
     # streaming
     "stream_tumbling_counts",
     "stream_tumbling_append",

@@ -197,3 +197,44 @@ class TestInvertedIndex:
         assert pf and "__b" in pf.group(1), plan
         n_buckets = len(re.findall(r"\d+", pf.group(1).split("IN")[-1]))
         assert 0 < n_buckets <= len(terms)
+
+
+class TestBM25:
+    def test_incremental_append_equals_full_build(self, spark, tmp_path):
+        # index maintenance contract: building on half the corpus then
+        # appending the other half's postings must serve IDENTICAL
+        # search and BM25 results to a single full build
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (
+            bm25_search,
+            build_inverted_index,
+            search_inverted_index,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        terms = ["spark", "merge", "window"]
+        full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+        build_inverted_index(docs, full)
+        build_inverted_index(docs.filter(F.col("doc_id") % 2 == 0), inc)
+        build_inverted_index(
+            docs.filter(F.col("doc_id") % 2 == 1), inc, mode="append"
+        )
+        for fn in (search_inverted_index, bm25_search):
+            a = [tuple(r) for r in fn(spark, full, terms, k=10).collect()]
+            b = [tuple(r) for r in fn(spark, inc, terms, k=10).collect()]
+            assert a == b, fn.__name__
+
+    def test_bm25_scores_positive_and_rank_sane(self, spark):
+        rows = _q("bm25_search_topk")(spark, SF_SMALL).collect()
+        assert len(rows) == 10
+        assert all(r.bm25 > 0 for r in rows)
+        scores = [r.bm25 for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # the top doc must actually contain at least one query term
+        top = (
+            load_table(spark, SF_SMALL, "documents")
+            .filter(F.col("doc_id") == rows[0].doc_id)
+            .head()
+        )
+        assert any(
+            t in top.text.lower().split() for t in ["spark", "merge", "window"]
+        )
