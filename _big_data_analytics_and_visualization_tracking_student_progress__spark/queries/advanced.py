@@ -288,10 +288,12 @@ def _pq_codebooks_oracle(sf_dir: str):
     return books, qv
 
 
-def _pq_common_sql(books) -> str:
+def _pq_common_sql(books, src: str = "e", extra_cte: str = "") -> str:
     """Shared CTE block: literal codebooks, per-subspace slices, best
     (code, residual-sqdist) per (vec, subspace) — mirrors `pq_encode`
-    (same sequential sqdist fold, same d-then-code tie-break)."""
+    (same sequential sqdist fold, same d-then-code tie-break).  `src`
+    names the (vec_id, v) CTE to encode (`e` = full corpus; pass a
+    restricted CTE, appended via `extra_cte`, for IVF-PQ)."""
     offs = S.pq_subspace_offsets(books)
     cb_values = ", ".join(
         f"({j}, {c}, {off}, {len(cb[0])}, {cv!r}::DOUBLE[])"
@@ -305,11 +307,11 @@ def _pq_common_sql(books) -> str:
     )
     return f"""
     cb(j, c, off, ds, cv) AS (VALUES {cb_values}),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),{extra_cte}
     scored AS (
-        SELECT e.vec_id, cb.j, cb.c,
-               {sqd.replace('sv', 'e.v[cb.off : cb.off + cb.ds - 1]')} AS d
-        FROM e CROSS JOIN cb
+        SELECT s.vec_id, cb.j, cb.c,
+               {sqd.replace('sv', 's.v[cb.off : cb.off + cb.ds - 1]')} AS d
+        FROM {src} s CROSS JOIN cb
     ),
     best AS (
         SELECT vec_id, j, c, d,
@@ -615,4 +617,118 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day").alias("min_day"),
             F.max("day").alias("max_day"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the full FAISS composition: the IVF coarse quantizer prunes
+# the corpus to nprobe cells, then PQ-ADC scores only the candidates
+# with literal-table lookups.  Per-query work = nprobe/n_cells of the
+# corpus × O(m) lookups per row, memory = m bytes per vector — the
+# billion-scale ANN serving shape.  Both quantizers train on the same
+# portable bounded sample, so the oracle retrains bit-identical
+# centroids AND codebooks and replays the exact two-stage plan.
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle_sql(sf_dir: str) -> str:
+    import duckdb
+
+    from .northstar import _IVF_ITERS, _IVF_K, _IVF_NPROBE, _IVF_SAMPLE
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    cent = S.train_ivf_centroids_rows(
+        rows, k=_IVF_K, iters=_IVF_ITERS, sample_size=_IVF_SAMPLE
+    )
+    books = S.train_pq_codebooks_rows(
+        rows, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, sample_size=_PQ_SAMPLE
+    )
+    qv = [float(x) for x in next(v for i, v in rows if i == 0)]
+    probes = S.nearest_clusters(cent, qv, _IVF_NPROBE)
+    tabs = S.pq_adc_tables(books, qv)
+    cent_values = ", ".join(
+        f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(cent)
+    )
+    probe_list = ", ".join(str(p) for p in probes)
+    csqd = (
+        "list_dot_product("
+        "[e.v[i] - ccv[i] FOR i IN generate_series(1, len(e.v))], "
+        "[e.v[i] - ccv[i] FOR i IN generate_series(1, len(e.v))])"
+    )
+    extra = f"""
+    cent(cc, ccv) AS (VALUES {cent_values}),
+    assigned AS (
+        SELECT e.vec_id, e.v,
+               (SELECT cc FROM cent ORDER BY {csqd} ASC, cc ASC LIMIT 1)
+                   AS cl
+        FROM e
+    ),
+    cand AS (SELECT vec_id, v FROM assigned WHERE cl IN ({probe_list})),"""
+    tab_values = ", ".join(
+        f"({j}, {c}, {t!r})"
+        for j, tab in enumerate(tabs)
+        for c, t in enumerate(tab)
+    )
+    return f"""
+    WITH {_pq_common_sql(books, src="cand", extra_cte=extra)},
+    tab(j, c, t) AS (VALUES {tab_values}),
+    adc AS (
+        SELECT b.vec_id,
+               list_reduce(list(tab.t ORDER BY b.j), (a, x) -> a + x) AS d2
+        FROM best b JOIN tab ON tab.j = b.j AND tab.c = b.c
+        WHERE b.rn = 1
+        GROUP BY b.vec_id
+    )
+    SELECT vec_id, FLOOR(d2 * 1000000.0 + 0.5) / 1000000.0 AS approx_d2
+    FROM adc
+    ORDER BY d2 ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    _ivfpq_oracle_sql,
+    doc="IVF-PQ top-k — the full FAISS composition: coarse-quantizer "
+    "cell probe (nprobe/n_cells of the corpus) then PQ asymmetric-"
+    "distance scoring (m table lookups/row, m bytes/vector); both "
+    "quantizers sample-trained and embedded as literals in the DuckDB "
+    "oracle, fully hash-checked",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .northstar import _IVF_ITERS, _IVF_K, _IVF_NPROBE, _IVF_SAMPLE, _query_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = S.train_ivf_centroids_portable(
+        emb, "embedding", "vec_id",
+        k=_IVF_K, iters=_IVF_ITERS, sample_size=_IVF_SAMPLE,
+    )
+    books = S.train_pq_codebooks_portable(
+        emb, "embedding", "vec_id",
+        m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, sample_size=_PQ_SAMPLE,
+    )
+    qv = _query_vec(spark, sf_dir, 0)
+    probes = S.nearest_clusters(cent, qv, _IVF_NPROBE)
+    cand = (
+        S.with_cluster(emb, "embedding", cent)
+        .filter(F.col("__c").isin(probes))
+        .drop("__c")
+    )
+    tabs = S.pq_adc_tables(books, qv)
+    enc = S.pq_encode(cand, "embedding", books)
+    d2 = None
+    for j, tab in enumerate(tabs):
+        term = F.element_at(
+            F.array(*[F.lit(float(t)) for t in tab]),
+            F.col(f"__pq{j}")["i"] + F.lit(1),
+        )
+        d2 = term if d2 is None else d2 + term
+    scored = enc.select("vec_id", d2.alias("__d2"))
+    return (
+        scored.orderBy(F.col("__d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", dround(F.col("__d2"), 6).alias("approx_d2"))
     )

@@ -127,10 +127,10 @@ _PRIORITY_WINDOW = (
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "dedup_cluster_labels",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_knn_join",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "embedding_pq_codes",
     "embedding_quantize_int8",
     "doc_lm_logprob",

@@ -238,3 +238,20 @@ class TestBM25:
         assert any(
             t in top.text.lower().split() for t in ["spark", "merge", "window"]
         )
+
+
+class TestIVFPQ:
+    def test_ivfpq_subset_of_probed_cells_and_no_shuffle(self, spark):
+        # IVF-PQ = candidate pruning then ADC: the result must (a)
+        # contain the query itself, (b) stay within the probed cells'
+        # candidates, and (c) plan as scan → broadcast-stamp → project →
+        # TakeOrdered with NO shuffle exchange (single corpus pass)
+        df = _q("ann_ivfpq_topk")(spark, SF_SMALL)
+        rows = df.collect()
+        assert len(rows) == 10
+        assert rows[0].vec_id == 0  # query's own cell always probed
+        ds = [r.approx_d2 for r in rows]
+        assert ds == sorted(ds)
+        plan = _plan(df)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "TakeOrdered" in plan
