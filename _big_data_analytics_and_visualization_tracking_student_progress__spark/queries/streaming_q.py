@@ -773,3 +773,53 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("total"), 4).alias("total_4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming inverted-index maintenance: the continuously-maintained
+# search index.  Each micro-batch of newly-arrived documents appends
+# its postings to the term-hash-bucketed index directories (plus a
+# mergeable meta row) inside foreachBatch — the ingest side of the
+# build-once/query-many text-search story.  A file-stream source
+# delivers every document exactly once under availableNow, so appended
+# postings ≡ a full rebuild (pinned batch-boundary-independent in
+# tests/test_advanced_ops.py TestBM25 via mode="append"), and the
+# post-stream search must reproduce the brute-force scan ranking —
+# which is exactly what the oracle runs.
+# ---------------------------------------------------------------------------
+def _stream_index_sql() -> str:
+    from .northstar import _TEXT_SEARCH_SQL
+
+    return _TEXT_SEARCH_SQL
+
+
+@register(
+    "stream_index_maintenance",
+    _stream_index_sql(),
+    doc="streaming inverted-index maintenance: per-micro-batch posting "
+    "appends (foreachBatch) into the bucket-partitioned index, then an "
+    "index-served search — stream-built index ≡ batch-built index ≡ "
+    "brute-force scan, oracle-checked",
+)
+def q_stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import build_inverted_index, search_inverted_index
+    from .northstar import _SEARCH_TERMS
+
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    sdf = spark.readStream.schema(schema).parquet(_documents_path(sf_dir))
+    wd = _workdir("stream_tidx")
+    idx = os.path.join(wd, "index")
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        build_inverted_index(batch_df, idx, mode="append")
+
+    (
+        sdf.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return search_inverted_index(spark, idx, _SEARCH_TERMS, k=10)

@@ -80,11 +80,13 @@ def register(name: str, oracle: Oracle = None, doc: str = ""):
 # doc_token_counts, and — green in r3, families still represented —
 # hll_distinct_users, rolling_10min_user_stats, range_join_buckets,
 # chunk_dedup_docs, cosine_topk, value_percentiles,
-# sql_revenue_by_nation, tfidf_top_terms, semantic_dedup_keep; swapped
-# in the round-4 additions graph_pagerank_topk, event_transition_probs,
-# doc_lm_logprob, embedding_pq_codes, ann_pq_adc_topk,
+# sql_revenue_by_nation, tfidf_top_terms, semantic_dedup_keep,
+# ann_lsh_topk, stream_tumbling_counts; swapped in the round-4
+# additions graph_pagerank_topk, event_transition_probs,
+# doc_lm_logprob, embedding_pq_codes, ann_pq_adc_topk, ann_ivfpq_topk,
 # histogram_quantile_sketch, zorder_layout_stats, indexed_text_search,
-# bm25_search_topk) and the xxhash64 fast-path
+# bm25_search_topk, stream_index_maintenance) and the xxhash64
+# fast-path
 # dedup_minhash_lsh (not
 # externally verifiable; its portable twin dedup_minhash_portable holds
 # the green row).
@@ -141,10 +143,10 @@ _PRIORITY_WINDOW = (
     "indexed_text_search",
     "bm25_search_topk",
     # streaming
-    "stream_tumbling_counts",
     "stream_tumbling_append",
     "stream_keyed_upsert",
     "stream_stateful_running_totals",
+    "stream_index_maintenance",
 )
 
 

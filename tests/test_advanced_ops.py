@@ -255,3 +255,52 @@ class TestIVFPQ:
         plan = _plan(df)
         assert "Exchange hashpartitioning" not in plan, plan
         assert "TakeOrdered" in plan
+
+
+class TestStreamIndexMaintenance:
+    def test_batch_boundary_independent(self, spark, tmp_path):
+        # stream the corpus one FILE per micro-batch; the appended
+        # postings must serve the same search as a single batch build
+        import os
+
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (
+            build_inverted_index,
+            search_inverted_index,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        src = str(tmp_path / "docs")
+        docs.repartition(3).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        idx = str(tmp_path / "idx")
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        (
+            sdf.writeStream.foreachBatch(
+                lambda b, _i: build_inverted_index(b, idx, mode="append")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        # >1 micro-batch actually ran (one per input file)
+        n_meta = spark.read.parquet(idx + "__meta").count()
+        assert n_meta >= 3
+
+        full = str(tmp_path / "full")
+        build_inverted_index(docs, full)
+        terms = ["spark", "merge", "window"]
+        a = [
+            tuple(r)
+            for r in search_inverted_index(spark, idx, terms, k=10).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in search_inverted_index(spark, full, terms, k=10).collect()
+        ]
+        assert a == b
