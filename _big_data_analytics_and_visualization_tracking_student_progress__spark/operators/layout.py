@@ -25,24 +25,17 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # Morton interleave of two pre-bucketized integer columns (bits each →
-# 2·bits z).  Disjoint powers of two, so summation == bitwise OR; the
-# whole code is one native long expression (map-side, codegen'd).
+# 2·bits z).  Delegates to the n-column `writers.morton_interleave`
+# (x bits land at even positions, y at odd — the same placement
+# `morton_sql` mirrors for the oracle).  This module is the
+# exact-integer / oracle-checkable / prefix-partitioned face of
+# z-ordering; `sources/writers.py write_zordered` is the float-
+# normalized range-file variant whose pruning rides min/max file stats.
 # ---------------------------------------------------------------------------
 def morton(xb: Column, yb: Column, bits: int = 8) -> Column:
-    terms = []
-    for b in range(bits):
-        terms.append(
-            F.shiftright(xb.cast("long"), b).bitwiseAND(F.lit(1))
-            * F.lit(1 << (2 * b))
-        )
-        terms.append(
-            F.shiftright(yb.cast("long"), b).bitwiseAND(F.lit(1))
-            * F.lit(1 << (2 * b + 1))
-        )
-    z = terms[0]
-    for t in terms[1:]:
-        z = z + t
-    return z
+    from ..sources.writers import morton_interleave
+
+    return morton_interleave([xb.cast("long"), yb.cast("long")], bits)
 
 
 def morton_sql(xb: str, yb: str, bits: int = 8) -> str:

@@ -732,3 +732,101 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", dround(F.col("__d2"), 6).alias("approx_d2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT all-pairs set-similarity join via prefix filtering (the
+# AllPairs/PPJoin family) — the deterministic complement to MinHash/LSH
+# near-dup candidates: no recall loss, no probabilistic argument.
+#
+# Lemma (global token order, per-doc prefix p = n − ⌈τ·n⌉ + 1): if
+# J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so A's globally-smallest common
+# token sits inside A's prefix (otherwise ≥ p tokens of A\B precede it,
+# contradicting the bound) — and symmetrically for B.  Hence every
+# qualifying pair shares ≥1 PREFIX token and the candidate set from the
+# prefix-token equi-join is complete.  Tokens are ordered rarest-first
+# (ascending document frequency), which makes prefixes maximally
+# selective: candidate volume ≈ Σ_t df_prefix(t)² over rare tokens only.
+#
+# Scale posture: one df-count aggregate, one per-doc window to rank
+# tokens, one equi-join keyed on the 64-bit token hash (strings stay in
+# the per-doc side table), then exact-Jaccard verification of the
+# candidates.  Completeness is externally proven: the DuckDB oracle is
+# the brute-force O(n²) join, so a hash match IS the no-missed-pair
+# certificate.
+# ---------------------------------------------------------------------------
+_PF_TAU = 0.8
+
+
+@register(
+    "jaccard_join_prefix_filter",
+    f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= {_PF_TAU}
+    """,
+    doc="exact all-pairs Jaccard≥0.8 set-similarity join via "
+    "rarest-first prefix filtering (AllPairs/PPJoin) — complete by the "
+    "prefix lemma, verified candidates only; oracle = the brute-force "
+    "O(n²) join, so the hash match certifies zero missed pairs",
+)
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+    side = docs.persist()  # (doc_id, toks) — joined back for the verify
+    toks = side.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.explode("toks").alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "tok").select(
+        "doc_id",
+        "n",
+        portable_hash64(F.col("tok")).alias("h"),
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        )
+        .alias("pos"),
+    )
+    # p = n − ⌈τ·n⌉ + 1, in exact integers for τ = 4/5
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
+    ).select("doc_id", "h")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(side.select(F.col("doc_id").alias("id_a"),
+                              F.col("toks").alias("ta")), "id_a")
+        .join(side.select(F.col("doc_id").alias("id_b"),
+                          F.col("toks").alias("tb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ta", "tb")).cast("double")
+                / F.size(F.array_union("ta", "tb"))
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= F.lit(_PF_TAU))
+    )
+    return verified

@@ -127,7 +127,7 @@ _PRIORITY_WINDOW = (
     # LLM-pipeline north-star: dedup / similarity / curation / text
     "dedup_exact",
     "dedup_minhash_portable",
-    "dedup_simhash_portable",
+    "jaccard_join_prefix_filter",
     "dedup_cluster_labels",
     "ann_ivf_topk",
     "ann_knn_join",

@@ -304,3 +304,60 @@ class TestStreamIndexMaintenance:
             for r in search_inverted_index(spark, full, terms, k=10).collect()
         ]
         assert a == b
+
+
+class TestPrefixFilterJoin:
+    def test_candidates_pruned_on_diverse_corpus(self, spark):
+        # completeness on the real fixture is certified by the
+        # brute-force oracle parity (the fixture is near-dup DENSE — 24%
+        # of all pairs qualify at τ=0.8, so little CAN be pruned there).
+        # The pruning property itself is pinned on a diverse corpus:
+        # mostly-unique token sets + planted near-dups — candidates must
+        # collapse to a small fraction of the O(n²) cross product while
+        # every planted pair survives.
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (
+            portable_hash64,
+        )
+        from pyspark.sql import Window as W
+
+        rows = []
+        for i in range(100):
+            base = [f"w{i}_{j}" for j in range(20)]
+            rows.append((i, " ".join(base)))
+            if i % 10 == 0:  # plant a 19/21-overlap near-dup (J ≈ 0.905)
+                rows.append((1000 + i, " ".join(base[:-1] + [f"x{i}"])))
+        docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id",
+            F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+        )
+        n_docs = docs.count()
+        toks = docs.select(
+            "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+        )
+        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        ranked = toks.join(dfreq, "tok").select(
+            "doc_id",
+            "n",
+            portable_hash64(F.col("tok")).alias("h"),
+            F.row_number()
+            .over(W.partitionBy("doc_id").orderBy("df", "tok"))
+            .alias("pos"),
+        )
+        prefix = ranked.filter(
+            F.col("pos") <= F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
+        ).select("doc_id", "h")
+        cand = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), "h")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+        all_pairs = n_docs * (n_docs - 1) // 2
+        assert len(pairs) < 0.05 * all_pairs, (len(pairs), all_pairs)
+        for i in range(0, 100, 10):  # every planted near-dup is a candidate
+            assert (i, 1000 + i) in pairs
