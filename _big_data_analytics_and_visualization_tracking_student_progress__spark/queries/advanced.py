@@ -830,3 +830,120 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= F.lit(_PF_TAU))
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Distributed statistics on exact-decimal moments — the descriptive-ML
+# family (correlation matrices, closed-form OLS).  All first- and
+# second-order sums go through DECIMAL(38,6): exact, partition-order
+# independent, and overflow-safe to ~1e31 (a 100 TB fact table's Σx²
+# stays ≤ ~1e20), so the classic single-pass moment formulas become
+# bit-reproducible.  Products are computed in double first (IEEE —
+# identical on both engines) and quantized by the decimal cast; the
+# final normalization runs in double at the edge.  One map-side-partial
+# aggregate total; no second pass, no centering pass.
+# ---------------------------------------------------------------------------
+def _moment_sums_sql(x: str, y: str) -> str:
+    return f"""
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST({y} AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST({x} * {y} AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST({x} * {x} AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST({y} * {y} AS DECIMAL(38,6))) AS DOUBLE) AS syy"""
+
+
+def _moment_sums(x, y):
+    d = "decimal(38,6)"
+    return [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(d)).cast("double").alias("sx"),
+        F.sum(y.cast(d)).cast("double").alias("sy"),
+        F.sum((x * y).cast(d)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(d)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(d)).cast("double").alias("syy"),
+    ]
+
+
+_CORR_SQL = (
+    "(n * sxy - sx * sy) / "
+    "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+)
+
+
+def _corr_col():
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+
+
+@register(
+    "numeric_corr_matrix",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{x}' AS col_x, '{y}' AS col_y,
+           FLOOR(({_CORR_SQL}) * 1e6 + 0.5) / 1e6 AS corr
+    FROM (SELECT {_moment_sums_sql(x, y)} FROM lineitem)"""
+        for x, y in _CORR_PAIRS
+    ),
+    doc="Pearson correlation matrix over lineitem numeric columns from "
+    "one exact-decimal moments pass per pair — bit-reproducible "
+    "distributed statistics (no two-pass centering, no float "
+    "accumulation drift)",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for x, y in _CORR_PAIRS:
+        a = li.agg(*_moment_sums(F.col(x), F.col(y))).select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            dround(_corr_col(), 6).alias("corr"),
+        )
+        out = a if out is None else out.union(a)
+    return out
+
+
+@register(
+    "ols_price_vs_qty",
+    f"""
+    WITH m AS (
+        SELECT l_returnflag, {_moment_sums_sql('l_quantity', 'l_extendedprice')}
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6 + 0.5)
+               / 1e6 AS slope,
+           FLOOR(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                  / n) * 1e6 + 0.5) / 1e6 AS intercept,
+           FLOOR(({_CORR_SQL}) * ({_CORR_SQL}) * 1e6 + 0.5) / 1e6 AS r2
+    FROM m
+    """,
+    doc="closed-form OLS (extendedprice ~ quantity) per returnflag from "
+    "the same exact-decimal moments — slope, intercept, R²; the "
+    "single-pass distributed regression shape (X'X normal equations "
+    "degenerate to moments for one regressor)",
+)
+def q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        *_moment_sums(F.col("l_quantity"), F.col("l_extendedprice"))
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        dround(slope, 6).alias("slope"),
+        dround((sy - slope * sx) / n, 6).alias("intercept"),
+        dround(_corr_col() * _corr_col(), 6).alias("r2"),
+    )

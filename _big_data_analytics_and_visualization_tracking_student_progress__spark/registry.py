@@ -96,9 +96,9 @@ _PRIORITY_WINDOW = (
     "transcript_lookup",
     "pricing_summary",
     "dim_join_rollup",
-    "topk_orders",
     "grade_histogram",
-    "monthly_order_trend",
+    "numeric_corr_matrix",
+    "ols_price_vs_qty",
     "only_late_supplier_waits",
     "sql_grouping_sets_revenue",
     "zorder_layout_stats",

@@ -361,3 +361,43 @@ class TestPrefixFilterJoin:
         assert len(pairs) < 0.05 * all_pairs, (len(pairs), all_pairs)
         for i in range(0, 100, 10):  # every planted near-dup is a candidate
             assert (i, 1000 + i) in pairs
+
+
+class TestMomentStatistics:
+    def test_corr_bounds_and_ols_matches_numpy(self, spark):
+        import numpy as np
+
+        rows = _q("numeric_corr_matrix")(spark, SF_SMALL).collect()
+        assert len(rows) == 3
+        assert all(-1.0 <= r.corr <= 1.0 for r in rows)
+        # every pair must agree with numpy's corrcoef on the same data
+        li_all = load_table(spark, SF_SMALL, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount"
+        ).collect()
+        cols = {
+            c: np.array([getattr(r, c) for r in li_all])
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        }
+        for r in rows:
+            ref = float(np.corrcoef(cols[r.col_x], cols[r.col_y])[0, 1])
+            assert abs(r.corr - ref) < 1e-6, (r, ref)
+
+        ols = {r.l_returnflag: r for r in _q("ols_price_vs_qty")(spark, SF_SMALL).collect()}
+        li = load_table(spark, SF_SMALL, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+        by_flag: dict[str, list[tuple[float, float]]] = {}
+        for r in li.collect():
+            by_flag.setdefault(r.l_returnflag, []).append(
+                (r.l_quantity, r.l_extendedprice)
+            )
+        assert set(ols) == set(by_flag)
+        for flag, pts in by_flag.items():
+            x = np.array([p[0] for p in pts])
+            y = np.array([p[1] for p in pts])
+            slope, intercept = np.polyfit(x, y, 1)
+            assert abs(ols[flag].slope - slope) < 1e-3 * max(1.0, abs(slope))
+            assert abs(ols[flag].intercept - intercept) < 1e-2 * max(
+                1.0, abs(intercept)
+            )
+            assert 0.0 <= ols[flag].r2 <= 1.0
