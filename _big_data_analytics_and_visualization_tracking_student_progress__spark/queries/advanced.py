@@ -947,3 +947,71 @@ def q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround((sy - slope * sx) / n, 6).alias("intercept"),
         dround(_corr_col() * _corr_col(), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item co-occurrence ("customers who bought X also bought Y") — the
+# collaborative-filtering counting core.  One self-join co-located on
+# the order key (pairs never leave their order's partition before the
+# count) with the p_a < p_b triangle filter, then a per-item top-3 via
+# WindowGroupLimit so only k rows per item survive the rank shuffle.
+# Pair volume is Σ_orders (items/order choose 2) — bounded by basket
+# size, never corpus-quadratic.
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_topk",
+    """
+    WITH pp AS (
+        SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS n
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sym AS (
+        SELECT p_a AS part, p_b AS partner, n FROM pp
+        UNION ALL
+        SELECT p_b AS part, p_a AS partner, n FROM pp
+    )
+    SELECT part, partner, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT part, partner, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY part ORDER BY n DESC, partner
+               ) AS rank
+        FROM sym
+    )
+    WHERE rank <= 3
+    """,
+    doc="co-purchase top-3 partners per part (basket self-join co-located "
+    "on the order key, symmetric pair counts, WindowGroupLimit rank) — "
+    "the collaborative-filtering co-occurrence statistic",
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p_b"))
+    pp = (
+        a.join(b, "k")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = pp.select(
+        F.col("p_a").alias("part"), F.col("p_b").alias("partner"), "n"
+    ).union(
+        pp.select(
+            F.col("p_b").alias("part"), F.col("p_a").alias("partner"), "n"
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.col("n").desc(), "partner")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "part",
+            "partner",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
