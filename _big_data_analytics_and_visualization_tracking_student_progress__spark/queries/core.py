@@ -3576,3 +3576,65 @@ def q_pyds_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         dsum(F.col("value"), 6).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Python UDTF (Spark 4 table function): one input row → N output
+# rows with a computed shape per row — the table-function leg that
+# completes the UDF surface matrix (scalar / grouped-agg / grouped-map /
+# map-iter / stateful / TABLE).  Arrow-batched (useArrow), class built
+# in a factory so cloudpickle ships it by value (same pattern as the
+# custom DataSource).  The semantics are deliberately SQL-expressible —
+# sentence split with per-sentence word counts — so the UDTF output is
+# fully oracle-checked, proving the extension point produces exactly
+# what the declarative twin would.
+# ---------------------------------------------------------------------------
+def _make_chunker_udtf():
+    class ChunkWords:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            ws = [w for w in text.split(" ") if w]
+            for i in range(0, len(ws), 10):
+                chunk = ws[i : i + 10]
+                yield (doc_id, i // 10, len(chunk), " ".join(chunk))
+
+    return ChunkWords
+
+
+@register(
+    "udtf_chunk_words",
+    """
+    SELECT doc_id,
+           CAST(u['i'] - 1 AS INT) AS chunk_idx,
+           CAST(len(u['c']) AS INT) AS n_words,
+           array_to_string(u['c'], ' ') AS chunk
+    FROM (
+        SELECT doc_id,
+               unnest([{'i': i, 'c': ws[(i - 1) * 10 + 1 : i * 10]}
+                       FOR i IN generate_series(1, (len(ws) + 9) // 10)]) AS u
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS ws
+              FROM documents)
+    )
+    """,
+    doc="Python UDTF (LATERAL table function, Arrow-batched): 10-word "
+    "document chunking, one doc row → N chunk rows — completes the "
+    "§2.9 UDF/UDAF/UDTF surface; fully oracle-checked against the "
+    "declarative unnest/slice twin",
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    fn = udtf(
+        _make_chunker_udtf(),
+        returnType="doc_id bigint, chunk_idx int, n_words int, chunk string",
+        useArrow=True,
+    )
+    spark.udtf.register("chunk_words", fn)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT s.* FROM __udtf_docs d, "
+        "LATERAL chunk_words(d.doc_id, d.text) s"
+    )

@@ -119,8 +119,8 @@ _PRIORITY_WINDOW = (
     "funnel_view_click_purchase",
     "scd2_user_state",
     "table_diff_audit",
-    # UDF surface + custom DataSource
-    "grouped_agg_udaf",
+    # UDF surface + custom DataSource + Python UDTF
+    "udtf_chunk_words",
     "pyds_synthetic_agg",
     # sketches
     "cms_heavy_users",
