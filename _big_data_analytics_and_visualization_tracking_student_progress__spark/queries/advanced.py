@@ -1015,3 +1015,56 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+# each row draws u ∈ (0,1] from the portable hash of its id and ranks
+# by key = u^(1/w); the top-k keys ARE a weight-proportional sample
+# without replacement.  Ranking by ln(u)/w (monotone in the key, one
+# less libm call) and quantizing to a 1e-9 fixed-point BIGINT makes the
+# order engine-portable.  u is EXACT: (hash+1)/2^60 — a dyadic
+# rational, bit-identical everywhere.  Map-side keys + TakeOrdered:
+# one pass, no shuffle of payloads, deterministic and replayable (the
+# property Bernoulli samplers lose the moment you need exactly k).
+# ---------------------------------------------------------------------------
+_WRS_K = 50
+
+
+@register(
+    "weighted_sample_topk",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               CAST(FLOOR(
+                   ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                           ::BIGINT + 1) / 1152921504606846976.0)
+                   / n_chars * 1e9 + 0.5) AS BIGINT) AS qk
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM keyed
+    ORDER BY qk DESC, doc_id
+    LIMIT {_WRS_K}
+    """,
+    doc="Efraimidis–Spirakis weighted sampling without replacement "
+    "(weight = n_chars, k = 50): exact dyadic-rational uniforms from "
+    "the portable id hash, ln(u)/w keys quantized to fixed point — "
+    "deterministic, replayable, exactly-k; fully oracle-checked",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (portable_hash64(F.col("doc_id").cast("string")) + F.lit(1)) / F.lit(
+        float(1 << 60)
+    )
+    qk = F.floor(F.log(u) / F.col("n_chars") * F.lit(1e9) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        docs.withColumn("qk", qk)
+        .orderBy(F.col("qk").desc(), "doc_id")
+        .limit(_WRS_K)
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("weight"))
+    )

@@ -401,3 +401,21 @@ class TestMomentStatistics:
                 1.0, abs(intercept)
             )
             assert 0.0 <= ols[flag].r2 <= 1.0
+
+
+class TestWeightedSampling:
+    def test_exactly_k_deterministic_and_weight_biased(self, spark):
+        df1 = _q("weighted_sample_topk")(spark, SF_SMALL).collect()
+        df2 = _q("weighted_sample_topk")(spark, SF_SMALL).collect()
+        assert [tuple(r) for r in df1] == [tuple(r) for r in df2]  # replayable
+        assert len(df1) == 50
+        # weight-proportional sampling overrepresents heavy docs: the
+        # sample's mean weight exceeds the corpus mean (306.3 vs 338.5
+        # observed — deterministic, so a fixed margin is safe to pin)
+        corpus_mean = (
+            load_table(spark, SF_SMALL, "documents")
+            .agg(F.avg("n_chars"))
+            .head()[0]
+        )
+        sample_mean = sum(r.weight for r in df1) / len(df1)
+        assert sample_mean > corpus_mean * 1.05
