@@ -101,7 +101,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ewd = edges.join(deg, "src")  # (src, dst, d) — reused every iteration
+    # loop-invariant: persist so each iteration joins the materialized
+    # edge+degree table instead of recomputing the distinct/union
+    # lineage (the in-memory analog of the production checkpoint)
+    ewd = edges.join(deg, "src").persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r")
     )
