@@ -1071,3 +1071,82 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WRS_K)
         .select("doc_id", F.col("n_chars").cast("bigint").alias("weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-drift monitoring: per-language KL-divergence terms between the
+# deterministic train and val splits — the standing data-quality check
+# that a hash split didn't skew the language mixture (and, run over
+# snapshots, that the corpus mixture isn't drifting).  Add-one-smoothed
+# probabilities are exact rational→double divisions; each term
+# p·(ln p − ln q) is emitted per language (no cross-language float
+# fold to order), quantized at the edge.  Two tiny aggregates over a
+# map-side split label — nothing here scales with corpus size except
+# the one counting pass.
+# ---------------------------------------------------------------------------
+@register(
+    "split_lang_drift",
+    """
+    WITH labeled AS (
+        SELECT lang,
+               CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 10000) < 8000
+                    THEN 'train'
+                    WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) % 10000) < 9000
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    c AS (
+        SELECT lang,
+               COUNT(*) FILTER (WHERE split = 'train') AS n_tr,
+               COUNT(*) FILTER (WHERE split = 'val') AS n_va
+        FROM labeled GROUP BY lang
+    ),
+    t AS (SELECT SUM(n_tr) AS tot_tr, SUM(n_va) AS tot_va,
+                 COUNT(*) AS n_langs FROM c)
+    SELECT c.lang,
+           FLOOR(((c.n_tr + 1) / CAST(t.tot_tr + t.n_langs AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS p_train,
+           FLOOR(((c.n_va + 1) / CAST(t.tot_va + t.n_langs AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS p_val,
+           FLOOR(((c.n_tr + 1) / CAST(t.tot_tr + t.n_langs AS DOUBLE))
+                 * (ln((c.n_tr + 1) / CAST(t.tot_tr + t.n_langs AS DOUBLE))
+                    - ln((c.n_va + 1) / CAST(t.tot_va + t.n_langs AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9 AS kl_term
+    FROM c CROSS JOIN t
+    """,
+    doc="per-language KL-divergence terms between the deterministic "
+    "train and val hash splits (add-one smoothing) — split/mixture "
+    "drift monitoring for LLM data curation, fully oracle-checked",
+)
+def q_split_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    labeled = SA.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    c = labeled.groupBy("lang").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_tr"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_va"),
+    )
+    t = c.agg(
+        F.sum("n_tr").alias("tot_tr"),
+        F.sum("n_va").alias("tot_va"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    p = (F.col("n_tr") + F.lit(1)) / (F.col("tot_tr") + F.col("n_langs")).cast(
+        "double"
+    )
+    q = (F.col("n_va") + F.lit(1)) / (F.col("tot_va") + F.col("n_langs")).cast(
+        "double"
+    )
+    return j.select(
+        "lang",
+        dround(p, 6).alias("p_train"),
+        dround(q, 6).alias("p_val"),
+        dround(p * (F.log(p) - F.log(q)), 9).alias("kl_term"),
+    )
