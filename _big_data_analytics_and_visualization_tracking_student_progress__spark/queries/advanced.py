@@ -1150,3 +1150,132 @@ def q_split_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(q, 6).alias("p_val"),
         dround(p * (F.log(p) - F.log(q)), 9).alias("kl_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment pairs: |A∩B| / |A| ≥ 0.9 with |A| ≤ |B| — the
+# "document A is quoted/embedded inside document B" detector, which
+# symmetric Jaccard misses entirely (a 50-word quote inside a 5000-word
+# page has Jaccard ≈ 0.01 but containment 1.0).  Block-bounded like the
+# other dedup ops (lang blocks here; IVF cells / LSH bands at corpus
+# scale — containment also admits prefix filtering on the SMALL side
+# only, since |A∩B| ≥ ⌈t·|A|⌉ bounds A's prefix).  Deduplication policy
+# downstream: drop A, keep the superset document.
+# ---------------------------------------------------------------------------
+@register(
+    "containment_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS toks
+        FROM documents
+    )
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / len(a.toks) AS containment
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+     AND (len(a.toks) < len(b.toks)
+          OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(a.toks) >= 0.9
+    """,
+    doc="asymmetric containment pairs (|A∩B|/|A| ≥ 0.9, small-into-big) "
+    "— quote/substring-level duplication that symmetric Jaccard "
+    "cannot see; block-bounded candidates, exact int/int containment",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks"),
+    )
+    a = docs.select(
+        F.col("lang"),
+        F.col("doc_id").alias("id_small"),
+        F.col("toks").alias("ta"),
+        F.size("toks").alias("na"),
+    )
+    b = docs.select(
+        F.col("lang"),
+        F.col("doc_id").alias("id_big"),
+        F.col("toks").alias("tb"),
+        F.size("toks").alias("nb"),
+    )
+    pairs = a.join(b, "lang").filter(
+        (F.col("id_small") != F.col("id_big"))
+        & (
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("id_small") < F.col("id_big")))
+        )
+    )
+    return pairs.select(
+        "id_small",
+        "id_big",
+        (
+            F.size(F.array_intersect("ta", "tb")).cast("double") / F.col("na")
+        ).alias("containment"),
+    ).filter(F.col("containment") >= F.lit(0.9))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (IVM) by delta algebra: for a
+# join-aggregate view V = γ(A ⋈ B), an insert batch (ΔA, ΔB) changes
+# the join by exactly ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — so the view is refreshed
+# by aggregating THREE delta-sized joins and merging partial sums with
+# the old per-group state, never rescanning A⋈B.  The registered query
+# computes the refreshed view THROUGH the delta algebra while the
+# oracle recomputes it from scratch — the hash match proves the
+# incremental refresh equals full recomputation (the Materialize /
+# DBSP correctness contract).  Partial aggregates ride as exact
+# DECIMALs, so merge order can't move the result.
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_join_delta",
+    """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           FLOOR(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,4))) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    doc="incremental view maintenance of a join-aggregate view: base "
+    "state + three delta-sized joins (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) merged via "
+    "exact-decimal partial sums; the full-recompute oracle certifies "
+    "incremental ≡ from-scratch",
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    # simulate an initial load + an insert batch arriving on BOTH sides
+    a1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    da = orders.filter(F.col("o_orderkey") % 2 == 1)
+    b1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    db = cust.filter(F.col("c_custkey") % 2 == 1)
+
+    def partial(o, c):
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("o_totalprice").cast("decimal(22,4)")).alias("ps"),
+            )
+        )
+
+    base = partial(a1, b1)  # the materialized view's stored state
+    deltas = partial(da, b1).union(partial(a1, db)).union(partial(da, db))
+    merged = base.union(deltas).groupBy("c_nationkey").agg(
+        F.sum("pn").cast("bigint").alias("n_orders"),
+        F.sum("ps").alias("s"),
+    )
+    return merged.select(
+        "c_nationkey",
+        "n_orders",
+        dround(F.col("s").cast("double"), 4).alias("revenue"),
+    )

@@ -81,12 +81,15 @@ def register(name: str, oracle: Oracle = None, doc: str = ""):
 # hll_distinct_users, rolling_10min_user_stats, range_join_buckets,
 # chunk_dedup_docs, cosine_topk, value_percentiles,
 # sql_revenue_by_nation, tfidf_top_terms, semantic_dedup_keep,
-# ann_lsh_topk, stream_tumbling_counts; swapped in the round-4
-# additions graph_pagerank_topk, event_transition_probs,
+# ann_lsh_topk, stream_tumbling_counts, topk_orders,
+# monthly_order_trend, grouped_agg_udaf, scd2_user_state,
+# dedup_minhash_portable, dedup_simhash_portable; swapped in the
+# round-4 additions graph_pagerank_topk, event_transition_probs,
 # doc_lm_logprob, embedding_pq_codes, ann_pq_adc_topk, ann_ivfpq_topk,
 # histogram_quantile_sketch, zorder_layout_stats, indexed_text_search,
-# bm25_search_topk, stream_index_maintenance) and the xxhash64
-# fast-path
+# bm25_search_topk, stream_index_maintenance, numeric_corr_matrix,
+# ols_price_vs_qty, udtf_chunk_words, jaccard_join_prefix_filter,
+# containment_pairs, ivm_join_delta) and the xxhash64 fast-path
 # dedup_minhash_lsh (not
 # externally verifiable; its portable twin dedup_minhash_portable holds
 # the green row).
@@ -117,7 +120,7 @@ _PRIORITY_WINDOW = (
     "event_transition_probs",
     "approx_distinct_and_quantiles",
     "funnel_view_click_purchase",
-    "scd2_user_state",
+    "ivm_join_delta",
     "table_diff_audit",
     # UDF surface + custom DataSource + Python UDTF
     "udtf_chunk_words",
@@ -126,8 +129,8 @@ _PRIORITY_WINDOW = (
     "cms_heavy_users",
     # LLM-pipeline north-star: dedup / similarity / curation / text
     "dedup_exact",
-    "dedup_minhash_portable",
     "jaccard_join_prefix_filter",
+    "containment_pairs",
     "dedup_cluster_labels",
     "ann_ivf_topk",
     "ann_knn_join",
