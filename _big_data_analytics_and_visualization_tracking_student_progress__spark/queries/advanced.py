@@ -1279,3 +1279,100 @@ def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         dround(F.col("s").cast("double"), 4).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: users are assigned arms by the deterministic
+# portable hash (the same stable-assignment property the samplers use —
+# a user keeps their arm across sessions and replays), conversion =
+# "user emitted a purchase event", and the readout is the two-prop
+# z-statistic.  Counts are exact integers; the z arithmetic is a fixed
+# IEEE expression quantized at the edge.  One events aggregate + one
+# tiny arm rollup — dashboard-cheap at any corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "ab_test_conversion",
+    """
+    WITH users AS (
+        SELECT user_id,
+               CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          ::BIGINT % 2) = 0 THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+        FROM users GROUP BY arm
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+               MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+               MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+               MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+        FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           FLOOR(ca / CAST(na AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_a,
+           FLOOR(cb / CAST(nb AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_b,
+           FLOOR((ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+                 / sqrt(((ca + cb) / CAST(na + nb AS DOUBLE))
+                        * (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / na + 1.0 / nb))
+                 * 1e6 + 0.5) / 1e6 AS z
+    FROM w
+    """,
+    doc="A/B experiment readout: deterministic hash-assigned arms "
+    "(stable across replays), per-arm conversion (= a high-value "
+    "purchase) rates, pooled two-proportion z-statistic — exact "
+    "counts, IEEE-pure edge math",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash64
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.pmod(portable_hash64(F.col("user_id").cast("string")), F.lit(2))
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+        "converted",
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
+    nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (pa - pb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return w.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        dround(pa, 6).alias("p_a"),
+        dround(pb, 6).alias("p_b"),
+        dround(z, 6).alias("z"),
+    )
