@@ -1376,3 +1376,71 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(pb, 6).alias("p_b"),
         dround(z, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty score: the share of a document's distinct word
+# 5-shingles that appear in NO other document — the memorization-risk /
+# boilerplate dual (novelty ≈ 0 ⇒ the doc is assembled from corpus-wide
+# n-grams; ≈ 1 ⇒ unique prose).  Counting rides on 64-bit portable
+# shingle hashes, so exchanges never carry shingle strings (the dedup
+# modules' no-text-shuffle discipline); the oracle hashes identically.
+# ---------------------------------------------------------------------------
+def _novelty_sql() -> str:
+    h64 = "CAST(('0x' || substr(md5({s}),1,15)) AS BIGINT)"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), sh_t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        || ' ' || t[i+3] || ' ' || t[i+4])) AS sh
+        FROM toks
+    ), g AS (
+        SELECT doc_id, {h64.format(s='unnest(sh)')} AS h
+        FROM sh_t WHERE len(sh) > 0
+    ), cnt AS (SELECT h, COUNT(*) AS df FROM g GROUP BY h),
+    per AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               COUNT(*) FILTER (WHERE cnt.df = 1) AS uniq
+        FROM g JOIN cnt USING (h) GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           FLOOR(uniq / CAST(n_grams AS DOUBLE) * 1e6 + 0.5) / 1e6 AS novelty
+    FROM per
+    """
+
+
+@register(
+    "doc_novelty_scores",
+    _novelty_sql(),
+    doc="per-document novelty: share of distinct word 5-shingles unique "
+    "to the document corpus-wide (memorization-risk / boilerplate "
+    "signal) — 64-bit hashed shingles only in the exchanges",
+)
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_hash64, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 5).alias("sh")
+    ).filter(F.size("sh") > 0)
+    g = sh.select("doc_id", F.explode(F.col("sh")).alias("s")).select(
+        "doc_id", portable_hash64(F.col("s")).alias("h")
+    )
+    cnt = g.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per = g.join(cnt, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("df") == 1, 1)).alias("uniq"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        dround(F.col("uniq") / F.col("n_grams").cast("double"), 6).alias(
+            "novelty"
+        ),
+    )
