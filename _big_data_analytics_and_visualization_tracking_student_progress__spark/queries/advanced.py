@@ -1444,3 +1444,114 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM scoring — the KenLM-shaped upgrade of
+# doc_lm_logprob: p(w|prev) = 0.75·c(prev,w)/c(prev) + 0.25·c(w)/N,
+# mean per-token log-prob per document.  Same fixed-point discipline
+# (per-token lp quantized to a 1e-4 BIGINT before the order-free sum;
+# ln evaluated at identically-computed rationals).  Corpus model =
+# two count aggregates; scoring = three equi-joins on token keys
+# (hash-partitionable; ride-as-hash at 100 TB as in doc_novelty).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_bigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks)
+        GROUP BY w
+    ),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+        SELECT doc_id,
+               unnest([{'p': t[i-1], 'w': t[i]}
+                       FOR i IN generate_series(2, len(t))]) AS u
+        FROM toks
+    ),
+    bc AS (
+        SELECT u['p'] AS p, u['w'] AS w, COUNT(*) AS c2 FROM big
+        GROUP BY u['p'], u['w']
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(FLOOR(ln(0.75 * bc.c2 / CAST(c1.c AS DOUBLE)
+                             + 0.25 * cw.c / CAST(tot.n AS DOUBLE))
+                          * 10000.0 + 0.5) AS BIGINT) AS lp
+        FROM big b
+        JOIN bc ON bc.p = b.u['p'] AND bc.w = b.u['w']
+        JOIN uni c1 ON c1.w = b.u['p']
+        JOIN uni cw ON cw.w = b.u['w']
+        CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           FLOOR(slp / (n_bigrams * 10000.0) * 1e6 + 0.5) / 1e6
+               AS avg_logprob
+    FROM agg
+    """,
+    doc="interpolated bigram-LM mean log-probability per document "
+    "(0.75·bigram MLE + 0.25·unigram backoff) — the KenLM-shaped "
+    "quality filter; fixed-point per-token quantization keeps the "
+    "fold exact and order-free",
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "w"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.withColumn("p", F.lag("w").over(wd)).filter(
+        F.col("p").isNotNull()
+    )
+    bc = big.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = uni.select(F.col("w").alias("p"), F.col("c").alias("cp"))
+    cw = uni.select("w", F.col("c").alias("cw"))
+    scored = (
+        big.join(bc, ["p", "w"])
+        .join(c1, "p")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    F.lit(0.75) * F.col("c2") / F.col("cp").cast("double")
+                    + F.lit(0.25) * F.col("cw") / F.col("n").cast("double")
+                )
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("slp")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        dround(
+            F.col("slp") / (F.col("n_bigrams") * F.lit(10000.0)), 6
+        ).alias("avg_logprob"),
+    )
