@@ -1555,3 +1555,60 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("slp") / (F.col("n_bigrams") * F.lit(10000.0)), 6
         ).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front) over (o_totalprice ↑, order recency ↑): orders
+# not dominated by any other on both axes.  O(n log n) sort-scan form:
+# in (price DESC, day DESC, key) order an order is dominated iff the
+# running max of day over STRICTLY-PRECEDING rows reaches its own day
+# (preceding ⇒ price ≥, and an equal-(price,day) tie keeps only its
+# first key — the "distinct skyline" convention, mirrored exactly in
+# SQL).  The single global window is the verification-scale form; at
+# 100 TB skyline is distributive — per-bucket local skylines then a
+# final pass over the (tiny) survivor union — same expression, one
+# extra groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "pareto_front_orders",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        FROM orders
+    ),
+    m AS (
+        SELECT o_orderkey, o_totalprice, day,
+               MAX(day) OVER (
+                   ORDER BY o_totalprice DESC, day DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prevmax
+        FROM o
+    )
+    SELECT o_orderkey, o_totalprice, day
+    FROM m WHERE prevmax IS NULL OR prevmax < day
+    """,
+    doc="skyline / Pareto front over (price, recency): sort-scan cummax "
+    "formulation, O(n log n), distinct-skyline tie convention — "
+    "distributive to per-bucket local skylines + survivor merge at "
+    "scale; fully oracle-checked",
+)
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    )
+    w = (
+        Window.orderBy(
+            F.col("o_totalprice").desc(), F.col("day").desc(), "o_orderkey"
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = o.withColumn("prevmax", F.max("day").over(w))
+    return m.filter(
+        F.col("prevmax").isNull() | (F.col("prevmax") < F.col("day"))
+    ).select("o_orderkey", "o_totalprice", "day")

@@ -419,3 +419,33 @@ class TestWeightedSampling:
         )
         sample_mean = sum(r.weight for r in df1) / len(df1)
         assert sample_mean > corpus_mean * 1.05
+
+
+class TestParetoSkyline:
+    def test_skyline_matches_brute_force_dominance(self, spark):
+        o = [
+            (r.o_orderkey, r.o_totalprice, r.day)
+            for r in load_table(spark, SF_SMALL, "orders")
+            .select(
+                "o_orderkey",
+                "o_totalprice",
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+                )
+                .cast("long")
+                .alias("day"),
+            )
+            .collect()
+        ]
+        got = {r.o_orderkey for r in _q("pareto_front_orders")(spark, SF_SMALL).collect()}
+
+        def dominated(k, p, d):
+            return any(
+                ((p2 >= p and d2 > d) or (p2 > p and d2 >= d))
+                or (p2 == p and d2 == d and k2 < k)  # distinct-skyline ties
+                for k2, p2, d2 in o
+                if k2 != k
+            )
+
+        want = {k for k, p, d in o if not dominated(k, p, d)}
+        assert got == want
