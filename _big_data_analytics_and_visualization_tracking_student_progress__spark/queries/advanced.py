@@ -1612,3 +1612,61 @@ def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.filter(
         F.col("prevmax").isNull() | (F.col("prevmax") < F.col("day"))
     ).select("o_orderkey", "o_totalprice", "day")
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency: per user, seconds from FIRST view to FIRST
+# subsequent purchase (users who never convert are excluded by the
+# strict > join), summarized as exact p50/p90 over converting users —
+# the time-to-convert funnel metric next to funnel_view_click_purchase's
+# step counts.  Two thin per-user aggregates + one exact percentile;
+# latencies are exact integer nanosecond differences scaled to seconds.
+# ---------------------------------------------------------------------------
+@register(
+    "conversion_latency_percentiles",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_buy
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > v.t_view
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT p.user_id, (p.t_buy - v.t_view) / 1e9 AS sec
+        FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           FLOOR(quantile_cont(sec, 0.5) * 1e6 + 0.5) / 1e6 AS p50_sec,
+           FLOOR(quantile_cont(sec, 0.9) * 1e6 + 0.5) / 1e6 AS p90_sec
+    FROM lat
+    """,
+    doc="time-to-convert funnel metric: per-user first-view → first-"
+    "subsequent-purchase latency, exact p50/p90 over converting users "
+    "(exact integer ns diffs scaled to seconds)",
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_nanos"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_nanos").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_nanos") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_nanos").alias("t_buy"), F.first("t_view").alias("tv"))
+    )
+    lat = p.select(((F.col("t_buy") - F.col("tv")) / F.lit(1e9)).alias("sec"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        dround(F.percentile(F.col("sec"), F.lit(0.5)), 6).alias("p50_sec"),
+        dround(F.percentile(F.col("sec"), F.lit(0.9)), 6).alias("p90_sec"),
+    )
