@@ -1670,3 +1670,78 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.percentile(F.col("sec"), F.lit(0.5)), 6).alias("p50_sec"),
         dround(F.percentile(F.col("sec"), F.lit(0.9)), 6).alias("p90_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — recency (days since last order),
+# frequency (order count), monetary (exact-decimal revenue) per
+# customer, each scored into quintiles by NTILE over a fully
+# deterministic (metric, custkey) order, concatenated into the classic
+# 3-digit RFM cell.  One orders aggregate + three rank windows; the
+# downstream "champions / at-risk" tiers are just predicates over the
+# cell.  Quintile edges follow NTILE's floor-division split, identical
+# on both engines given the pinned tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_customer_segments",
+    """
+    WITH m AS (
+        SELECT o_custkey,
+               MAX(CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT))
+                   AS last_day,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(22,4))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT o_custkey, last_day, freq, monetary,
+               NTILE(5) OVER (ORDER BY last_day DESC, o_custkey) AS r,
+               NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS mo
+        FROM m
+    )
+    SELECT o_custkey, CAST(freq AS BIGINT) AS freq,
+           FLOOR(monetary * 100.0 + 0.5) / 100.0 AS monetary,
+           CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(mo AS INT) AS m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(mo AS VARCHAR)
+               AS rfm_cell
+    FROM s
+    """,
+    doc="RFM segmentation: per-customer recency/frequency/monetary "
+    "quintiles (NTILE with pinned tiebreaks, exact-decimal revenue) "
+    "concatenated into the classic RFM cell — the marketing-analytics "
+    "segmentation staple",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("last_day").desc(), "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+    mo = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+    s = m.select(
+        "o_custkey",
+        F.col("freq").cast("bigint").alias("freq"),
+        dround(F.col("monetary"), 2).alias("monetary"),
+        r.cast("int").alias("r"),
+        f.cast("int").alias("f"),
+        mo.cast("int").alias("m"),
+    )
+    return s.withColumn(
+        "rfm_cell",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
