@@ -93,6 +93,12 @@ def register(name: str, oracle: Oracle = None, doc: str = ""):
 # dedup_minhash_lsh (not
 # externally verifiable; its portable twin dedup_minhash_portable holds
 # the green row).
+# Round-5 rotation candidates (registered + in-repo-oracle-green this
+# round, never driver-checked): doc_novelty_scores, doc_bigram_logprob,
+# split_lang_drift, ab_test_conversion, pareto_front_orders,
+# copurchase_topk, conversion_latency_percentiles,
+# rfm_customer_segments, weighted_sample_topk, dedup_jaccard_pairs —
+# swap out whichever round-4 names come back green.
 _PRIORITY_WINDOW = (
     # flagship + relational representatives
     "flagship_progress",
