@@ -166,3 +166,80 @@ def bm25_search(
             (F.col("s") / F.lit(10000.0)).alias("bm25"),
         )
     )
+
+
+def build_positional_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Positional postings (term, doc_id, tf, positions) — the layout
+    phrase and proximity queries need.  Positions are 1-based indices
+    into the non-empty token sequence, sorted ascending, stored as an
+    int array per posting (the Lucene position-list shape).  Same
+    term-hash bucket partitioning as the plain index."""
+    nonempty = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(nonempty).alias("pos0", "term"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "term")
+    postings = (
+        toks.groupBy("term", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.array_sort(F.collect_list(F.col("pos").cast("int"))).alias(
+                "positions"
+            ),
+        )
+        .withColumn("__b", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)))
+    )
+    (
+        postings.repartition(F.col("__b"))
+        .write.mode(mode)
+        .partitionBy("__b")
+        .parquet(path)
+    )
+
+
+def phrase_search(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Exact phrase match from positional postings: read only the
+    phrase terms' buckets, join the terms' postings per doc, and count
+    adjacency chains — term i+1's position list intersected with term
+    i's positions shifted by one.  Per-query cost is O(postings of the
+    phrase terms); the corpus text is never touched."""
+    buckets = sorted({_portable_hash_py(t) % n_buckets for t in phrase})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("__b").isin(buckets))
+        .filter(F.col("term").isin(phrase))
+    )
+    joined = None
+    for i, t in enumerate(phrase):
+        side = postings.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias(f"p{i}")
+        )
+        joined = side if joined is None else joined.join(side, id_col)
+    # chain positions: start positions whose +1, +2, ... all match
+    chain = F.col("p0")
+    for i in range(1, len(phrase)):
+        chain = F.array_intersect(
+            F.transform(chain, lambda x: x + i),  # noqa: B023
+            F.col(f"p{i}"),
+        )
+        chain = F.transform(chain, lambda x, i=i: x - i)
+    scored = joined.select(
+        id_col, F.size(chain).cast("int").alias("n_matches")
+    ).filter(F.col("n_matches") > 0)
+    return scored.orderBy(
+        F.col("n_matches").desc(), F.col(id_col)
+    ).limit(k)

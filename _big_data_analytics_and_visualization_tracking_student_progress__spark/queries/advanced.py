@@ -1745,3 +1745,74 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").cast("string"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral bot detection: the coefficient of variation of a user's
+# inter-event gaps.  Human activity is bursty (CV ≳ 1); schedulers and
+# scripts fire at near-constant intervals (CV → 0).  Gaps are exact
+# integer seconds (ns diff, floor-divided), so Σx and Σx² are exact
+# BIGINTs and the single-pass variance (n·Σx² − (Σx)²)/n² is
+# bit-reproducible to the double edge — the numeric_corr_matrix moment
+# discipline applied to behavioral features.  One user-window shuffle +
+# one per-user aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "bot_score_users",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               (LEAD(epoch_ns(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                ) - epoch_ns(ts)) // 1000000000 AS gap_s
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, COUNT(*) AS n, SUM(gap_s) AS sx,
+               SUM(gap_s * gap_s) AS sxx
+        FROM seq WHERE gap_s IS NOT NULL GROUP BY user_id
+        HAVING COUNT(*) >= 5 AND SUM(gap_s) > 0
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           FLOOR(sx / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+           FLOOR(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n))
+                 / (sx / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cv,
+           (sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n))
+            / (sx / CAST(n AS DOUBLE))) < 0.3 AS bot_flag
+    FROM g
+    """,
+    doc="behavioral bot detection: coefficient of variation of per-user "
+    "inter-event gaps (exact integer-second moments, single-pass "
+    "variance) — near-constant cadence flags automation",
+)
+def q_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_nanos", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_nanos", "event_id")
+    seq = e.select(
+        "user_id",
+        F.expr(
+            "(lead(ts_nanos) over (partition by user_id "
+            "order by ts_nanos, event_id) - ts_nanos) div 1000000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    g = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").alias("sx"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sxx"),
+        )
+        .filter((F.col("n") >= 5) & (F.col("sx") > 0))
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx / n.cast("double")
+    sd = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n))
+    return g.select(
+        "user_id",
+        n.cast("bigint").alias("n_gaps"),
+        dround(mean, 6).alias("mean_gap_s"),
+        dround(sd / mean, 6).alias("cv"),
+        ((sd / mean) < F.lit(0.3)).alias("bot_flag"),
+    )

@@ -1962,3 +1962,43 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(SA.sample_bucket(F.col("doc_id")) < F.col("keep_buckets"))
         .select("doc_id", "lang")
     )
+
+
+_PHRASE = ["part", "filter"]
+
+
+@register(
+    "phrase_search_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(generate_series(1, len(t) - 1),
+                    i -> t[i] = '{_PHRASE[0]}'
+                         AND t[i+1] = '{_PHRASE[1]}')) AS INT) AS n_matches
+        FROM toks
+    )
+    SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+    ORDER BY n_matches DESC, doc_id
+    LIMIT 10
+    """,
+    doc="exact phrase search served from the POSITIONAL inverted index "
+    "(Lucene position-list shape): adjacency chains via shifted "
+    "position-list intersections over bucket-pruned postings — the "
+    "corpus text is never touched at query time; oracle = brute-force "
+    "adjacency count over the documents",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.textindex import build_positional_index, phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sparkgraft_pidx_")
+    build_positional_index(docs, path)
+    return phrase_search(spark, path, _PHRASE, k=10)
