@@ -449,3 +449,27 @@ class TestParetoSkyline:
 
         want = {k for k, p, d in o if not dominated(k, p, d)}
         assert got == want
+
+
+class TestPhraseSearch:
+    def test_positional_pruning_and_planted_phrase(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (
+            build_positional_index,
+            phrase_search,
+        )
+
+        rows = [(1, "alpha beta gamma alpha beta"), (2, "beta alpha"),
+                (3, "alpha gamma beta"), (4, "alpha beta")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path / "pidx")
+        build_positional_index(docs, path)
+        got = {(r.doc_id, r.n_matches)
+               for r in phrase_search(spark, path, ["alpha", "beta"], k=10).collect()}
+        # doc 1 has the phrase twice; doc 4 once; docs 2/3 have both
+        # terms but never adjacent in order
+        assert got == {(1, 2), (4, 1)}
+        plan = _plan(phrase_search(spark, path, ["alpha", "beta"], k=10))
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "__b" in pf.group(1)
