@@ -243,3 +243,47 @@ def phrase_search(
     return scored.orderBy(
         F.col("n_matches").desc(), F.col(id_col)
     ).limit(k)
+
+
+def proximity_search(
+    spark: SparkSession,
+    path: str,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Unordered proximity query over the positional index: count
+    positions of `term_a` that have `term_b` within ±`slop` positions.
+    Same bucket-pruned read as `phrase_search`; the per-doc count is a
+    nested array expression over the two (small) position lists."""
+    buckets = sorted(
+        {_portable_hash_py(t) % n_buckets for t in (term_a, term_b)}
+    )
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("__b").isin(buckets))
+        .filter(F.col("term").isin([term_a, term_b]))
+    )
+    a = postings.filter(F.col("term") == term_a).select(
+        F.col(id_col), F.col("positions").alias("pa")
+    )
+    b = postings.filter(F.col("term") == term_b).select(
+        F.col(id_col), F.col("positions").alias("pb")
+    )
+    joined = a.join(b, id_col)
+    near = F.size(
+        F.filter(
+            F.col("pa"),
+            lambda i: F.exists(
+                F.col("pb"),
+                lambda j: (F.abs(j - i) <= F.lit(slop)) & (j != i),
+            ),
+        )
+    )
+    scored = joined.select(
+        id_col, near.cast("int").alias("n_matches")
+    ).filter(F.col("n_matches") > 0)
+    return scored.orderBy(F.col("n_matches").desc(), F.col(id_col)).limit(k)

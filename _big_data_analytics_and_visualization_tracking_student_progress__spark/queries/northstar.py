@@ -2002,3 +2002,42 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="sparkgraft_pidx_")
     build_positional_index(docs, path)
     return phrase_search(spark, path, _PHRASE, k=10)
+
+
+@register(
+    "proximity_search_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(generate_series(1, len(t)),
+                    i -> t[i] = '{_PHRASE[0]}'
+                         AND len(list_filter(generate_series(1, len(t)),
+                             j -> t[j] = '{_PHRASE[1]}'
+                                  AND abs(j - i) <= 3 AND j <> i)) > 0))
+                    AS INT) AS n_matches
+        FROM toks
+    )
+    SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+    ORDER BY n_matches DESC, doc_id
+    LIMIT 10
+    """,
+    doc="proximity (slop ≤ 3, unordered) search from the positional "
+    "index: counts occurrences of the first term with the second "
+    "within 3 positions — the Lucene slop-query analog completing the "
+    "match / BM25 / phrase / proximity search family",
+)
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.textindex import build_positional_index, proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sparkgraft_pxidx_")
+    build_positional_index(docs, path)
+    return proximity_search(spark, path, _PHRASE[0], _PHRASE[1], slop=3, k=10)
