@@ -1816,3 +1816,130 @@ def q_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(sd / mean, 6).alias("cv"),
         ((sd / mean) < F.lit(0.3)).alias("bot_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily event-count series:
+# cusum_t = max(0, cusum_{t-1} + (x_t − μ)) with alarm at 2σ — a TRUE
+# recurrence (not window-expressible), folded sequentially over the
+# day-ordered series.  The state is bounded by the TIMELINE length
+# (days), never the corpus: the per-day counts are a full map-side
+# aggregate first, and only that tiny series is collected into the
+# fold.  μ and σ come from exact integer moments; the Spark
+# array-aggregate fold and the DuckDB recursive CTE execute the
+# identical IEEE sequence, so the recurrence is hash-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_daily_events",
+    """
+    WITH RECURSIVE d AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d
+    ),
+    st AS (
+        SELECT COUNT(*) AS cnt, SUM(n) AS s, SUM(n * n) AS ss FROM d
+    ),
+    c AS (
+        SELECT i, day, n,
+               GREATEST(0.0, n - (SELECT s / CAST(cnt AS DOUBLE) FROM st))
+                   AS cu
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT idx.i, idx.day, idx.n,
+               GREATEST(0.0, c.cu + (idx.n
+                   - (SELECT s / CAST(cnt AS DOUBLE) FROM st)))
+        FROM c JOIN idx ON idx.i = c.i + 1
+    )
+    SELECT c.day, CAST(c.n AS BIGINT) AS n,
+           FLOOR(c.cu * 1e6 + 0.5) / 1e6 AS cusum,
+           c.cu > 2.0 * sqrt((st.cnt * st.ss - st.s * st.s)
+                             / (CAST(st.cnt AS DOUBLE) * st.cnt)) AS alarm
+    FROM c CROSS JOIN st
+    """,
+    doc="CUSUM change-point detection over daily event counts: "
+    "sequential max(0, prev + deviation) recurrence folded over the "
+    "day-ordered series (state bounded by timeline length, not corpus "
+    "size), 2σ alarm from exact integer moments — recursive-CTE oracle "
+    "replays the identical IEEE sequence",
+)
+def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day")
+    )
+    d = e.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    st = d.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    j = d.crossJoin(F.broadcast(st))
+    mean = F.col("s") / F.col("cnt").cast("double")
+    sd = F.sqrt(
+        (F.col("cnt") * F.col("ss") - F.col("s") * F.col("s"))
+        / (F.col("cnt").cast("double") * F.col("cnt"))
+    )
+    # fold the day-ordered (day, n) series: accumulator carries the
+    # running cusum plus the emitted rows
+    series = j.groupBy("cnt", "s", "ss").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
+    ).select(
+        F.col("cnt"),
+        F.col("s"),
+        F.col("ss"),
+        F.aggregate(
+            F.col("xs"),
+            F.struct(
+                F.lit(0.0).alias("cu"),
+                F.array().cast(
+                    "array<struct<day:long,n:long,cu:double>>"
+                ).alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(
+                    F.lit(0.0),
+                    acc["cu"]
+                    + (
+                        x["n"]
+                        - F.col("s") / F.col("cnt").cast("double")
+                    ),
+                ).alias("cu"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["day"].alias("day"),
+                            x["n"].alias("n"),
+                            F.greatest(
+                                F.lit(0.0),
+                                acc["cu"]
+                                + (
+                                    x["n"]
+                                    - F.col("s")
+                                    / F.col("cnt").cast("double")
+                                ),
+                            ).alias("cu"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+        )["out"].alias("out"),
+    )
+    rows = series.select(
+        "cnt", "s", "ss", F.explode("out").alias("r")
+    )
+    sd2 = F.sqrt(
+        (F.col("cnt") * F.col("ss") - F.col("s") * F.col("s"))
+        / (F.col("cnt").cast("double") * F.col("cnt"))
+    )
+    return rows.select(
+        F.col("r.day").alias("day"),
+        F.col("r.n").cast("bigint").alias("n"),
+        dround(F.col("r.cu"), 6).alias("cusum"),
+        (F.col("r.cu") > F.lit(2.0) * sd2).alias("alarm"),
+    )
