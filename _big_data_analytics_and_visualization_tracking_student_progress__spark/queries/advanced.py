@@ -1,18 +1,27 @@
-"""Advanced analytics round-4 additions: iterative graph ranking,
-Markov sequence analysis, unigram-LM corpus quality scoring, and
-product-quantization ANN — each fully DuckDB-oracle-checked.
+"""Advanced analytics (round-4 additions) — every query fully
+DuckDB-oracle-checked:
 
-Determinism notes (the patterns this registry standardizes on):
-- PageRank runs in integer micro-units with floor division on both
-  engines — no float accumulation anywhere, so partition order can
-  never move a rank.
-- LM log-probabilities are quantized per token to a 1e-4 fixed-point
-  BIGINT before summation (exact, order-free), divided out only at the
-  edge.
-- PQ codebooks are trained by the shared `_lloyd` over the portable
-  md5-hash-ordered sample (`train_pq_codebooks_portable` ⇔
-  `train_pq_codebooks_rows`), so Spark and the oracle embed
-  bit-identical literal codebooks / ADC tables.
+- iterative graph ranking (integer fixed-point PageRank)
+- sequence analysis (Markov transitions, conversion latency, CUSUM
+  change-point recurrence, behavioral bot scoring)
+- LM corpus quality scoring (unigram + interpolated bigram, fixed-point
+  folds), n-gram novelty, split-mixture KL drift
+- product quantization (codes, ADC top-k, IVF-PQ composition)
+- mergeable grid-histogram quantile sketch, exact-moment statistics
+  (correlation matrix, closed-form OLS), A/B z-readout, RFM segments
+- exact set-similarity joins (prefix-filter all-pairs, asymmetric
+  containment), co-purchase top-k, skyline/Pareto front
+- Z-order layout zone maps, delta-algebra incremental view maintenance,
+  Efraimidis–Spirakis weighted sampling
+
+Determinism patterns this registry standardizes on:
+- integer/fixed-point arithmetic wherever a fold crosses rows (PageRank
+  micro-units, 1e-4 LM quantization, CUSUM's shared IEEE sequence), so
+  partition order can never move a result;
+- exact DECIMAL moment sums for statistics;
+- sample-trained quantizers via the shared `_lloyd` over the portable
+  md5-hash-ordered sample, so Spark and the oracle embed bit-identical
+  literal codebooks / centroids / ADC tables.
 """
 
 from __future__ import annotations
