@@ -1952,3 +1952,95 @@ def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("r.cu"), 6).alias("cusum"),
         (F.col("r.cu") > F.lit(2.0) * sd2).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction by pointwise mutual information: PMI(a,b) =
+# ln(c(a,b)·N / (c(a)·c(b))) over adjacent word pairs with a minimum
+# pair count — the corpus-linguistics statistic behind multi-word-
+# expression detection and tokenizer-merge candidates (the same
+# count ratio BPE maximizes).  Counts are exact integers; PMI is one
+# ln at a rational point quantized at the edge.  Top-20 by (PMI, pair).
+# ---------------------------------------------------------------------------
+@register(
+    "pmi_collocations_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks)
+        GROUP BY w
+    ),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+        SELECT u['p'] AS a, u['w'] AS b, COUNT(*) AS c2
+        FROM (
+            SELECT unnest([{'p': t[i-1], 'w': t[i]}
+                           FOR i IN generate_series(2, len(t))]) AS u
+            FROM toks
+        ) GROUP BY u['p'], u['w']
+        HAVING COUNT(*) >= 5
+    )
+    SELECT big.a, big.b, CAST(big.c2 AS BIGINT) AS n_pair,
+           FLOOR(ln(big.c2 * CAST(tot.n AS DOUBLE)
+                    / (ca.c * CAST(cb.c AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS pmi
+    FROM big
+    JOIN uni ca ON ca.w = big.a
+    JOIN uni cb ON cb.w = big.b
+    CROSS JOIN tot
+    ORDER BY pmi DESC, big.a, big.b
+    LIMIT 20
+    """,
+    doc="PMI collocations: top-20 adjacent word pairs by pointwise "
+    "mutual information (min pair count 5) — multi-word-expression / "
+    "BPE-merge-candidate detection from exact integer counts",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "w"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("a", F.lag("w").over(wd))
+        .filter(F.col("a").isNotNull())
+        .groupBy("a", F.col("w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    ca = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        big.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("c2").cast("bigint").alias("n_pair"),
+            dround(
+                F.log(
+                    F.col("c2")
+                    * F.col("n").cast("double")
+                    / (F.col("ca") * F.col("cb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(20)
