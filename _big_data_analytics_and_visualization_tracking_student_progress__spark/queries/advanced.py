@@ -2044,3 +2044,118 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer phrase-merge training (word2phrase / word-level-BPE): three
+# greedy merge steps, each taking the corpus-wide most frequent
+# adjacent token pair and fusing it into one token before the next
+# count — the iterative vocabulary-construction loop behind phrase
+# embeddings and (at character level) BPE tokenizers.  FULLY
+# DECLARATIVE: each step's winning rule is a one-row aggregate
+# broadcast back into a left-to-right all-occurrence string replace
+# (' a b ' → ' a_b '), so no driver collect touches data and both
+# engines replay the identical greedy sequence.  Emits the learned
+# merge table (step, left, right, n_pair).
+# ---------------------------------------------------------------------------
+_BPE_STEPS = 3
+
+
+def _bpe_oracle_sql() -> str:
+    toks = (
+        "' ' || array_to_string(list_filter("
+        "string_split_regex(lower(text), '\\s+'), w -> w <> ''), ' ') || ' '"
+    )
+    parts = [
+        f"""
+    s1 AS (SELECT doc_id, {toks} AS s FROM documents WHERE text IS NOT NULL)"""
+    ]
+    for i in range(1, _BPE_STEPS + 1):
+        parts.append(f"""
+    p{i} AS (
+        SELECT t[j] AS l, t[j+1] AS r, COUNT(*) AS c
+        FROM (SELECT string_split(trim(s), ' ') AS t FROM s{i}),
+             LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j)
+        GROUP BY t[j], t[j+1]
+    ),
+    r{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)""")
+        if i < _BPE_STEPS:
+            parts.append(f"""
+    s{i + 1} AS (
+        SELECT doc_id,
+               replace(s, ' ' || r{i}.l || ' ' || r{i}.r || ' ',
+                       ' ' || r{i}.l || '_' || r{i}.r || ' ') AS s
+        FROM s{i} CROSS JOIN r{i}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_tok, r AS right_tok, "
+        f"CAST(c AS BIGINT) AS n_pair FROM r{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    return "WITH " + ",".join(parts) + " " + selects
+
+
+@register(
+    "bpe_phrase_merges",
+    _bpe_oracle_sql(),
+    doc="word2phrase/BPE-style greedy merge training: 3 steps of "
+    "most-frequent-adjacent-pair fusion, each rule a one-row broadcast "
+    "applied as a left-to-right string replace — the iterative "
+    "vocabulary-construction loop, fully declarative (zero driver "
+    "collects) and oracle-checked step for step",
+)
+def q_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    s = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                ),
+            ),
+            F.lit(" "),
+        ).alias("s"),
+    )
+    outs = []
+    for step in range(1, _BPE_STEPS + 1):
+        t = F.split(F.trim(F.col("s")), " ")
+        pairs = s.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1).alias("l"),
+                    F.slice(t, 2, F.size(t) - 1).alias("r"),
+                )
+            ).alias("p")
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        rule = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+        )
+        outs.append(
+            rule.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("left_tok"),
+                F.col("r").alias("right_tok"),
+                F.col("c").cast("bigint").alias("n_pair"),
+            )
+        )
+        if step < _BPE_STEPS:
+            s = s.crossJoin(F.broadcast(rule)).select(
+                "doc_id",
+                F.expr(
+                    "replace(s, ' ' || l || ' ' || r || ' ', "
+                    "' ' || l || '_' || r || ' ')"
+                ).alias("s"),
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
