@@ -185,3 +185,35 @@ def zorder_pruned_read(
         )
         .drop("__zp")
     )
+
+
+def quantile_bounds(
+    df: DataFrame,
+    col: str,
+    bits: int = 8,
+    sample_size: int = 4096,
+) -> list[float]:
+    """Skew-robust bucketization boundaries: 2^bits − 1 sample
+    quantiles (type-1/inverse-CDF over a deterministic portable-hash
+    sample) collected driver-side as layout-time constants.  On skewed
+    data the equal-width grid collapses most rows into a few buckets —
+    these boundaries give ~equal-population buckets, so every z-cell
+    holds a comparable row count (balanced files)."""
+    from .dedup import portable_hash64
+
+    rows = (
+        df.select(F.col(col).cast("double").alias("__v"))
+        .orderBy(portable_hash64(F.col(col).cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    vals = sorted(r["__v"] for r in rows)
+    n, k = len(vals), (1 << bits) - 1
+    return [vals[min(n - 1, max(0, (n * q) // (k + 1)))] for q in range(1, k + 1)]
+
+
+def quantile_bucket(v: Column, bounds: list[float]) -> Column:
+    """Map-side bucket = number of boundaries ≤ v (a literal-array
+    scan — no join, no shuffle; the searchsorted analog)."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(F.filter(arr, lambda b: b <= v.cast("double"))).cast("long")

@@ -2159,3 +2159,92 @@ def q_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Class-based TF-IDF (the BERTopic c-TF-IDF formula): W(t,c) =
+# tf_{t,c} · ln(1 + A / f_t), where A is the average token count per
+# class and f_t the corpus frequency of t — the topic/cluster LABELING
+# statistic (top terms that characterize a class against the corpus).
+# Classes here are languages; over IVF cells it labels embedding
+# clusters.  Counts are exact integers, ln at one rational point per
+# term, top-5 per class with pinned tiebreaks.
+# ---------------------------------------------------------------------------
+@register(
+    "ctfidf_terms_by_lang",
+    """
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tfc AS (SELECT lang, w, COUNT(*) AS tf FROM toks GROUP BY lang, w),
+    ft AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),
+    a AS (SELECT COUNT(*) / CAST((SELECT COUNT(DISTINCT lang) FROM toks)
+                                 AS DOUBLE) AS avg_class FROM toks),
+    scored AS (
+        SELECT tfc.lang, tfc.w,
+               FLOOR(tfc.tf * ln(1.0 + a.avg_class / ft.f) * 1e6 + 0.5)
+                   / 1e6 AS score
+        FROM tfc JOIN ft ON ft.w = tfc.w CROSS JOIN a
+    )
+    SELECT lang, w AS term, score, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT lang, w, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY score DESC, w
+               ) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    doc="class-based TF-IDF (BERTopic c-TF-IDF): top-5 characterizing "
+    "terms per language — tf_class · ln(1 + avg_class_tokens/corpus_f) "
+    "from exact integer counts; the cluster/topic labeling statistic",
+)
+def q_ctfidf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    tfc = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("tf"))
+    ft = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    a = toks.agg(
+        (
+            F.count(F.lit(1))
+            / F.count_distinct(F.col("lang")).cast("double")
+        ).alias("avg_class")
+    )
+    scored = (
+        tfc.join(ft, "w")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "lang",
+            "w",
+            dround(
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("avg_class") / F.col("f")),
+                6,
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("lang").orderBy(F.col("score").desc(), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "lang",
+            F.col("w").alias("term"),
+            "score",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

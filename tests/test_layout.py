@@ -109,3 +109,34 @@ class TestZorderPrunedRead:
 
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
         assert "__zp" in pf, plan
+
+
+class TestQuantileBuckets:
+    def test_balanced_under_skew_where_grid_collapses(self, spark):
+        from pyspark.sql import functions as F
+
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.layout import (
+            grid_bucket,
+            quantile_bounds,
+            quantile_bucket,
+        )
+
+        # heavy-tailed values: x = 2^(i mod 20) — the equal-width grid
+        # dumps almost everything into bucket 0
+        df = spark.range(4000).select(
+            (F.pow(F.lit(2.0), (F.col("id") % 20).cast("double")))
+            .cast("long")
+            .alias("x")
+        )
+        bits = 4
+        g = df.select(grid_bucket(F.col("x"), 1, 2 ** 19, bits=bits).alias("b"))
+        top_grid = (
+            g.groupBy("b").count().orderBy(F.col("count").desc()).head()[1]
+        )
+        assert top_grid > 0.5 * 4000  # grid collapsed
+
+        bounds = quantile_bounds(df, "x", bits=bits)
+        q = df.select(quantile_bucket(F.col("x"), bounds).alias("b"))
+        counts = [r["count"] for r in q.groupBy("b").count().collect()]
+        assert len(counts) >= (1 << bits) // 2  # most buckets populated
+        assert max(counts) < 0.25 * 4000  # no collapsed bucket
