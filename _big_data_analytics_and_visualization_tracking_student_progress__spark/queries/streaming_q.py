@@ -238,6 +238,120 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding windows in APPEND mode — the 100 TB form of stream_sliding_avg.
+# Complete mode keeps every window's state forever and re-emits the whole
+# result per batch; append + watermark EVICTS a window (emitting its row
+# exactly once) when the watermark passes its end, so state is bounded by
+# the lateness horizon × window/slide overlap.  Oracle = the batch hop
+# expansion restricted to closed windows: window_start + 1h <= max(ts) −
+# 10m (Spark's final availableNow watermark; trailing open windows stay
+# in state and are never emitted) — the same recipe that is driver-green
+# for stream_tumbling_append.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sliding_append",
+    f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    shifted AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+        FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_value
+    FROM shifted, wm
+    WHERE ws + INTERVAL 1 HOUR <= wm.w
+    GROUP BY ws
+    """,
+    doc="streaming sliding window (1h/30m) average in APPEND mode: "
+    "watermark-evicted bounded state, one emit per closed window — the "
+    "unbounded-stream form of stream_sliding_avg (complete mode stays "
+    "as the dashboard-refresh sibling)",
+)
+def q_stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    agg = sliding_agg(
+        ev,
+        window="1 hour",
+        slide="30 minutes",
+        watermark="10 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            dround(
+                dsum(F.col("value"), 6).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+        ],
+    )
+    out = append_sink_run(spark, agg)
+    return out.select(
+        F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+        "n",
+        "avg_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows in APPEND mode — the 100 TB form of
+# stream_session_windows.  A session's state is evicted (its single row
+# emitted) once the watermark passes the session END (= last event ts +
+# gap, after merging), so state is O(open sessions within the lateness
+# horizon).  Oracle = the gaps-and-islands batch sessionization
+# restricted to closed sessions: MAX(ts) + 30m gap <= max(all ts) − 10m.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_session_append",
+    f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    marked AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM sess, wm
+    GROUP BY user_id, sid, wm.w
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
+    """,
+    doc="streaming session windows (30m gap) in APPEND mode: "
+    "watermark-evicted bounded state, one emit per closed session — the "
+    "unbounded-stream form of stream_session_windows",
+)
+def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, _events_path(sf_dir))
+    agg = session_agg(
+        ev,
+        gap="30 minutes",
+        watermark="10 minutes",
+        key="user_id",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).cast("double").alias("total_value"),
+        ],
+    )
+    out = append_sink_run(spark, agg)
+    return out.select(
+        "user_id",
+        F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # S5/T2 — keyed upsert sink, idempotent under full replay
 # ---------------------------------------------------------------------------
 @register(
