@@ -911,18 +911,94 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    None,
-    doc="Arrow-batched mapInPandas decode of binary payloads (deterministic stub decoder)",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 31 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 17 + 1 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(SUM(i % 256 + (2 * i) % 256 + (3 * i) % 256) AS BIGINT)
+               AS pixel_sum
+    FROM dims, generate_series(0, 526) t(i)
+    WHERE i < width * height
+    GROUP BY doc_id, width, height
+    """,
+    doc="REAL media decode over the Arrow mapInPandas pipeline: payloads "
+    "are spec-conformant 24-bit BMPs (dims a deterministic function of "
+    "payload size, pixel bytes a pure function of pixel index) and the "
+    "decoder is an actual stdlib BMP parser — magic, pixel-array "
+    "offset, DIB dims, 4-byte-padded stride walk, pixel checksum.  "
+    "Fully oracle-checked: DuckDB recomputes dims and the closed-form "
+    "index-sum checksum per document.  Formerly the package's one "
+    "rows-only stub; the plan shape (binary column in, typed metadata "
+    "out, payloads never shuffled) is unchanged.",
 )
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_binary_payload(docs, "text", "doc_id")
-    decoded = M.decode_stub(media)
-    return decoded.groupBy("media_type").agg(
+    return M.decode_bmp(M.encode_bmp_media(media))
+
+
+@register(
+    "multimodal_decode_png",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 29 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 13 + 1 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(SUM(i % 256) AS BIGINT) AS pixel_sum
+    FROM dims, generate_series(0, 376) t(i)
+    WHERE i < width * height
+    GROUP BY doc_id, width, height
+    """,
+    doc="second REAL media format: 8-bit grayscale PNG built and decoded "
+    "with stdlib zlib/struct (CRC-validated chunk walk, inflate, "
+    "scanline unfilter) through the same Arrow mapInPandas pipeline — "
+    "the 'decode is real CPU work' profile.  Oracle recomputes dims "
+    "and the index-sum checksum per document.",
+)
+def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+    return M.decode_png_media(M.encode_png_media(media))
+
+
+@register(
+    "multimodal_decode_stats",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 31 + 1 AS INT) AS width,
+               CAST(octet_length(encode(text)) % 17 + 1 AS INT) AS height
+        FROM documents
+    )
+    SELECT 'image/bmp' AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(width * height) AS BIGINT) AS total_pixels,
+           CAST(MAX(width) AS INT) AS max_width,
+           CAST(MAX(height) AS INT) AS max_height
+    FROM dims
+    """,
+    doc="corpus-level rollup over the real BMP decode (count / total "
+    "pixels / max dims) — the 'profile the media collection' aggregate "
+    "on top of multimodal_decode's per-document rows",
+)
+def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+    decoded = M.decode_bmp(M.encode_bmp_media(media))
+    return decoded.groupBy(F.lit("image/bmp").alias("media_type")).agg(
         F.count(F.lit(1)).alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.avg("width").alias("avg_width"),
-        F.max("n_frames").alias("max_frames"),
+        F.sum("n_pixels").alias("total_pixels"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
     )
 
 
