@@ -45,9 +45,11 @@ from ..registry import register
 # Scale posture: per iteration = one equi-join (edges ⋈ ranks on src,
 # a stable key partitioning AQE reuses across iterations) + one
 # groupBy(dst) with map-side partial sums; the rank/degree state is
-# 2 longs per node.  At 100 TB you'd localCheckpoint each iteration to
-# truncate lineage — with a FIXED iteration count the uncheckpointed
-# plan stays shallow (3 levels) and is registered as-is.
+# 2 longs per node.  Each iteration eagerly localCheckpoints the new
+# rank table (2 longs/node, trivially materializable), so iteration
+# i+1's plan starts from the checkpointed RDD instead of re-expanding
+# the whole join lineage — the audited plan shows ~3 exchanges per
+# iteration with reuse, not 9, which is the 100 TB form.
 # ---------------------------------------------------------------------------
 _PR_ITERS = 3
 
@@ -130,6 +132,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r"),
             )
+            # truncate lineage: the next iteration (and the final top-k)
+            # plan against the materialized 2-longs/node state, not the
+            # re-expanded join tree — exact-integer ranks, so the
+            # checkpoint changes nothing semantically
+            .localCheckpoint(eager=True)
         )
     return (
         ranks.orderBy(F.col("r").desc(), "node")
