@@ -465,5 +465,7 @@ def test_priority_window_resolved_and_oracle_checked():
     qs = all_queries()
     assert len(_PRIORITY_WINDOW) == 50
     assert list(qs)[:50] == list(_PRIORITY_WINDOW)
+    # r5 rotation: every windowed query is fully oracle-checked — the
+    # external gate should see 50/50 hash rows, zero rows-only
     rows_only = [n for n in _PRIORITY_WINDOW if qs[n].oracle is None]
-    assert rows_only == ["approx_distinct_and_quantiles"], rows_only
+    assert rows_only == [], rows_only
