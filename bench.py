@@ -48,6 +48,14 @@ HEADLINE = [
     "token_pack_assignments",
     "repetition_scores",
     "only_late_supplier_waits",
+    # round-4/5 heavy families (added r5 so their cost is measured, not
+    # assumed; totals are therefore not comparable to BENCH_r04's total —
+    # compare per-query deltas instead)
+    "bm25_search_topk",
+    "graph_pagerank_topk",
+    "ann_ivfpq_topk",
+    "bpe_phrase_merges",
+    "multimodal_decode",
 ]
 
 
