@@ -2260,3 +2260,204 @@ def q_ctfidf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path layers from a seed over the same customer↔supplier
+# transaction graph PageRank uses: 3 frontier expansions, each one
+# equi-join + distinct + anti-join against the visited set, with the
+# frontier/visited state localCheckpointed per hop exactly like the
+# PageRank ranks (state = 1 string + 1 int per node; lineage stays one
+# hop deep).  Oracle = bounded recursive CTE taking MIN(depth) per
+# node — the textbook shortest-path fixpoint.
+# ---------------------------------------------------------------------------
+_BFS_SEED, _BFS_HOPS = "c1", 3
+
+
+@register(
+    "graph_bfs_layers",
+    f"""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS s,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS t
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sym AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+    walk(node, d) AS (
+        SELECT '{_BFS_SEED}', 0
+        UNION
+        SELECT sym.t, walk.d + 1 FROM walk JOIN sym ON sym.s = walk.node
+        WHERE walk.d < {_BFS_HOPS}
+    ),
+    lv AS (SELECT node, MIN(d) AS level FROM walk GROUP BY node)
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS first_node
+    FROM lv GROUP BY level
+    """,
+    doc="BFS shortest-path layers (3 hops) from a seed customer over "
+    "the customer↔supplier graph: per-hop frontier expansion with "
+    "visited-set anti-join and per-hop localCheckpoint — the iterative "
+    "traversal complement to PageRank; oracle is a depth-bounded "
+    "recursive CTE with MIN(depth) per node",
+)
+def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import anti_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    visited = spark.createDataFrame(
+        [(_BFS_SEED, 0)], "node string, level int"
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for lvl in range(1, _BFS_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        nxt = (
+            anti_join(nxt, visited.select("node"), ["node"])
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("first_node"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of order value per nation — the inequality statistic
+# behind data-mixture and spend-concentration monitoring.  Exact
+# integer/DECIMAL core: rank via ROW_NUMBER over (value, orderkey),
+# Σv and Σ(v·i) as exact DECIMAL folds, the classic closed form
+# G = (2·Σ(i·v_i) − (n+1)·Σv) / (n·Σv) evaluated as one double
+# division at the edge.  One window shuffle + one aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "gini_order_value_by_nation",
+    """
+    WITH x AS (
+        SELECT n.n_name,
+               CAST(o.o_totalprice AS DECIMAL(22,6)) AS v,
+               o.o_orderkey
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    r AS (
+        SELECT n_name, v,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY v, o_orderkey) AS i
+        FROM x
+    ),
+    s AS (
+        SELECT n_name, COUNT(*) AS n, SUM(v) AS sv, SUM(v * i) AS svi
+        FROM r GROUP BY n_name
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+           FLOOR(CAST(2 * svi - (n + 1) * sv AS DOUBLE)
+                 / CAST(n * sv AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of order value per nation: closed-form "
+    "G = (2·Σ(i·v_i) − (n+1)·Σv)/(n·Σv) with exact DECIMAL rank-"
+    "weighted sums and a single IEEE-pure double division at the edge; "
+    "one window shuffle + one aggregate",
+)
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_totalprice").cast("decimal(22,6)").alias("v"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy("v", "o_orderkey")
+    r = x.select("n_name", "v", F.row_number().over(w).alias("i"))
+    s = r.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("i")).alias("svi"),
+    )
+    num = (F.lit(2) * F.col("svi") - (F.col("n") + 1) * F.col("sv")).cast("double")
+    den = (F.col("n") * F.col("sv")).cast("double")
+    return s.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_orders"),
+        dround(num / den, 6).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user (gaps-and-islands on
+# calendar days): distinct (user, day) → per-user day rank → island
+# anchor = day − rank·1d → longest island.  The engagement-streak
+# statistic every activity dashboard wants; two key-partitioned window
+# passes, no self-join.  Top-20 by streak with (user) tiebreaker.
+# ---------------------------------------------------------------------------
+@register(
+    "user_activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    ranked AS (
+        SELECT user_id, d,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, d - to_days(CAST(rn AS INT)) AS anchor,
+               COUNT(*) AS streak
+        FROM ranked GROUP BY user_id, anchor
+    )
+    SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id LIMIT 20
+    """,
+    doc="longest consecutive-day activity streak per user via "
+    "gaps-and-islands (day − row_number·1d anchor), no self-join; "
+    "top-20 with user tiebreaker",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    islands = (
+        ranked.select(
+            "user_id",
+            F.expr("d - make_dt_interval(rn, 0, 0, 0)").alias("anchor"),
+        )
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(F.max("streak").cast("bigint").alias("longest_streak"))
+        .orderBy(F.col("longest_streak").desc(), "user_id")
+        .limit(20)
+    )

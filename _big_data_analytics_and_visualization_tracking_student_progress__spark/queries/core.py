@@ -3638,3 +3638,131 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.* FROM __udtf_docs d, "
         "LATERAL chunk_words(d.doc_id, d.text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch marketing attribution: each purchase's value is credited to
+# the user's most recent preceding touch channel (view/click/signup);
+# purchases with no prior touch are 'direct'.  One (user_id) window
+# shuffle — the IGNORE NULLS running last_value is the classic
+# attribution kernel — then a tiny channel aggregate.  Completes the
+# funnel family (funnel measures progression; attribution assigns
+# revenue).
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_last_touch",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ('view','click','signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+        FROM events
+    )
+    SELECT COALESCE(last_touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE)
+               AS attributed_revenue
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="last-touch attribution: purchase revenue credited to the most "
+    "recent preceding view/click/signup via an IGNORE NULLS running "
+    "last_value over one (user_id, ts) window; no prior touch ⇒ "
+    "'direct'.  One key shuffle + a channel-cardinality aggregate.",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click", "signup"),
+        F.col("event_type"),
+    )
+    marked = e.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value"), 6).cast("double").alias("attributed_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 analog (the fixture has no c_phone, so the "promising
+# segment" is above-average positive balance): customers with a
+# positive account balance above the positive-customer average and no
+# orders at all, rolled up per nation — the classic untapped-sales
+# scan.  The average comparison is cross-multiplied (b·n > Σb) so both
+# engines compare exact DECIMALs and no division ever happens; the
+# one-row stats side broadcasts, the orders side is a shuffle-free
+# anti-join probe.
+# ---------------------------------------------------------------------------
+@register(
+    "sales_opportunity_by_nation",
+    """
+    WITH pos AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(22,6)) AS b
+        FROM customer WHERE c_acctbal > 0
+    ),
+    stats AS (SELECT SUM(b) AS total, COUNT(*) AS n FROM pos),
+    rich AS (
+        SELECT p.c_custkey, p.c_nationkey, p.b
+        FROM pos p, stats s WHERE p.b * s.n > s.total
+    ),
+    noord AS (
+        SELECT r.* FROM rich r
+        WHERE r.c_custkey NOT IN (SELECT o_custkey FROM orders)
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(b) AS DOUBLE) AS total_acctbal
+    FROM noord JOIN nation n ON noord.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q22 analog: above-average-balance customers with zero "
+    "orders per nation.  Division-free exact-DECIMAL mean comparison "
+    "(b*n > total), broadcast one-row stats, anti-join on orders, "
+    "broadcast nation dim.",
+)
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(22,6)").alias("b"),
+    )
+    stats = pos.agg(
+        F.sum("b").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    rich = pos.crossJoin(F.broadcast(stats)).filter(
+        F.col("b") * F.col("n") > F.col("total")
+    )
+    noord = anti_join(rich, o, ["c_custkey"])
+    return (
+        noord.join(
+            F.broadcast(n),
+            noord.c_nationkey == n.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("b").cast("double").alias("total_acctbal"),
+        )
+    )
