@@ -844,3 +844,28 @@ def test_ivf_portable_trainer_matches_oracle_twin(spark):
         rows, k=8, iters=10, sample_size=256
     )
     assert spark_cent == oracle_cent
+
+
+class TestArtifactCache:
+    def test_artifact_builds_once_per_kind_and_dir(self):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries import (
+            northstar,
+        )
+
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return f"built-{calls['n']}"
+
+        key_dir = "/nonexistent/artifact-test-dir"
+        try:
+            a = northstar.artifact("unit_test_kind", key_dir, build)
+            b = northstar.artifact("unit_test_kind", key_dir, build)
+            other = northstar.artifact("unit_test_kind", key_dir + "2", build)
+            assert a == b == "built-1"      # second call served from cache
+            assert other == "built-2"       # different sf_dir → fresh build
+            assert calls["n"] == 2
+        finally:
+            northstar._ARTIFACTS.pop(("unit_test_kind", key_dir), None)
+            northstar._ARTIFACTS.pop(("unit_test_kind", key_dir + "2"), None)

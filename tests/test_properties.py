@@ -436,3 +436,38 @@ def test_overlap_chunks_cover_every_word(spark, words):
         assert got == want, (i, got, want)
         rebuilt.extend(want)
     assert set(rebuilt) == set(words)
+
+
+# ---------------------------------------------------------------------------
+# Image codec round-trip: for ANY dimensions the stdlib BMP and PNG
+# encoders produce files their decoders recover exactly — dims and the
+# closed-form index checksum.  Pure-Python (no Spark), so hypothesis
+# can sweep the dimension space cheaply; stride padding (BMP) and
+# scanline filtering (PNG) are where a hand-rolled codec would break.
+# ---------------------------------------------------------------------------
+@given(w=st.integers(1, 48), h=st.integers(1, 48))
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_dims(w, h):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.multimodal import (
+        encode_bmp,
+        real_decode,
+    )
+
+    got_w, got_h, pixel_sum = real_decode(encode_bmp(w, h))
+    assert (got_w, got_h) == (w, h)
+    assert pixel_sum == sum(
+        i % 256 + (2 * i) % 256 + (3 * i) % 256 for i in range(w * h)
+    )
+
+
+@given(w=st.integers(1, 48), h=st.integers(1, 48))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_dims(w, h):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    got_w, got_h, pixel_sum = decode_png(encode_png(w, h))
+    assert (got_w, got_h) == (w, h)
+    assert pixel_sum == sum(i % 256 for i in range(w * h))
