@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 
 def _lit_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # one SQL-parsed literal (see double_array_sql) instead of len(vec)
+    # py4j Column constructions — same exact doubles, ~dim× less
+    # driver-side plan-build overhead per query vector
+    return F.expr(double_array_sql(vec))
 
 
 def dot(a: Column, b: Column) -> Column:
