@@ -90,6 +90,14 @@ def register(name: str, oracle: Oracle = None, doc: str = ""):
 # stream_index_maintenance) and the rows-only-by-design
 # approx_distinct_and_quantiles (its sketch family keeps the
 # hash-checked cms_heavy_users slot).
+# Round-6 rotation candidates (registered + in-repo-oracle-green in r5,
+# never driver-checked): attribution_last_touch,
+# sales_opportunity_by_nation, graph_bfs_layers,
+# gini_order_value_by_nation, user_activity_streaks,
+# multimodal_decode_png, multimodal_decode_stats, plus the remaining
+# never-checked names listed by tools (compare CORRECTNESS_r0*.json
+# keys against all_queries()) — swap out whichever round-5 names come
+# back green.
 _PRIORITY_WINDOW = (
     # --- fixed core: flagship + one representative per family (20) ---
     "flagship_progress",
