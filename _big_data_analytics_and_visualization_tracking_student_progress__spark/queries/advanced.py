@@ -2555,3 +2555,109 @@ def q_twap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("twap").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (the Heaps'-law statistic): after each
+# document, the cumulative token count and cumulative distinct
+# vocabulary — the curve whose log-log slope is the Heaps exponent,
+# watched to detect corpus saturation (new data stops adding words).
+# Exact integers only, so fully hash-checkable.
+#
+# The cumulative sums use the SCALABLE two-phase prefix pattern, not a
+# single global window: running sums are computed within doc-id blocks
+# (parallel, partitioned by block), block totals are prefix-summed on
+# the tiny block table, and the block offset joins back by block id —
+# O(N/B) rows ever see a single-partition window.  The oracle uses the
+# plain global window (it doesn't need to scale).
+# ---------------------------------------------------------------------------
+_VG_BLOCK, _VG_EVERY = 256, 100
+
+
+@register(
+    "vocab_growth_curve",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    ntok AS (SELECT doc_id, len(ws) AS n FROM d),
+    tok AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM d, UNNEST(d.ws) AS t(tok)
+    ),
+    first_doc AS (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok),
+    newv AS (SELECT fd AS doc_id, COUNT(*) AS nv FROM first_doc GROUP BY fd),
+    base AS (
+        SELECT ntok.doc_id, ntok.n, COALESCE(newv.nv, 0) AS nv
+        FROM ntok LEFT JOIN newv ON ntok.doc_id = newv.doc_id
+    )
+    SELECT doc_id,
+           CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+           CAST(SUM(nv) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
+    FROM base
+    QUALIFY doc_id % {_VG_EVERY} = 0
+    """,
+    doc="vocabulary growth curve (Heaps'-law points): cumulative tokens "
+    "vs cumulative distinct vocabulary after each document, sampled "
+    "every 100 docs — exact integers via a two-phase (block-partial + "
+    "block-offset) prefix sum, never a full-corpus single-partition "
+    "window",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    d = docs.select("doc_id", ws.alias("ws"))
+    ntok = d.select("doc_id", F.size("ws").alias("n"))
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct("ws")).alias("tok")
+    )
+    first_doc = tok.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    newv = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    base = ntok.join(newv, "doc_id", "left").select(
+        "doc_id",
+        "n",
+        F.coalesce(F.col("nv"), F.lit(0)).alias("nv"),
+        (F.col("doc_id") / _VG_BLOCK).cast("bigint").alias("blk"),
+    )
+    # phase 1: running sums WITHIN each block (parallel across blocks)
+    wb = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = base.select(
+        "doc_id", "blk",
+        F.sum("n").over(wb).alias("run_n"),
+        F.sum("nv").over(wb).alias("run_nv"),
+    )
+    # phase 2: per-block totals → exclusive prefix offsets (the ONLY
+    # single-partition window, over N/B tiny rows)
+    totals = base.groupBy("blk").agg(
+        F.sum("n").alias("tn"), F.sum("nv").alias("tnv")
+    )
+    wo = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "blk",
+        F.coalesce(F.sum("tn").over(wo), F.lit(0)).alias("off_n"),
+        F.coalesce(F.sum("tnv").over(wo), F.lit(0)).alias("off_nv"),
+    )
+    return (
+        part.join(F.broadcast(offsets), "blk")
+        .filter(F.col("doc_id") % _VG_EVERY == 0)
+        .select(
+            "doc_id",
+            (F.col("run_n") + F.col("off_n")).cast("bigint").alias("cum_tokens"),
+            (F.col("run_nv") + F.col("off_nv")).cast("bigint").alias("cum_vocab"),
+        )
+    )

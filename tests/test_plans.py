@@ -469,3 +469,56 @@ def test_priority_window_resolved_and_oracle_checked():
     # external gate should see 50/50 hash rows, zero rows-only
     rows_only = [n for n in _PRIORITY_WINDOW if qs[n].oracle is None]
     assert rows_only == [], rows_only
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: plan pins.
+# ---------------------------------------------------------------------------
+def test_multimodal_decode_never_shuffles_payloads(spark):
+    # the BMP pipeline is encode → decode, both mapInPandas: zero
+    # exchanges — payloads stream through Arrow batches and never ride
+    # a shuffle
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["multimodal_decode"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 2
+
+
+def test_attribution_single_user_exchange(spark):
+    # running last_value window + channel aggregate: exactly one hash
+    # exchange on user_id, one tiny post-agg exchange at most
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["attribution_last_touch"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "user_id" in plan
+
+
+def test_pagerank_reads_materialized_graph(spark):
+    # after the ingest-time edge materialization the per-query plan
+    # scans the edges parquet — lineitem/orders never appear
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["graph_pagerank_topk"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "lineitem" not in plan and "orders" not in plan
+    assert "TakeOrdered" in plan
+
+
+def test_gini_single_window_exchange_and_broadcast_nation(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    df = all_queries()["gini_order_value_by_nation"].fn(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan  # nation dim must broadcast
