@@ -685,14 +685,18 @@ def pq_encode(
     out_prefix: str = "__pq",
 ) -> DataFrame:
     """Stamp per-subspace struct(d=residual sqdist, i=code) columns —
-    one map-side expression per subspace, zero exchanges added."""
+    one map-side expression per subspace, zero exchanges added.  All m
+    columns land in ONE select: chained withColumn adds a projection
+    node per subspace and the analyzer re-walks the growing plan each
+    time (O(m²) driver work for zero runtime benefit)."""
     v = F.col(vec_col).cast("array<double>")
-    out = df
-    for j, (cb, start) in enumerate(
-        zip(codebooks, pq_subspace_offsets(codebooks))
-    ):
-        out = out.withColumn(f"{out_prefix}{j}", pq_best(v, cb, start))
-    return out
+    new_cols = [
+        pq_best(v, cb, start).alias(f"{out_prefix}{j}")
+        for j, (cb, start) in enumerate(
+            zip(codebooks, pq_subspace_offsets(codebooks))
+        )
+    ]
+    return df.select("*", *new_cols)
 
 
 def pq_adc_tables(
