@@ -3766,3 +3766,119 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b").cast("double").alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): the daily × event-type count matrix back to long
+# (d, event_type, n) form — the inverse of event_type_pivot, via the
+# native UNPIVOT operator (no explode of manually-built structs).
+# Round-tripping pivot→unpivot is the classic reshaping pair every
+# dashboard/export path needs; zero-count cells are dropped on both
+# engines so the long form contains only observed pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "event_type_unpivot",
+    """
+    WITH wide AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY 1
+    )
+    SELECT d, event_type, n
+    FROM wide
+    UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+    WHERE n > 0
+    """,
+    doc="unpivot (melt): wide daily × event-type matrix back to long "
+    "(d, event_type, n) via the native UNPIVOT operator — the inverse "
+    "of event_type_pivot; zero cells dropped on both engines",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    wide = wide.select(
+        "d", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+    return wide.unpivot(
+        "d", _EVENT_TYPES, "event_type", "n"
+    ).filter(F.col("n") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution read (S1 extension): a dataset directory whose later
+# files carry an added column — the standard ingest drift case.  Staged
+# per fixture via the artifact cache: file A = (doc_id, lang, text) for
+# even doc_ids, file B adds a `quality` column for odd doc_ids.  The
+# read uses parquet mergeSchema so early files surface NULL for the
+# missing column, and the aggregate proves both file populations and
+# the evolved column are read correctly.  Oracle = DuckDB
+# union_by_name over the same two staged files.
+# ---------------------------------------------------------------------------
+def _schema_evo_dir(sf_dir: str) -> str:
+    from .northstar import artifact
+
+    def build() -> str:
+        import os
+        import tempfile
+
+        import duckdb
+
+        d = tempfile.mkdtemp(prefix="sparkgraft_schemaevo_")
+        src = os.path.join(sf_dir, "documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT doc_id, lang, text FROM read_parquet('{src}') "
+            f"WHERE doc_id % 2 = 0) TO '{d}/part_v1.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT doc_id, lang, text, "
+            f"octet_length(encode(text)) AS quality "
+            f"FROM read_parquet('{src}') WHERE doc_id % 2 = 1) "
+            f"TO '{d}/part_v2.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+        return d
+
+    return artifact("schema_evo", sf_dir, build)
+
+
+def _schema_evo_oracle(sf_dir: str) -> str:
+    d = _schema_evo_dir(sf_dir)
+    return f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(quality) AS BIGINT) AS n_with_quality,
+           CAST(SUM(COALESCE(quality, 0)) AS BIGINT) AS total_quality
+    FROM read_parquet(['{d}/part_v1.parquet', '{d}/part_v2.parquet'],
+                      union_by_name = true)
+    GROUP BY lang
+    """
+
+
+@register(
+    "schema_evolution_read",
+    _schema_evo_oracle,
+    doc="parquet mergeSchema read over a directory whose later files "
+    "added a column (ingest-time schema drift): early files surface "
+    "NULL for the new column; the per-lang aggregate checks both file "
+    "populations and the evolved column.  Oracle = DuckDB "
+    "union_by_name over the same staged files.",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _schema_evo_dir(sf_dir)
+    docs = spark.read.option("mergeSchema", "true").parquet(d)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_quality"),
+    )
