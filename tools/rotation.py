@@ -1,0 +1,235 @@
+"""Priority-window rotation planner.
+
+The external driver's correctness gate samples only the FIRST 50 names
+returned by ``all_queries()`` (i.e. ``registry._PRIORITY_WINDOW``), so
+queries outside the window never earn an external driver row.  This tool
+diffs every recorded ``CORRECTNESS_r*.json`` against the live registry
+and proposes the next window so the rotation never goes stale by hand:
+
+- per-query status: never-checked / stale-fail / last-green-round
+- a proposed next window: the fixed family core + as many never-checked
+  (then stale-fail) names as fit, ordered streaming-family-first
+
+The three rows-only-by-design names (no DuckDB oracle — the driver
+records them as non-green ``no_oracle`` rows) are excluded permanently.
+
+Usage:  python tools/plan_audit.py   # regen plan audit after applying
+        python tools/rotation.py [--window-size 50] [--apply-check]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Names with oracle=None by design: if windowed they post `no_oracle`
+# driver rows that count as non-green.  Their portable twins ARE
+# hash-checked and rotate normally.
+ROWS_ONLY_EXCLUDED = frozenset(
+    {"approx_distinct_and_quantiles", "dedup_minhash_lsh", "dedup_simhash"}
+)
+
+# One externally-green representative per family, kept in every window so
+# a regression in a core family is always externally visible.
+FIXED_CORE = (
+    "flagship_progress",
+    "transcript_lookup",
+    "pricing_summary",
+    "dim_join_rollup",
+    "grade_histogram",
+    "only_late_supplier_waits",
+    "sql_grouping_sets_revenue",
+    "min_cost_supplier_per_part",
+    "latest_event_per_user",
+    "cdc_changed_rows",
+    "asof_click_error",
+    "user_sessions_30min",
+    "funnel_view_click_purchase",
+    "cms_heavy_users",
+    "dedup_exact",
+    "dedup_cluster_labels",
+    "ann_ivf_topk",
+    "curation_pipeline",
+    "bm25_search_topk",
+    "stream_tumbling_append",
+)
+
+
+def _is_green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+
+
+def load_history(repo: str = REPO) -> dict[int, dict[str, dict]]:
+    """round number -> {query name -> driver row}."""
+    out: dict[int, dict[str, dict]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            out[int(m.group(1))] = json.load(f)
+    return out
+
+
+def query_status(repo: str = REPO) -> dict[str, dict]:
+    """Per-registered-query external-driver status.
+
+    Returns name -> {checked_rounds, last_green_round, last_fail_round,
+    status} where status is one of ``never_checked`` / ``green`` /
+    ``stale_fail`` (last driver row was non-green).
+    """
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (  # noqa: E501
+        all_queries,
+    )
+
+    history = load_history(repo)
+    status: dict[str, dict] = {}
+    for name in all_queries():
+        checked: list[int] = []
+        last_green = None
+        last_fail = None
+        for rnd in sorted(history):
+            row = history[rnd].get(name)
+            if row is None:
+                continue
+            checked.append(rnd)
+            if _is_green(row):
+                last_green = rnd
+            else:
+                last_fail = rnd
+        if not checked:
+            st = "never_checked"
+        elif last_green == checked[-1] or (
+            last_green is not None and (last_fail or 0) < last_green
+        ):
+            st = "green"
+        else:
+            st = "stale_fail"
+        status[name] = {
+            "checked_rounds": checked,
+            "last_green_round": last_green,
+            "last_fail_round": last_fail,
+            "status": st,
+        }
+    return status
+
+
+# Judge-requested names for the CURRENT round (edit per round from
+# VERDICT.md's "Next round" item).  Ranked right after streaming names.
+PREFERRED: tuple[str, ...] = (
+    "attribution_last_touch",
+    "sales_opportunity_by_nation",
+    "graph_bfs_layers",
+    "gini_order_value_by_nation",
+    "user_activity_streaks",
+    "twap_user_values",
+    "vocab_growth_curve",
+    "event_type_unpivot",
+    "schema_evolution_read",
+    "multimodal_decode_png",
+    "multimodal_decode_stats",
+)
+
+
+def _rotation_priority(name: str) -> tuple:
+    """Streaming names first (most environment-sensitive), then the
+    judge-requested names, then the rest in registration order (stable:
+    dict preserves insertion)."""
+    if name.startswith("stream_"):
+        tier = 0
+    elif name in PREFERRED:
+        tier = 1
+    else:
+        tier = 2
+    return (tier,)
+
+
+def propose_window(window_size: int = 50, repo: str = REPO) -> dict:
+    status = query_status(repo)
+    eligible = [n for n in status if n not in ROWS_ONLY_EXCLUDED]
+
+    core = [n for n in FIXED_CORE if n in eligible]
+    pool_never = [
+        n for n in eligible if status[n]["status"] == "never_checked" and n not in core
+    ]
+    pool_fail = [
+        n for n in eligible if status[n]["status"] == "stale_fail" and n not in core
+    ]
+    # Green-but-not-core names backfill only if slots remain.
+    pool_green = [
+        n for n in eligible if status[n]["status"] == "green" and n not in core
+    ]
+    pool_never.sort(key=_rotation_priority)
+    pool_fail.sort(key=_rotation_priority)
+    # Oldest external green first, so coverage stays fresh.
+    pool_green.sort(key=lambda n: (status[n]["last_green_round"] or 0, n))
+
+    window = list(core)
+    for pool in (pool_fail, pool_never, pool_green):
+        for n in pool:
+            if len(window) >= window_size:
+                break
+            window.append(n)
+
+    never_total = [n for n in status if status[n]["status"] == "never_checked"]
+    return {
+        "window": window,
+        "first_time_in_window": [
+            n for n in window if status[n]["status"] == "never_checked"
+        ],
+        "stale_fail_in_window": [
+            n for n in window if status[n]["status"] == "stale_fail"
+        ],
+        "never_checked_total": sorted(never_total, key=_rotation_priority),
+        "excluded_rows_only": sorted(ROWS_ONLY_EXCLUDED),
+        "status": status,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--window-size", type=int, default=50)
+    ap.add_argument(
+        "--apply-check",
+        action="store_true",
+        help="exit non-zero if the live _PRIORITY_WINDOW differs from the proposal",
+    )
+    args = ap.parse_args()
+
+    prop = propose_window(args.window_size)
+    st = prop.pop("status")
+    counts: dict[str, int] = {}
+    for row in st.values():
+        counts[row["status"]] = counts.get(row["status"], 0) + 1
+    print(json.dumps({"counts": counts, **prop}, indent=2))
+
+    if args.apply_check:
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (  # noqa: E501
+            _PRIORITY_WINDOW,
+        )
+
+        if list(_PRIORITY_WINDOW) != prop["window"]:
+            live = set(_PRIORITY_WINDOW)
+            want = set(prop["window"])
+            print("MISMATCH live vs proposal", file=sys.stderr)
+            print(f"  only-live: {sorted(live - want)}", file=sys.stderr)
+            print(f"  only-prop: {sorted(want - live)}", file=sys.stderr)
+            return 1
+        print("live _PRIORITY_WINDOW matches proposal", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,9 +1,14 @@
-"""10× scale smoke (VERDICT r4 item 8): materialize a ~10× replica of the
-heavy fixture tables (events, lineitem, orders, documents) with key-shifted
-copies — join relationships preserved, dedup structure deliberately made
-10× denser (worst case for LSH bucket sizes) — then run the heaviest
-registered queries once at 1× and once at 10×, recording wall time and
-peak driver RSS into SCALE.md.
+"""Nx scale smoke (VERDICT r4 item 8 / r5 item 3): materialize a ~Nx
+replica of the heavy fixture tables (events, lineitem, orders, documents)
+with key-shifted copies — join relationships preserved, dedup structure
+deliberately made Nx denser (worst case for LSH bucket sizes) — then run
+the heaviest registered queries once at 1x and once at Nx, recording wall
+time and per-phase driver RSS into SCALE.md.
+
+One-time artifact builds (inverted index, graph edge table) are timed
+SEPARATELY from the queries that serve from them, so a cold cache never
+reads as a query-scale regression: at 100 TB the index is maintained at
+ingest, not rebuilt per query.
 
 The point is to catch what the sf0.1 bench can't see: driver-side
 collects that grow with data, streaming state explosions, bucket-guard
@@ -17,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import resource
 import shutil
 import sys
 import tempfile
@@ -29,22 +33,66 @@ sys.path.insert(0, ROOT)
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-# heaviest BENCH_r04 queries + one per scale-sensitive family
+# heaviest BENCH queries + one per scale-sensitive family
 QUERIES = [
     "pricing_summary",            # full lineitem aggregate
     "only_late_supplier_waits",   # Q21: the join-heaviest relational plan
-    "dedup_minhash_lsh",          # LSH banding under 10× denser dup clusters
-    "stream_tumbling_counts",     # streaming state over 10× events
-    "asof_click_error",           # as-of join over 10× events
-    "bm25_search_topk",           # index build + search over 10× corpus
-    "graph_pagerank_topk",        # iterative graph over 10× edges
+    "dedup_minhash_lsh",          # LSH banding under Nx denser dup clusters
+    "stream_tumbling_counts",     # streaming state over Nx events
+    "asof_click_error",           # as-of join over Nx events
+    "bm25_search_topk",           # search over Nx corpus (index pre-built)
+    "graph_pagerank_topk",        # iterative graph over Nx edges
 ]
 
 SCALED = {"events", "lineitem", "orders", "documents"}
 
 
-def _peak_rss_mb() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+def _proc_rss_mb(pid: int | str = "self") -> float:
+    """Current (not process-lifetime-peak) RSS of one process, from
+    /proc/<pid>/status VmRSS.  ru_maxrss was useless here: it reports
+    the monotonic peak (reached during the replica build) and never the
+    JVM child at all (ADVICE r5)."""
+    try:
+        with open(f"/proc/{pid}/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def _descendant_pids(root: int) -> list[int]:
+    """All live descendants of `root` (the Spark driver JVM is a child
+    of this Python process, sometimes via a shell wrapper)."""
+    children: dict[int, list[int]] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as fh:
+                ppid = int(fh.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        children.setdefault(ppid, []).append(int(entry))
+    out, stack = [], [root]
+    while stack:
+        for c in children.get(stack.pop(), []):
+            out.append(c)
+            stack.append(c)
+    return out
+
+
+def rss_snapshot_mb() -> dict[str, float]:
+    """Current RSS of this Python driver process and of its process
+    subtree (dominated by the Spark JVM), sampled now — so growth
+    between phases is actually visible."""
+    me = os.getpid()
+    tree = sum(_proc_rss_mb(p) for p in _descendant_pids(me))
+    return {
+        "python_mb": round(_proc_rss_mb(), 1),
+        "jvm_tree_mb": round(tree, 1),
+    }
 
 
 # per-table key-shift REPLACE clauses (d.* keeps only the table's own
@@ -62,7 +110,7 @@ _REPLACE = {
 
 
 def build_scaled_dir(sf_dir: str, factor: int) -> str:
-    """Replicate the heavy tables `factor`× with shifted keys: orderkeys
+    """Replicate the heavy tables `factor`x with shifted keys: orderkeys
     shift identically in orders and lineitem (joins stay valid, fan-out
     preserved), event ids/users shift so the user population scales,
     documents keep their text verbatim (exact-dup clusters grow
@@ -95,6 +143,28 @@ def build_scaled_dir(sf_dir: str, factor: int) -> str:
     return out
 
 
+def warm_artifacts(spark, sf_dir: str) -> dict[str, float]:
+    """Build the one-time per-fixture artifacts the serve queries read
+    (inverted index for bm25, edge table for pagerank), each timed —
+    these are ingest-time costs, not per-query costs."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.advanced import (  # noqa: E501
+        graph_edges_path,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.northstar import (  # noqa: E501
+        inverted_index_path,
+    )
+
+    builds = {}
+    for label, fn in (
+        ("inverted_index", inverted_index_path),
+        ("graph_edges", graph_edges_path),
+    ):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)
+        builds[label] = round(time.perf_counter() - t0, 2)
+    return builds
+
+
 def run(spark, registry, sf_dir: str) -> dict[str, float]:
     times = {}
     for name in QUERIES:
@@ -120,51 +190,90 @@ def main() -> None:
     registry = all_queries()
 
     scaled_dir = build_scaled_dir(SF_DIR, FACTOR)
-    rss_after_build = _peak_rss_mb()
+    rss_after_build = rss_snapshot_mb()
 
-    base = run(spark, registry, SF_DIR)       # warm (JVM+codegen) + 1× numbers
-    rss_base = _peak_rss_mb()
+    builds_base = warm_artifacts(spark, SF_DIR)
+    base = run(spark, registry, SF_DIR)       # warm (JVM+codegen) + 1x numbers
+    rss_base = rss_snapshot_mb()
+    builds_scaled = warm_artifacts(spark, scaled_dir)
     scaled = run(spark, registry, scaled_dir)
-    rss_scaled = _peak_rss_mb()
+    rss_scaled = rss_snapshot_mb()
+
+    def _fmt_rss(s: dict[str, float]) -> str:
+        return f"python {s['python_mb']:.0f} MB + JVM tree {s['jvm_tree_mb']:.0f} MB"
 
     lines = [
-        "# 10× scale smoke",
+        f"# {FACTOR}x scale smoke",
         "",
         f"Auto-generated by `python tools/scale_smoke.py {SF_DIR} {FACTOR}`:",
         f"heavy tables (events, lineitem, orders, documents) replicated "
-        f"{FACTOR}× with key-shifted copies (joins preserved; documents kept "
+        f"{FACTOR}x with key-shifted copies (joins preserved; documents kept "
         "verbatim so dedup clusters densify — the adversarial LSH case), "
-        "run on local[32].  1× runs first and doubles as warmup, so the "
-        f"{FACTOR}× column is the steady-state cost.  Watch for wall-time "
-        f"growth ≫{FACTOR}× (a quadratic or skew collapse) or driver-RSS "
+        "run on local[32].  1x runs first and doubles as warmup, so the "
+        f"{FACTOR}x column is the steady-state cost.  Watch for wall-time "
+        f"growth >>{FACTOR}x (a quadratic or skew collapse) or driver-RSS "
         "growth (an unbounded collect / state leak).",
         "",
-        f"| Query | 1× wall (s) | {FACTOR}× wall (s) | ratio |",
+        "## One-time artifact builds (ingest-time cost, not per-query)",
+        "",
+        f"| Artifact | 1x build (s) | {FACTOR}x build (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for label in builds_base:
+        b, s = builds_base[label], builds_scaled[label]
+        r = s / b if b else float("nan")
+        lines.append(f"| `{label}` | {b} | {s} | {r:.1f}x |")
+    lines += [
+        "",
+        "## Query serve cost (artifacts pre-built)",
+        "",
+        f"| Query | 1x wall (s) | {FACTOR}x wall (s) | ratio |",
         "|---|---|---|---|",
     ]
     for name in QUERIES:
         r = scaled[name] / base[name] if base[name] else float("nan")
-        lines.append(f"| `{name}` | {base[name]} | {scaled[name]} | {r:.1f}× |")
+        lines.append(f"| `{name}` | {base[name]} | {scaled[name]} | {r:.1f}x |")
     lines += [
         "",
-        "Reading the ratios: sub-1× rows are warmup/page-cache effects at "
-        "these (still small) absolute sizes; `bm25_search_topk` includes a "
-        "cold inverted-index BUILD for the replica dir (the per-sf_dir "
-        "artifact cache has never seen it) — its serve-only cost after the "
-        "build is the sub-second number bench reports.  The property this "
+        "Reading the ratios: sub-1x rows are warmup/page-cache effects at "
+        "these (still small) absolute sizes.  Index/edge-table builds are "
+        "reported separately above — at 100 TB those are maintained at "
+        "ingest (stream_index_maintenance is the registered incremental "
+        "path), so the query rows here are serve-only.  The property this "
         "smoke certifies is the absence of super-linear blowup: every "
-        f"ratio must stay ≤{FACTOR}×.",
+        f"ratio must stay <={FACTOR}x.",
         "",
-        f"Peak driver RSS: {rss_after_build:.0f} MB after building the "
-        f"{FACTOR}× replica, {rss_base:.0f} MB after the 1× pass, "
-        f"{rss_scaled:.0f} MB after the {FACTOR}× pass — driver memory must "
-        "stay flat across the scale-up (all collects are bounded control "
-        "data).",
+        "Driver RSS (sampled per phase via /proc — current RSS of the "
+        "Python driver + its JVM process tree, NOT the process-lifetime "
+        "peak, so growth between phases is visible):",
+        "",
+        f"- after building the {FACTOR}x replica: {_fmt_rss(rss_after_build)}",
+        f"- after the 1x pass: {_fmt_rss(rss_base)}",
+        f"- after the {FACTOR}x pass: {_fmt_rss(rss_scaled)}",
+        "",
+        "Driver memory must stay ~flat across the scale-up (all collects "
+        "are bounded control data).  The JVM tree number includes executor "
+        "threads' heap in local mode; on a real cluster that memory lives "
+        "on executors.",
         "",
     ]
     with open(os.path.join(ROOT, "SCALE.md"), "w") as fh:
         fh.write("\n".join(lines))
-    print(json.dumps({"base": base, "scaled": scaled, "rss_mb": rss_scaled}))
+    print(
+        json.dumps(
+            {
+                "builds_base": builds_base,
+                "builds_scaled": builds_scaled,
+                "base": base,
+                "scaled": scaled,
+                "rss": {
+                    "after_build": rss_after_build,
+                    "after_1x": rss_base,
+                    f"after_{FACTOR}x": rss_scaled,
+                },
+            }
+        )
+    )
     spark.stop()
 
 
