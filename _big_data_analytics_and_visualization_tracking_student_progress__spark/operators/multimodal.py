@@ -126,6 +126,18 @@ def real_decode(payload: bytes) -> tuple[int, int, int]:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     n_rows = abs(height)
     stride = (width * 3 + 3) & ~3
+    # bounds-check BEFORE slicing: out-of-range slices silently return
+    # partial data, which would yield a quietly-wrong pixel_sum on a
+    # truncated or corrupt payload (ADVICE r5)
+    if width <= 0:
+        raise ValueError(f"invalid BMP width {width}")
+    need = offset + n_rows * stride
+    if offset < 54 or need > len(payload):
+        raise ValueError(
+            f"truncated BMP: needs {need} bytes "
+            f"(offset {offset} + {n_rows} rows × stride {stride}), "
+            f"payload has {len(payload)}"
+        )
     total = 0
     for r in range(n_rows):
         lo = offset + r * stride

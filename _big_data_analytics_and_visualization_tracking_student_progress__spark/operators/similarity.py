@@ -652,7 +652,18 @@ def double_array_sql(values) -> str:
     nearest-double conversion matches Python's float exactly."""
     if isinstance(values, (list, tuple)):
         return "array(" + ",".join(double_array_sql(v) for v in values) + ")"
-    return f"CAST({float(values)!r} AS DOUBLE)"
+    v = float(values)
+    if v != v or v in (float("inf"), float("-inf")):
+        # repr() would render `inf`/`nan`, which Spark's parser resolves
+        # as COLUMN REFERENCES — the resulting unresolved-attribute error
+        # surfaces far from the real cause (degenerate quantizer
+        # training).  Fail here with the cause named (ADVICE r5).
+        raise ValueError(
+            f"non-finite value {v!r} in literal array — quantizer/centroid "
+            "training produced a degenerate result (empty cluster or "
+            "overflow); refusing to emit it into SQL"
+        )
+    return f"CAST({v!r} AS DOUBLE)"
 
 
 def pq_best(vec: Column, codebook: list[list[float]], start: int) -> Column:

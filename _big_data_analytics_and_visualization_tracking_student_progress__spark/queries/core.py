@@ -479,6 +479,74 @@ def q_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S2 — modified-file re-ingest (watchdog on_modified parity)
+# ---------------------------------------------------------------------------
+@register(
+    "modified_file_reingest",
+    """
+    SELECT CAST(doc_id AS DOUBLE) AS doc_id, lang, source,
+           CAST(n_chars + 1000 AS DOUBLE) AS n_chars
+    FROM documents WHERE doc_id % 17 = 0 AND doc_id % 3 = 0
+    """,
+    doc=(
+        "S2/P6/J3/S5 modified-file re-ingest: the reference's watchdog "
+        "on_modified (pro.py:103-108) reprocesses an in-place-overwritten "
+        "spreadsheet; here the file-level content-hash monitor "
+        "(sources/watcher.py) detects the overwrite, re-reads it through "
+        "read_excel (.xls BIFF8 path), row-hash-diffs against the file's "
+        "previous snapshot, and MERGEs only the changed rows into the "
+        "keyed serving table.  The query returns the second pass's "
+        "changed-row feed: exactly the rows whose n_chars was edited."
+    ),
+)
+def q_modified_file_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.upsert import KeyedParquetTable
+    from ..sources.watcher import DropIngestor
+    from ..sources.xls import write_minimal_xls
+
+    # The drop file is a small operational spreadsheet (driver-localized
+    # by design — pro.py reads workbooks row-wise on one node too); all
+    # row-level diff/merge work below is distributed.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    header = ["doc_id", "lang", "source", "n_chars"]
+    v1 = [[float(r.doc_id), r.lang, r.source, float(r.n_chars)] for r in docs]
+    v2 = [
+        [d, lang, src, n + 1000.0 if int(d) % 3 == 0 else n]
+        for d, lang, src, n in v1
+    ]
+
+    wd = tempfile.mkdtemp(prefix="sparkgraft_reingest_")
+    drop_dir = os.path.join(wd, "drop")
+    os.makedirs(drop_dir)
+    path = os.path.join(drop_dir, "documents.xls")
+    table = KeyedParquetTable(
+        spark,
+        os.path.join(wd, "serving"),
+        keys=["doc_id"],
+        order_cols=["ingest_seq"],
+    )
+    ing = DropIngestor(spark, drop_dir, os.path.join(wd, "state"), table)
+
+    write_minimal_xls(path, header, v1)
+    ing.process_once()  # first sight: whole file flows
+    write_minimal_xls(path, header, v2)  # in-place overwrite
+    changed = ing.process_once()  # only the edited rows flow
+    if changed is None:  # degenerate tiny fixture: nothing divisible by 3
+        empty = "doc_id double, lang string, source string, n_chars double"
+        return spark.createDataFrame([], empty)
+    return changed.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
 # F13/F14 — composite key + date-partition naming
 # ---------------------------------------------------------------------------
 @register(

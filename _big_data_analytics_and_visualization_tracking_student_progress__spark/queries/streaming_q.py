@@ -50,11 +50,23 @@ def _events_path(sf_dir: str) -> str:
 
         d = tempfile.mkdtemp(prefix="sparkgraft_events_dir_")
         src = os.path.join(sf_dir, "events.parquet")
-        dst = os.path.join(d, "events.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copyfile(src, dst)
+        if os.path.isdir(src):
+            # multi-file layout (e.g. the scale smoke's Nx replica
+            # directories): stage every part file into the watched dir
+            for i, name in enumerate(sorted(os.listdir(src))):
+                if not name.endswith(".parquet"):
+                    continue
+                dst = os.path.join(d, f"events-{i:05d}.parquet")
+                try:
+                    os.link(os.path.join(src, name), dst)
+                except OSError:
+                    shutil.copyfile(os.path.join(src, name), dst)
+        else:
+            dst = os.path.join(d, "events.parquet")
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
         _STAGED[sf_dir] = d
     return _STAGED[sf_dir]
 

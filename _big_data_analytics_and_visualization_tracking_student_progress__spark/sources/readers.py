@@ -77,18 +77,27 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel scan (reference pro.py:34-44: header row 1, data rows 2+,
-    all-empty rows skipped).  Backed by the vendored stdlib xlsx parser
-    (sources/xlsx.py — zip + worksheet/sharedStrings XML), so the
-    reference's actual input format runs with no optional dependency.
-    Column types are resolved per column (double / boolean when every
-    non-null cell agrees, string otherwise — xlsx numerics are doubles
-    by format); the sheet is driver-localized, which matches the ingest
-    shape: workbooks are small operational drops that immediately land
-    in a distributed format (pro.py pushes rows to Kafka one by one; a
-    100 TB corpus never arrives as xlsx)."""
+    all-empty rows skipped).  The reference's watcher accepts both
+    ``.xlsx`` and legacy ``.xls`` (pro.py:99-108); this dispatches on
+    the file's magic bytes — zip (``PK``) → the vendored stdlib xlsx
+    parser (sources/xlsx.py), CFB (``D0CF11E0``) → the vendored BIFF8
+    parser (sources/xls.py) — so both of the reference's input formats
+    run with no optional dependency.  Column types are resolved per
+    column (double / boolean when every non-null cell agrees, string
+    otherwise — Excel numerics are doubles by format); the sheet is
+    driver-localized, which matches the ingest shape: workbooks are
+    small operational drops that immediately land in a distributed
+    format (pro.py pushes rows to Kafka one by one; a 100 TB corpus
+    never arrives as a spreadsheet)."""
+    from .xls import CFB_SIG, read_xls_rows
     from .xlsx import read_xlsx_rows
 
-    header, rows = read_xlsx_rows(path)
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic.startswith(CFB_SIG):
+        header, rows = read_xls_rows(path)
+    else:
+        header, rows = read_xlsx_rows(path)
 
     def col_type(i: int) -> str:
         vals = [r[i] for r in rows if r[i] is not None]

@@ -235,6 +235,40 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             real_decode(b"bytes-that-are-not-a-bmp")
 
+    def test_real_decode_rejects_truncated_bmp(self):
+        # out-of-range slices silently return partial data, so a corrupt
+        # header must raise, never yield a quietly-short pixel_sum
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.multimodal import (
+            encode_bmp,
+            real_decode,
+        )
+
+        good = encode_bmp(4, 3)
+        with pytest.raises(ValueError, match="truncated BMP"):
+            real_decode(good[:-5])  # payload cut mid-pixel-array
+        import struct
+
+        bad_off = bytearray(good)
+        struct.pack_into("<I", bad_off, 10, len(good))  # offset past end
+        with pytest.raises(ValueError, match="truncated BMP"):
+            real_decode(bytes(bad_off))
+        bad_w = bytearray(good)
+        struct.pack_into("<i", bad_w, 18, 0)
+        with pytest.raises(ValueError, match="invalid BMP width"):
+            real_decode(bytes(bad_w))
+
+    def test_double_array_sql_rejects_non_finite(self):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.similarity import (
+            double_array_sql,
+        )
+
+        assert double_array_sql([1.5, -2.0]) == (
+            "array(CAST(1.5 AS DOUBLE),CAST(-2.0 AS DOUBLE))"
+        )
+        for bad in (float("inf"), float("-inf"), float("nan")):
+            with pytest.raises(ValueError, match="non-finite"):
+                double_array_sql([[1.0, bad]])
+
     def test_real_decode_top_down_bmp(self):
         import struct
 

