@@ -1,0 +1,87 @@
+"""Static-HTML serving surface (reference app.py:147-191 Streamlit
+per-student UI + README.md:26-27 Kibana dashboards, re-expressed as
+self-contained build artifacts over the verified query registry).
+
+These tests pin the contract: the HTML is fully self-contained (no
+external URLs — also keeps the leak check trivially clean), every
+chart ships a table view with the same numbers, user-derived strings
+are escaped, both color schemes are defined, and the numbers shown
+agree with the underlying registered queries.
+"""
+
+from __future__ import annotations
+
+import re
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.serving.report import (
+    column_chart,
+    line_chart,
+    render_dashboard,
+    render_student_report,
+)
+from .conftest import SF_SMALL
+
+
+def test_dashboard_self_contained_and_consistent(spark):
+    html_text = render_dashboard(spark, SF_SMALL)
+    # self-contained: no external fetches of any kind
+    assert "http://" not in html_text and "https://" not in html_text
+    assert "<link" not in html_text and "src=" not in html_text
+    # one line chart + one column chart, each with a table view
+    assert html_text.count("<svg") == 2
+    assert html_text.count('data-linechart="1"') == 1
+    assert html_text.count("<table>") == 2
+    # dark mode is selected, not an automatic flip
+    assert "prefers-color-scheme: dark" in html_text
+    # numbers agree with the registered query
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    trend = all_queries()["monthly_order_trend"].fn(spark, SF_SMALL).collect()
+    n_orders = sum(r["n_orders"] for r in trend)
+    assert f"{n_orders:,}" in html_text or f"{n_orders / 1000:,.1f}K" in html_text
+
+
+def test_student_report_renders_transcript(spark):
+    html_text = render_student_report(spark, SF_SMALL, custkey=1)
+    assert "GPA (4.0 scale)" in html_text
+    assert "hero" in html_text
+    # status chip pairs icon + label, never color alone
+    assert re.search(r"status-chip[^>]*>[✓▲✕] ", html_text)
+    # transcript rows land in the table view
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.plans.student_progress import (
+        transcript_lookup,
+    )
+
+    n = transcript_lookup(spark, SF_SMALL, custkey=1).count()
+    assert f"{n} transcript rows" in html_text
+
+
+def test_student_report_missing_student(spark):
+    html_text = render_student_report(spark, SF_SMALL, custkey=99999999)
+    assert "no records found" in html_text
+
+
+def test_chart_marks_follow_spec():
+    html_chart = column_chart(["A", "B", "C"], [10.0, 25.0, 5.0], "n")
+    # every bar: rounded data-end path, square baseline (path closes with Z)
+    assert html_chart.count('class="mark"') == 3
+    assert html_chart.count("Z\"") == 3
+    # exactly ONE direct label (the max bar), not a number on every bar
+    assert html_chart.count('class="dlabel"') == 1
+    # per-mark tooltip data + native title fallback
+    assert html_chart.count("data-v=") == 3 and html_chart.count("<title>") == 3
+
+    line = line_chart(["m1", "m2", "m3"], [1.0, 3.0, 2.0], "v")
+    assert 'class="line"' in line  # 2px stroke via CSS
+    assert line.count('class="dot hoverdot"') == 1
+    assert 'class="xhair"' in line  # crosshair layer for nearest-x hover
+    assert line.count('class="dlabel"') == 1  # endpoint label only
+
+
+def test_labels_are_escaped():
+    evil = "<script>alert(1)</script>"
+    html_chart = column_chart([evil], [1.0], "n")
+    assert "<script>" not in html_chart
+    assert "&lt;script&gt;" in html_chart

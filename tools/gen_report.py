@@ -1,0 +1,48 @@
+"""Render the static-HTML serving surface (the reference's Streamlit +
+Kibana layer as build artifacts).
+
+    python tools/gen_report.py [sf_dir] [out_dir] [custkey]
+
+Writes `dashboard.html` (Kibana-parity corpus dashboard) and
+`student_<custkey>.html` (Streamlit-parity per-student progress page)
+— each fully self-contained (inline CSS/SVG/JS, no external
+resources), every number produced by the verified query registry.
+In production the same two calls run in a `foreachBatch` sink or a
+cron so the artifacts track the serving tables.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "."
+    custkey = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.serving.report import (  # noqa: E501
+        render_dashboard,
+        render_student_report,
+        write_report,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.session import (  # noqa: E501
+        get_spark,
+    )
+
+    spark = get_spark("report")
+    spark.sparkContext.setLogLevel("ERROR")
+    dash = os.path.join(out_dir, "dashboard.html")
+    stud = os.path.join(out_dir, f"student_{custkey}.html")
+    write_report(dash, render_dashboard(spark, sf_dir))
+    write_report(stud, render_student_report(spark, sf_dir, custkey=custkey))
+    print(f"wrote {dash} and {stud}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
