@@ -666,29 +666,6 @@ def double_array_sql(values) -> str:
     return f"CAST({v!r} AS DOUBLE)"
 
 
-def pq_best(vec: Column, codebook: list[list[float]], start: int) -> Column:
-    """Nearest sub-centroid for one subspace as a native expression:
-    struct(d, i) minimum over k literal sub-centroids — squared distance
-    is the same sequential zip_with/aggregate fold as `with_cluster`,
-    ties break to the lower code.  Pure map-side; no shuffle."""
-    ds = len(codebook[0])
-    sub = F.slice(vec, start, ds)
-    # one SQL-parsed literal, not m×k×ds Column objects: building the
-    # nested array via F.array/F.lit costs thousands of py4j round
-    # trips at plan time (m=8, k=64 ⇒ ~4.3 s of pure driver overhead
-    # per query); a single expr string parses JVM-side in milliseconds.
-    # CAST(...AS DOUBLE) pins the literal type (bare decimals parse as
-    # DECIMAL in Spark SQL), and repr() round-trips binary64 exactly.
-    cents = F.expr(double_array_sql(codebook))
-    scored = F.transform(
-        cents,
-        lambda c, i: F.struct(
-            _sq_dist(sub, c).alias("d"), i.cast("int").alias("i")
-        ),
-    )
-    return F.array_min(scored)
-
-
 def pq_encode(
     df: DataFrame,
     vec_col: str,

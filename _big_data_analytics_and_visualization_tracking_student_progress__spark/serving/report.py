@@ -124,6 +124,7 @@ _JS = """
   document.querySelectorAll('svg[data-linechart]').forEach(function (svg) {
     var xs = JSON.parse(svg.dataset.xs), vs = JSON.parse(svg.dataset.vs),
         ls = JSON.parse(svg.dataset.ls);
+    if (!xs.length) return;
     var xh = svg.querySelector('.xhair'), dot = svg.querySelector('.hoverdot');
     svg.addEventListener('pointermove', function (e) {
       var pt = svg.createSVGPoint(); pt.x = e.clientX; pt.y = e.clientY;
@@ -169,7 +170,8 @@ def _compact(v: float) -> str:
 
 
 def _ticks(vmax: float, n: int = 4) -> list[float]:
-    """Clean-number axis ticks covering [0, vmax]."""
+    """Clean-number axis ticks covering [0, vmax]: the last tick is
+    always >= vmax, so no mark can overshoot the plot area."""
     if vmax <= 0:
         return [0.0]
     raw = vmax / n
@@ -177,10 +179,10 @@ def _ticks(vmax: float, n: int = 4) -> list[float]:
     step = next(
         m * mag for m in (1, 2, 2.5, 5, 10) if m * mag >= raw
     )
-    out, t = [], 0.0
-    while t < vmax + step / 2:
-        out.append(t)
+    out, t = [0.0], 0.0
+    while t < vmax - 1e-9:
         t += step
+        out.append(t)
     return out
 
 
@@ -269,17 +271,22 @@ def line_chart(
     vmax = max(values) if values else 1.0
     ticks = _ticks(vmax)
     vtop = ticks[-1] or 1.0
-    n = max(len(values), 1)
+    n = len(values)
     xs = [ml + pw * (i / max(n - 1, 1)) for i in range(n)]
     ys = [mt + ph * (1 - v / vtop) for v in values]
+
+    def attr(payload) -> str:
+        # JSON lives in an HTML attribute: escape quotes too, or a
+        # label containing ' / " would break out of the attribute
+        return html.escape(_json.dumps(payload), quote=True)
 
     parts = [
         f'<svg viewBox="0 0 {width} {height}" role="img" '
         f'aria-label="{_esc(value_name)} over time" data-linechart="1" '
-        f"data-xs='{_json.dumps([round(x, 1) for x in xs])}' "
-        f"data-ys='{_json.dumps([round(y, 1) for y in ys])}' "
-        f"data-vs='{_json.dumps([_fmt(v) for v in values])}' "
-        f"data-ls='{_json.dumps([str(l) for l in labels])}'>"
+        f'data-xs="{attr([round(x, 1) for x in xs])}" '
+        f'data-ys="{attr([round(y, 1) for y in ys])}" '
+        f'data-vs="{attr([_fmt(v) for v in values])}" '
+        f'data-ls="{attr([str(l) for l in labels])}">'
     ]
     for t in ticks:
         y = mt + ph * (1 - t / vtop)
@@ -288,7 +295,7 @@ def line_chart(
         parts.append(f'<text x="{ml - 6}" y="{y + 4:.1f}" '
                      f'text-anchor="end">{_esc(_compact(t))}</text>')
     # sparse x labels: first / middle / last
-    for i in sorted({0, n // 2, n - 1}):
+    for i in sorted({0, n // 2, n - 1} if n else set()):
         parts.append(
             f'<text x="{xs[i]:.1f}" y="{height - 6}" '
             f'text-anchor="middle">{_esc(labels[i])}</text>'
@@ -348,16 +355,17 @@ def render_student_report(
         .filter(f"c_custkey = {int(custkey)}")
         .collect()
     )
-    transcript = transcript_lookup(spark, sf_dir, custkey=custkey).collect()
-    hist = all_queries()["grade_histogram"].fn(spark, sf_dir).collect()
-    hist.sort(key=lambda r: r["grade4"])
-
     if not row:
+        # early out BEFORE the transcript/histogram jobs: a miss should
+        # cost one lookup, not three distributed queries
         return _page(
             "Student progress",
             f"<h1>Student {int(custkey)}</h1>"
             "<p class='sub'>no records found</p>",
         )
+    transcript = transcript_lookup(spark, sf_dir, custkey=custkey).collect()
+    hist = all_queries()["grade_histogram"].fn(spark, sf_dir).collect()
+    hist.sort(key=lambda r: r["grade4"])
     s = row[0]
     tiles = "".join(
         f"<div class='tile'><div class='label'>{_esc(lab)}</div>"

@@ -61,10 +61,12 @@ class DropFolderMonitor:
         folder: str,
         state_path: str,
         exts: Sequence[str] = (".xlsx", ".xls"),
+        paranoid: bool = False,
     ):
         self.folder = folder
         self.state_path = state_path
         self.exts = tuple(exts)
+        self.paranoid = paranoid
         self._state: dict[str, list] = {}
         if os.path.exists(state_path):
             with open(state_path) as fh:
@@ -85,10 +87,22 @@ class DropFolderMonitor:
                 h.update(block)
         return h.hexdigest()
 
-    def poll(self) -> list[str]:
-        """Paths whose content is new or changed since the last poll;
-        updates and persists the snapshot."""
-        changed: list[str] = []
+    def scan(self) -> dict[str, list]:
+        """Paths whose content is new or changed since the last commit,
+        mapped to their fresh (size, mtime_ns, md5) signature.  Does NOT
+        touch persisted state: a changed path only leaves the changed
+        set once the caller has fully processed it and called
+        `commit(path, sig)` — so a crash mid-ingest re-emits the file on
+        the next scan instead of silently losing it.
+
+        Known gate semantics (the rsync quick-check trade-off): a file
+        whose size AND mtime_ns both match the committed signature is
+        not re-hashed, so an in-place same-size overwrite within the
+        filesystem's timestamp granularity goes undetected.  ext4/xfs
+        report nanoseconds, where this is vanishing; on coarse-mtime
+        filesystems construct the monitor with ``paranoid=True`` to
+        hash every file on every scan."""
+        changed: dict[str, list] = {}
         for name in sorted(os.listdir(self.folder)):
             if not name.lower().endswith(self.exts):
                 continue
@@ -98,14 +112,36 @@ class DropFolderMonitor:
             except OSError:
                 continue
             prev = self._state.get(path)
-            if prev is not None and prev[0] == st.st_size and prev[1] == st.st_mtime_ns:
+            if (
+                not self.paranoid
+                and prev is not None
+                and prev[0] == st.st_size
+                and prev[1] == st.st_mtime_ns
+            ):
                 continue  # stat signature unchanged: skip the re-hash
             digest = self._md5(path)
             if prev is None or prev[2] != digest:
-                changed.append(path)
-            self._state[path] = [st.st_size, st.st_mtime_ns, digest]
-        self._persist()  # stat-signature refreshes persist too
+                changed[path] = [st.st_size, st.st_mtime_ns, digest]
+            elif prev[1] != st.st_mtime_ns:
+                # touched but content-identical: refresh the cheap gate
+                # immediately (nothing downstream depends on it)
+                self._state[path] = [st.st_size, st.st_mtime_ns, digest]
+                self._persist()
         return changed
+
+    def commit(self, path: str, sig: list) -> None:
+        """Record `path` as fully processed at signature `sig` — called
+        only after the file's rows are durably ingested."""
+        self._state[path] = sig
+        self._persist()
+
+    def poll(self) -> list[str]:
+        """scan() + immediate commit of every changed path — for callers
+        that only need change NOTIFICATION, not exactly-once ingest."""
+        changed = self.scan()
+        for path, sig in changed.items():
+            self.commit(path, sig)
+        return list(changed)
 
 
 class DropIngestor:
@@ -113,9 +149,11 @@ class DropIngestor:
 
     One instance owns a drop folder, its file/row snapshots under
     `state_dir`, and the keyed serving table.  `process_once()` is the
-    micro-batch: poll → per-file row diff → changed-rows log → upsert.
-    Replay-idempotent: re-processing an unchanged folder is a no-op,
-    and re-feeding identical rows merges to the same table state."""
+    micro-batch: scan → per-file (row diff → changed-rows log → MERGE →
+    snapshot replace → monitor commit).  Replay-idempotent:
+    re-processing an unchanged folder is a no-op, re-feeding identical
+    rows merges to the same table state, and a crash mid-file re-emits
+    that file on the next scan (see `process_once`)."""
 
     def __init__(
         self,
@@ -127,6 +165,7 @@ class DropIngestor:
     ):
         self.spark = spark
         self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
         self.table = table
         self.cdc_cols = list(cdc_cols) if cdc_cols else None
         self.monitor = DropFolderMonitor(
@@ -159,15 +198,24 @@ class DropIngestor:
         """One ingest micro-batch.  Returns the changed rows that flowed
         to the sink this batch (read back from the append-only log, so
         the result is stable after the snapshots move on), or None if
-        nothing changed."""
+        nothing changed.
+
+        Per-file order is crash-safe at-least-once with an idempotent
+        sink: log append → keyed MERGE → row-hash snapshot replace →
+        monitor commit.  A failure anywhere before the commit leaves the
+        file's monitor state and row-hash snapshot untouched, so the
+        next scan re-emits it and the diff reproduces the same rows —
+        the log may then carry replay duplicates (distinguishable by
+        `ingest_seq`), but the MERGE collapses them by key, so the
+        serving table converges exactly-once."""
         from .readers import read_excel
 
-        paths = self.monitor.poll()
-        if not paths:
+        pending = self.monitor.scan()
+        if not pending:
             return None
         seq = self._seq()
         wrote = False
-        for path in paths:
+        for path, sig in pending.items():
             df = read_excel(self.spark, path)
             cols = self.cdc_cols or df.columns
             hashed = with_row_hash(df, cols)
@@ -178,12 +226,14 @@ class DropIngestor:
                 else anti_join(hashed, prev.select(HASH_COL), [HASH_COL])
             )
             changed = changed.withColumn(SEQ_COL, F.lit(seq))
-            # append the survivors to the log FIRST (materializes the
-            # diff before the hash snapshot below is overwritten — the
-            # same localize-before-overwrite rule as KeyedParquetTable)
-            n = changed.count()
-            if n:
+            # append survivors to the log FIRST (materializes the diff
+            # while the old hash snapshot is still intact — the same
+            # localize-before-overwrite rule as KeyedParquetTable)
+            if changed.count():
                 changed.write.mode("append").parquet(self.log_path)
+                # MERGE before the snapshot moves: `changed` is lazy
+                # over (file ⟕ old snapshot), both still unchanged here
+                self.table.upsert(changed.drop(HASH_COL))
                 wrote = True
             # full new snapshot replaces the old one
             tmp = self._rowhash_path(path) + ".new"
@@ -194,10 +244,12 @@ class DropIngestor:
 
                 shutil.rmtree(final)
             os.replace(tmp, final)
+            # only now is the file durably ingested
+            self.monitor.commit(path, sig)
         if not wrote:
             return None
-        batch = self.spark.read.parquet(self.log_path).filter(
-            F.col(SEQ_COL) == seq
+        return (
+            self.spark.read.parquet(self.log_path)
+            .filter(F.col(SEQ_COL) == seq)
+            .drop(HASH_COL)
         )
-        self.table.upsert(batch.drop(HASH_COL))
-        return batch.drop(HASH_COL)

@@ -58,7 +58,10 @@ def _u32(b: bytes, off: int) -> int:
 
 
 def _sector(data: bytes, idx: int, ssz: int) -> bytes:
-    off = 512 + idx * ssz
+    # [MS-CFB]: sector 0 starts after the header, which occupies one
+    # FULL sector — 512 bytes in v3, 4096 in v4 — so the offset is
+    # (idx+1)*ssz, not 512+idx*ssz (equivalent only when ssz == 512)
+    off = (idx + 1) * ssz
     return data[off : off + ssz]
 
 
@@ -516,10 +519,12 @@ def _cfb_wrap(workbook: bytes, force_fat: bool = False) -> bytes:
     if force_fat and len(workbook) < 4096:
         workbook = _pad(workbook, 4096)  # trailing zero records: reader stops
 
-    def fat_sector(entries: list[int]) -> bytes:
+    def fat_sectors(entries: list[int], n_sectors: int) -> bytes:
+        """`entries` padded with FREESECT to fill n_sectors FAT sectors."""
+        total = n_sectors * 128
         return b"".join(
             struct.pack("<I", entries[i] if i < len(entries) else _FREESECT)
-            for i in range(128)
+            for i in range(total)
         )
 
     def head(n_fat, first_dir, first_minifat, n_minifat, difat0) -> bytes:
@@ -540,6 +545,8 @@ def _cfb_wrap(workbook: bytes, force_fat: bool = False) -> bytes:
 
     if len(workbook) < 4096:
         # mini-stream layout: [dir][miniFAT][mini container…][FAT]
+        # (workbook < 4096 bytes → ≤64 mini sectors → one miniFAT and
+        # one FAT sector always suffice here)
         mini = _pad(workbook, 64)
         m = len(mini) // 64
         container = _pad(mini, 512)
@@ -550,28 +557,47 @@ def _cfb_wrap(workbook: bytes, force_fat: bool = False) -> bytes:
             + _cfb_direntry("Workbook", 2, 0, len(workbook))
             + b"\x00" * 256
         )
-        minifat = fat_sector(list(range(1, m)) + [_ENDOFCHAIN])
-        fat = fat_sector(
+        minifat = fat_sectors(list(range(1, m)) + [_ENDOFCHAIN], 1)
+        fat = fat_sectors(
             [_ENDOFCHAIN, _ENDOFCHAIN]
             + list(range(3, 2 + k))
-            + [_ENDOFCHAIN, _FATSECT]
+            + [_ENDOFCHAIN, _FATSECT],
+            1,
         )
         return (
             head(1, 0, 1, 1, fat_idx) + directory + minifat + container + fat
         )
 
-    # regular-sector layout: [workbook…][dir][FAT]
+    # regular-sector layout: [workbook…][dir][FAT…].  One FAT sector
+    # maps 128 sectors, so big workbooks (>~64 KB) need several — solve
+    # n_fat = ceil((k + 1 + n_fat) / 128) by fixed point (the header's
+    # 109 DIFAT slots bound the writer at ~7 MB, far past any fixture).
     wb = _pad(workbook, 512)
     k = len(wb) // 512
+    n_fat = 1
+    while n_fat * 128 < k + 1 + n_fat:
+        n_fat += 1
+    if n_fat > 109:
+        raise ValueError(
+            f"workbook stream too large for this writer ({len(workbook)} "
+            "bytes needs DIFAT sectors beyond the header's 109 slots)"
+        )
     directory = (
         _cfb_direntry("Root Entry", 5, _ENDOFCHAIN, 0, child=1)
         + _cfb_direntry("Workbook", 2, 0, len(workbook))
         + b"\x00" * 256
     )
-    fat = fat_sector(
-        list(range(1, k)) + [_ENDOFCHAIN, _ENDOFCHAIN, _FATSECT]
+    fat = fat_sectors(
+        list(range(1, k)) + [_ENDOFCHAIN, _ENDOFCHAIN]
+        + [_FATSECT] * n_fat,
+        n_fat,
     )
-    return head(1, k, _ENDOFCHAIN, 0, k + 1) + wb + directory + fat
+    h = head(n_fat, k, _ENDOFCHAIN, 0, k + 1)
+    # DIFAT slots 0..n_fat-1 point at the FAT sectors (k+1 .. k+n_fat)
+    h = bytearray(h)
+    for i in range(n_fat):
+        struct.pack_into("<I", h, 76 + 4 * i, k + 1 + i)
+    return bytes(h) + wb + directory + fat
 
 
 def write_minimal_xls(

@@ -85,3 +85,39 @@ def test_labels_are_escaped():
     html_chart = column_chart([evil], [1.0], "n")
     assert "<script>" not in html_chart
     assert "&lt;script&gt;" in html_chart
+
+
+def test_line_chart_attr_payloads_are_escaped():
+    # JSON payloads live in HTML attributes: quotes must not break out
+    evil = 'a"b\'c<d'
+    chart = line_chart([evil, "x"], [1.0, 2.0], "v")
+    assert '<d' not in chart.split(">", 1)[0]  # nothing raw in the svg tag
+    assert "&quot;" in chart and "&lt;d" in chart
+
+
+def test_line_chart_empty_series_renders():
+    chart = line_chart([], [], "v")
+    assert "<svg" in chart and "polyline" in chart
+    assert 'class="dlabel"' not in chart  # nothing to label
+
+
+def test_ticks_cover_vmax():
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.serving.report import (
+        _ticks,
+    )
+
+    for vmax in (7, 12, 48, 99.5, 100, 1, 0.3, 123456):
+        ticks = _ticks(vmax)
+        assert ticks[-1] >= vmax, (vmax, ticks)
+        assert ticks[0] == 0.0
+        assert 2 <= len(ticks) <= 8, (vmax, ticks)
+
+
+def test_bars_stay_inside_viewbox():
+    # max value must not overshoot the plot area (regression: _ticks
+    # used to top out below vmax, clipping the tallest bar)
+    import re
+
+    chart = column_chart(["a", "b"], [48.0, 10.0], "n")
+    ys = [float(m) for m in re.findall(r'M[\d.]+,([-\d.]+)', chart)]
+    assert all(y >= 0 for y in ys), ys

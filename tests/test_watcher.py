@@ -110,6 +110,43 @@ def test_monitor_state_survives_restart(spark, tmp_path):
     assert fresh.poll() == [path]
 
 
+def test_crash_mid_ingest_reemits_file(spark, tmp_path):
+    """A failure after change detection but before the MERGE must NOT
+    lose the file: monitor state commits only after durable ingest, so
+    the next scan re-emits it and the table converges."""
+    ing, path, table = _ingestor(spark, tmp_path)
+    write_minimal_xls(path, HEADER, V1)
+    assert ing.process_once().count() == 3
+
+    write_minimal_xls(path, HEADER, V2)
+    real_upsert = table.upsert
+    calls = {"n": 0}
+
+    def failing_upsert(batch):
+        calls["n"] += 1
+        raise RuntimeError("simulated sink outage")
+
+    table.upsert = failing_upsert
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="sink outage"):
+            ing.process_once()
+    finally:
+        table.upsert = real_upsert
+    assert calls["n"] == 1
+
+    # retry: the overwrite is re-detected and the same rows flow
+    retry = ing.process_once()
+    got = {r.F_MASV: (r.F_DIEM2, r.F_PASSED) for r in retry.collect()}
+    assert got == {"B002": (7.5, True), "B004": (5.0, True)}
+    state = {r.F_MASV: r.F_DIEM2 for r in table.read().collect()}
+    assert state == {"B001": 8.5, "B002": 7.5, "B003": 6.0, "B004": 5.0}
+
+    # and the folder is now quiescent
+    assert ing.process_once() is None
+
+
 def test_non_spreadsheet_files_ignored(spark, tmp_path):
     ing, path, _ = _ingestor(spark, tmp_path)
     with open(os.path.join(os.path.dirname(path), "notes.txt"), "w") as fh:

@@ -71,6 +71,24 @@ def test_xls_round_trip_regular_sectors(tmp_path):
     assert rows == EXPECT
 
 
+def test_large_workbook_multi_fat_round_trip(tmp_path):
+    """>64 KB workbook streams need more than one FAT sector (one maps
+    128 sectors); the writer chains them through the header DIFAT and
+    the reader walks them back — this is the sf1-scale shape of
+    modified_file_reingest's drop file."""
+    rows = [[f"D{i:05d}", float(i), i % 2 == 0] for i in range(3000)]
+    path = str(tmp_path / "big.xls")
+    write_minimal_xls(path, HEADER, rows)
+    import os
+
+    assert os.path.getsize(path) > 100_000  # genuinely multi-FAT
+    header, got = read_xls_rows(path)
+    assert header == HEADER
+    assert len(got) == 3000
+    assert got[0] == ("D00000", 0.0, True)
+    assert got[-1] == ("D02999", 2999.0, False)
+
+
 def test_rk_decoding():
     # integer, integer/100, and truncated-double forms ([MS-XLS] 2.5.276)
     assert _decode_rk((42 << 2) | 2) == 42.0

@@ -7,8 +7,9 @@ diffs every recorded ``CORRECTNESS_r*.json`` against the live registry
 and proposes the next window so the rotation never goes stale by hand:
 
 - per-query status: never-checked / stale-fail / last-green-round
-- a proposed next window: the fixed family core + as many never-checked
-  (then stale-fail) names as fit, ordered streaming-family-first
+- a proposed next window: the fixed family core, then stale-fail names
+  (a FAIL row must be re-earned before new coverage), then as many
+  never-checked names as fit — each pool ordered streaming-family-first
 
 The three rows-only-by-design names (no DuckDB oracle — the driver
 records them as non-green ``no_oracle`` rows) are excluded permanently.
