@@ -186,20 +186,30 @@ def _ticks(vmax: float, n: int = 4) -> list[float]:
     return out
 
 
-def _table(headers: Sequence[str], rows: Sequence[Sequence], summary: str) -> str:
+def _cell(c) -> str:
+    if c is None:
+        return "–"
+    return _esc(_fmt(c) if isinstance(c, (int, float)) else c)
+
+
+def _table(
+    headers: Sequence[str],
+    rows: Sequence[Sequence],
+    summary: str,
+    collapsed: bool = True,
+) -> str:
     head = "".join(f"<th>{_esc(h)}</th>" for h in headers)
     body = "".join(
-        "<tr>" + "".join(
-            f"<td>{_esc(_fmt(c) if isinstance(c, (int, float)) else c)}</td>"
-            for c in r
-        ) + "</tr>"
+        "<tr>" + "".join(f"<td>{_cell(c)}</td>" for c in r) + "</tr>"
         for r in rows
     )
-    return (
-        f"<details><summary>{_esc(summary)}</summary>"
+    table = (
         f"<table><thead><tr>{head}</tr></thead>"
-        f"<tbody>{body}</tbody></table></details>"
+        f"<tbody>{body}</tbody></table>"
     )
+    if not collapsed:
+        return table
+    return f"<details><summary>{_esc(summary)}</summary>{table}</details>"
 
 
 def column_chart(
@@ -412,34 +422,49 @@ def render_student_report(
 
 
 def render_dashboard(spark: SparkSession, sf_dir: str) -> str:
-    """Corpus dashboard (Kibana parity, README.md:26-27): KPI row over
-    the monthly rollup, the order/revenue trend line, and the grade
-    histogram."""
+    """Corpus dashboard (Kibana parity, README.md:26-27): KPI tiles
+    (HLL distinct users, orders, revenue, documents), the monthly
+    revenue trend line, the grade histogram, corpus quality by
+    language, and the pricing summary as a plain table (identity ×
+    many measures is a table's job, not a chart's)."""
     from ..registry import all_queries
 
     qs = all_queries()
+    hll = qs["hll_distinct_users"].fn(spark, sf_dir).collect()
     trend = qs["monthly_order_trend"].fn(spark, sf_dir).collect()
     trend.sort(key=lambda r: r["ym"])
     hist = qs["grade_histogram"].fn(spark, sf_dir).collect()
     hist.sort(key=lambda r: r["grade4"])
+    quality = [tuple(r) for r in
+               qs["corpus_quality_rollup"].fn(spark, sf_dir).collect()]
+    pricing = qs["pricing_summary"].fn(spark, sf_dir)
+    ps_cols = pricing.columns
+    ps = sorted((tuple(r) for r in pricing.collect()),
+                key=lambda r: (r[0], r[1]))
+
+    # grouping-sets rollup: (g_lang, g_source) = (1,1) grand total,
+    # (0,1) per-language subtotals
+    grand = [r for r in quality if r[2] == 1 and r[3] == 1]
+    per_lang = sorted(
+        (r for r in quality if r[2] == 0 and r[3] == 1), key=lambda r: r[0]
+    )
 
     n_orders = sum(r["n_orders"] for r in trend)
     revenue = sum(r["revenue"] for r in trend)
-    avg_price = revenue / n_orders if n_orders else 0.0
     tiles = "".join(
         f"<div class='tile'><div class='label'>{_esc(lab)}</div>"
         f"<div class='value'>{_esc(val)}</div></div>"
         for lab, val in (
+            ("Distinct users (HLL est.)", _compact(float(hll[0][2]))),
             ("Orders", _compact(float(n_orders))),
             ("Revenue", _compact(revenue)),
-            ("Avg order value", _compact(avg_price)),
-            ("Months", _fmt(len(trend))),
+            ("Documents", _compact(float(grand[0][4])) if grand else "–"),
         )
     )
     body = (
         "<h1>Progress analytics</h1>"
-        "<p class='sub'>orders, revenue and grade distribution — "
-        "regenerated from the verified query registry</p>"
+        "<p class='sub'>regenerated from the verified query registry at "
+        f"{_esc(sf_dir)}</p>"
         f"<div class='tiles'>{tiles}</div>"
         "<h2>Monthly revenue</h2>"
         + line_chart(
@@ -464,6 +489,19 @@ def render_dashboard(spark: SparkSession, sf_dir: str) -> str:
             [(r["grade4"], r["n"]) for r in hist],
             "table view",
         )
+        + "<h2>Corpus quality by language (mean score)</h2>"
+        + column_chart(
+            [str(r[0]) for r in per_lang],
+            [float(r[6]) for r in per_lang],
+            "mean quality",
+        )
+        + _table(
+            ["lang", "docs", "mean quality"],
+            [(r[0], r[4], r[6]) for r in per_lang],
+            "table view",
+        )
+        + "<h2>Pricing summary (returnflag × linestatus)</h2>"
+        + _table(ps_cols, ps, "", collapsed=False)
     )
     return _page("Progress analytics", body)
 

@@ -27,10 +27,11 @@ def test_dashboard_self_contained_and_consistent(spark):
     # self-contained: no external fetches of any kind
     assert "http://" not in html_text and "https://" not in html_text
     assert "<link" not in html_text and "src=" not in html_text
-    # one line chart + one column chart, each with a table view
-    assert html_text.count("<svg") == 2
+    # one line chart + two column charts, each with a table view,
+    # plus the pricing summary as a plain table
+    assert html_text.count("<svg") == 3
     assert html_text.count('data-linechart="1"') == 1
-    assert html_text.count("<table>") == 2
+    assert html_text.count("<table>") == 4
     # dark mode is selected, not an automatic flip
     assert "prefers-color-scheme: dark" in html_text
     # numbers agree with the registered query

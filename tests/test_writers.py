@@ -259,8 +259,10 @@ def test_report_tool_builds_dashboard(spark):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     html_text = mod.build_report(spark, "/root/testdata/sf0.001")
-    assert html_text.count('class="tile"') == 4
+    assert html_text.count("class='tile'") == 4
     assert html_text.count("<svg") == 3
-    assert html_text.count('table class="data"') == 4
-    assert html_text.count("<title>") > 20  # hover tooltips on every mark
+    assert html_text.count("<table>") == 4  # 3 chart views + pricing
+    assert html_text.count("<title>") > 10  # per-bar hover tooltips
     assert ">None<" not in html_text and ">NaN<" not in html_text
+    # self-contained: no external fetches
+    assert "http://" not in html_text and "https://" not in html_text
