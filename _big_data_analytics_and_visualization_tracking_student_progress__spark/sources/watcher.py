@@ -103,6 +103,7 @@ class DropFolderMonitor:
         filesystems construct the monitor with ``paranoid=True`` to
         hash every file on every scan."""
         changed: dict[str, list] = {}
+        dirty = False
         for name in sorted(os.listdir(self.folder)):
             if not name.lower().endswith(self.exts):
                 continue
@@ -124,9 +125,12 @@ class DropFolderMonitor:
                 changed[path] = [st.st_size, st.st_mtime_ns, digest]
             elif prev[1] != st.st_mtime_ns:
                 # touched but content-identical: refresh the cheap gate
-                # immediately (nothing downstream depends on it)
+                # (persisted ONCE after the loop — a `touch *` sweep over
+                # a 10k-file inbox must not rewrite the state 10k times)
                 self._state[path] = [st.st_size, st.st_mtime_ns, digest]
-                self._persist()
+                dirty = True
+        if dirty:
+            self._persist()
         return changed
 
     def commit(self, path: str, sig: list) -> None:
@@ -149,11 +153,12 @@ class DropIngestor:
 
     One instance owns a drop folder, its file/row snapshots under
     `state_dir`, and the keyed serving table.  `process_once()` is the
-    micro-batch: scan → per-file (row diff → changed-rows log → MERGE →
-    snapshot replace → monitor commit).  Replay-idempotent:
-    re-processing an unchanged folder is a no-op, re-feeding identical
-    rows merges to the same table state, and a crash mid-file re-emits
-    that file on the next scan (see `process_once`)."""
+    micro-batch: scan → per-file (parse → row diff → changed-rows log)
+    → ONE batch MERGE → per-file (snapshot replace → monitor commit).
+    Replay-idempotent: re-processing an unchanged folder is a no-op,
+    re-feeding identical rows merges to the same table state, and a
+    crash mid-batch re-emits the unfinished files on the next scan
+    (see `process_once` for the exact protocol)."""
 
     def __init__(
         self,
@@ -162,6 +167,7 @@ class DropIngestor:
         state_dir: str,
         table: KeyedParquetTable,
         cdc_cols: Sequence[str] | None = None,
+        paranoid: bool = False,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -169,7 +175,7 @@ class DropIngestor:
         self.table = table
         self.cdc_cols = list(cdc_cols) if cdc_cols else None
         self.monitor = DropFolderMonitor(
-            folder, os.path.join(state_dir, "files.json")
+            folder, os.path.join(state_dir, "files.json"), paranoid=paranoid
         )
         self.log_path = os.path.join(state_dir, "changed_rows")
 
@@ -184,39 +190,75 @@ class DropIngestor:
             return None
         return self.spark.read.parquet(p)
 
-    def _seq(self) -> int:
-        seq_path = os.path.join(self.state_dir, "seq")
+    def _counter(self, name: str, advance: bool = False) -> int:
+        path = os.path.join(self.state_dir, name)
         n = 0
-        if os.path.exists(seq_path):
-            with open(seq_path) as fh:
+        if os.path.exists(path):
+            with open(path) as fh:
                 n = int(fh.read().strip() or 0)
-        with open(seq_path, "w") as fh:
-            fh.write(str(n + 1))
-        return n + 1
+        if advance:
+            n += 1
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(n))
+            os.replace(tmp, path)
+        return n
 
     def process_once(self) -> DataFrame | None:
         """One ingest micro-batch.  Returns the changed rows that flowed
-        to the sink this batch (read back from the append-only log, so
-        the result is stable after the snapshots move on), or None if
-        nothing changed.
+        to the sink since the last successful batch (read back from the
+        append-only log, so the result is stable after the snapshots
+        move on), or None if nothing changed.
 
-        Per-file order is crash-safe at-least-once with an idempotent
-        sink: log append → keyed MERGE → row-hash snapshot replace →
-        monitor commit.  A failure anywhere before the commit leaves the
-        file's monitor state and row-hash snapshot untouched, so the
-        next scan re-emits it and the diff reproduces the same rows —
-        the log may then carry replay duplicates (distinguishable by
-        `ingest_seq`), but the MERGE collapses them by key, so the
-        serving table converges exactly-once."""
+        Crash-safety protocol — at-least-once with an idempotent MERGE:
+
+        1. per file: parse → row-hash diff vs the file's old snapshot →
+           append survivors to the log under this batch's `ingest_seq`.
+           A file that fails to PARSE (corrupt, unsupported format) is
+           quarantined — committed as seen so it can't wedge the folder;
+           it re-enters when its content changes.  Parsing is wholly
+           driver-side, so a parse error can't be a transient infra
+           fault.
+        2. ONE keyed MERGE of every logged row newer than the last
+           returned batch (`returned_seq`) — batch granularity keeps the
+           table rewrite at one per batch, not one per file, and the
+           `> returned_seq` filter replays rows a crashed previous batch
+           logged (and possibly merged) but never returned.
+        3. per file: row-hash snapshot replace → monitor commit.  Both
+           happen only after the MERGE that contains the file's rows.
+
+        A crash anywhere before step 3 leaves the failed files'
+        monitor/snapshot state untouched: the next scan re-emits them,
+        the diff reproduces the same rows under a new seq, and the MERGE
+        (ordered by `ingest_seq`) collapses the replay by key.  The log
+        is therefore an at-least-once audit feed — duplicates are
+        distinguishable by seq — while the serving table converges.
+        `KeyedParquetTable.upsert`'s own overwrite is not atomic; if the
+        table dir itself is lost mid-write, `recover_table()` rebuilds
+        it from the full log."""
         from .readers import read_excel
 
         pending = self.monitor.scan()
         if not pending:
             return None
-        seq = self._seq()
+        seq = self._counter("seq", advance=True)
+        staged: list[tuple[str, list, DataFrame]] = []
         wrote = False
         for path, sig in pending.items():
-            df = read_excel(self.spark, path)
+            try:
+                df = read_excel(self.spark, path)
+            except Exception as exc:  # noqa: BLE001 — parse tier only
+                # poison-pill quarantine: an unreadable drop must not
+                # block the rest of the folder or re-abort every batch
+                import warnings
+
+                warnings.warn(
+                    f"drop-folder ingest: skipping unreadable {path!r}: "
+                    f"{exc!r} (will retry when its content changes)",
+                    stacklevel=2,
+                )
+                self.monitor.commit(path, sig)
+                continue
             cols = self.cdc_cols or df.columns
             hashed = with_row_hash(df, cols)
             prev = self._prev_hashes(path)
@@ -226,16 +268,31 @@ class DropIngestor:
                 else anti_join(hashed, prev.select(HASH_COL), [HASH_COL])
             )
             changed = changed.withColumn(SEQ_COL, F.lit(seq))
-            # append survivors to the log FIRST (materializes the diff
-            # while the old hash snapshot is still intact — the same
+            # append survivors to the log (materializes the diff while
+            # the old hash snapshot is still intact — the same
             # localize-before-overwrite rule as KeyedParquetTable)
             if changed.count():
                 changed.write.mode("append").parquet(self.log_path)
-                # MERGE before the snapshot moves: `changed` is lazy
-                # over (file ⟕ old snapshot), both still unchanged here
-                self.table.upsert(changed.drop(HASH_COL))
                 wrote = True
-            # full new snapshot replaces the old one
+            staged.append((path, sig, hashed))
+
+        returned_before = self._counter("returned_seq")
+        batch = None
+        if wrote or returned_before < seq - 1:
+            # one MERGE per batch, from the materialized log — includes
+            # any rows a crashed previous batch logged but never returned
+            if os.path.exists(os.path.join(self.log_path, "_SUCCESS")):
+                batch = (
+                    self.spark.read.parquet(self.log_path)
+                    .filter(F.col(SEQ_COL) > returned_before)
+                    .drop(HASH_COL)
+                )
+                if batch.isEmpty():
+                    batch = None
+                else:
+                    self.table.upsert(batch)
+        # snapshots + monitor commits only after the MERGE landed
+        for path, sig, hashed in staged:
             tmp = self._rowhash_path(path) + ".new"
             hashed.select(HASH_COL).write.mode("overwrite").parquet(tmp)
             final = self._rowhash_path(path)
@@ -244,12 +301,22 @@ class DropIngestor:
 
                 shutil.rmtree(final)
             os.replace(tmp, final)
-            # only now is the file durably ingested
             self.monitor.commit(path, sig)
-        if not wrote:
+        if batch is None:
             return None
-        return (
-            self.spark.read.parquet(self.log_path)
-            .filter(F.col(SEQ_COL) == seq)
-            .drop(HASH_COL)
+        tmp = os.path.join(self.state_dir, "returned_seq.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(seq))
+        os.replace(tmp, os.path.join(self.state_dir, "returned_seq"))
+        return batch
+
+    def recover_table(self) -> None:
+        """Disaster recovery: rebuild the serving table from the full
+        changed-rows log (at-least-once rows + `ingest_seq`-ordered
+        keyed MERGE → the same converged state), for the case where the
+        table directory itself was lost mid-overwrite."""
+        if not os.path.exists(os.path.join(self.log_path, "_SUCCESS")):
+            return
+        self.table.upsert(
+            self.spark.read.parquet(self.log_path).drop(HASH_COL)
         )

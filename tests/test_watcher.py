@@ -147,6 +147,66 @@ def test_crash_mid_ingest_reemits_file(spark, tmp_path):
     assert ing.process_once() is None
 
 
+def test_unreadable_file_quarantined_not_wedging(spark, tmp_path):
+    """A corrupt drop must not block the rest of the folder or re-abort
+    every batch: it is quarantined (committed as seen) and re-enters
+    only when its content changes."""
+    ing, path, table = _ingestor(spark, tmp_path)
+    drop_dir = os.path.dirname(path)
+    bad = os.path.join(drop_dir, "aaa_corrupt.xls")  # sorts BEFORE grades
+    with open(bad, "wb") as fh:
+        fh.write(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 600)
+    write_minimal_xls(path, HEADER, V1)
+
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        first = ing.process_once()
+    assert first is not None and first.count() == 3  # good file flowed
+    assert any("aaa_corrupt" in str(w.message) for w in caught)
+
+    # quarantined: the corrupt file does not re-emit on an idle poll
+    assert ing.process_once() is None
+
+    # …until its content changes into something readable
+    write_minimal_xls(bad, HEADER, [["X001", 1.0, True]])
+    recovered = ing.process_once()
+    assert {r.F_MASV for r in recovered.collect()} == {"X001"}
+
+
+def test_sink_failure_replays_unreturned_rows(spark, tmp_path):
+    """Rows logged by a batch whose MERGE crashed are replayed — merged
+    AND returned — by the next successful batch (the returned_seq
+    watermark), so no changed row is ever silently dropped from the
+    feed."""
+    ing, path, table = _ingestor(spark, tmp_path)
+    write_minimal_xls(path, HEADER, V1)
+    assert ing.process_once().count() == 3
+
+    write_minimal_xls(path, HEADER, V2)
+    real_upsert = table.upsert
+    table.upsert = lambda batch: (_ for _ in ()).throw(
+        RuntimeError("sink outage")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="sink outage"):
+            ing.process_once()
+    finally:
+        table.upsert = real_upsert
+
+    # retry: the re-emitted file logs a fresh seq AND the orphaned seq
+    # is inside the `> returned_seq` window — both merge, keys dedupe
+    retry = ing.process_once()
+    got = {r.F_MASV: (r.F_DIEM2, r.F_PASSED) for r in retry.collect()}
+    assert got == {"B002": (7.5, True), "B004": (5.0, True)}
+    state = {r.F_MASV: r.F_DIEM2 for r in table.read().collect()}
+    assert state == {"B001": 8.5, "B002": 7.5, "B003": 6.0, "B004": 5.0}
+    assert ing.process_once() is None
+
+
 def test_non_spreadsheet_files_ignored(spark, tmp_path):
     ing, path, _ = _ingestor(spark, tmp_path)
     with open(os.path.join(os.path.dirname(path), "notes.txt"), "w") as fh:

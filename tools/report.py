@@ -49,6 +49,7 @@ def main() -> None:
 
     spark = get_spark("report")
     spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
     dash = os.path.join(out_dir, "report.html")
     stud = os.path.join(out_dir, f"student_{custkey}.html")
     write_report(dash, build_report(spark, sf_dir))
