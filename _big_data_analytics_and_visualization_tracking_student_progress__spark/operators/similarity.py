@@ -206,6 +206,17 @@ def _sq_dist(v: Column, lit_c: Column) -> Column:
     )
 
 
+def _staging_col(df: DataFrame, base: str) -> str:
+    """A staging-column name absent from df.columns: broadcast-data
+    helpers (`with_cluster`, `pq_encode`) cross-join a one-row frame and
+    later drop its column — a user column with the same name would make
+    the select ambiguous or get silently dropped."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def with_cluster(
     df: DataFrame,
     vec_col: str,
@@ -224,12 +235,13 @@ def with_cluster(
     is IDENTICAL across iterations and compiles once.  No UDF, no
     shuffle: the cross join is a broadcast of one row."""
     spark = df.sparkSession
+    cent_col = _staging_col(df, "__cent")
     cent_df = spark.createDataFrame(
-        [(centroids,)], "__cent array<array<double>>"
+        [(centroids,)], f"{cent_col} array<array<double>>"
     )
     v = F.col(vec_col).cast("array<double>")
     scored = F.transform(
-        F.col("__cent"),
+        F.col(cent_col),
         lambda c, i: F.struct(
             _sq_dist(v, c).alias("d"), i.cast("int").alias("i")
         ),
@@ -237,7 +249,7 @@ def with_cluster(
     return (
         df.crossJoin(F.broadcast(cent_df))
         .withColumn(out_col, F.array_min(scored)["i"])
-        .drop("__cent")
+        .drop(cent_col)
     )
 
 
@@ -688,8 +700,9 @@ def pq_encode(
     expression instead of m×k literal folds.  Runtime is unchanged —
     the broadcast is one row."""
     spark = df.sparkSession
+    books_col = _staging_col(df, "__books")
     books_df = spark.createDataFrame(
-        [(codebooks,)], "__books array<array<array<double>>>"
+        [(codebooks,)], f"{books_col} array<array<array<double>>>"
     )
     v = F.col(vec_col).cast("array<double>")
 
@@ -705,12 +718,12 @@ def pq_encode(
         zip(codebooks, pq_subspace_offsets(codebooks))
     ):
         sub = F.slice(v, start, len(cb[0]))
-        scored = F.transform(F.col("__books")[j], scorer(sub))
+        scored = F.transform(F.col(books_col)[j], scorer(sub))
         new_cols.append(F.array_min(scored).alias(f"{out_prefix}{j}"))
     return (
         df.crossJoin(F.broadcast(books_df))
         .select("*", *new_cols)
-        .drop("__books")
+        .drop(books_col)
     )
 
 

@@ -240,7 +240,12 @@ class DropIngestor:
 
         pending = self.monitor.scan()
         if not pending:
-            return None
+            # A previous batch may have logged + merged rows and then
+            # crashed before advancing `returned_seq`.  If the folder
+            # then stays quiet, those rows would otherwise never be
+            # returned — replay the unreturned log window here so no
+            # changed row is ever silently dropped from the feed.
+            return self._replay_unreturned()
         seq = self._counter("seq", advance=True)
         staged: list[tuple[str, list, DataFrame]] = []
         wrote = False
@@ -282,9 +287,15 @@ class DropIngestor:
             # one MERGE per batch, from the materialized log — includes
             # any rows a crashed previous batch logged but never returned
             if os.path.exists(os.path.join(self.log_path, "_SUCCESS")):
+                # bounded on BOTH sides: the lazy DataFrame must stay
+                # stable even if a later process_once() appends newer
+                # rows before the caller collects it
                 batch = (
                     self.spark.read.parquet(self.log_path)
-                    .filter(F.col(SEQ_COL) > returned_before)
+                    .filter(
+                        (F.col(SEQ_COL) > returned_before)
+                        & (F.col(SEQ_COL) <= seq)
+                    )
                     .drop(HASH_COL)
                 )
                 if batch.isEmpty():
@@ -304,10 +315,42 @@ class DropIngestor:
             self.monitor.commit(path, sig)
         if batch is None:
             return None
+        self._write_returned(seq)
+        return batch
+
+    def _write_returned(self, seq: int) -> None:
         tmp = os.path.join(self.state_dir, "returned_seq.tmp")
         with open(tmp, "w") as fh:
             fh.write(str(seq))
         os.replace(tmp, os.path.join(self.state_dir, "returned_seq"))
+
+    def _replay_unreturned(self) -> DataFrame | None:
+        """Quiet-folder crash recovery: if the seq counter is ahead of
+        `returned_seq`, a prior batch logged (and possibly merged) rows
+        but died before returning them.  Re-merge that log window (the
+        MERGE is idempotent by key) and return it, then advance the
+        watermark."""
+        seq = self._counter("seq")
+        returned_before = self._counter("returned_seq")
+        if seq <= returned_before or not os.path.exists(
+            os.path.join(self.log_path, "_SUCCESS")
+        ):
+            return None
+        batch = (
+            self.spark.read.parquet(self.log_path)
+            .filter(
+                (F.col(SEQ_COL) > returned_before) & (F.col(SEQ_COL) <= seq)
+            )
+            .drop(HASH_COL)
+        )
+        if batch.isEmpty():
+            # nothing actually logged in the gap (the crashed batch died
+            # before its first log append) — close the window so quiet
+            # scans stay O(1)
+            self._write_returned(seq)
+            return None
+        self.table.upsert(batch)
+        self._write_returned(seq)
         return batch
 
     def recover_table(self) -> None:

@@ -448,6 +448,14 @@ def _biff_workbook(
             strings.append(s)
         return sidx[s]
 
+    if len(rows) + 1 > 65536:
+        # BIFF8 packs row indexes as uint16 — the format itself caps a
+        # sheet at 65,536 rows.  Fail with a typed, named error instead
+        # of an opaque struct.error deep in the pack loop.
+        raise UnsupportedXlsError(
+            f"BIFF8 sheets cap at 65,536 rows (got {len(rows) + 1} "
+            "including the header); split the data or write .xlsx"
+        )
     sheet = bytearray(
         _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC, 0, 0))
     )

@@ -12,6 +12,14 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka: live-broker wire tests (opt-in: KAFKA_BOOTSTRAP + "
+        "spark-sql-kafka jar; see tests/test_kafka_wire.py)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from _big_data_analytics_and_visualization_tracking_student_progress__spark import (

@@ -482,3 +482,32 @@ class TestPhraseSearch:
 
         pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert pf and "__b" in pf.group(1)
+
+
+class TestStagingCollision:
+    def test_user_columns_named_like_staging_survive(self, spark):
+        """with_cluster / pq_encode stage broadcast data under __cent /
+        __books and drop them afterwards; a user DataFrame that already
+        has those columns must neither break the plan nor lose its data
+        (ADVICE r6)."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+            similarity as S,
+        )
+
+        df = (
+            spark.createDataFrame(
+                [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+                "id int, v array<double>",
+            )
+            .withColumn("__cent", F.lit("mine"))
+            .withColumn("__books", F.lit("mine"))
+        )
+        clustered = S.with_cluster(df, "v", [[1.0, 2.0], [3.0, 4.0]])
+        rows = {r.id: r for r in clustered.collect()}
+        assert rows[1]["__c"] == 0 and rows[2]["__c"] == 1
+        assert rows[1]["__cent"] == "mine"  # user column intact
+
+        enc = S.pq_encode(df, "v", [[[1.0], [3.0]], [[2.0], [4.0]]])
+        rows = {r.id: r for r in enc.collect()}
+        assert rows[1]["__pq0"]["i"] == 0 and rows[2]["__pq0"]["i"] == 1
+        assert rows[1]["__books"] == "mine"  # user column intact

@@ -212,3 +212,51 @@ def test_non_spreadsheet_files_ignored(spark, tmp_path):
     with open(os.path.join(os.path.dirname(path), "notes.txt"), "w") as fh:
         fh.write("not a spreadsheet")
     assert ing.process_once() is None
+
+
+def test_quiet_folder_replays_unreturned_rows(spark, tmp_path):
+    """Crash AFTER the MERGE + monitor commits but BEFORE the
+    returned_seq write, with the folder then staying quiet: the merged
+    rows were never returned, and a plain `if not pending: return None`
+    would drop them from the feed forever.  The next process_once()
+    must replay the unreturned log window (ADVICE r6)."""
+    ing, path, table = _ingestor(spark, tmp_path)
+    write_minimal_xls(path, HEADER, V1)
+    assert ing.process_once().count() == 3
+
+    write_minimal_xls(path, HEADER, V2)
+    real_write = ing._write_returned
+    ing._write_returned = lambda seq: (_ for _ in ()).throw(
+        RuntimeError("power loss")
+    )
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="power loss"):
+            ing.process_once()
+    finally:
+        ing._write_returned = real_write
+
+    # the folder is quiet (monitor committed before the crash point) —
+    # the unreturned window must still come back, exactly once
+    replay = ing.process_once()
+    got = {r.F_MASV: (r.F_DIEM2, r.F_PASSED) for r in replay.collect()}
+    assert got == {"B002": (7.5, True), "B004": (5.0, True)}
+    state = {r.F_MASV: r.F_DIEM2 for r in table.read().collect()}
+    assert state == {"B001": 8.5, "B002": 7.5, "B003": 6.0, "B004": 5.0}
+    assert ing.process_once() is None
+
+
+def test_returned_batch_stable_after_later_batches(spark, tmp_path):
+    """The returned DataFrame is lazy over the append-only log; it is
+    bounded on BOTH sides of its seq window, so collecting it after a
+    later batch has appended newer rows still yields only its own
+    batch's rows (ADVICE r6)."""
+    ing, path, _ = _ingestor(spark, tmp_path)
+    write_minimal_xls(path, HEADER, V1)
+    first = ing.process_once()
+    write_minimal_xls(path, HEADER, V2)
+    second = ing.process_once()
+    # collect the FIRST batch only now, after the second appended
+    assert {r.F_MASV for r in first.collect()} == {"B001", "B002", "B003"}
+    assert {r.F_MASV for r in second.collect()} == {"B002", "B004"}

@@ -224,3 +224,12 @@ def test_read_excel_dispatches_on_magic(spark, tmp_path):
     assert sorted(df_xls.collect(), key=key) == sorted(
         df_xlsx.collect(), key=key
     )
+
+
+def test_writer_row_cap_raises_typed_error(tmp_path):
+    """BIFF8 row indexes are uint16 — the 65,536-row sheet cap must
+    surface as a typed UnsupportedXlsError naming the limit, not an
+    opaque struct.error deep in the pack loop (ADVICE r6)."""
+    rows = [[i] for i in range(65536)]  # + header row = 65,537
+    with pytest.raises(UnsupportedXlsError, match="65,536"):
+        write_minimal_xls(str(tmp_path / "big.xls"), ["a"], rows)

@@ -57,6 +57,8 @@ SUBSET_MODE = len(sys.argv) > 3
 # hard-linked 1x — replicating lineitem for a documents-only smoke
 # would only burn disk and build time)
 _NEEDS = {
+    "ann_ivfpq_topk": {"embeddings"},
+    "curation_pipeline": {"documents"},
     "dedup_minhash_lsh": {"documents"},
     "bm25_search_topk": {"documents"},
     "stream_tumbling_append": {"events"},
@@ -131,10 +133,16 @@ _REPLACE = {
     "orders": "d.o_orderkey * {f} + t.r AS o_orderkey",
     "lineitem": "d.l_orderkey * {f} + t.r AS l_orderkey",
     "documents": "d.doc_id * {f} + t.r AS doc_id",
+    # vectors duplicated verbatim under shifted ids: every point gains
+    # factor-1 exact twins — the densest-cluster worst case for
+    # IVF cell balance and PQ residual training
+    "embeddings": "d.vec_id * {f} + t.r AS vec_id",
 }
 
 
-def build_scaled_dir(sf_dir: str, factor: int) -> str:
+def build_scaled_dir(
+    sf_dir: str, factor: int, tables: set[str] | None = None
+) -> str:
     """Replicate the heavy tables `factor`x with shifted keys: orderkeys
     shift identically in orders and lineitem (joins stay valid, fan-out
     preserved), event ids/users shift so the user population scales,
@@ -153,6 +161,8 @@ def build_scaled_dir(sf_dir: str, factor: int) -> str:
     files."""
     import duckdb
 
+    if tables is None:
+        tables = SCALED
     out = tempfile.mkdtemp(prefix=f"sparkgraft_scale{factor}x_")
     con = duckdb.connect()
     for t in os.listdir(sf_dir):
@@ -160,7 +170,7 @@ def build_scaled_dir(sf_dir: str, factor: int) -> str:
             continue
         name = t[: -len(".parquet")]
         src, dst = os.path.join(sf_dir, t), os.path.join(out, t)
-        if name not in SCALED:
+        if name not in tables:
             try:
                 os.link(src, dst)
             except OSError:
@@ -198,6 +208,19 @@ def warm_artifacts(spark, sf_dir: str) -> dict[str, float]:
         wanted.append(("inverted_index", inverted_index_path))
     if any(q.startswith("graph_") for q in QUERIES):
         wanted.append(("graph_edges", graph_edges_path))
+    if any("ivf" in q or "pq" in q for q in QUERIES):
+        # quantizer training is the offline one-time cost of the
+        # IVF/PQ family (FAISS posture) — report it as a build row so
+        # the serve rows below stay serve-only
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.advanced import (  # noqa: E501
+            _pq_books_cached,
+        )
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.northstar import (  # noqa: E501
+            ivf_centroids_cached,
+        )
+
+        wanted.append(("ivf_centroids_train", ivf_centroids_cached))
+        wanted.append(("pq_codebooks_train", _pq_books_cached))
     builds = {}
     for label, fn in wanted:
         t0 = time.perf_counter()
