@@ -1,0 +1,218 @@
+"""Stage-level forensics for the two ~39x ratios at 100x (VERDICT r6
+item 4): before trusting `only_late_supplier_waits` and
+`dedup_minhash_lsh` at 1000x, show WHERE the 100x wall time goes — is
+growth proportional to shuffle volume (healthy), or does a skewed key /
+a bucket at the guard cap dominate (needs a plan fix)?
+
+Measurements, at 1x and 100x on key-shifted replicas (the same
+build_scaled_dir layout the scale smoke uses):
+
+- only_late_supplier_waits: rows entering each of the two shuffles
+  (fact join output keyed by l_orderkey; per-order survivors keyed by
+  late_supp), the max per-key group size (the skew signal — replication
+  shifts keys, so per-key fan-out must stay flat), and whether AQE's
+  final plan applied a skew-join split.
+- dedup_minhash_lsh: banded signature rows (the one candidate-gen
+  shuffle's volume), post-guard bucket-size distribution (count / max /
+  p99 / buckets dropped at the max_bucket_size cap), candidate pairs
+  before dedup, and verified pairs — the in-bucket pair explosion is
+  the only super-linear term, and the cap is what bounds it.
+
+Appends a `## 100x forensics` section to SCALE.md.
+
+Usage: python tools/scale_forensics.py [sf_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_smoke import build_scaled_dir  # noqa: E402  (tools/ sibling)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+
+def q21_stats(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # shuffle 1 carries the fact-join output keyed by l_orderkey; its
+    # volume is the lineitem row count (the orders side is joined on the
+    # same key).  Per-key group size is the skew signal.
+    per_key = li.groupBy("l_orderkey").count()
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.max("count").alias("max_per_key"),
+        F.sum("count").alias("rows"),
+    ).head()
+    # shuffle 2 carries one row per surviving order, keyed by late_supp
+    t0 = time.perf_counter()
+    out = all_queries()["only_late_supplier_waits"].fn(spark, sf_dir)
+    n_out = out.count()
+    wall = time.perf_counter() - t0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffle1_rows": int(stats["rows"]),
+        "orderkeys": int(stats["keys"]),
+        "max_rows_per_orderkey": int(stats["max_per_key"]),
+        "result_rows": int(n_out),
+        "wall_s": round(wall, 2),
+        "aqe_skew_split": "skew=true" in plan,
+    }
+
+
+def minhash_stats(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        dedup as D,
+    )
+
+    # replicate the registered query's exact banding pipeline
+    # (dedup_minhash_lsh: num_perm=16, bands=4, k=3, cap=1000) up to the
+    # bucket gather, then profile the buckets instead of exploding them
+    num_perm, bands, k, cap = 16, 4, 3, 1000
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("doc"),
+        D.word_shingles(F.col("text"), k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    signed = raw.select(
+        "doc",
+        D.minhash_from_hashes(
+            F.array_distinct(D.shingle_hashes(F.col("sh"))), num_perm
+        ).alias("sig"),
+    )
+    banded = signed.select(
+        "doc",
+        F.explode(
+            D.lsh_band_keys(F.col("sig"), bands, num_perm // bands)
+        ).alias("band"),
+    )
+    sizes = (
+        banded.groupBy("band").count().filter(F.col("count") > 1).persist()
+    )
+    prof = sizes.agg(
+        F.count(F.lit(1)).alias("buckets"),
+        F.max("count").alias("max_size"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.sum(F.when(F.col("count") > cap, 1).otherwise(0)).alias("over_cap"),
+        F.sum(
+            F.when(F.col("count") <= cap, F.col("count") * (F.col("count") - 1) / 2)
+        ).alias("cand_pairs"),
+    ).head()
+    n_banded = banded.count()
+    sizes.unpersist()
+    t0 = time.perf_counter()
+    n_pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_perm=16, bands=4,
+        shingle_k=3,
+    ).count()
+    wall = time.perf_counter() - t0
+    return {
+        "banded_rows": int(n_banded),
+        "buckets_gt1": int(prof["buckets"]),
+        "max_bucket": int(prof["max_size"]),
+        "p99_bucket": int(prof["p99"]),
+        "buckets_over_cap": int(prof["over_cap"]),
+        "cand_pairs_pre_dedup": int(prof["cand_pairs"] or 0),
+        "verified_pairs": int(n_pairs),
+        "wall_s": round(wall, 2),
+    }
+
+
+def main() -> None:
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("scale-forensics", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rel_dir = build_scaled_dir(SF_DIR, FACTOR, {"lineitem", "orders"})
+    doc_dir = build_scaled_dir(SF_DIR, FACTOR, {"documents"})
+    try:
+        q21 = {1: q21_stats(spark, SF_DIR), FACTOR: q21_stats(spark, rel_dir)}
+        mh = {
+            1: minhash_stats(spark, SF_DIR),
+            FACTOR: minhash_stats(spark, doc_dir),
+        }
+    finally:
+        shutil.rmtree(rel_dir, ignore_errors=True)
+        shutil.rmtree(doc_dir, ignore_errors=True)
+
+    def row(label, a, b, fmt="{}"):
+        r = (b / a) if isinstance(a, (int, float)) and a else float("nan")
+        return (
+            f"| {label} | {fmt.format(a)} | {fmt.format(b)} | {r:.1f}x |"
+        )
+
+    q1, qN = q21[1], q21[FACTOR]
+    m1, mN = mh[1], mh[FACTOR]
+    lines = [
+        "",
+        "## 100x forensics: the two ~39x ratios (VERDICT r6 item 4)",
+        "",
+        f"Auto-generated by `python tools/scale_forensics.py {SF_DIR} "
+        f"{FACTOR}`.",
+        "",
+        "### only_late_supplier_waits",
+        "",
+        f"| Measure | 1x | {FACTOR}x | ratio |",
+        "|---|---|---|---|",
+        row("shuffle 1 rows (join out, key l_orderkey)",
+            q1["shuffle1_rows"], qN["shuffle1_rows"]),
+        row("distinct orderkeys", q1["orderkeys"], qN["orderkeys"]),
+        row("MAX rows per orderkey (skew signal)",
+            q1["max_rows_per_orderkey"], qN["max_rows_per_orderkey"]),
+        row("result rows", q1["result_rows"], qN["result_rows"]),
+        row("wall (s)", q1["wall_s"], qN["wall_s"]),
+        "",
+        f"AQE skew-join split in final plan: 1x={q1['aqe_skew_split']}, "
+        f"{FACTOR}x={qN['aqe_skew_split']}.",
+        "",
+        "### dedup_minhash_lsh",
+        "",
+        f"| Measure | 1x | {FACTOR}x | ratio |",
+        "|---|---|---|---|",
+        row("banded signature rows (shuffle 1 volume)",
+            m1["banded_rows"], mN["banded_rows"]),
+        row("buckets (size>1)", m1["buckets_gt1"], mN["buckets_gt1"]),
+        row("max bucket size", m1["max_bucket"], mN["max_bucket"]),
+        row("p99 bucket size", m1["p99_bucket"], mN["p99_bucket"]),
+        row("buckets dropped at cap (1000)",
+            m1["buckets_over_cap"], mN["buckets_over_cap"]),
+        row("candidate pairs (pre-dedup)",
+            m1["cand_pairs_pre_dedup"], mN["cand_pairs_pre_dedup"]),
+        row("verified pairs (jaccard>=0.5)",
+            m1["verified_pairs"], mN["verified_pairs"]),
+        row("wall (s)", m1["wall_s"], mN["wall_s"]),
+        "",
+    ]
+    with open(os.path.join(ROOT, "SCALE.md"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
