@@ -27,8 +27,11 @@ Scope (documented, deliberate — mirrors the xlsx reader's):
   serial numbers (converting them is the caller's rule, as in the
   reference's row-wise reads);
 - header row 1, data rows 2+, all-empty rows skipped (P5);
-- BIFF8 only (Excel 97+; every .xls written this century).  A BIFF5
-  ``Book`` stream raises `UnsupportedXlsError` naming the gap.
+- BIFF8 (Excel 97+; every .xls written this century) in full, plus a
+  minimal BIFF5 (Excel 5.0/95) subset — ``Book`` stream, inline LABEL
+  byte strings, RK/NUMBER/MULRK/BOOLERR (which share BIFF8's layouts).
+  BIFF2-4 single-sheet streams raise `UnsupportedXlsError` naming the
+  gap.
 """
 
 from __future__ import annotations
@@ -177,6 +180,8 @@ _SST = 0x00FC
 _CONTINUE = 0x003C
 _BOUNDSHEET = 0x0085
 _BOF = 0x0809
+_BOF5 = 0x0409  # BIFF5 (Excel 5.0/95) BOF opcode
+_BOF34 = (0x0209, 0x0009, 0x0049)  # BIFF3 / BIFF2 worksheet BOFs
 _EOF = 0x000A
 _LABELSST = 0x00FD
 _LABEL = 0x0204
@@ -309,13 +314,13 @@ Cell = None | str | float | bool
 
 
 def _parse_sheet(
-    stream: bytes, bof_pos: int, sst: list[str]
+    stream: bytes, bof_pos: int, sst: list[str], biff5: bool = False
 ) -> dict[tuple[int, int], Cell]:
     cells: dict[tuple[int, int], Cell] = {}
     depth = 0
     pending_formula: tuple[int, int] | None = None
     for op, data in _records(stream, bof_pos):
-        if op == _BOF:
+        if op == _BOF or op == _BOF5:
             depth += 1
             continue
         if op == _EOF:
@@ -328,7 +333,14 @@ def _parse_sheet(
             cells[(r, c)] = sst[_u32(data, 6)]
         elif op == _LABEL:
             r, c = struct.unpack_from("<HH", data, 0)
-            cells[(r, c)] = _long_unicode(data, 6)
+            if biff5:
+                # BIFF5 inline byte string: cch(2) then cch codepage
+                # bytes, no option-flags byte ([MS-XLS] 2.5.209 vs the
+                # BIFF8 XLUnicodeString)
+                cch = _u16(data, 6)
+                cells[(r, c)] = data[8 : 8 + cch].decode("latin-1")
+            else:
+                cells[(r, c)] = _long_unicode(data, 6)
         elif op == _NUMBER:
             r, c = struct.unpack_from("<HH", data, 0)
             cells[(r, c)] = struct.unpack_from("<d", data, 6)[0]
@@ -371,15 +383,24 @@ def read_xls_rows(path: str) -> tuple[list[str], list[tuple[Cell, ...]]]:
     with open(path, "rb") as fh:
         data = fh.read()
     stream = _cfb_stream(data, ("Workbook",))
+    biff5 = False
     if stream is None:
-        if _cfb_stream(data, ("Book",)) is not None:
+        stream = _cfb_stream(data, ("Book",))
+        if stream is None:
             raise UnsupportedXlsError(
-                "BIFF5 (Excel 5.0/95) 'Book' stream — this reader covers "
-                "BIFF8 (Excel 97+) only"
+                "no Workbook stream in compound file — not an Excel workbook"
             )
-        raise UnsupportedXlsError(
-            "no Workbook stream in compound file — not an Excel workbook"
-        )
+        # BIFF5 'Book' stream: the cell-record subset (LABEL/NUMBER/RK/
+        # MULRK/BOOLERR) shares BIFF8's opcodes and layouts; only the
+        # strings change (inline codepage bytes, no SST).  Anything
+        # older (BIFF2-4 single-sheet streams) stays a typed error.
+        first_op = struct.unpack_from("<H", stream, 0)[0] if len(stream) >= 4 else 0
+        if first_op != _BOF5:
+            raise UnsupportedXlsError(
+                f"'Book' stream starts with record 0x{first_op:04X}, not a "
+                "BIFF5 BOF — BIFF2-4 workbooks are not supported"
+            )
+        biff5 = True
 
     # pass 1 — workbook globals: SST (+CONTINUEs) and sheet positions
     sst: list[str] = []
@@ -404,7 +425,7 @@ def read_xls_rows(path: str) -> tuple[list[str], list[tuple[Cell, ...]]]:
     if not sheet_positions:
         raise UnsupportedXlsError("workbook has no worksheet BOUNDSHEET")
 
-    cells = _parse_sheet(stream, sheet_positions[0], sst)
+    cells = _parse_sheet(stream, sheet_positions[0], sst, biff5=biff5)
     if not cells:
         return [], []
     n_cols = max(c for _, c in cells) + 1
@@ -503,6 +524,55 @@ def _biff_workbook(
     return bytes(globals_) + bytes(sheet)
 
 
+def _biff5_workbook(header: list[str], rows: list[list[Cell]]) -> bytes:
+    """Minimal BIFF5 'Book' stream (the round-trip fixture for the
+    BIFF5 read path): inline LABEL byte strings instead of
+    SST/LABELSST; RK/NUMBER/BOOLERR share BIFF8's layouts."""
+    if len(rows) + 1 > 16384:
+        raise UnsupportedXlsError(
+            f"BIFF5 sheets cap at 16,384 rows (got {len(rows) + 1} "
+            "including the header)"
+        )
+    sheet = bytearray(
+        _rec(_BOF5, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+    )
+    for r, row in enumerate([list(header)] + [list(x) for x in rows]):
+        for c, v in enumerate(row):
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                sheet += _rec(
+                    _BOOLERR, struct.pack("<HHHBB", r, c, 0, int(v), 0)
+                )
+            elif isinstance(v, (int, float)):
+                fv = float(v)
+                if fv.is_integer() and -(2**29) <= int(fv) < 2**29:
+                    rk = ((int(fv) << 2) | 2) & 0xFFFFFFFF
+                    sheet += _rec(_RK, struct.pack("<HHHI", r, c, 0, rk))
+                else:
+                    sheet += _rec(_NUMBER, struct.pack("<HHHd", r, c, 0, fv))
+            else:
+                raw = str(v).encode("latin-1")
+                sheet += _rec(
+                    _LABEL,
+                    struct.pack("<HHHH", r, c, 0, len(raw)) + raw,
+                )
+    sheet += _rec(_EOF)
+
+    name = b"Sheet1"
+    bs_payload = struct.pack("<IBB", 0, 0, 0) + struct.pack(
+        "<B", len(name)
+    ) + name
+    globals_ = bytearray(
+        _rec(_BOF5, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+    )
+    bs_at = len(globals_)
+    globals_ += _rec(_BOUNDSHEET, bs_payload)
+    globals_ += _rec(_EOF)
+    struct.pack_into("<I", globals_, bs_at + 4, len(globals_))
+    return bytes(globals_) + bytes(sheet)
+
+
 def _cfb_direntry(
     name: str, typ: int, start: int, size: int, child: int = _FREESECT
 ) -> bytes:
@@ -523,7 +593,9 @@ def _pad(b: bytes, mult: int, fill: bytes = b"\x00") -> bytes:
     return b + fill * (mult - rem) if rem else b
 
 
-def _cfb_wrap(workbook: bytes, force_fat: bool = False) -> bytes:
+def _cfb_wrap(
+    workbook: bytes, force_fat: bool = False, stream_name: str = "Workbook"
+) -> bytes:
     if force_fat and len(workbook) < 4096:
         workbook = _pad(workbook, 4096)  # trailing zero records: reader stops
 
@@ -562,7 +634,7 @@ def _cfb_wrap(workbook: bytes, force_fat: bool = False) -> bytes:
         fat_idx = 2 + k
         directory = (
             _cfb_direntry("Root Entry", 5, 2, len(mini), child=1)
-            + _cfb_direntry("Workbook", 2, 0, len(workbook))
+            + _cfb_direntry(stream_name, 2, 0, len(workbook))
             + b"\x00" * 256
         )
         minifat = fat_sectors(list(range(1, m)) + [_ENDOFCHAIN], 1)
@@ -592,7 +664,7 @@ def _cfb_wrap(workbook: bytes, force_fat: bool = False) -> bytes:
         )
     directory = (
         _cfb_direntry("Root Entry", 5, _ENDOFCHAIN, 0, child=1)
-        + _cfb_direntry("Workbook", 2, 0, len(workbook))
+        + _cfb_direntry(stream_name, 2, 0, len(workbook))
         + b"\x00" * 256
     )
     fat = fat_sectors(
@@ -613,7 +685,11 @@ def write_minimal_xls(
     header: list[str],
     rows: list[list[Cell]],
     force_fat: bool = False,
+    biff5: bool = False,
 ) -> None:
+    wb = _biff5_workbook(header, rows) if biff5 else _biff_workbook(header, rows)
     with open(path, "wb") as fh:
-        fh.write(_cfb_wrap(_biff_workbook(header, rows), force_fat))
+        fh.write(
+            _cfb_wrap(wb, force_fat, "Book" if biff5 else "Workbook")
+        )
 

@@ -166,3 +166,49 @@ def test_chart_marks_carry_exact_query_numbers(spark):
     )
     assert ls == [r["ym"] for r in trend]
     assert vs == [_fmt(float(r["revenue"])) for r in trend]
+
+
+def test_serve_loop_rerenders_on_fixture_change(spark, tmp_path):
+    """`tools/report.py --serve` (the Streamlit-live-loop analog):
+    content change in a watched parquet triggers exactly one re-render;
+    untouched cycles re-render nothing."""
+    import importlib.util
+    import os
+    import shutil
+    import threading
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "report_cli",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "report.py"),
+    )
+    report_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(report_cli)
+
+    data = tmp_path / "data"
+    data.mkdir()
+    for t in os.listdir(SF_SMALL):
+        if t.endswith(".parquet"):
+            shutil.copyfile(os.path.join(SF_SMALL, t), str(data / t))
+    out = str(tmp_path / "out")
+
+    def shrink_orders():
+        src = str(data / "orders.parquet")
+        tmp = str(tmp_path / "orders_new.parquet")
+        duckdb.connect().execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') "
+            f"WHERE o_orderkey % 2 = 0) TO '{tmp}' (FORMAT PARQUET)"
+        )
+        os.replace(tmp, src)
+
+    changer = threading.Timer(1.0, shrink_orders)
+    changer.start()
+    try:
+        rerenders = report_cli.serve(
+            spark, str(data), out, custkey=1, interval=0.5, max_cycles=20
+        )
+    finally:
+        changer.cancel()
+    assert rerenders == 1
+    assert os.path.exists(os.path.join(out, "report.html"))

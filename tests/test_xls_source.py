@@ -177,18 +177,30 @@ def test_mulrk_and_formula_records(tmp_path):
     ]
 
 
-def test_biff5_book_stream_raises_typed_error(tmp_path):
-    """A BIFF5 'Book' stream names the gap instead of mis-parsing."""
-    wb = _rec(_BOF, struct.pack("<HHHHII", 0x0500, 0x0005, 0, 0, 0, 0))
-    blob = _cfb_wrap(wb)
-    # rename the directory entry Workbook → Book (utf-16le, zero-pad)
-    blob = blob.replace(
-        "Workbook".encode("utf-16-le"), "Book".encode("utf-16-le") + b"\x00" * 8
-    )
+def test_biff5_roundtrip(tmp_path):
+    """BIFF5 'Book' stream subset: inline LABEL byte strings + RK/
+    NUMBER/BOOLERR parse back to the same (header, rows) shape."""
     path = str(tmp_path / "old.xls")
+    write_minimal_xls(
+        path,
+        ["F_MASV", "F_DIEM2", "F_PASSED"],
+        [["B001", 8.5, True], ["B002", 4.0, False]],
+        biff5=True,
+    )
+    header, rows = read_xls_rows(path)
+    assert header == ["F_MASV", "F_DIEM2", "F_PASSED"]
+    assert rows == [("B001", 8.5, True), ("B002", 4.0, False)]
+
+
+def test_pre_biff5_stream_raises_typed_error(tmp_path):
+    """A 'Book' stream that is NOT BIFF5 (BIFF2-4 BOF) names the gap
+    instead of mis-parsing."""
+    wb = _rec(0x0209, struct.pack("<HH", 0x0300, 0x0010))  # BIFF3 BOF
+    blob = _cfb_wrap(wb, stream_name="Book")
+    path = str(tmp_path / "ancient.xls")
     with open(path, "wb") as fh:
         fh.write(blob)
-    with pytest.raises(UnsupportedXlsError, match="BIFF5"):
+    with pytest.raises(UnsupportedXlsError, match="BIFF2-4"):
         read_xls_rows(path)
 
 
