@@ -81,7 +81,21 @@ class DropFolderMonitor:
 
     @staticmethod
     def _md5(path: str) -> str:
+        """Content hash of a file, or of a DIRECTORY-shaped dataset
+        (e.g. a `table.parquet/` directory of part files, the layout
+        Spark writers produce): member files hashed in sorted-name
+        order so the digest is layout-stable."""
         h = hashlib.md5()
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                sub = os.path.join(path, name)
+                if not os.path.isfile(sub):
+                    continue
+                h.update(name.encode())
+                with open(sub, "rb") as fh:
+                    for block in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(block)
+            return h.hexdigest()
         with open(path, "rb") as fh:
             for block in iter(lambda: fh.read(1 << 20), b""):
                 h.update(block)
@@ -118,6 +132,9 @@ class DropFolderMonitor:
                 and prev is not None
                 and prev[0] == st.st_size
                 and prev[1] == st.st_mtime_ns
+                # a directory's (size, mtime) doesn't track member-file
+                # CONTENT edits — always re-hash directory datasets
+                and not os.path.isdir(path)
             ):
                 continue  # stat signature unchanged: skip the re-hash
             digest = self._md5(path)
@@ -287,17 +304,7 @@ class DropIngestor:
             # one MERGE per batch, from the materialized log — includes
             # any rows a crashed previous batch logged but never returned
             if os.path.exists(os.path.join(self.log_path, "_SUCCESS")):
-                # bounded on BOTH sides: the lazy DataFrame must stay
-                # stable even if a later process_once() appends newer
-                # rows before the caller collects it
-                batch = (
-                    self.spark.read.parquet(self.log_path)
-                    .filter(
-                        (F.col(SEQ_COL) > returned_before)
-                        & (F.col(SEQ_COL) <= seq)
-                    )
-                    .drop(HASH_COL)
-                )
+                batch = self._log_window(returned_before, seq)
                 if batch.isEmpty():
                     batch = None
                 else:
@@ -318,6 +325,17 @@ class DropIngestor:
         self._write_returned(seq)
         return batch
 
+    def _log_window(self, lo: int, hi: int) -> DataFrame:
+        """Log rows with `lo < ingest_seq <= hi`.  Bounded on BOTH
+        sides: the returned DataFrame is lazy over the append-only log,
+        so an upper bound is what keeps a batch stable after later
+        batches append newer rows."""
+        return (
+            self.spark.read.parquet(self.log_path)
+            .filter((F.col(SEQ_COL) > lo) & (F.col(SEQ_COL) <= hi))
+            .drop(HASH_COL)
+        )
+
     def _write_returned(self, seq: int) -> None:
         tmp = os.path.join(self.state_dir, "returned_seq.tmp")
         with open(tmp, "w") as fh:
@@ -336,13 +354,7 @@ class DropIngestor:
             os.path.join(self.log_path, "_SUCCESS")
         ):
             return None
-        batch = (
-            self.spark.read.parquet(self.log_path)
-            .filter(
-                (F.col(SEQ_COL) > returned_before) & (F.col(SEQ_COL) <= seq)
-            )
-            .drop(HASH_COL)
-        )
+        batch = self._log_window(returned_before, seq)
         if batch.isEmpty():
             # nothing actually logged in the gap (the crashed batch died
             # before its first log append) — close the window so quiet

@@ -181,7 +181,8 @@ _CONTINUE = 0x003C
 _BOUNDSHEET = 0x0085
 _BOF = 0x0809
 _BOF5 = 0x0409  # BIFF5 (Excel 5.0/95) BOF opcode
-_BOF34 = (0x0209, 0x0009, 0x0049)  # BIFF3 / BIFF2 worksheet BOFs
+_FORMULA5 = 0x0406  # BIFF5 FORMULA opcode (cached-result layout as BIFF8)
+_BOF34 = {0x0209: "BIFF3", 0x0009: "BIFF2", 0x0049: "BIFF4"}
 _EOF = 0x000A
 _LABELSST = 0x00FD
 _LABEL = 0x0204
@@ -357,7 +358,7 @@ def _parse_sheet(
             r, c = struct.unpack_from("<HH", data, 0)
             val, is_err = data[6], data[7]
             cells[(r, c)] = None if is_err else bool(val)
-        elif op == _FORMULA:
+        elif op == _FORMULA or (biff5 and op == _FORMULA5):
             r, c = struct.unpack_from("<HH", data, 0)
             result = data[6:14]
             if result[6:8] == b"\xff\xff":
@@ -371,7 +372,12 @@ def _parse_sheet(
             else:
                 cells[(r, c)] = struct.unpack("<d", result)[0]
         elif op == _STRING and pending_formula is not None:
-            cells[pending_formula] = _long_unicode(data, 0)
+            if biff5:
+                # BIFF5 STRING: cch(2) then codepage bytes, no flags
+                cch = _u16(data, 0)
+                cells[pending_formula] = data[2 : 2 + cch].decode("latin-1")
+            else:
+                cells[pending_formula] = _long_unicode(data, 0)
             pending_formula = None
     return cells
 
@@ -396,9 +402,10 @@ def read_xls_rows(path: str) -> tuple[list[str], list[tuple[Cell, ...]]]:
         # older (BIFF2-4 single-sheet streams) stays a typed error.
         first_op = struct.unpack_from("<H", stream, 0)[0] if len(stream) >= 4 else 0
         if first_op != _BOF5:
+            kind = _BOF34.get(first_op, f"record 0x{first_op:04X}")
             raise UnsupportedXlsError(
-                f"'Book' stream starts with record 0x{first_op:04X}, not a "
-                "BIFF5 BOF — BIFF2-4 workbooks are not supported"
+                f"'Book' stream starts with {kind}, not a BIFF5 BOF — "
+                "BIFF2-4 workbooks are not supported"
             )
         biff5 = True
 
@@ -457,6 +464,36 @@ def _rec(op: int, data: bytes = b"") -> bytes:
     return struct.pack("<HH", op, len(data)) + data
 
 
+def _emit_cells(
+    sheet: bytearray,
+    header: list[str],
+    rows: list[list[Cell]],
+    string_cell,
+) -> None:
+    """Shared cell-record emitter for both fixture writers: bool →
+    BOOLERR, integral-in-range float → RK, other float → NUMBER
+    (identical layouts in BIFF5 and BIFF8); strings go through
+    `string_cell(r, c, s) -> bytes` (SST+LABELSST in BIFF8, inline
+    LABEL in BIFF5)."""
+    for r, row in enumerate([list(header)] + [list(x) for x in rows]):
+        for c, v in enumerate(row):
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                sheet += _rec(
+                    _BOOLERR, struct.pack("<HHHBB", r, c, 0, int(v), 0)
+                )
+            elif isinstance(v, (int, float)):
+                fv = float(v)
+                if fv.is_integer() and -(2**29) <= int(fv) < 2**29:
+                    rk = ((int(fv) << 2) | 2) & 0xFFFFFFFF
+                    sheet += _rec(_RK, struct.pack("<HHHI", r, c, 0, rk))
+                else:
+                    sheet += _rec(_NUMBER, struct.pack("<HHHd", r, c, 0, fv))
+            else:
+                sheet += string_cell(r, c, str(v))
+
+
 def _biff_workbook(
     header: list[str], rows: list[list[Cell]]
 ) -> bytes:
@@ -480,25 +517,14 @@ def _biff_workbook(
     sheet = bytearray(
         _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC, 0, 0))
     )
-    for r, row in enumerate([list(header)] + [list(x) for x in rows]):
-        for c, v in enumerate(row):
-            if v is None:
-                continue
-            if isinstance(v, bool):
-                sheet += _rec(
-                    _BOOLERR, struct.pack("<HHHBB", r, c, 0, int(v), 0)
-                )
-            elif isinstance(v, (int, float)):
-                fv = float(v)
-                if fv.is_integer() and -(2**29) <= int(fv) < 2**29:
-                    rk = ((int(fv) << 2) | 2) & 0xFFFFFFFF
-                    sheet += _rec(_RK, struct.pack("<HHHI", r, c, 0, rk))
-                else:
-                    sheet += _rec(_NUMBER, struct.pack("<HHHd", r, c, 0, fv))
-            else:
-                sheet += _rec(
-                    _LABELSST, struct.pack("<HHHI", r, c, 0, isst(str(v)))
-                )
+    _emit_cells(
+        sheet,
+        header,
+        rows,
+        lambda r, c, s: _rec(
+            _LABELSST, struct.pack("<HHHI", r, c, 0, isst(s))
+        ),
+    )
     sheet += _rec(_EOF)
 
     sst_data = bytearray(struct.pack("<II", len(strings), len(strings)))
@@ -536,27 +562,12 @@ def _biff5_workbook(header: list[str], rows: list[list[Cell]]) -> bytes:
     sheet = bytearray(
         _rec(_BOF5, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
     )
-    for r, row in enumerate([list(header)] + [list(x) for x in rows]):
-        for c, v in enumerate(row):
-            if v is None:
-                continue
-            if isinstance(v, bool):
-                sheet += _rec(
-                    _BOOLERR, struct.pack("<HHHBB", r, c, 0, int(v), 0)
-                )
-            elif isinstance(v, (int, float)):
-                fv = float(v)
-                if fv.is_integer() and -(2**29) <= int(fv) < 2**29:
-                    rk = ((int(fv) << 2) | 2) & 0xFFFFFFFF
-                    sheet += _rec(_RK, struct.pack("<HHHI", r, c, 0, rk))
-                else:
-                    sheet += _rec(_NUMBER, struct.pack("<HHHd", r, c, 0, fv))
-            else:
-                raw = str(v).encode("latin-1")
-                sheet += _rec(
-                    _LABEL,
-                    struct.pack("<HHHH", r, c, 0, len(raw)) + raw,
-                )
+
+    def label5(r: int, c: int, s: str) -> bytes:
+        raw = s.encode("latin-1")
+        return _rec(_LABEL, struct.pack("<HHHH", r, c, 0, len(raw)) + raw)
+
+    _emit_cells(sheet, header, rows, label5)
     sheet += _rec(_EOF)
 
     name = b"Sheet1"

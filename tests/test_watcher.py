@@ -260,3 +260,29 @@ def test_returned_batch_stable_after_later_batches(spark, tmp_path):
     # collect the FIRST batch only now, after the second appended
     assert {r.F_MASV for r in first.collect()} == {"B001", "B002", "B003"}
     assert {r.F_MASV for r in second.collect()} == {"B002", "B004"}
+
+
+def test_monitor_tracks_directory_shaped_datasets(tmp_path):
+    """`table.parquet/` DIRECTORIES (the layout Spark writers produce)
+    are hashed by member-file content: in-place member edits are
+    detected, untouched polls emit nothing, and plain files still work
+    alongside (the tools/report.py --serve watch path)."""
+    folder = tmp_path / "data"
+    folder.mkdir()
+    table = folder / "orders.parquet"
+    table.mkdir()
+    (table / "part-00000").write_bytes(b"aaa")
+    (table / "part-00001").write_bytes(b"bbb")
+    (folder / "nation.parquet").write_bytes(b"flat-file")
+
+    mon = DropFolderMonitor(
+        str(folder), str(tmp_path / "state.json"), exts=(".parquet",)
+    )
+    assert sorted(os.path.basename(p) for p in mon.poll()) == [
+        "nation.parquet",
+        "orders.parquet",
+    ]
+    assert mon.poll() == []  # untouched: nothing re-emitted
+    (table / "part-00001").write_bytes(b"BBB")  # in-place member edit
+    assert [os.path.basename(p) for p in mon.poll()] == ["orders.parquet"]
+    assert mon.poll() == []

@@ -245,3 +245,47 @@ def test_writer_row_cap_raises_typed_error(tmp_path):
     rows = [[i] for i in range(65536)]  # + header row = 65,537
     with pytest.raises(UnsupportedXlsError, match="65,536"):
         write_minimal_xls(str(tmp_path / "big.xls"), ["a"], rows)
+
+
+def test_biff5_formula_string_records(tmp_path):
+    """BIFF5 FORMULA (0x0406) with a cached string result defers to a
+    BIFF5 STRING record (cch + codepage bytes, NO flags byte) — the
+    byte-string decode must not be routed through the BIFF8
+    XLUnicodeString parser."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.xls import (
+        _BOF5,
+        _BOUNDSHEET,
+        _FORMULA5,
+        _LABEL,
+        _NUMBER,
+    )
+
+    f_str = (
+        struct.pack("<HHH", 1, 0, 0)
+        + b"\x00" + b"\x00" * 5 + b"\xff\xff"
+        + b"\x00" * 8
+    )
+    sheet = (
+        _rec(_BOF5, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+        + _rec(_LABEL, struct.pack("<HHHH", 0, 0, 0, 3) + b"Bob")
+        + _rec(_FORMULA5, f_str)
+        + _rec(_STRING, struct.pack("<H", 3) + b"Bob")
+        + _rec(_NUMBER, struct.pack("<HHHd", 1, 1, 0, 1.5))
+        + _rec(_EOF)
+    )
+    name = b"Sheet1"
+    bs = struct.pack("<IBB", 0, 0, 0) + struct.pack("<B", len(name)) + name
+    globals_ = bytearray(
+        _rec(_BOF5, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+    )
+    bs_at = len(globals_)
+    globals_ += _rec(_BOUNDSHEET, bs)
+    globals_ += _rec(_EOF)
+    struct.pack_into("<I", globals_, bs_at + 4, len(globals_))
+    blob = _cfb_wrap(bytes(globals_) + sheet, stream_name="Book")
+    path = str(tmp_path / "f5.xls")
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    header, rows = read_xls_rows(path)
+    assert header == ["Bob", "col1"]
+    assert rows == [("Bob", 1.5)]

@@ -74,26 +74,28 @@ def serve(
         DropFolderMonitor,
     )
 
-    state = os.path.join(
-        tempfile.mkdtemp(prefix="report_serve_"), "files.json"
-    )
-    monitor = DropFolderMonitor(sf_dir, state, exts=(".parquet",))
-    monitor.poll()  # baseline: current content is what we render now
-    paths = render_once(spark, sf_dir, out_dir, custkey)
-    print(f"serving {paths[0]} (+ {paths[1]}); watching {sf_dir}")
-    rerenders = 0
-    cycles = 0
-    while max_cycles is None or cycles < max_cycles:
-        cycles += 1
-        time.sleep(interval)
-        if monitor.poll():
-            # registered loaders cache nothing across calls, but Spark
-            # may have cached scans of the replaced files
-            spark.catalog.clearCache()
-            render_once(spark, sf_dir, out_dir, custkey)
-            rerenders += 1
-            print(f"re-rendered ({rerenders})")
-    return rerenders
+    # monitor state is ephemeral (the baseline is re-established every
+    # startup), so it lives in a TemporaryDirectory tied to this loop
+    with tempfile.TemporaryDirectory(prefix="report_serve_") as td:
+        monitor = DropFolderMonitor(
+            sf_dir, os.path.join(td, "files.json"), exts=(".parquet",)
+        )
+        monitor.poll()  # baseline: current content is what we render now
+        paths = render_once(spark, sf_dir, out_dir, custkey)
+        print(f"serving {paths[0]} (+ {paths[1]}); watching {sf_dir}")
+        rerenders = 0
+        cycles = 0
+        while max_cycles is None or cycles < max_cycles:
+            cycles += 1
+            time.sleep(interval)
+            if monitor.poll():
+                # registered loaders cache nothing across calls, but
+                # Spark may have cached scans of the replaced files
+                spark.catalog.clearCache()
+                render_once(spark, sf_dir, out_dir, custkey)
+                rerenders += 1
+                print(f"re-rendered ({rerenders})")
+        return rerenders
 
 
 def main() -> None:

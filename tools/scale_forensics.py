@@ -63,9 +63,14 @@ def q21_stats(spark, sf_dir: str) -> dict:
     # shuffle 2 carries one row per surviving order, keyed by late_supp
     t0 = time.perf_counter()
     out = all_queries()["only_late_supplier_waits"].fn(spark, sf_dir)
-    n_out = out.count()
+    # execute through the dataframe's OWN QueryExecution (result is
+    # ~1000 rows) so the AQE plan we inspect below is the FINALIZED one
+    # — .count() runs a separate derived plan and would leave this QE's
+    # AdaptiveSparkPlan unfinalized, where skew splits never appear
+    n_out = len(out.collect())
     wall = time.perf_counter() - t0
     plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan
     return {
         "shuffle1_rows": int(stats["rows"]),
         "orderkeys": int(stats["keys"]),
@@ -160,10 +165,11 @@ def main() -> None:
         shutil.rmtree(doc_dir, ignore_errors=True)
 
     def row(label, a, b, fmt="{}"):
-        r = (b / a) if isinstance(a, (int, float)) and a else float("nan")
-        return (
-            f"| {label} | {fmt.format(a)} | {fmt.format(b)} | {r:.1f}x |"
-        )
+        if isinstance(a, (int, float)) and a:
+            ratio = f"{b / a:.1f}x"
+        else:
+            ratio = "—" if b else "1.0x"  # 0→0 is flat, 0→n is new
+        return f"| {label} | {fmt.format(a)} | {fmt.format(b)} | {ratio} |"
 
     q1, qN = q21[1], q21[FACTOR]
     m1, mN = mh[1], mh[FACTOR]
