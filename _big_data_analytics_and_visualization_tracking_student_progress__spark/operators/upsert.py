@@ -9,9 +9,13 @@ version for streaming sinks.
 Scale posture: the merge shuffles on the business key only.  For a real
 100 TB keyed table this is the classic Delta/Iceberg MERGE; without a
 table format in this container we implement read-union-dedup-overwrite on
-parquet, with the key-hash as the shuffle partitioner.  Idempotency under
-replay holds because merging the same batch twice is a fixed point of
-last-write-wins (verified in tests).
+parquet, with the key-hash as the shuffle partitioner.  When the table is
+partitioned AND the partition columns are part of the key (the reference's
+daily-index-plus-_id shape exactly), `upsert` prunes: only the partitions
+present in the batch are read, merged, and rewritten (dynamic partition
+overwrite) — per-batch cost tracks batch size, not table size.
+Idempotency under replay holds because merging the same batch twice is a
+fixed point of last-write-wins (verified in tests).
 """
 
 from __future__ import annotations
@@ -63,7 +67,8 @@ class KeyedParquetTable:
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
                  order_cols: Sequence[str] | str,
-                 partition_by: Sequence[str] = ()):
+                 partition_by: Sequence[str] = (),
+                 stable_partitions: bool = False):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -74,14 +79,58 @@ class KeyedParquetTable:
         # `phantich1-YYYY.MM.DD`, con.py:58): partition dirs replace the
         # per-day index, and queries prune on the partition column.
         self.partition_by = list(partition_by)
+        # Caller's promise that each key's partition values never change
+        # across batches (e.g. the partition is derived from an immutable
+        # attribute of the keyed entity) — enables partition-pruned MERGE
+        # even when the partition columns aren't structurally in the key.
+        self.stable_partitions = stable_partitions
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
             return None
         return self.spark.read.parquet(self.path)
 
+    def _can_prune(self) -> bool:
+        """Partition-pruned MERGE is sound only when the partition
+        columns are part of the business key: then a key lives in
+        exactly one partition forever, so partitions the batch does not
+        touch cannot contain rows the merge would change.  (A key that
+        could MOVE partitions would leave its stale row behind in the
+        old partition under pruning.)  `stable_partitions=True` is the
+        caller's explicit promise of the same invariant when the
+        partition is derived rather than key-embedded."""
+        return bool(self.partition_by) and (
+            self.stable_partitions
+            or set(self.partition_by) <= set(self.keys)
+        )
+
     def upsert(self, batch: DataFrame) -> None:
         target = self.read()
+        prune = target is not None and self._can_prune()
+        if prune:
+            # The 100 TB move: merge and rewrite ONLY the partitions
+            # present in the batch (classic Delta/Iceberg MERGE file
+            # pruning, expressed with parquet partition dirs + dynamic
+            # partition overwrite).  Touched-partition list is bounded
+            # control data — one row per partition in the batch, not
+            # per record.
+            touched = [
+                tuple(r)
+                for r in batch.select(*self.partition_by)
+                .distinct()
+                .collect()
+            ]
+            if not touched:
+                return
+            pred = None
+            for combo in touched:
+                clause = F.lit(True)
+                for col, val in zip(self.partition_by, combo):
+                    clause = clause & F.col(col).eqNullSafe(F.lit(val))
+                pred = clause if pred is None else (pred | clause)
+            # partition pruning pushes this filter into the directory
+            # listing: untouched partitions are never even read
+            target = target.filter(pred)
         merged = merge_by_key(
             target, batch, self.keys, [F.col(c).desc() for c in self.order_cols]
         )
@@ -93,6 +142,10 @@ class KeyedParquetTable:
         writer = final.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
+            if prune:
+                # replace only the partition dirs present in `final`,
+                # leave every other partition's files untouched
+                writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.parquet(self.path)
         # best-effort cleanup
         import shutil

@@ -500,6 +500,10 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["doc_id"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["index_date"],
+        # doc_id embeds event_id and index_date derives from the event's
+        # immutable ts, so a key can never change partition — pruned
+        # MERGE rewrites only the days present in each micro-batch
+        stable_partitions=True,
     )
     out = upsert_stream_run(
         spark, canonical, table, workdir=os.path.join(wd, "run")

@@ -266,3 +266,110 @@ def test_report_tool_builds_dashboard(spark):
     assert ">None<" not in html_text and ">NaN<" not in html_text
     # self-contained: no external fetches
     assert "http://" not in html_text and "https://" not in html_text
+
+
+class TestPartitionPrunedMerge:
+    """KeyedParquetTable.upsert with partition_by ⊆ keys rewrites ONLY
+    the partitions present in the batch (dynamic partition overwrite) —
+    the Delta/Iceberg MERGE file-pruning shape on plain parquet."""
+
+    @staticmethod
+    def _mk(spark, tmp_path, keys):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+            KeyedParquetTable,
+        )
+
+        return KeyedParquetTable(
+            spark,
+            str(tmp_path / "t"),
+            keys=keys,
+            order_cols=["seq"],
+            partition_by=["day"],
+        )
+
+    @staticmethod
+    def _rows(spark, data):
+        return spark.createDataFrame(
+            data, "day string, k int, v string, seq int"
+        )
+
+    def _file_sig(self, root):
+        sig = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    sig[p] = os.stat(p).st_mtime_ns
+        return sig
+
+    def test_untouched_partitions_not_rewritten(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, keys=["day", "k"])
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d1", 2, "b", 1),
+            ("d2", 1, "c", 1), ("d3", 9, "z", 1),
+        ]))
+        before = self._file_sig(str(tmp_path / "t"))
+        d2_d3 = {p: m for p, m in before.items() if "day=d1" not in p}
+        assert d2_d3  # fixture sanity
+
+        # second batch touches ONLY day=d1
+        t.upsert(self._rows(spark, [("d1", 2, "B2", 2), ("d1", 3, "n", 2)]))
+        after = self._file_sig(str(tmp_path / "t"))
+        for p, mtime in d2_d3.items():
+            assert after.get(p) == mtime, f"untouched partition rewritten: {p}"
+
+        got = {
+            (r.day, r.k): r.v for r in t.read().collect()
+        }
+        assert got == {
+            ("d1", 1): "a", ("d1", 2): "B2", ("d1", 3): "n",
+            ("d2", 1): "c", ("d3", 9): "z",
+        }
+
+    def test_replay_idempotent_under_pruning(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, keys=["day", "k"])
+        batch = self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)])
+        t.upsert(batch)
+        t.upsert(batch)  # replay: fixed point
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a", ("d2", 1): "c"}
+
+    def test_key_spanning_partitions_falls_back_to_full_merge(
+        self, spark, tmp_path
+    ):
+        # partition col NOT in the key: a key may move between days, so
+        # pruning would strand the stale row — upsert must take the
+        # full-merge path and converge to one row per key
+        t = self._mk(spark, tmp_path, keys=["k"])
+        assert not t._can_prune()
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1)]))
+        t.upsert(self._rows(spark, [("d2", 1, "moved", 2)]))
+        rows = t.read().collect()
+        assert len(rows) == 1
+        assert (rows[0].day, rows[0].v) == ("d2", "moved")
+
+    def test_stable_partitions_flag_enables_pruning(self, spark, tmp_path):
+        # partition derived from an immutable attribute (not in the
+        # key): the caller's stable_partitions promise enables pruning
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+            KeyedParquetTable,
+        )
+
+        t = KeyedParquetTable(
+            spark,
+            str(tmp_path / "t2"),
+            keys=["k"],
+            order_cols=["seq"],
+            partition_by=["day"],
+            stable_partitions=True,
+        )
+        assert t._can_prune()
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 2, "c", 1)]))
+        before = self._file_sig(str(tmp_path / "t2"))
+        d2 = {p: m for p, m in before.items() if "day=d2" in p}
+        t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
+        after = self._file_sig(str(tmp_path / "t2"))
+        for p, m in d2.items():
+            assert after.get(p) == m  # day=d2 untouched
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a2", ("d2", 2): "c"}

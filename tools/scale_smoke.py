@@ -178,14 +178,21 @@ def build_scaled_dir(
             continue
         repl = _REPLACE[name].format(f=factor)
         os.makedirs(dst)
-        # one part file per replication slice: layout parallelism scales
-        # with the factor, as a real ingest's would
-        for r in range(factor):
+        # multi-file layout, but capped at 128 part files: one file per
+        # replication slice keeps input-split parallelism realistic,
+        # while a 1000x factor must not mean 1000 COPY passes — each
+        # part covers a RANGE of replica ids instead
+        slices = min(factor, 128)
+        bounds = [
+            (factor * i // slices, factor * (i + 1) // slices)
+            for i in range(slices)
+        ]
+        for i, (lo, hi) in enumerate(bounds):
             con.execute(
                 f"COPY (SELECT d.* REPLACE ({repl}) "
                 f"FROM read_parquet('{src}') d CROSS JOIN "
-                f"(SELECT {r}::BIGINT AS r) t) "
-                f"TO '{os.path.join(dst, f'part-{r:05d}.parquet')}' "
+                f"(SELECT UNNEST(range({lo}, {hi}))::BIGINT AS r) t) "
+                f"TO '{os.path.join(dst, f'part-{i:05d}.parquet')}' "
                 f"(FORMAT PARQUET)"
             )
     con.close()
@@ -355,6 +362,8 @@ def main() -> None:
         )
     )
     spark.stop()
+    # replicas can be tens of GB (16 GB at 1000x) — never leave them
+    shutil.rmtree(scaled_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
