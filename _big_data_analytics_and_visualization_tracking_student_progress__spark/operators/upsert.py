@@ -164,9 +164,10 @@ class SnapshotKeyedTable:
 
     Scale note: each commit rewrites the full table (copy-on-write of
     every file), which is the right shape for a dimension/state table
-    but NOT for a 100 TB fact table — there you'd keep the same MERGE
-    dataflow and commit only changed files plus a manifest.  The merge
-    itself still shuffles on the business key only."""
+    but NOT for a 100 TB fact table — `ManifestSnapshotTable` below is
+    that shape: the same MERGE dataflow committing only changed
+    partitions plus a manifest.  The merge itself still shuffles on the
+    business key only."""
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
                  order_cols: Sequence[str] | str, keep_versions: int | None = None):
@@ -230,3 +231,210 @@ class SnapshotKeyedTable:
         vs = self.versions()
         for v in vs[: max(0, len(vs) - self.keep_versions)]:
             shutil.rmtree(self._vdir(v), ignore_errors=True)
+
+
+class ManifestSnapshotTable:
+    """Incremental MVCC snapshots on plain parquet — the "100 TB fact
+    table" shape `SnapshotKeyedTable`'s scale note names: each commit
+    writes ONLY the partitions the batch touches, plus a manifest
+    mapping every partition to the snapshot version that holds its
+    current files.  Unchanged partitions are inherited BY REFERENCE
+    (a manifest entry pointing at an older version's files), never
+    copied — so copy-on-write cost tracks the batch, not the table,
+    while readers still get immutable point-in-time snapshots,
+    rollback, and retention.  This is the read half of a Delta/Iceberg
+    commit with the manifest playing the transaction log's role.
+
+    Layout::
+
+        root/v=00001/data/<pcol>=<val>/part-*.parquet
+        root/v=00001/manifest.json   {"partitions": {"<pcol>=<val>": 1}}
+        root/v=00001/_SUCCESS        (commit marker, written LAST)
+
+    Soundness: pruned MERGE requires that a key can never change
+    partition, so the constructor demands partition columns ⊆ keys or
+    an explicit ``stable_partitions=True`` promise (same invariant as
+    `KeyedParquetTable._can_prune`).  Partition values must be
+    non-null scalars whose ``str()`` is filesystem-safe (the reference
+    daily-index shape: one string date column).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
+                 order_cols: Sequence[str] | str,
+                 partition_by: Sequence[str],
+                 stable_partitions: bool = False,
+                 keep_versions: int | None = None):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.order_cols = (
+            [order_cols] if isinstance(order_cols, str) else list(order_cols)
+        )
+        self.partition_by = list(partition_by)
+        if not self.partition_by:
+            raise ValueError("ManifestSnapshotTable requires partition_by")
+        if not (stable_partitions or set(self.partition_by) <= set(self.keys)):
+            raise ValueError(
+                "partition-pruned commits need partition columns inside the "
+                "key, or stable_partitions=True (a key that moved partitions "
+                "would leave its stale row behind in the old partition)"
+            )
+        self.keep_versions = keep_versions
+
+    # -- layout helpers -------------------------------------------------
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v={v:05d}")
+
+    def _data_dir(self, v: int) -> str:
+        return os.path.join(self._vdir(v), "data")
+
+    def _part_key(self, combo: Sequence) -> str:
+        for val in combo:
+            if val is None:
+                raise ValueError("NULL partition values are not supported")
+        return "/".join(
+            f"{c}={v}" for c, v in zip(self.partition_by, combo)
+        )
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(name[2:])
+            for name in os.listdir(self.path)
+            if name.startswith("v=")
+            and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
+        )
+
+    def manifest(self, version: int | None = None) -> dict[str, int]:
+        """partition-dir-fragment → version holding its current files."""
+        import json
+
+        vs = self.versions()
+        if not vs:
+            return {}
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            raise ValueError(f"version {version} not in {vs}")
+        with open(os.path.join(self._vdir(version), "manifest.json")) as fh:
+            return {k: int(v) for k, v in json.load(fh)["partitions"].items()}
+
+    # -- read -----------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame | None:
+        m = self.manifest(version)
+        if not m:
+            return None
+        by_version: dict[int, list[str]] = {}
+        for frag, v in m.items():
+            by_version.setdefault(v, []).append(
+                os.path.join(self._data_dir(v), frag)
+            )
+        out = None
+        for v, paths in sorted(by_version.items()):
+            # one scan per holding version: basePath keeps hive partition
+            # inference working across the per-version data roots
+            df = (
+                self.spark.read.option("basePath", self._data_dir(v))
+                .parquet(*sorted(paths))
+            )
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+        return out
+
+    # -- write ----------------------------------------------------------
+    def upsert(self, batch: DataFrame) -> int:
+        """Pruned MERGE commit: read ONLY the batch's partitions from
+        their current holders, merge, write those partitions under the
+        new version, inherit everything else via the manifest."""
+        import json
+        import shutil
+
+        touched = [
+            tuple(r)
+            for r in batch.select(*self.partition_by).distinct().collect()
+        ]
+        prev = self.manifest()
+        new_v = (self.versions()[-1] + 1) if prev else 1
+        if not touched:
+            return new_v - 1 if prev else 0
+        frags = {self._part_key(c) for c in touched}
+        target = None
+        old_paths = [
+            os.path.join(self._data_dir(v), frag)
+            for frag, v in prev.items()
+            if frag in frags
+        ]
+        if old_paths:
+            # every old holder shares the schema modulo evolution; group
+            # reads per holder version like read() does
+            holders: dict[int, list[str]] = {}
+            for frag in frags & set(prev):
+                holders.setdefault(prev[frag], []).append(
+                    os.path.join(self._data_dir(prev[frag]), frag)
+                )
+            for v, paths in sorted(holders.items()):
+                df = (
+                    self.spark.read.option("basePath", self._data_dir(v))
+                    .parquet(*sorted(paths))
+                )
+                target = (
+                    df
+                    if target is None
+                    else target.unionByName(df, allowMissingColumns=True)
+                )
+        merged = merge_by_key(
+            target, batch, self.keys,
+            [F.col(c).desc() for c in self.order_cols],
+        )
+        vdir = self._vdir(new_v)
+        shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt's debris
+        merged.write.partitionBy(*self.partition_by).parquet(
+            self._data_dir(new_v)
+        )
+        manifest = {frag: v for frag, v in prev.items() if frag not in frags}
+        manifest.update({frag: new_v for frag in frags})
+        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+            json.dump(
+                {"partition_by": self.partition_by, "partitions": manifest},
+                fh,
+                sort_keys=True,
+            )
+        # commit marker LAST: a crash before this line leaves the new
+        # dir invisible to versions()/manifest() — readers still resolve
+        # the previous snapshot
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        if self.keep_versions is not None:
+            self.vacuum()
+        return new_v
+
+    # -- maintenance ----------------------------------------------------
+    def rollback(self, version: int) -> None:
+        """Drop snapshots newer than `version` (its manifest references
+        only versions ≤ itself, so it stays fully readable)."""
+        import shutil
+
+        for v in self.versions():
+            if v > version:
+                shutil.rmtree(self._vdir(v), ignore_errors=True)
+
+    def vacuum(self) -> None:
+        """Retain the newest `keep_versions` snapshots AND every older
+        version dir still referenced by a retained manifest — inherited
+        data files must survive their original snapshot's expiry."""
+        import shutil
+
+        if self.keep_versions is None:
+            return
+        vs = self.versions()
+        retained = set(vs[-self.keep_versions:])
+        referenced = set()
+        for v in retained:
+            referenced.update(self.manifest(v).values())
+        for v in vs:
+            if v not in retained and v not in referenced:
+                shutil.rmtree(self._vdir(v), ignore_errors=True)

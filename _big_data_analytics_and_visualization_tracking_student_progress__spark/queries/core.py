@@ -3470,6 +3470,77 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental-manifest MVCC (the 100 TB fact-table commit shape): commit
+# one full load, then a second batch touching ONLY ONE partition — the
+# manifest inherits every other partition's files by reference (asserted
+# in-plan by reading the committed layout), and the final read resolves
+# inherited + rewritten partitions into one view.  The oracle recomputes
+# the same two-stage keyed merge declaratively.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_incremental_commits",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 1 AND event_type = 'click'
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_latest_event_id
+    FROM latest GROUP BY event_type
+    """,
+    doc="incremental-manifest MVCC commits (ManifestSnapshotTable): "
+    "second commit rewrites only the one partition it touches, every "
+    "other partition inherited by manifest reference; read resolves "
+    "mixed-version partitions — oracle recomputes both keyed merges "
+    "declaratively",
+)
+def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.upsert import ManifestSnapshotTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    table = ManifestSnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_manifest_"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    table.upsert(e.filter(F.col("event_id") % 3 == 0))
+    table.upsert(
+        e.filter(
+            (F.col("event_id") % 3 == 1) & (F.col("event_type") == "click")
+        )
+    )
+    # layout proof, bounded control data: commit 2 holds ONLY the
+    # 'click' partition; everything else is a v=1 manifest reference
+    m = table.manifest()
+    rewritten = [k for k, v in m.items() if v == 2]
+    assert rewritten == ["event_type=click"], m
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_latest_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured handling via VariantType (Spark 4): props parses ONCE
 # into the binary variant encoding and every field access is a typed
 # path lookup — at scale this replaces repeated get_json_object string

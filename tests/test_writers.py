@@ -373,3 +373,87 @@ class TestPartitionPrunedMerge:
             assert after.get(p) == m  # day=d2 untouched
         got = {(r.day, r.k): r.v for r in t.read().collect()}
         assert got == {("d1", 1): "a2", ("d2", 2): "c"}
+
+
+class TestManifestSnapshotTable:
+    """Incremental MVCC commits: only batch-touched partitions are
+    written; everything else is inherited by manifest reference."""
+
+    @staticmethod
+    def _mk(spark, tmp_path, **kw):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+            ManifestSnapshotTable,
+        )
+
+        return ManifestSnapshotTable(
+            spark,
+            str(tmp_path / "ms"),
+            keys=["day", "k"],
+            order_cols=["seq"],
+            partition_by=["day"],
+            **kw,
+        )
+
+    @staticmethod
+    def _rows(spark, data):
+        return spark.createDataFrame(
+            data, "day string, k int, v string, seq int"
+        )
+
+    def test_commit_writes_only_touched_partitions(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        v1 = t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d2", 1, "c", 1), ("d3", 9, "z", 1),
+        ]))
+        v2 = t.upsert(self._rows(spark, [("d1", 1, "a2", 2), ("d1", 2, "n", 2)]))
+        assert (v1, v2) == (1, 2)
+        # v=2 holds ONLY day=d1; d2/d3 inherited from v=1 by reference
+        v2_data = os.listdir(str(tmp_path / "ms" / "v=00002" / "data"))
+        assert [d for d in v2_data if d.startswith("day=")] == ["day=d1"]
+        assert t.manifest() == {"day=d1": 2, "day=d2": 1, "day=d3": 1}
+
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {
+            ("d1", 1): "a2", ("d1", 2): "n",
+            ("d2", 1): "c", ("d3", 9): "z",
+        }
+        # time travel: v1 still shows the pre-merge state
+        old = {(r.day, r.k): r.v for r in t.read(version=1).collect()}
+        assert old == {("d1", 1): "a", ("d2", 1): "c", ("d3", 9): "z"}
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        batch = self._rows(spark, [("d1", 1, "a", 1)])
+        t.upsert(batch)
+        t.upsert(batch)
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a"}
+
+    def test_rollback_and_vacuum_keep_referenced_versions(
+        self, spark, tmp_path
+    ):
+        t = self._mk(spark, tmp_path, keep_versions=2)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a3", 3)]))
+        # keep_versions=2 retains v2,v3 — but v1 still holds day=d2 for
+        # BOTH retained manifests, so vacuum must NOT delete it
+        assert t.versions() == [1, 2, 3]
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a3", ("d2", 1): "c"}
+        t.rollback(2)
+        assert t.versions() == [1, 2]
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a2", ("d2", 1): "c"}
+
+    def test_unsound_pruning_config_rejected(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+            ManifestSnapshotTable,
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="stable_partitions"):
+            ManifestSnapshotTable(
+                spark, str(tmp_path / "bad"), keys=["k"],
+                order_cols=["seq"], partition_by=["day"],
+            )
