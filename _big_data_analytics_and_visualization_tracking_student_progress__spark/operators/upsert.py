@@ -88,7 +88,16 @@ class KeyedParquetTable:
     def read(self) -> DataFrame | None:
         if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
             return None
-        return self.spark.read.parquet(self.path)
+        # mergeSchema: under PRUNED merges, partitions rewritten by a
+        # schema-widening batch carry the new column while untouched
+        # partitions' files don't — a single-footer schema pick would
+        # silently drop the new column from the view (and a later merge
+        # would then erase it from disk).  Union the footers instead;
+        # files lacking a column read it as NULL, the additive-widening
+        # semantics merge_by_key documents.
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        )
 
     def _can_prune(self) -> bool:
         """Partition-pruned MERGE is sound only when the partition
@@ -288,12 +297,32 @@ class ManifestSnapshotTable:
     def _data_dir(self, v: int) -> str:
         return os.path.join(self._vdir(v), "data")
 
+    # Hive's escapePathName character set (FileUtils.charToEscape):
+    # control chars plus the dir-syntax/glob/uri-special set.  Manifest
+    # fragments must match the dir names Spark ACTUALLY writes, or a
+    # value like '10:30' would commit fine and then wedge every read
+    # with PATH_NOT_FOUND.
+    _ESCAPE = {chr(i) for i in range(32)} | set('"#%\'*/:=?\\\x7f{[]^')
+
+    @classmethod
+    def _hive_escape(cls, s: str) -> str:
+        return "".join(
+            f"%{ord(ch):02X}" if ch in cls._ESCAPE else ch for ch in s
+        )
+
+    @staticmethod
+    def _render(val) -> str:
+        if isinstance(val, bool):  # Spark renders booleans lowercase
+            return "true" if val else "false"
+        return str(val)
+
     def _part_key(self, combo: Sequence) -> str:
         for val in combo:
             if val is None:
                 raise ValueError("NULL partition values are not supported")
         return "/".join(
-            f"{c}={v}" for c, v in zip(self.partition_by, combo)
+            f"{c}={self._hive_escape(self._render(v))}"
+            for c, v in zip(self.partition_by, combo)
         )
 
     def versions(self) -> list[int]:
@@ -305,6 +334,23 @@ class ManifestSnapshotTable:
             if name.startswith("v=")
             and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
         )
+
+    def _written_fragments(self, v: int) -> set[str]:
+        """The partition-dir fragments actually present under a
+        version's data dir (nested one level per partition column)."""
+        level = [""]
+        root = self._data_dir(v)
+        for _ in self.partition_by:
+            nxt = []
+            for rel in level:
+                base = os.path.join(root, rel) if rel else root
+                for name in os.listdir(base):
+                    if "=" in name and os.path.isdir(
+                        os.path.join(base, name)
+                    ):
+                        nxt.append(f"{rel}/{name}" if rel else name)
+            level = nxt
+        return set(level)
 
     def manifest(self, version: int | None = None) -> dict[str, int]:
         """partition-dir-fragment → version holding its current files."""
@@ -363,29 +409,23 @@ class ManifestSnapshotTable:
             return new_v - 1 if prev else 0
         frags = {self._part_key(c) for c in touched}
         target = None
-        old_paths = [
-            os.path.join(self._data_dir(v), frag)
-            for frag, v in prev.items()
-            if frag in frags
-        ]
-        if old_paths:
-            # every old holder shares the schema modulo evolution; group
-            # reads per holder version like read() does
-            holders: dict[int, list[str]] = {}
-            for frag in frags & set(prev):
-                holders.setdefault(prev[frag], []).append(
-                    os.path.join(self._data_dir(prev[frag]), frag)
-                )
-            for v, paths in sorted(holders.items()):
-                df = (
-                    self.spark.read.option("basePath", self._data_dir(v))
-                    .parquet(*sorted(paths))
-                )
-                target = (
-                    df
-                    if target is None
-                    else target.unionByName(df, allowMissingColumns=True)
-                )
+        # old holders of the touched partitions, grouped per version
+        # (same read shape as read())
+        holders: dict[int, list[str]] = {}
+        for frag in frags & set(prev):
+            holders.setdefault(prev[frag], []).append(
+                os.path.join(self._data_dir(prev[frag]), frag)
+            )
+        for v, paths in sorted(holders.items()):
+            df = (
+                self.spark.read.option("basePath", self._data_dir(v))
+                .parquet(*sorted(paths))
+            )
+            target = (
+                df
+                if target is None
+                else target.unionByName(df, allowMissingColumns=True)
+            )
         merged = merge_by_key(
             target, batch, self.keys,
             [F.col(c).desc() for c in self.order_cols],
@@ -395,6 +435,18 @@ class ManifestSnapshotTable:
         merged.write.partitionBy(*self.partition_by).parquet(
             self._data_dir(new_v)
         )
+        # the manifest is only sound if its fragments name the dirs
+        # Spark ACTUALLY wrote — verify before committing, so a value
+        # whose rendering diverges from _part_key fails loudly here
+        # instead of wedging every later read with PATH_NOT_FOUND
+        written = self._written_fragments(new_v)
+        if written != frags:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise ValueError(
+                "partition dir names diverged from manifest fragments — "
+                f"written {sorted(written)} vs expected {sorted(frags)}; "
+                "this partition value type/rendering is unsupported"
+            )
         manifest = {frag: v for frag, v in prev.items() if frag not in frags}
         manifest.update({frag: new_v for frag in frags})
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:

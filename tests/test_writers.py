@@ -457,3 +457,58 @@ class TestManifestSnapshotTable:
                 spark, str(tmp_path / "bad"), keys=["k"],
                 order_cols=["seq"], partition_by=["day"],
             )
+
+    def test_schema_evolution_under_pruning(self, spark, tmp_path):
+        """A widening batch touching only SOME partitions must not lose
+        the new column: KeyedParquetTable.read() merges footers
+        (untouched partitions surface it as NULL) and later merges
+        preserve it on disk."""
+        t = TestPartitionPrunedMerge._mk(
+            spark, tmp_path, keys=["day", "k"]
+        )  # pruned path
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        widened = spark.createDataFrame(
+            [("d2", 1, "c2", 2, "extra-val")],
+            "day string, k int, v string, seq int, extra string",
+        )
+        t.upsert(widened)  # touches only d2, carries new column
+        got = {
+            (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
+        }
+        assert got == {
+            ("d1", 1): ("a", None),  # untouched partition: NULL-widened
+            ("d2", 1): ("c2", "extra-val"),
+        }
+        # a later merge touching d2 must keep the column's data on disk
+        t.upsert(self._rows(spark, [("d2", 2, "n", 3)]))
+        got = {
+            (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
+        }
+        assert got[("d2", 1)] == ("c2", "extra-val")
+        assert got[("d2", 2)] == ("n", None)
+
+
+class TestManifestEscaping:
+    def test_hive_special_chars_round_trip(self, spark, tmp_path):
+        """Partition values Spark hive-escapes in dir names (':' etc.)
+        must produce manifest fragments matching the dirs actually
+        written — commit, read, and a second commit all work."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+            ManifestSnapshotTable,
+        )
+
+        t = ManifestSnapshotTable(
+            spark,
+            str(tmp_path / "esc"),
+            keys=["slot", "k"],
+            order_cols=["seq"],
+            partition_by=["slot"],
+        )
+        rows = lambda d: spark.createDataFrame(  # noqa: E731
+            d, "slot string, k int, v string, seq int"
+        )
+        t.upsert(rows([("10:30", 1, "a", 1), ("plain", 1, "b", 1)]))
+        assert "slot=10%3A30" in t.manifest()
+        t.upsert(rows([("10:30", 1, "a2", 2)]))  # re-read escaped holder
+        got = {(r.slot, r.k): r.v for r in t.read().collect()}
+        assert got == {("10:30", 1): "a2", ("plain", 1): "b"}

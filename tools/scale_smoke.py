@@ -261,6 +261,12 @@ def main() -> None:
     registry = all_queries()
 
     scaled_dir = build_scaled_dir(SF_DIR, FACTOR)
+    # replicas can be tens of GB (16 GB at 1000x) — remove them on EVERY
+    # exit path, including the mid-smoke crashes this tool exists to
+    # catch (atexit also fires on unhandled exceptions)
+    import atexit
+
+    atexit.register(shutil.rmtree, scaled_dir, ignore_errors=True)
     rss_after_build = rss_snapshot_mb()
 
     builds_base = warm_artifacts(spark, SF_DIR)
@@ -362,8 +368,6 @@ def main() -> None:
         )
     )
     spark.stop()
-    # replicas can be tens of GB (16 GB at 1000x) — never leave them
-    shutil.rmtree(scaled_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
