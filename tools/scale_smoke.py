@@ -58,7 +58,10 @@ SUBSET_MODE = len(sys.argv) > 3
 # would only burn disk and build time)
 _NEEDS = {
     "ann_ivfpq_topk": {"embeddings"},
+    "ann_ivf_topk": {"embeddings"},
+    "cosine_topk": {"embeddings"},
     "curation_pipeline": {"documents"},
+    "dedup_exact": {"documents"},
     "dedup_minhash_lsh": {"documents"},
     "bm25_search_topk": {"documents"},
     "stream_tumbling_append": {"events"},
