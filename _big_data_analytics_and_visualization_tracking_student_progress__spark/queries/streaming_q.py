@@ -407,6 +407,55 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S5/T2 over the incremental-manifest table: the streaming sink commits
+# each micro-batch as a changed-partitions-only MVCC snapshot (the
+# 100 TB fact-table commit shape), and a full second replay converges
+# to the same state — effectively-once on top of manifest commits.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_manifest_commits",
+    """
+    WITH latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_latest_event_id
+    FROM latest GROUP BY event_type
+    """,
+    doc="streaming sink into ManifestSnapshotTable: each micro-batch "
+    "commits only the partitions it touches (manifest-inherited MVCC); "
+    "run twice from scratch to prove replay idempotency of incremental "
+    "commits (T2)",
+)
+def q_stream_manifest_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+
+    wd = _workdir("manifest_q")
+    table = ManifestSnapshotTable(
+        spark,
+        os.path.join(wd, "table"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    for run in ("r1", "r2"):
+        ev = events_file_stream(spark, _events_path(sf_dir)).select(
+            "user_id", "event_type", "event_id", "ts_nanos"
+        )
+        upsert_stream_run(spark, ev, table, workdir=os.path.join(wd, run))
+    out = table.read()
+    assert out is not None
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").cast("bigint").alias("sum_latest_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P6/T3 — CDC anti-join inside the stream
 # ---------------------------------------------------------------------------
 _CDC_COLS = ["event_id", "event_type", "props", "user_id"]

@@ -157,7 +157,9 @@ def append_sink_run(
 def upsert_stream_run(
     spark: SparkSession,
     sdf: DataFrame,
-    table: KeyedParquetTable,
+    table: KeyedParquetTable,  # or any .upsert()/.read() table, e.g.
+    #                            ManifestSnapshotTable for incremental
+    #                            manifest commits per micro-batch
     workdir: str | None = None,
     quarantine_predicate: Column | None = None,
 ) -> DataFrame:

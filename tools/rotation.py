@@ -129,6 +129,13 @@ def query_status(repo: str = REPO) -> dict[str, dict]:
 
 # Judge-requested names for the CURRENT round (edit per round from
 # VERDICT.md's "Next round" item).  Ranked right after streaming names.
+#
+# Round-7 note: the live window deliberately keeps ALL 30 pre-round-7
+# backlog names (the "clear the backlog in one window" goal) even
+# though two queries registered mid-round (manifest_incremental_commits,
+# stream_manifest_commits) would out-rank one of them here — those two
+# are in-repo green and rotate in next round, when the proposal and the
+# live window re-align.
 PREFERRED: tuple[str, ...] = (
     "attribution_last_touch",
     "sales_opportunity_by_nation",
