@@ -85,16 +85,31 @@ class KeyedParquetTable:
         # even when the partition columns aren't structurally in the key.
         self.stable_partitions = stable_partitions
 
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_table_schema.json")
+
     def read(self) -> DataFrame | None:
+        """Under PRUNED merges, partitions rewritten by a schema-widening
+        batch carry the new column while untouched partitions' files
+        don't — a single-footer schema pick would silently drop the new
+        column from the view (and a later merge would then erase it from
+        disk).  The widened schema is persisted as a sidecar at write
+        time, so reads apply it in O(1) instead of a mergeSchema footer
+        sweep that grows with table file count; files lacking a column
+        read it as NULL — the additive widening merge_by_key documents.
+        Tables written before the sidecar existed fall back to
+        mergeSchema once (the next upsert writes the sidecar)."""
         if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
             return None
-        # mergeSchema: under PRUNED merges, partitions rewritten by a
-        # schema-widening batch carry the new column while untouched
-        # partitions' files don't — a single-footer schema pick would
-        # silently drop the new column from the view (and a later merge
-        # would then erase it from disk).  Union the footers instead;
-        # files lacking a column read it as NULL, the additive-widening
-        # semantics merge_by_key documents.
+        sp = self._schema_path()
+        if os.path.exists(sp):
+            import json
+
+            from pyspark.sql.types import StructType
+
+            with open(sp) as fh:
+                schema = StructType.fromJson(json.load(fh))
+            return self.spark.read.schema(schema).parquet(self.path)
         return (
             self.spark.read.option("mergeSchema", "true").parquet(self.path)
         )
@@ -156,9 +171,17 @@ class KeyedParquetTable:
                 # leave every other partition's files untouched
                 writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.parquet(self.path)
-        # best-effort cleanup
+        # persist the (possibly widened) table schema so read() never
+        # needs a footer sweep; written AFTER the data so a crash here
+        # merely leaves the mergeSchema fallback path
+        import json
         import shutil
 
+        stmp = self._schema_path() + ".tmp"
+        with open(stmp, "w") as fh:
+            json.dump(final.schema.jsonValue(), fh)
+        os.replace(stmp, self._schema_path())
+        # best-effort cleanup
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -367,19 +390,20 @@ class ManifestSnapshotTable:
             return {k: int(v) for k, v in json.load(fh)["partitions"].items()}
 
     # -- read -----------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame | None:
-        m = self.manifest(version)
-        if not m:
-            return None
+    def _read_fragments(
+        self, frag_to_version: dict[str, int]
+    ) -> DataFrame | None:
+        """Resolve fragment→holder-version mappings into one DataFrame:
+        one scan per holding version (basePath keeps hive partition
+        inference working across the per-version data roots), versions
+        unioned by name so schema may evolve across commits."""
         by_version: dict[int, list[str]] = {}
-        for frag, v in m.items():
+        for frag, v in frag_to_version.items():
             by_version.setdefault(v, []).append(
                 os.path.join(self._data_dir(v), frag)
             )
         out = None
         for v, paths in sorted(by_version.items()):
-            # one scan per holding version: basePath keeps hive partition
-            # inference working across the per-version data roots
             df = (
                 self.spark.read.option("basePath", self._data_dir(v))
                 .parquet(*sorted(paths))
@@ -390,6 +414,12 @@ class ManifestSnapshotTable:
                 else out.unionByName(df, allowMissingColumns=True)
             )
         return out
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        m = self.manifest(version)
+        if not m:
+            return None
+        return self._read_fragments(m)
 
     # -- write ----------------------------------------------------------
     def upsert(self, batch: DataFrame) -> int:
@@ -408,24 +438,10 @@ class ManifestSnapshotTable:
         if not touched:
             return new_v - 1 if prev else 0
         frags = {self._part_key(c) for c in touched}
-        target = None
-        # old holders of the touched partitions, grouped per version
-        # (same read shape as read())
-        holders: dict[int, list[str]] = {}
-        for frag in frags & set(prev):
-            holders.setdefault(prev[frag], []).append(
-                os.path.join(self._data_dir(prev[frag]), frag)
-            )
-        for v, paths in sorted(holders.items()):
-            df = (
-                self.spark.read.option("basePath", self._data_dir(v))
-                .parquet(*sorted(paths))
-            )
-            target = (
-                df
-                if target is None
-                else target.unionByName(df, allowMissingColumns=True)
-            )
+        # old holders of the touched partitions only
+        target = self._read_fragments(
+            {frag: prev[frag] for frag in frags & set(prev)}
+        )
         merged = merge_by_key(
             target, batch, self.keys,
             [F.col(c).desc() for c in self.order_cols],

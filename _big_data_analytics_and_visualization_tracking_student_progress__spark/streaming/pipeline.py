@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import row_hash
-from ..operators.upsert import KeyedParquetTable
+from ..operators.upsert import KeyedParquetTable, ManifestSnapshotTable
 
 
 # ---------------------------------------------------------------------------
@@ -157,9 +157,7 @@ def append_sink_run(
 def upsert_stream_run(
     spark: SparkSession,
     sdf: DataFrame,
-    table: KeyedParquetTable,  # or any .upsert()/.read() table, e.g.
-    #                            ManifestSnapshotTable for incremental
-    #                            manifest commits per micro-batch
+    table: KeyedParquetTable | ManifestSnapshotTable,
     workdir: str | None = None,
     quarantine_predicate: Column | None = None,
 ) -> DataFrame:

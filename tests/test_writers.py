@@ -374,6 +374,33 @@ class TestPartitionPrunedMerge:
         got = {(r.day, r.k): r.v for r in t.read().collect()}
         assert got == {("d1", 1): "a2", ("d2", 2): "c"}
 
+    def test_schema_evolution_under_pruning(self, spark, tmp_path):
+        """A widening batch touching only SOME partitions must not lose
+        the new column: read() applies the persisted widened schema
+        (untouched partitions surface it as NULL) and later merges
+        preserve it on disk."""
+        t = self._mk(spark, tmp_path, keys=["day", "k"])  # pruned path
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        widened = spark.createDataFrame(
+            [("d2", 1, "c2", 2, "extra-val")],
+            "day string, k int, v string, seq int, extra string",
+        )
+        t.upsert(widened)  # touches only d2, carries new column
+        got = {
+            (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
+        }
+        assert got == {
+            ("d1", 1): ("a", None),  # untouched partition: NULL-widened
+            ("d2", 1): ("c2", "extra-val"),
+        }
+        # a later merge touching d2 must keep the column's data on disk
+        t.upsert(self._rows(spark, [("d2", 2, "n", 3)]))
+        got = {
+            (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
+        }
+        assert got[("d2", 1)] == ("c2", "extra-val")
+        assert got[("d2", 2)] == ("n", None)
+
 
 class TestManifestSnapshotTable:
     """Incremental MVCC commits: only batch-touched partitions are
@@ -457,36 +484,6 @@ class TestManifestSnapshotTable:
                 spark, str(tmp_path / "bad"), keys=["k"],
                 order_cols=["seq"], partition_by=["day"],
             )
-
-    def test_schema_evolution_under_pruning(self, spark, tmp_path):
-        """A widening batch touching only SOME partitions must not lose
-        the new column: KeyedParquetTable.read() merges footers
-        (untouched partitions surface it as NULL) and later merges
-        preserve it on disk."""
-        t = TestPartitionPrunedMerge._mk(
-            spark, tmp_path, keys=["day", "k"]
-        )  # pruned path
-        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
-        widened = spark.createDataFrame(
-            [("d2", 1, "c2", 2, "extra-val")],
-            "day string, k int, v string, seq int, extra string",
-        )
-        t.upsert(widened)  # touches only d2, carries new column
-        got = {
-            (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
-        }
-        assert got == {
-            ("d1", 1): ("a", None),  # untouched partition: NULL-widened
-            ("d2", 1): ("c2", "extra-val"),
-        }
-        # a later merge touching d2 must keep the column's data on disk
-        t.upsert(self._rows(spark, [("d2", 2, "n", 3)]))
-        got = {
-            (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
-        }
-        assert got[("d2", 1)] == ("c2", "extra-val")
-        assert got[("d2", 2)] == ("n", None)
-
 
 class TestManifestEscaping:
     def test_hive_special_chars_round_trip(self, spark, tmp_path):

@@ -323,8 +323,8 @@ def main() -> None:
         lines.append(f"| `{name}` | {base[name]} | {scaled[name]} | {r:.1f}x |")
     lines += [
         "",
-        "Reading the ratios: sub-1x rows are warmup/page-cache effects at "
-        "these (still small) absolute sizes.  Index/edge-table builds are "
+        "Reading the ratios: any sub-1x row is a warmup/page-cache effect "
+        "at these (still small) absolute sizes.  Index/edge-table builds are "
         "reported separately above — at 100 TB those are maintained at "
         "ingest (stream_index_maintenance is the registered incremental "
         "path), so the query rows here are serve-only.  The property this "
