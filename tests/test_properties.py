@@ -471,3 +471,69 @@ def test_png_roundtrip_any_dims(w, h):
     got_w, got_h, pixel_sum = decode_png(encode_png(w, h))
     assert (got_w, got_h) == (w, h)
     assert pixel_sum == sum(i % 256 for i in range(w * h))
+
+
+# ---------------------------------------------------------------------------
+# ManifestSnapshotTable: for ANY sequence of batches with arbitrary
+# partition touch patterns, every snapshot version equals a plain
+# last-write-wins dict model replayed over the batch prefix — i.e.
+# manifest inheritance across mixed-version partitions is exactly
+# equivalent to full-table recomputation at every point in history.
+# ---------------------------------------------------------------------------
+BATCHES = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["d1", "d2", "d3"]),
+            st.integers(0, 3),
+            st.integers(-5, 5),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=BATCHES)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_manifest_snapshots_equal_model(spark, batches):
+    import shutil
+    import tempfile
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        ManifestSnapshotTable,
+    )
+
+    root = tempfile.mkdtemp(prefix="ms_prop_")
+    try:
+        t = ManifestSnapshotTable(
+            spark, root, keys=["day", "k"], order_cols=["seq"],
+            partition_by=["day"],
+        )
+        model: dict[tuple[str, int], float] = {}
+        snapshots = []
+        for i, batch in enumerate(batches):
+            # unique key per batch (keep last) + seq = batch index, so
+            # last-write-wins is unambiguous and tie-free
+            dedup = {}
+            for day, k, v in batch:
+                dedup[(day, k)] = float(v)
+            rows = [
+                (day, k, v, i) for (day, k), v in dedup.items()
+            ]
+            t.upsert(
+                spark.createDataFrame(
+                    rows, "day string, k int, v double, seq int"
+                )
+            )
+            model.update(dedup)
+            snapshots.append(dict(model))
+        for v, expect in enumerate(snapshots, start=1):
+            got = {
+                (r.day, r.k): r.v for r in t.read(version=v).collect()
+            }
+            assert got == expect, f"version {v} diverged from model"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
