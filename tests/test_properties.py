@@ -537,3 +537,50 @@ def test_manifest_snapshots_equal_model(spark, batches):
             assert got == expect, f"version {v} diverged from model"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# KeyedParquetTable: the partition-pruned merge (dynamic partition
+# overwrite of batch-touched partitions only) must be observationally
+# identical to the plain full-rewrite merge for ANY batch sequence.
+# ---------------------------------------------------------------------------
+@given(batches=BATCHES)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pruned_merge_equals_full_merge(spark, batches):
+    import shutil
+    import tempfile
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        KeyedParquetTable,
+    )
+
+    root = tempfile.mkdtemp(prefix="kp_prop_")
+    try:
+        pruned = KeyedParquetTable(
+            spark, f"{root}/p", keys=["day", "k"], order_cols=["seq"],
+            partition_by=["day"],
+        )
+        plain = KeyedParquetTable(
+            spark, f"{root}/f", keys=["day", "k"], order_cols=["seq"],
+        )
+        assert pruned._can_prune() and not plain._can_prune()
+        for i, batch in enumerate(batches):
+            dedup = {}
+            for day, k, v in batch:
+                dedup[(day, k)] = float(v)
+            df = spark.createDataFrame(
+                [(day, k, v, i) for (day, k), v in dedup.items()],
+                "day string, k int, v double, seq int",
+            )
+            pruned.upsert(df)
+            plain.upsert(df)
+        got_p = sorted(
+            (r.day, r.k, r.v, r.seq) for r in pruned.read().collect()
+        )
+        got_f = sorted(
+            (r.day, r.k, r.v, r.seq) for r in plain.read().collect()
+        )
+        assert got_p == got_f
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
