@@ -633,11 +633,22 @@ def _events_path_duplicated(sf_dir: str) -> str:
 
         d = tempfile.mkdtemp(prefix="sparkgraft_events_dup_")
         src = os.path.join(sf_dir, "events.parquet")
-        for name in ("a.parquet", "b.parquet"):
-            try:
-                os.link(src, os.path.join(d, name))
-            except OSError:
-                shutil.copyfile(src, os.path.join(d, name))
+        # single file OR a directory of part files (the realistic Nx
+        # ingest layout the scale smoke stages) — either way, deliver
+        # every data file twice under distinct names
+        parts = (
+            [os.path.join(src, n) for n in sorted(os.listdir(src))
+             if n.endswith(".parquet")]
+            if os.path.isdir(src)
+            else [src]
+        )
+        for copy in ("a", "b"):
+            for i, p in enumerate(parts):
+                dst = os.path.join(d, f"{copy}-{i:05d}.parquet")
+                try:
+                    os.link(p, dst)
+                except OSError:
+                    shutil.copyfile(p, dst)
         _DUP_STAGED[sf_dir] = d
     return _DUP_STAGED[sf_dir]
 

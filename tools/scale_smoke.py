@@ -66,6 +66,10 @@ _NEEDS = {
     "bm25_search_topk": {"documents"},
     "stream_tumbling_append": {"events"},
     "stream_tumbling_counts": {"events"},
+    "stream_session_append": {"events"},
+    "stream_sliding_append": {"events"},
+    "stream_stateful_running_totals": {"events"},
+    "stream_manifest_commits": {"events"},
     "asof_click_error": {"events"},
     "pricing_summary": {"lineitem"},
     "only_late_supplier_waits": {"lineitem", "orders"},
