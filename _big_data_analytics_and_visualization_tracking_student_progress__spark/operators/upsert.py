@@ -170,17 +170,32 @@ class KeyedParquetTable:
                 # replace only the partition dirs present in `final`,
                 # leave every other partition's files untouched
                 writer = writer.option("partitionOverwriteMode", "dynamic")
-        writer.parquet(self.path)
-        # persist the (possibly widened) table schema so read() never
-        # needs a footer sweep; written AFTER the data so a crash here
-        # merely leaves the mergeSchema fallback path
         import json
         import shutil
 
-        stmp = self._schema_path() + ".tmp"
-        with open(stmp, "w") as fh:
-            json.dump(final.schema.jsonValue(), fh)
-        os.replace(stmp, self._schema_path())
+        def write_sidecar() -> None:
+            os.makedirs(self.path, exist_ok=True)
+            stmp = self._schema_path() + ".tmp"
+            with open(stmp, "w") as fh:
+                json.dump(final.schema.jsonValue(), fh)
+            os.replace(stmp, self._schema_path())
+
+        # Sidecar/data ordering is crash-safety-critical and differs by
+        # write mode.  Dynamic partition overwrite PRESERVES root-level
+        # files, so the old (possibly narrower) sidecar would survive a
+        # crash after the data write — hiding a widened column until the
+        # next merge erased it from disk.  Refresh the sidecar FIRST
+        # there: a crash in between leaves a harmlessly-wide sidecar
+        # (missing columns read as NULL, the replayed batch re-merges).
+        # Static overwrite WIPES the directory, sidecar included, so
+        # there the sidecar can only be written after the data: a crash
+        # in between leaves no sidecar at all → the mergeSchema
+        # fallback, which is correct.
+        if prune:
+            write_sidecar()
+        writer.parquet(self.path)
+        if not prune:
+            write_sidecar()
         # best-effort cleanup
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -638,10 +638,19 @@ def _events_path_duplicated(sf_dir: str) -> str:
         # every data file twice under distinct names
         parts = (
             [os.path.join(src, n) for n in sorted(os.listdir(src))
-             if n.endswith(".parquet")]
+             if n.endswith(".parquet")
+             and os.path.isfile(os.path.join(src, n))]
             if os.path.isdir(src)
             else [src]
         )
+        if not parts:
+            # fail HERE, not later with a baffling empty-dir schema
+            # inference error from the staged temp dir
+            raise ValueError(
+                f"no top-level *.parquet data files under {src!r} — "
+                "nested/hive-partitioned events layouts are not "
+                "supported by the double-delivery fixture"
+            )
         for copy in ("a", "b"):
             for i, p in enumerate(parts):
                 dst = os.path.join(d, f"{copy}-{i:05d}.parquet")

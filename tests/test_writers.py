@@ -509,3 +509,70 @@ class TestManifestEscaping:
         t.upsert(rows([("10:30", 1, "a2", 2)]))  # re-read escaped holder
         got = {(r.slot, r.k): r.v for r in t.read().collect()}
         assert got == {("10:30", 1): "a2", ("plain", 1): "b"}
+
+
+class TestSchemaSidecar:
+    """Crash-safety and migration of the _table_schema.json sidecar."""
+
+    _mk = staticmethod(TestPartitionPrunedMerge._mk)
+    _rows = staticmethod(TestPartitionPrunedMerge._rows)
+
+    def test_legacy_table_without_sidecar_migrates(self, spark, tmp_path):
+        """Pre-sidecar tables (sidecar deleted) must still read the
+        widened view via mergeSchema, and the next upsert re-persists
+        the sidecar with the full union schema."""
+        t = self._mk(spark, tmp_path, keys=["day", "k"])
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        t.upsert(spark.createDataFrame(
+            [("d2", 1, "c2", 2, "x")],
+            "day string, k int, v string, seq int, extra string",
+        ))
+        os.remove(t._schema_path())  # simulate a pre-sidecar table
+        got = {(r.day, r.k): r["extra"] for r in t.read().collect()}
+        assert got == {("d1", 1): None, ("d2", 1): "x"}  # fallback works
+        t.upsert(self._rows(spark, [("d1", 2, "n", 3)]))
+        assert os.path.exists(t._schema_path())  # re-persisted
+        got = {(r.day, r.k): r["extra"] for r in t.read().collect()}
+        assert got[("d2", 1)] == "x"  # union schema survived migration
+
+    def test_crash_between_sidecar_and_data_is_safe(self, spark, tmp_path):
+        """Pruned path writes the sidecar BEFORE the data: a crash in
+        between leaves a harmlessly-wide sidecar (new column reads
+        NULL), never a stale narrow one hiding a widened column."""
+        t = self._mk(spark, tmp_path, keys=["day", "k"])
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+
+        # simulate the crash: run a widening pruned upsert whose data
+        # write explodes after the sidecar refresh
+        from unittest import mock
+
+        widened = spark.createDataFrame(
+            [("d2", 1, "c2", 2, "x")],
+            "day string, k int, v string, seq int, extra string",
+        )
+        from pyspark.sql.readwriter import DataFrameWriter
+
+        real = DataFrameWriter.parquet
+
+        def failing(writer_self, path, *a, **k):
+            if path == t.path:  # only the FINAL table write crashes;
+                raise RuntimeError("power loss")  # staging goes through
+            return real(writer_self, path, *a, **k)
+
+        with mock.patch.object(DataFrameWriter, "parquet", failing):
+            import pytest as _pytest
+
+            with _pytest.raises(RuntimeError, match="power loss"):
+                t.upsert(widened)
+        # wide sidecar + narrow files: the new column reads NULL —
+        # no data hidden, no data lost
+        got = {
+            (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
+        }
+        assert got == {("d1", 1): ("a", None), ("d2", 1): ("c", None)}
+        # the replayed batch converges to the intended state
+        t.upsert(widened)
+        got = {
+            (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
+        }
+        assert got == {("d1", 1): ("a", None), ("d2", 1): ("c2", "x")}
