@@ -1369,9 +1369,14 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_tokens
         FROM documents WHERE text IS NOT NULL
     )
-    SELECT doc_id, lang, n_tokens, offset_tokens, offset_tokens // 2048 AS pack_seq
+    SELECT doc_id, lang, n_tokens,
+           CAST(offset_tokens AS BIGINT) AS offset_tokens,
+           CAST(offset_tokens // 2048 AS BIGINT) AS pack_seq
     FROM (
         SELECT doc_id, lang, n_tokens,
+               -- CAST: DuckDB types SUM(BIGINT) OVER as HUGEINT (INT128);
+               -- the driver's pandas fetch renders HUGEINT as float64 and the
+               -- value hash diverges from Spark's long output.
                COALESCE(SUM(n_tokens) OVER (
                    PARTITION BY lang ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

@@ -45,3 +45,41 @@ def test_query_matches_oracle(spark, duck, name):
 
     oracle_df = oracle_frame(duck, sql)
     compare(result, oracle_df)
+
+
+def test_no_pandas_lossy_oracle_output_types(duck):
+    """Registry-wide lint: no resolved oracle SQL may expose a HUGEINT /
+    UHUGEINT output column.
+
+    DuckDB types SUM(BIGINT) (and window SUM) as INT128; its pandas/Arrow
+    conversion — which the external driver uses — renders INT128 as
+    float64, so the driver hashes "161.0" against Spark's long "161" and
+    the row fails even though values are equal. The fetchall()-based
+    harness above is blind to this (Python ints), so this lint is the only
+    in-repo guard. Caused the one red row of round 7
+    (token_pack_assignments); fix pattern: CAST(... AS BIGINT) on every
+    integer SUM / window-SUM exposed in an oracle's output.
+    """
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+        resolve_oracle,
+    )
+
+    lossy = {"HUGEINT", "UHUGEINT"}
+    offenders = []
+    for name, qd in all_queries().items():
+        sql = resolve_oracle(qd, SF_ORACLE)
+        if sql is None:
+            continue
+        rel = duck.sql(sql)
+        bad = [
+            (col, str(t))
+            for col, t in zip(rel.columns, rel.types)
+            if str(t) in lossy
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        "oracle SQL exposes pandas-lossy integer types (wrap in CAST(... AS "
+        f"BIGINT)): {offenders}"
+    )
