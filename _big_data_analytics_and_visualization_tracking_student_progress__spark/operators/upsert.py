@@ -128,9 +128,34 @@ class KeyedParquetTable:
             or set(self.partition_by) <= set(self.keys)
         )
 
+    def _merge_changes_column_types(
+        self, target: DataFrame, batch: DataFrame
+    ) -> bool:
+        """Plan-only probe (no job runs): does merging `batch` coerce
+        any column the table already has to a different type?"""
+        merged_schema = merge_by_key(
+            target, batch, self.keys,
+            [F.col(c).desc() for c in self.order_cols],
+        ).schema
+        existing = {f.name: f.dataType for f in target.schema.fields}
+        return any(
+            f.name in existing and f.dataType != existing[f.name]
+            for f in merged_schema.fields
+        )
+
     def upsert(self, batch: DataFrame) -> None:
         target = self.read()
         prune = target is not None and self._can_prune()
+        if prune and self._merge_changes_column_types(target, batch):
+            # Pruned rewrites are sound only for ADDITIVE widening.  If
+            # the merge would COERCE a shared column to a different type
+            # (e.g. a formerly-int column arriving as string), the
+            # sidecar would no longer match the physical type inside
+            # untouched partitions' old files and every later read would
+            # fail on parquet conversion.  The full rewrite is immune —
+            # it rewrites all files with the coerced type — so fall back
+            # to it for this batch.
+            prune = False
         if prune:
             # The 100 TB move: merge and rewrite ONLY the partitions
             # present in the batch (classic Delta/Iceberg MERGE file
@@ -363,7 +388,19 @@ class ManifestSnapshotTable:
             for c, v in zip(self.partition_by, combo)
         )
 
-    def versions(self) -> list[int]:
+    # Demotion tombstone: a version dir kept on disk ONLY because a
+    # retained manifest inherits some of its partition files.  A holder
+    # is not a complete snapshot — its own manifest may reference
+    # versions vacuum already deleted — so versions()/read()/rollback()
+    # must not offer it as a readable point-in-time state.
+    _HOLDER_MARKER = "_HOLDER_ONLY"
+
+    def _is_holder(self, v: int) -> bool:
+        return os.path.exists(os.path.join(self._vdir(v), self._HOLDER_MARKER))
+
+    def _committed_dirs(self) -> list[int]:
+        """Every committed version dir on disk — complete snapshots AND
+        demoted holders (vacuum's sweep domain)."""
         if not os.path.isdir(self.path):
             return []
         return sorted(
@@ -372,6 +409,10 @@ class ManifestSnapshotTable:
             if name.startswith("v=")
             and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
         )
+
+    def versions(self) -> list[int]:
+        """Complete, readable snapshots (holder-only dirs excluded)."""
+        return [v for v in self._committed_dirs() if not self._is_holder(v)]
 
     def _written_fragments(self, v: int) -> set[str]:
         """The partition-dir fragments actually present under a
@@ -400,6 +441,12 @@ class ManifestSnapshotTable:
         if version is None:
             version = vs[-1]
         if version not in vs:
+            if self._is_holder(version):
+                raise ValueError(
+                    f"version {version} is retained only as a data holder "
+                    "for newer manifests (its own manifest may reference "
+                    f"vacuumed versions); readable snapshots: {vs}"
+                )
             raise ValueError(f"version {version} not in {vs}")
         with open(os.path.join(self._vdir(version), "manifest.json")) as fh:
             return {k: int(v) for k, v in json.load(fh)["partitions"].items()}
@@ -497,18 +544,62 @@ class ManifestSnapshotTable:
 
     # -- maintenance ----------------------------------------------------
     def rollback(self, version: int) -> None:
-        """Drop snapshots newer than `version` (its manifest references
-        only versions ≤ itself, so it stays fully readable)."""
+        """Drop snapshots newer than `version`, making it the latest.
+
+        Refuses holder-only targets (their manifests may reference
+        vacuumed versions — rolling back to one would wedge every later
+        read/upsert with dangling fragment references) and, belt and
+        braces, any target whose manifest names a version dir missing
+        from disk.  Holder dirs the surviving snapshots no longer
+        reference are swept so rollback cannot leak data dirs."""
         import shutil
 
-        for v in self.versions():
+        vs = self.versions()
+        if version not in vs:
+            if self._is_holder(version):
+                raise ValueError(
+                    f"cannot roll back to version {version}: it is a "
+                    "data holder, not a complete snapshot (its manifest "
+                    "may reference vacuumed versions); readable "
+                    f"snapshots: {vs}"
+                )
+            raise ValueError(f"version {version} not in {vs}")
+        missing = {
+            v
+            for v in self.manifest(version).values()
+            if not os.path.exists(os.path.join(self._vdir(v), "_SUCCESS"))
+        }
+        if missing:
+            raise ValueError(
+                f"cannot roll back to version {version}: its manifest "
+                f"references missing version dirs {sorted(missing)}"
+            )
+        for v in vs:
             if v > version:
+                shutil.rmtree(self._vdir(v), ignore_errors=True)
+        self._sweep_unreferenced_holders()
+
+    def _sweep_unreferenced_holders(self) -> None:
+        """Delete holder-only dirs no remaining complete snapshot's
+        manifest references."""
+        import shutil
+
+        referenced: set[int] = set()
+        for v in self.versions():
+            referenced.update(self.manifest(v).values())
+        for v in self._committed_dirs():
+            if self._is_holder(v) and v not in referenced:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)
 
     def vacuum(self) -> None:
-        """Retain the newest `keep_versions` snapshots AND every older
-        version dir still referenced by a retained manifest — inherited
-        data files must survive their original snapshot's expiry."""
+        """Retain the newest `keep_versions` complete snapshots; every
+        older version dir still referenced by a retained manifest is
+        DEMOTED to a data holder (`_HOLDER_ONLY` tombstone — its files
+        survive for the manifests that inherit them, but it is no longer
+        offered as a readable snapshot, because its own manifest may
+        reference versions this vacuum deletes); everything else —
+        including holders that have since become unreferenced — is
+        deleted."""
         import shutil
 
         if self.keep_versions is None:
@@ -518,6 +609,13 @@ class ManifestSnapshotTable:
         referenced = set()
         for v in retained:
             referenced.update(self.manifest(v).values())
-        for v in vs:
-            if v not in retained and v not in referenced:
+        for v in self._committed_dirs():
+            if v in retained:
+                continue
+            if v in referenced:
+                with open(
+                    os.path.join(self._vdir(v), self._HOLDER_MARKER), "w"
+                ):
+                    pass
+            else:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)

@@ -3505,6 +3505,7 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "declaratively",
 )
 def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..operators.upsert import ManifestSnapshotTable
@@ -3519,25 +3520,41 @@ def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts_nanos", "event_id"],
         partition_by=["event_type"],
     )
-    table.upsert(e.filter(F.col("event_id") % 3 == 0))
-    table.upsert(
-        e.filter(
-            (F.col("event_id") % 3 == 1) & (F.col("event_type") == "click")
+    try:
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        table.upsert(
+            e.filter(
+                (F.col("event_id") % 3 == 1)
+                & (F.col("event_type") == "click")
+            )
         )
-    )
-    # layout proof, bounded control data: commit 2 holds ONLY the
-    # 'click' partition; everything else is a v=1 manifest reference
-    m = table.manifest()
-    rewritten = [k for k, v in m.items() if v == 2]
-    assert rewritten == ["event_type=click"], m
-    return (
-        table.read()
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            F.sum("event_id").cast("bigint").alias("sum_latest_event_id"),
+        # layout proof, bounded control data: commit 2 holds ONLY the
+        # 'click' partition; everything else is a v=1 manifest
+        # reference.  Explicit raise, not `assert` — the proof must
+        # survive `python -O`.
+        m = table.manifest()
+        rewritten = [k for k, v in m.items() if v == 2]
+        if rewritten != ["event_type=click"]:
+            raise RuntimeError(
+                "incremental commit rewrote unexpected partitions: "
+                f"{m}"
+            )
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint")
+                .alias("sum_latest_event_id"),
+            )
         )
-    )
+        # one row per event type — bounded control data; materializing
+        # here lets the ephemeral table dir be removed before return
+        # instead of leaking a parquet table per invocation
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(table.path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------

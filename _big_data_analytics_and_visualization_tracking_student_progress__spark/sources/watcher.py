@@ -83,18 +83,23 @@ class DropFolderMonitor:
     def _md5(path: str) -> str:
         """Content hash of a file, or of a DIRECTORY-shaped dataset
         (e.g. a `table.parquet/` directory of part files, the layout
-        Spark writers produce): member files hashed in sorted-name
-        order so the digest is layout-stable."""
+        Spark writers produce).  Directories are walked RECURSIVELY —
+        hive-partitioned tables nest their part files one level per
+        partition column (``table.parquet/day=d1/part-*.parquet``), so a
+        top-level-only hash would be a constant and content changes in
+        any partition would go undetected.  Relative paths + contents
+        are hashed in sorted order so the digest is walk-order-stable."""
         h = hashlib.md5()
         if os.path.isdir(path):
-            for name in sorted(os.listdir(path)):
-                sub = os.path.join(path, name)
-                if not os.path.isfile(sub):
-                    continue
-                h.update(name.encode())
-                with open(sub, "rb") as fh:
-                    for block in iter(lambda: fh.read(1 << 20), b""):
-                        h.update(block)
+            for dirpath, dirnames, filenames in os.walk(path):
+                dirnames.sort()
+                for name in sorted(filenames):
+                    sub = os.path.join(dirpath, name)
+                    rel = os.path.relpath(sub, path)
+                    h.update(rel.encode())
+                    with open(sub, "rb") as fh:
+                        for block in iter(lambda: fh.read(1 << 20), b""):
+                            h.update(block)
             return h.hexdigest()
         with open(path, "rb") as fh:
             for block in iter(lambda: fh.read(1 << 20), b""):

@@ -103,7 +103,16 @@ def cdc_stream(
 # Runners (availableNow lifecycle + sinks)
 # ---------------------------------------------------------------------------
 def _workdir(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=f"sparkgraft_{prefix}_")
+    """Session-scoped scratch dir: removed at interpreter exit so
+    repeated invocations of registered streaming queries don't leak
+    checkpoint/sink dirs into /tmp (results are read back before exit,
+    so exit-time removal is safe)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=f"sparkgraft_{prefix}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def refresh_sink_run(

@@ -286,3 +286,39 @@ def test_monitor_tracks_directory_shaped_datasets(tmp_path):
     (table / "part-00001").write_bytes(b"BBB")  # in-place member edit
     assert [os.path.basename(p) for p in mon.poll()] == ["orders.parquet"]
     assert mon.poll() == []
+
+
+def test_monitor_tracks_hive_partitioned_datasets(tmp_path):
+    """Hive-partitioned tables nest part files one level per partition
+    column (day=d1/part-*.parquet — exactly what KeyedParquetTable
+    writes with partition_by).  The directory hash must walk
+    recursively: nested edits, new partitions, and deleted partitions
+    all change the digest; untouched polls emit nothing."""
+    folder = tmp_path / "data"
+    folder.mkdir()
+    table = folder / "events.parquet"
+    (table / "day=d1").mkdir(parents=True)
+    (table / "day=d2").mkdir()
+    (table / "day=d1" / "part-00000").write_bytes(b"aaa")
+    (table / "day=d2" / "part-00000").write_bytes(b"bbb")
+
+    mon = DropFolderMonitor(
+        str(folder), str(tmp_path / "state.json"), exts=(".parquet",)
+    )
+    assert [os.path.basename(p) for p in mon.poll()] == ["events.parquet"]
+    assert mon.poll() == []  # untouched: nothing re-emitted
+    # in-place edit inside a partition subdir
+    (table / "day=d1" / "part-00000").write_bytes(b"AAA")
+    assert [os.path.basename(p) for p in mon.poll()] == ["events.parquet"]
+    assert mon.poll() == []
+    # a new partition dir appears
+    (table / "day=d3").mkdir()
+    (table / "day=d3" / "part-00000").write_bytes(b"ccc")
+    assert [os.path.basename(p) for p in mon.poll()] == ["events.parquet"]
+    assert mon.poll() == []
+    # a partition dir disappears
+    import shutil
+
+    shutil.rmtree(table / "day=d2")
+    assert [os.path.basename(p) for p in mon.poll()] == ["events.parquet"]
+    assert mon.poll() == []

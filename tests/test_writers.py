@@ -459,19 +459,85 @@ class TestManifestSnapshotTable:
     def test_rollback_and_vacuum_keep_referenced_versions(
         self, spark, tmp_path
     ):
+        import pytest as _pytest
+
         t = self._mk(spark, tmp_path, keep_versions=2)
         t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
         t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
         t.upsert(self._rows(spark, [("d1", 1, "a3", 3)]))
-        # keep_versions=2 retains v2,v3 — but v1 still holds day=d2 for
-        # BOTH retained manifests, so vacuum must NOT delete it
-        assert t.versions() == [1, 2, 3]
+        # keep_versions=2 retains v2,v3 — v1 still holds day=d2 for BOTH
+        # retained manifests, so vacuum keeps its files on disk but
+        # DEMOTES it to a data holder: no longer a readable snapshot
+        # (its own manifest could reference vacuumed versions).
+        assert t.versions() == [2, 3]
+        assert os.path.isdir(str(tmp_path / "ms" / "v=00001"))
         got = {(r.day, r.k): r.v for r in t.read().collect()}
         assert got == {("d1", 1): "a3", ("d2", 1): "c"}
+        with _pytest.raises(ValueError, match="data holder"):
+            t.read(version=1)
         t.rollback(2)
-        assert t.versions() == [1, 2]
+        assert t.versions() == [2]
         got = {(r.day, r.k): r.v for r in t.read().collect()}
         assert got == {("d1", 1): "a2", ("d2", 1): "c"}
+
+    def test_holder_version_rollback_refused_and_reads_stay_sound(
+        self, spark, tmp_path
+    ):
+        """The round-7 advice repro: v1 writes {d1,d2}; v2 touches d2;
+        v3-v5 touch d1; keep_versions=2 retains {v4,v5}, deletes v1 and
+        v3, and keeps v2 ONLY because retained manifests inherit d2 from
+        it — but v2's own manifest maps d1→v1 (deleted).  v2 must not be
+        offered as a snapshot: read(2)/rollback(2) refuse loudly instead
+        of failing with PATH_NOT_FOUND / wedging the table."""
+        import pytest as _pytest
+
+        t = self._mk(spark, tmp_path, keep_versions=2)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        t.upsert(self._rows(spark, [("d2", 1, "c2", 2)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a3", 3)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a4", 4)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a5", 5)]))
+        root = tmp_path / "ms"
+        assert t.versions() == [4, 5]
+        assert not os.path.isdir(str(root / "v=00001"))  # unreferenced
+        assert not os.path.isdir(str(root / "v=00003"))  # unreferenced
+        assert os.path.isdir(str(root / "v=00002"))  # holder of d2
+        # latest read resolves d2 out of the holder
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a5", ("d2", 1): "c2"}
+        with _pytest.raises(ValueError, match="data holder"):
+            t.read(version=2)
+        with _pytest.raises(ValueError, match="data holder"):
+            t.rollback(2)
+        # rolling back to a genuine retained snapshot still works and
+        # keeps the holder it references
+        t.rollback(4)
+        assert t.versions() == [4]
+        assert os.path.isdir(str(root / "v=00002"))
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a4", ("d2", 1): "c2"}
+        # and upsert continues cleanly from the rolled-back state
+        t.upsert(self._rows(spark, [("d2", 1, "c6", 6)]))
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a4", ("d2", 1): "c6"}
+
+    def test_vacuum_deletes_holder_once_unreferenced(self, spark, tmp_path):
+        """A demoted holder must not leak forever: once no retained
+        manifest references it any more (its partition got rewritten),
+        the next vacuum deletes the dir."""
+        t = self._mk(spark, tmp_path, keep_versions=2)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a3", 3)]))
+        root = tmp_path / "ms"
+        assert os.path.isdir(str(root / "v=00001"))  # holder of d2
+        t.upsert(self._rows(spark, [("d2", 1, "c4", 4)]))  # d2 rewritten
+        t.upsert(self._rows(spark, [("d1", 1, "a5", 5)]))
+        # retained {4,5} reference d1→{3,5}, d2→4 — v1 unreferenced now
+        assert not os.path.isdir(str(root / "v=00001"))
+        assert t.versions() == [4, 5]
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a5", ("d2", 1): "c4"}
 
     def test_unsound_pruning_config_rejected(self, spark, tmp_path):
         from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
@@ -576,3 +642,51 @@ class TestSchemaSidecar:
             (r.day, r.k): (r.v, r["extra"]) for r in t.read().collect()
         }
         assert got == {("d1", 1): ("a", None), ("d2", 1): ("c2", "x")}
+
+
+class TestTypeChangeFallsBackToFullRewrite:
+    """Pruned merges are additive-widening-only: a batch that COERCES a
+    shared column's type (round-7 advice) must fall back to the full
+    rewrite, which rewrites every file with the coerced type — instead
+    of committing a sidecar whose type no longer matches the physical
+    type inside untouched partitions' old files (wedging every read)."""
+
+    _mk = staticmethod(TestPartitionPrunedMerge._mk)
+    _rows = staticmethod(TestPartitionPrunedMerge._rows)
+
+    def test_type_coercing_batch_keeps_table_readable(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, keys=["day", "k"])
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        # v arrives as INT in this batch: union coerces v to string in
+        # the merged output, but d1's old file still stores v as the
+        # original string — the pruned path would commit a sidecar that
+        # can't read d1.  (Here string stays the coerced type; use an
+        # int column flipping to string for a physical-type change.)
+        flipped = spark.createDataFrame(
+            [("d2", 1, "c2", "2")],
+            "day string, k int, v string, seq string",  # seq int→string
+        )
+        t.upsert(flipped)
+        # table stays readable end-to-end and reflects the merge
+        got = {(r.day, r.k): (r.v, r.seq) for r in t.read().collect()}
+        assert got == {("d1", 1): ("a", "1"), ("d2", 1): ("c2", "2")}
+
+    def test_additive_widening_still_prunes(self, spark, tmp_path):
+        """The guard must not disable pruning for the supported case —
+        a purely additive new column leaves untouched partitions'
+        files alone."""
+        t = self._mk(spark, tmp_path, keys=["day", "k"])
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d2", 1, "c", 1),
+        ]))
+        sig = TestPartitionPrunedMerge._file_sig(
+            TestPartitionPrunedMerge(), str(tmp_path / "t" / "day=d1")
+        )
+        t.upsert(spark.createDataFrame(
+            [("d2", 1, "c2", 2, "x")],
+            "day string, k int, v string, seq int, extra string",
+        ))
+        after = TestPartitionPrunedMerge._file_sig(
+            TestPartitionPrunedMerge(), str(tmp_path / "t" / "day=d1")
+        )
+        assert sig == after  # d1 files untouched → pruning still active
