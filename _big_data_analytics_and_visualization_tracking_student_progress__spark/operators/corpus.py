@@ -153,3 +153,28 @@ def pack_by_token_budget(
     return df.withColumn("offset_tokens", cum_before).withColumn(
         "pack_seq", F.expr(f"offset_tokens div {int(budget)}")
     )
+
+
+def pack_manifest(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    part_col: str,
+) -> DataFrame:
+    """The pack MANIFEST downstream consumers actually read: one row
+    per (partition, pack) with the boundary doc ids — which documents
+    to concatenate, in what id range, and how many tokens land in the
+    pack.  `pack_by_token_budget` assigns docs to packs; this rolls the
+    assignment up to (begin_doc_id, end_doc_id, n_docs, sum_tokens).
+
+    Same single `part_col` shuffle as the assignment (the groupBy keys
+    are a superset of the window partition key, so AQE reuses the
+    exchange); exact long arithmetic throughout."""
+    packed = pack_by_token_budget(df, id_col, token_col, budget, part_col)
+    return packed.groupBy(part_col, "pack_seq").agg(
+        F.min(id_col).alias("begin_doc_id"),
+        F.max(id_col).alias("end_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("sum_tokens"),
+    )

@@ -417,6 +417,74 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 # Duplicate clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
+def fuzzy_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Production fuzzy dedup — the pipeline order C4/RefinedWeb-style
+    curation actually uses: EXACT-collapse verbatim copies first, run
+    MinHash/LSH only on the unique texts, label clusters by connected
+    components, then every document inherits its representative's label
+    (a linear join).  Returns (id, cluster) for every input row; docs
+    with NULL text are their own singleton clusters.
+
+    Why this shape is the 100 TB one (measured, SCALE.md): feeding a
+    duplication-heavy corpus straight into LSH pair materialization is
+    OUTPUT-bound — each verbatim cluster of size c lands intact in one
+    bucket per band and emits O(c²) candidate pairs (at the 1000x
+    verbatim smoke that is ~10^10 pair rows: the candidate-dedup shuffle
+    filled local disk).  Collapsing first makes the LSH input the unique
+    text set — for a corpus that grew only by duplication, pair work
+    collapses back to the 1x cost — while the OUTPUT stays one row per
+    document, linear at any duplication factor.  Labels are identical to
+    clustering the raw corpus directly: verbatim copies share every
+    shingle, hence every signature, bucket, and verified neighbor, so
+    collapsing them onto one representative preserves components, and
+    min-id labels agree because each group's representative IS its min
+    id.  Shuffle discipline: the collapse groupBy and the label-inherit
+    joins carry only (64-bit hash, id) longs — text payloads reach at
+    most the representative semi-join (at a real 100 TB ingest the
+    exact-deduped corpus is materialized once by the curation pass and
+    LSH reads that table instead).
+    """
+    with_text = df.filter(F.col(text_col).isNotNull())
+    ids = with_text.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("__chash")
+    )
+    reps = ids.groupBy("__chash").agg(F.min(id_col).alias("__rep"))
+    rep_ids = reps.select(F.col("__rep").alias(id_col))
+    rep_docs = with_text.join(rep_ids, id_col, "left_semi")
+    pairs = minhash_lsh_pairs(
+        rep_docs,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+        portable=portable,
+    )
+    comp = connected_components(
+        rep_ids, pairs, id_col=id_col, src_col="id_a", dst_col="id_b"
+    )
+    doc_rep = ids.join(reps, "__chash").select(F.col(id_col), F.col("__rep"))
+    labeled = doc_rep.join(
+        comp.select(F.col(id_col).alias("__rep"), "cluster"), "__rep"
+    ).select(F.col(id_col), F.col("cluster"))
+    nulls = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col), F.col(id_col).alias("cluster")
+    )
+    return labeled.unionByName(nulls)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -1087,6 +1087,114 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Production fuzzy dedup: exact-collapse → MinHash/LSH on unique texts
+# → connected components → linear label inherit.  The scale-path answer
+# to the round-8 finding that raw LSH pair materialization is
+# OUTPUT-bound on duplication-heavy corpora (the 1000x verbatim smoke
+# filled local disk with ~10^10 candidate pair rows); collapsing first
+# returns pair work to the unique-text cost while output stays one row
+# per doc.  Oracle: the same collapse + the engine-portable md5-prefix
+# minhash pipeline (dedup_minhash_portable's SQL) + recursive-CTE
+# closure, fully hash-checked.
+# ---------------------------------------------------------------------------
+def _fuzzy_cluster_sql(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    rows = num_perm // bands
+
+    def h64(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}),1,15)) AS BIGINT)"
+
+    sig_exprs = ", ".join(
+        "list_min(list_transform(sh, s -> %s))" % h64("s || '#%d'" % i)
+        for i in range(num_perm)
+    )
+    band_exprs = ", ".join(
+        "md5('{b}_' || {parts})".format(
+            b=b,
+            parts=" || '_' || ".join(
+                f"CAST(sig[{b * rows + j + 1}] AS VARCHAR)" for j in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE grp AS (
+        SELECT doc_id, md5(text) AS chash
+        FROM documents WHERE text IS NOT NULL
+    ), reps AS (
+        SELECT chash, MIN(doc_id) AS rep FROM grp GROUP BY chash
+    ), toks AS (
+        SELECT d.doc_id, string_split_regex(lower(d.text), '\\s+') AS t
+        FROM documents d JOIN reps r ON d.doc_id = r.rep
+    ), sh_t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM toks
+    ), docs3 AS (
+        SELECT * FROM sh_t WHERE len(sh) > 0
+    ), sigs AS (
+        SELECT doc_id, [{sig_exprs}] AS sig FROM docs3
+    ), banded AS (
+        SELECT doc_id, unnest([{band_exprs}]) AS band FROM sigs
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+            FROM cand c
+            JOIN docs3 x ON c.id_a = x.doc_id
+            JOIN docs3 y ON c.id_b = y.doc_id
+        ) WHERE jaccard >= {threshold}
+    ), sym AS (
+        SELECT id_a AS s, id_b AS t FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), walk(id, lbl) AS (
+        SELECT rep, rep FROM reps
+        UNION
+        SELECT sym.t, walk.lbl FROM walk JOIN sym ON sym.s = walk.id
+    ), rep_lbl AS (
+        SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id
+    )
+    SELECT g.doc_id, rl.cluster
+    FROM grp g
+    JOIN reps r ON g.chash = r.chash
+    JOIN rep_lbl rl ON r.rep = rl.id
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster FROM documents WHERE text IS NULL
+    """
+
+
+@register(
+    "dedup_fuzzy_clusters",
+    _fuzzy_cluster_sql(),
+    doc=(
+        "production fuzzy dedup: exact-collapse verbatim copies → "
+        "portable MinHash(16)+LSH(4 bands) on unique texts → connected "
+        "components → every doc inherits its representative's cluster "
+        "(linear output at any duplication factor)"
+    ),
+)
+def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.fuzzy_dedup_clusters(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_perm=16,
+        bands=4,
+        shingle_k=3,
+        max_bucket_size=None,
+        portable=True,
+    )
+
+
 _IVF_K, _IVF_NPROBE, _IVF_ITERS, _IVF_SAMPLE = 8, 3, 10, 256
 
 
@@ -1398,6 +1506,45 @@ def q_token_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(toks, "doc_id", "n_tokens", 2048, "lang").select(
         "doc_id", "lang", "n_tokens", "offset_tokens", "pack_seq"
     )
+
+
+@register(
+    "token_pack_manifest",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ), packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 2048 AS BIGINT) AS pack_seq
+        FROM t
+    )
+    SELECT lang, pack_seq,
+           MIN(doc_id) AS begin_doc_id,
+           MAX(doc_id) AS end_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY lang, pack_seq
+    """,
+    doc="pack manifest for downstream consumers: per (lang, pack) boundary "
+    "doc ids + doc/token counts — the artifact a pretraining loader reads, "
+    "not just the per-doc assignment",
+)
+def q_token_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pack_manifest
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_manifest(toks, "doc_id", "n_tokens", 2048, "lang")
 
 
 # ---------------------------------------------------------------------------
