@@ -130,25 +130,13 @@ def query_status(repo: str = REPO) -> dict[str, dict]:
 # Judge-requested names for the CURRENT round (edit per round from
 # VERDICT.md's "Next round" item).  Ranked right after streaming names.
 #
-# Round-7 note: the live window deliberately keeps ALL 30 pre-round-7
-# backlog names (the "clear the backlog in one window" goal) even
-# though two queries registered mid-round (manifest_incremental_commits,
-# stream_manifest_commits) would out-rank one of them here — those two
-# are in-repo green and rotate in next round, when the proposal and the
-# live window re-align.
-PREFERRED: tuple[str, ...] = (
-    "attribution_last_touch",
-    "sales_opportunity_by_nation",
-    "graph_bfs_layers",
-    "gini_order_value_by_nation",
-    "user_activity_streaks",
-    "twap_user_values",
-    "vocab_growth_curve",
-    "event_type_unpivot",
-    "schema_evolution_read",
-    "multimodal_decode_png",
-    "multimodal_decode_stats",
-)
+# Round-8 note: the never-checked backlog is clear (round 7's final
+# rotation), so the proposal is freshness-driven — pool_green's
+# oldest-external-green-first ordering does the work and PREFERRED is
+# empty.  The r8 verdict's explicit asks (token_pack_assignments
+# re-earn; the two manifest queries' first rows) fall out of the
+# stale_fail / never_checked pools automatically.
+PREFERRED: tuple[str, ...] = ()
 
 
 def _rotation_priority(name: str) -> tuple:
