@@ -126,20 +126,72 @@ def minhash_stats(spark, sf_dir: str) -> dict:
     ).head()
     n_banded = banded.count()
     sizes.unpersist()
-    t0 = time.perf_counter()
-    n_pairs = D.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.5, num_perm=16, bands=4,
-        shingle_k=3,
-    ).count()
-    wall = time.perf_counter() - t0
+    cand_pairs = int(prof["cand_pairs"] or 0)
+    # The pair pipeline is OUTPUT-bound: every sub-cap bucket of size c
+    # emits c·(c−1)/2 candidate rows into the pair-dedup shuffle.  The
+    # profile above prices that shuffle WITHOUT running it; refuse to
+    # materialize past ~100M candidates — the 1000x verbatim replica
+    # prices at ~10^10 rows, which filled this host's disk as spill
+    # when round 8 first ran it blind.  The scale path for such corpora
+    # is fuzzy_stats below (exact-collapse first).
+    if cand_pairs <= 100_000_000:
+        t0 = time.perf_counter()
+        n_pairs = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, num_perm=16, bands=4,
+            shingle_k=3,
+        ).count()
+        wall: float | None = round(time.perf_counter() - t0, 2)
+        verified: int | None = int(n_pairs)
+    else:
+        wall = None
+        verified = None
     return {
         "banded_rows": int(n_banded),
         "buckets_gt1": int(prof["buckets"]),
         "max_bucket": int(prof["max_size"]),
         "p99_bucket": int(prof["p99"]),
         "buckets_over_cap": int(prof["over_cap"]),
-        "cand_pairs_pre_dedup": int(prof["cand_pairs"] or 0),
-        "verified_pairs": int(n_pairs),
+        "cand_pairs_pre_dedup": cand_pairs,
+        "verified_pairs": verified,
+        "wall_s": wall,
+    }
+
+
+def fuzzy_stats(spark, sf_dir: str) -> dict:
+    """The collapse-first production pipeline's profile on the same
+    corpus: unique texts, representative bucket sizes, and the wall/
+    output of the full fuzzy_dedup_clusters labeling — all LINEAR in
+    corpus size regardless of duplication factor."""
+    from pyspark.sql import functions as F
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        dedup as D,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_text = docs.filter(F.col("text").isNotNull())
+    n_docs = with_text.count()
+    n_unique = (
+        with_text.select(F.xxhash64("text").alias("h")).distinct().count()
+    )
+    t0 = time.perf_counter()
+    labels = D.fuzzy_dedup_clusters(
+        docs, "doc_id", "text", threshold=0.5, num_perm=16, bands=4,
+        shingle_k=3, max_bucket_size=1000,
+    )
+    n_rows = labels.count()
+    n_clusters = labels.agg(
+        F.countDistinct("cluster").alias("c")
+    ).head()["c"]
+    wall = time.perf_counter() - t0
+    return {
+        "docs": int(n_docs),
+        "unique_texts": int(n_unique),
+        "label_rows": int(n_rows),
+        "clusters": int(n_clusters),
         "wall_s": round(wall, 2),
     }
 
@@ -160,12 +212,18 @@ def main() -> None:
             1: minhash_stats(spark, SF_DIR),
             FACTOR: minhash_stats(spark, doc_dir),
         }
+        fz = {
+            1: fuzzy_stats(spark, SF_DIR),
+            FACTOR: fuzzy_stats(spark, doc_dir),
+        }
     finally:
         shutil.rmtree(rel_dir, ignore_errors=True)
         shutil.rmtree(doc_dir, ignore_errors=True)
 
     def row(label, a, b, fmt="{}"):
-        if isinstance(a, (int, float)) and a:
+        if not isinstance(b, (int, float)):
+            ratio = "—"  # skipped / non-numeric cell
+        elif isinstance(a, (int, float)) and a:
             ratio = f"{b / a:.1f}x"
         else:
             ratio = "—" if b else "1.0x"  # 0→0 is flat, 0→n is new
@@ -173,9 +231,11 @@ def main() -> None:
 
     q1, qN = q21[1], q21[FACTOR]
     m1, mN = mh[1], mh[FACTOR]
+    f1, fN = fz[1], fz[FACTOR]
     lines = [
         "",
-        "## 100x forensics: the two ~39x ratios (VERDICT r6 item 4)",
+        f"## {FACTOR}x forensics: stage-level evidence "
+        "(shuffle volumes, bucket distribution, output growth)",
         "",
         f"Auto-generated by `python tools/scale_forensics.py {SF_DIR} "
         f"{FACTOR}`.",
@@ -209,8 +269,46 @@ def main() -> None:
         row("candidate pairs (pre-dedup)",
             m1["cand_pairs_pre_dedup"], mN["cand_pairs_pre_dedup"]),
         row("verified pairs (jaccard>=0.5)",
-            m1["verified_pairs"], mN["verified_pairs"]),
-        row("wall (s)", m1["wall_s"], mN["wall_s"]),
+            m1["verified_pairs"],
+            mN["verified_pairs"]
+            if mN["verified_pairs"] is not None
+            else "SKIPPED (output-bound)"),
+        row("wall (s)", m1["wall_s"],
+            mN["wall_s"] if mN["wall_s"] is not None else "—"),
+        "",
+    ]
+    if mN["verified_pairs"] is None:
+        lines += [
+            "Pair materialization at this factor was refused by the "
+            "100M-candidate guard: the profile above prices the "
+            "pair-dedup shuffle without running it (the first blind "
+            "1000x run spilled past this host's free disk).  Verbatim "
+            "duplication keeps every cluster in one sub-cap bucket per "
+            "band, so candidates grow as c² per cluster — pure OUTPUT "
+            "complexity of the pair contract, not algorithmic blowup.  "
+            "The production contract for such corpora is per-doc "
+            "labels, priced next.",
+            "",
+        ]
+    lines += [
+        "### dedup_fuzzy_clusters (exact-collapse → LSH on uniques "
+        "→ per-doc labels)",
+        "",
+        f"| Measure | 1x | {FACTOR}x | ratio |",
+        "|---|---|---|---|",
+        row("docs (text not null)", f1["docs"], fN["docs"]),
+        row("unique texts (LSH input)",
+            f1["unique_texts"], fN["unique_texts"]),
+        row("label rows (output)", f1["label_rows"], fN["label_rows"]),
+        row("clusters", f1["clusters"], fN["clusters"]),
+        row("wall (s)", f1["wall_s"], fN["wall_s"]),
+        "",
+        "The collapse-first pipeline's LSH input is the UNIQUE text "
+        "set — flat under verbatim replication — so pair work returns "
+        "to the 1x cost while the output stays one row per document "
+        "(linear at any duplication factor).  This is the registered "
+        "`dedup_fuzzy_clusters` query (oracle-checked end to end via "
+        "the portable-hash twin + recursive-CTE closure).",
         "",
     ]
     with open(os.path.join(ROOT, "SCALE.md"), "a") as fh:

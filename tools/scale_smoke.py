@@ -63,6 +63,7 @@ _NEEDS = {
     "curation_pipeline": {"documents"},
     "dedup_exact": {"documents"},
     "dedup_minhash_lsh": {"documents"},
+    "dedup_fuzzy_clusters": {"documents"},
     "bm25_search_topk": {"documents"},
     "stream_tumbling_append": {"events"},
     "stream_tumbling_counts": {"events"},
