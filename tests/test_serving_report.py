@@ -212,3 +212,54 @@ def test_serve_loop_rerenders_on_fixture_change(spark, tmp_path):
         changer.cancel()
     assert rerenders == 1
     assert os.path.exists(os.path.join(out, "report.html"))
+
+
+def test_student_report_numbers_match_queries_exactly(spark):
+    """Numeric cross-check for the per-student page (r7 verdict polish):
+    the hero GPA, every stat tile, and the cohort-histogram CHART MARKS
+    (data-v/data-l pairs, not just the table) equal the registered
+    queries' collected values — the same exactness the dashboard test
+    already pins."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.plans.student_progress import (
+        flagship_progress,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.serving.report import (
+        _fmt,
+    )
+
+    html_text = render_student_report(spark, SF_SMALL, custkey=1)
+    s = (
+        flagship_progress(spark, SF_SMALL)
+        .filter("c_custkey = 1")
+        .collect()[0]
+    )
+
+    # hero GPA, exact
+    assert f"<div class='hero'>{_fmt(s['gpa4'])}</div>" in html_text
+    # stat tiles, exact values under their labels
+    for lab, val in (
+        ("Credits earned", _fmt(s["credits_earned"])),
+        ("Completion", _fmt(s["pct_complete"]) + "%"),
+        ("Courses", _fmt(s["n_courses"])),
+    ):
+        assert (
+            f"<div class='label'>{lab}</div><div class='value'>{val}</div>"
+            in html_text
+        ), lab
+
+    # cohort histogram chart marks: label -> value, exact
+    chart_section = html_text.split("<h2>Cohort grade distribution</h2>")[
+        1
+    ].split("<h2>")[0]
+    bars = {
+        lab: v
+        for v, lab in re.findall(
+            r'data-v="([^"]*)" data-l="([^"]*)"', chart_section
+        )
+    }
+    hist = all_queries()["grade_histogram"].fn(spark, SF_SMALL).collect()
+    expected = {_fmt(r["grade4"]): _fmt(float(r["n"])) for r in hist}
+    assert bars == expected and bars
