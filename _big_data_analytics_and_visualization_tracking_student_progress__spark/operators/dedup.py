@@ -235,6 +235,15 @@ def minhash_lsh_pairs(
     verify.  (A band self-join would shuffle both sides and need a
     separate window/aggregate for the bucket guard; gathering the bucket
     makes the guard a free filter and halves the candidate shuffles.)
+
+    Duplication-heavy corpora: the PAIR contract itself is output-bound
+    — a verbatim cluster of size c emits O(c²) candidates per band (a
+    1000x-replicated fixture prices at ~10^10 rows; SCALE.md), and
+    clusters past `max_bucket_size` are silently DROPPED by the guard,
+    collapsing recall exactly where duplication is worst.  For such
+    corpora use `fuzzy_dedup_clusters` below: exact-collapse first,
+    LSH over unique texts, per-doc labels — linear output at any
+    duplication factor.
     """
     rows_per_band = num_perm // bands
     # NULL texts can't near-duplicate anything; dropping them up front

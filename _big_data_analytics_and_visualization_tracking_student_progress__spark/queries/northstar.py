@@ -1195,6 +1195,31 @@ def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_fuzzy_clusters_fast",
+    None,
+    doc=(
+        "fast-path twin of dedup_fuzzy_clusters (xxhash64 hashing, "
+        "bucket cap 1000) — the production/bench variant; rows-only by "
+        "design, the portable twin IS hash-checked over the same "
+        "pipeline (the dedup_minhash_lsh / dedup_minhash_portable "
+        "relationship)"
+    ),
+)
+def q_fuzzy_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.fuzzy_dedup_clusters(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_perm=16,
+        bands=4,
+        shingle_k=3,
+        max_bucket_size=1000,
+    )
+
+
 _IVF_K, _IVF_NPROBE, _IVF_ITERS, _IVF_SAMPLE = 8, 3, 10, 256
 
 

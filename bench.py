@@ -56,6 +56,11 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "bpe_phrase_merges",
     "multimodal_decode",
+    # round-8 additions (same caveat: totals comparable per-query only).
+    # The fast fuzzy twin is the production path; the oracle-checked
+    # portable variant trades ~3x wall for engine-portable md5 hashing.
+    "dedup_fuzzy_clusters_fast",
+    "token_pack_manifest",
 ]
 
 

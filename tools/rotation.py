@@ -34,7 +34,12 @@ sys.path.insert(0, REPO)
 # driver rows that count as non-green.  Their portable twins ARE
 # hash-checked and rotate normally.
 ROWS_ONLY_EXCLUDED = frozenset(
-    {"approx_distinct_and_quantiles", "dedup_minhash_lsh", "dedup_simhash"}
+    {
+        "approx_distinct_and_quantiles",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_fuzzy_clusters_fast",
+    }
 )
 
 # One externally-green representative per family, kept in every window so

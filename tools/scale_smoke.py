@@ -64,6 +64,7 @@ _NEEDS = {
     "dedup_exact": {"documents"},
     "dedup_minhash_lsh": {"documents"},
     "dedup_fuzzy_clusters": {"documents"},
+    "dedup_fuzzy_clusters_fast": {"documents"},
     "bm25_search_topk": {"documents"},
     "stream_tumbling_append": {"events"},
     "stream_tumbling_counts": {"events"},
