@@ -166,9 +166,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generation (signatures, band keys, bucket join) is verified against
 # SQL, not just row counts.  The xxhash64 variant stays as the fast path.
 # ---------------------------------------------------------------------------
-def _portable_minhash_sql(
-    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+def _portable_minhash_ctes(
+    doc_source: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
 ) -> str:
+    """The SHARED portable-minhash CTE chain (toks → shingles →
+    signatures → band keys → candidates → exact-jaccard-verified
+    `pairs(id_a, id_b, jaccard)`), parameterized by the document
+    source.  Both _portable_minhash_sql and _fuzzy_cluster_sql compose
+    this one fragment so the two oracles can never drift from the
+    single shared Spark path (minhash_lsh_pairs with portable=True)."""
     rows = num_perm // bands
 
     def h64(expr: str) -> str:
@@ -187,10 +196,9 @@ def _portable_minhash_sql(
         )
         for b in range(bands)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-        FROM documents WHERE text IS NOT NULL
+        FROM {doc_source}
     ), sh_t AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(t) - 1),
@@ -205,15 +213,31 @@ def _portable_minhash_sql(
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(x.sh, y.sh)))
+                       AS jaccard
+            FROM cand c
+            JOIN docs3 x ON c.id_a = x.doc_id
+            JOIN docs3 y ON c.id_b = y.doc_id
+        ) WHERE jaccard >= {threshold}
+    )"""
+
+
+def _portable_minhash_sql(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    ctes = _portable_minhash_ctes(
+        "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL)",
+        num_perm,
+        bands,
+        threshold,
     )
-    SELECT id_a, id_b, jaccard FROM (
-        SELECT c.id_a, c.id_b,
-               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-        FROM cand c
-        JOIN docs3 x ON c.id_a = x.doc_id
-        JOIN docs3 y ON c.id_b = y.doc_id
-    ) WHERE jaccard >= {threshold}
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b, jaccard FROM pairs
     """
 
 
@@ -1101,23 +1125,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fuzzy_cluster_sql(
     num_perm: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> str:
-    rows = num_perm // bands
-
-    def h64(expr: str) -> str:
-        return f"CAST(('0x' || substr(md5({expr}),1,15)) AS BIGINT)"
-
-    sig_exprs = ", ".join(
-        "list_min(list_transform(sh, s -> %s))" % h64("s || '#%d'" % i)
-        for i in range(num_perm)
-    )
-    band_exprs = ", ".join(
-        "md5('{b}_' || {parts})".format(
-            b=b,
-            parts=" || '_' || ".join(
-                f"CAST(sig[{b * rows + j + 1}] AS VARCHAR)" for j in range(rows)
-            ),
-        )
-        for b in range(bands)
+    ctes = _portable_minhash_ctes(
+        "(SELECT d.doc_id, d.text FROM documents d "
+        "JOIN reps r ON d.doc_id = r.rep)",
+        num_perm,
+        bands,
+        threshold,
     )
     return f"""
     WITH RECURSIVE grp AS (
@@ -1125,33 +1138,7 @@ def _fuzzy_cluster_sql(
         FROM documents WHERE text IS NOT NULL
     ), reps AS (
         SELECT chash, MIN(doc_id) AS rep FROM grp GROUP BY chash
-    ), toks AS (
-        SELECT d.doc_id, string_split_regex(lower(d.text), '\\s+') AS t
-        FROM documents d JOIN reps r ON d.doc_id = r.rep
-    ), sh_t AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(t) - 1),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        FROM toks
-    ), docs3 AS (
-        SELECT * FROM sh_t WHERE len(sh) > 0
-    ), sigs AS (
-        SELECT doc_id, [{sig_exprs}] AS sig FROM docs3
-    ), banded AS (
-        SELECT doc_id, unnest([{band_exprs}]) AS band FROM sigs
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-    ), pairs AS (
-        SELECT id_a, id_b FROM (
-            SELECT c.id_a, c.id_b,
-                   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                       / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
-            FROM cand c
-            JOIN docs3 x ON c.id_a = x.doc_id
-            JOIN docs3 y ON c.id_b = y.doc_id
-        ) WHERE jaccard >= {threshold}
-    ), sym AS (
+    ), {ctes}, sym AS (
         SELECT id_a AS s, id_b AS t FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs
     ), walk(id, lbl) AS (

@@ -92,14 +92,36 @@ class DropFolderMonitor:
         h = hashlib.md5()
         if os.path.isdir(path):
             for dirpath, dirnames, filenames in os.walk(path):
-                dirnames.sort()
+                # never descend into in-flight writer staging dirs —
+                # Spark's commit protocol creates/renames/deletes under
+                # _temporary/.spark-staging-* mid-write, which would
+                # make the digest flap (double ingest of a half-written
+                # table) and race file removal
+                dirnames[:] = sorted(
+                    d
+                    for d in dirnames
+                    if not (
+                        d.startswith("_temporary")
+                        or d.startswith(".spark-staging")
+                    )
+                )
                 for name in sorted(filenames):
                     sub = os.path.join(dirpath, name)
+                    # regular files only (skip FIFOs/broken symlinks),
+                    # and tolerate entries deleted between the listing
+                    # and the read — the next poll re-hashes
+                    if not os.path.isfile(sub):
+                        continue
                     rel = os.path.relpath(sub, path)
-                    h.update(rel.encode())
-                    with open(sub, "rb") as fh:
-                        for block in iter(lambda: fh.read(1 << 20), b""):
-                            h.update(block)
+                    try:
+                        with open(sub, "rb") as fh:
+                            h.update(rel.encode())
+                            for block in iter(
+                                lambda: fh.read(1 << 20), b""
+                            ):
+                                h.update(block)
+                    except OSError:
+                        continue
             return h.hexdigest()
         with open(path, "rb") as fh:
             for block in iter(lambda: fh.read(1 << 20), b""):

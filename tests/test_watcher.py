@@ -322,3 +322,32 @@ def test_monitor_tracks_hive_partitioned_datasets(tmp_path):
     shutil.rmtree(table / "day=d2")
     assert [os.path.basename(p) for p in mon.poll()] == ["events.parquet"]
     assert mon.poll() == []
+
+
+def test_monitor_ignores_staging_dirs_and_broken_entries(tmp_path):
+    """In-flight writer debris must neither crash the scan nor flap the
+    digest: Spark's commit protocol creates/renames/deletes under
+    _temporary/.spark-staging-* mid-write, and a broken symlink (or a
+    file deleted mid-walk) must be skipped, not raised."""
+    folder = tmp_path / "data"
+    folder.mkdir()
+    table = folder / "events.parquet"
+    (table / "day=d1").mkdir(parents=True)
+    (table / "day=d1" / "part-00000").write_bytes(b"aaa")
+
+    mon = DropFolderMonitor(
+        str(folder), str(tmp_path / "state.json"), exts=(".parquet",)
+    )
+    assert [os.path.basename(p) for p in mon.poll()] == ["events.parquet"]
+    # writer staging dirs appear mid-write: digest must not change
+    (table / "_temporary" / "0").mkdir(parents=True)
+    (table / "_temporary" / "0" / "part-x").write_bytes(b"half-written")
+    (table / ".spark-staging-123").mkdir()
+    (table / ".spark-staging-123" / "part-y").write_bytes(b"tmp")
+    assert mon.poll() == []
+    # a broken symlink inside the dataset must not wedge the poll loop
+    os.symlink(str(table / "gone"), str(table / "day=d1" / "dangling"))
+    assert mon.poll() == []
+    # real content edits are still detected alongside the debris
+    (table / "day=d1" / "part-00000").write_bytes(b"AAA")
+    assert [os.path.basename(p) for p in mon.poll()] == ["events.parquet"]

@@ -142,6 +142,7 @@ def minhash_stats(spark, sf_dir: str) -> dict:
         ).count()
         wall: float | None = round(time.perf_counter() - t0, 2)
         verified: int | None = int(n_pairs)
+        spark.catalog.clearCache()  # drop the persisted signature table
     else:
         wall = None
         verified = None
@@ -182,16 +183,21 @@ def fuzzy_stats(spark, sf_dir: str) -> dict:
         docs, "doc_id", "text", threshold=0.5, num_perm=16, bands=4,
         shingle_k=3, max_bucket_size=1000,
     )
-    n_rows = labels.count()
-    n_clusters = labels.agg(
-        F.countDistinct("cluster").alias("c")
-    ).head()["c"]
+    # one action: a second pass would re-execute the label joins (only
+    # the components core is checkpointed) and double the priced wall
+    stats = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster").alias("c"),
+    ).head()
     wall = time.perf_counter() - t0
+    # minhash_lsh_pairs persists its signature side table; drop it so
+    # later phases aren't charged this phase's cache
+    spark.catalog.clearCache()
     return {
         "docs": int(n_docs),
         "unique_texts": int(n_unique),
-        "label_rows": int(n_rows),
-        "clusters": int(n_clusters),
+        "label_rows": int(stats["n"]),
+        "clusters": int(stats["c"]),
         "wall_s": round(wall, 2),
     }
 
