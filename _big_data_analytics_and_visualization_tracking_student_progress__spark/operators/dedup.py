@@ -452,12 +452,16 @@ def fuzzy_dedup_clusters(
     filled local disk).  Collapsing first makes the LSH input the unique
     text set — for a corpus that grew only by duplication, pair work
     collapses back to the 1x cost — while the OUTPUT stays one row per
-    document, linear at any duplication factor.  Labels are identical to
-    clustering the raw corpus directly: verbatim copies share every
-    shingle, hence every signature, bucket, and verified neighbor, so
-    collapsing them onto one representative preserves components, and
-    min-id labels agree because each group's representative IS its min
-    id.  Shuffle discipline: the collapse groupBy and the label-inherit
+    document, linear at any duplication factor.  Labels equal connected
+    components over (exact-duplicate edges ∪ direct LSH pairs) — pinned
+    by a property test: verbatim copies share every shingle, hence every
+    signature, bucket, and verified neighbor, so collapsing them onto
+    one representative preserves LSH components, and min-id labels agree
+    because each group's representative IS its min id.  The exact edges
+    make collapse STRICTLY stronger than raw LSH in one corner: identical
+    docs with fewer than `shingle_k` tokens have no shingles, so banding
+    alone can never link them, but exact-collapse does.  Shuffle
+    discipline: the collapse groupBy and the label-inherit
     joins carry only (64-bit hash, id) longs — text payloads reach at
     most the representative semi-join (at a real 100 TB ingest the
     exact-deduped corpus is materialized once by the curation pass and

@@ -584,3 +584,170 @@ def test_pruned_merge_equals_full_merge(spark, batches):
         assert got_p == got_f
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ManifestSnapshotTable maintenance: for ANY interleaving of upsert /
+# vacuum / rollback, the set of READABLE snapshots and every readable
+# snapshot's content equal a plain model — vacuum's holder demotion and
+# rollback's holder sweep never change what a retained version reads,
+# and version numbering continues correctly after rollback.
+# ---------------------------------------------------------------------------
+MAINT_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["d1", "d2", "d3"]),
+                    st.integers(0, 3),
+                    st.integers(-5, 5),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+        st.tuples(st.just("rollback"), st.integers(0, 5)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@given(ops=MAINT_OPS)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_manifest_maintenance_equals_model(spark, ops):
+    import shutil
+    import tempfile
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        ManifestSnapshotTable,
+    )
+
+    root = tempfile.mkdtemp(prefix="ms_maint_prop_")
+    try:
+        t = ManifestSnapshotTable(
+            spark, root, keys=["day", "k"], order_cols=["seq"],
+            partition_by=["day"],
+        )
+        states: dict[int, dict] = {}   # version -> expected content
+        readable: list[int] = []       # complete snapshot numbers
+        model: dict = {}
+        seq = 0
+        for op, arg in ops:
+            if op == "upsert":
+                seq += 1
+                dedup = {}
+                for day, k, v in arg:
+                    dedup[(day, k)] = float(v)
+                t.upsert(spark.createDataFrame(
+                    [(d, k, v, seq) for (d, k), v in dedup.items()],
+                    "day string, k int, v double, seq int",
+                ))
+                model = dict(model)
+                model.update(dedup)
+                new_v = (readable[-1] + 1) if readable else 1
+                states[new_v] = model
+                readable.append(new_v)
+            elif op == "vacuum":
+                t.keep_versions = arg
+                t.vacuum()
+                t.keep_versions = None
+                readable = readable[-arg:]
+            else:  # rollback to a valid readable version (or skip)
+                if not readable:
+                    continue
+                target = readable[arg % len(readable)]
+                t.rollback(target)
+                readable = [v for v in readable if v <= target]
+                model = states[target]
+            assert t.versions() == readable
+            for v in readable:
+                got = {
+                    (r.day, r.k): r.v
+                    for r in t.read(version=v).collect()
+                }
+                assert got == states[v], f"version {v} diverged"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_dedup_clusters: the collapse-first pipeline's labels must equal
+# components over (exact-duplicate edges UNION direct LSH pairs) for
+# ANY duplication pattern.  Verbatim copies share every signature/
+# bucket/neighbor, so collapsing them onto the min-id representative
+# preserves LSH components exactly; the exact edges capture the one
+# place collapse is STRICTLY stronger than raw LSH — identical docs
+# with fewer than k tokens have no shingles, so banding alone can
+# never link them, but exact-collapse does.
+# ---------------------------------------------------------------------------
+_BASE_TEXTS = [
+    "the quick brown fox jumps over the lazy dog tonight",
+    "the quick brown fox jumps over the lazy cat tonight",  # near-dup of 0
+    "pack my box with five dozen liquor jugs right now",
+    "sphinx of black quartz judge my vow said the king",
+    "tiny",  # < 3 tokens: no shingles, always a singleton
+]
+
+
+@given(
+    spec=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(1, 3)),
+        min_size=1,
+        max_size=5,
+    ),
+    with_null=st.booleans(),
+)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_clusters_equal_direct_clustering(spark, spec, with_null):
+    from pyspark.sql import functions as F
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (
+        dedup as D,
+    )
+
+    rows, nid = [], 0
+    for base, copies in spec:
+        for _ in range(copies):
+            rows.append((nid, _BASE_TEXTS[base]))
+            nid += 1
+    if with_null:
+        rows.append((nid, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fuzzy = {
+        (r.doc_id, r.cluster)
+        for r in D.fuzzy_dedup_clusters(
+            docs, "doc_id", "text", threshold=0.5,
+            num_perm=16, bands=4, shingle_k=3, max_bucket_size=None,
+        ).collect()
+    }
+    lsh_edges = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5,
+        num_perm=16, bands=4, shingle_k=3, max_bucket_size=None,
+    ).select("id_a", "id_b")
+    ids = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    exact_edges = (
+        ids.alias("a")
+        .join(ids.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+    )
+    direct_edges = lsh_edges.unionByName(exact_edges)
+    direct = {
+        (r.doc_id, r.cluster)
+        for r in D.connected_components(
+            docs.select("doc_id"), direct_edges,
+            id_col="doc_id", src_col="id_a", dst_col="id_b",
+        ).collect()
+    }
+    assert fuzzy == direct
