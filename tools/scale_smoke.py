@@ -65,6 +65,8 @@ _NEEDS = {
     "dedup_minhash_lsh": {"documents"},
     "dedup_fuzzy_clusters": {"documents"},
     "dedup_fuzzy_clusters_fast": {"documents"},
+    "token_pack_manifest": {"documents"},
+    "token_pack_assignments": {"documents"},
     "bm25_search_topk": {"documents"},
     "stream_tumbling_append": {"events"},
     "stream_tumbling_counts": {"events"},
