@@ -871,6 +871,157 @@ def run_stream_curation(
 
 
 # ---------------------------------------------------------------------------
+# Streaming NEAR-dup ingest — the online half of fuzzy dedup: as each
+# document micro-batch arrives, its MinHash band keys probe a PERSISTED
+# band table of everything ingested so far, candidates are verified by
+# exact shingle Jaccard against a persisted shingle store, and verified
+# pairs merge into a keyed output table.  After the whole corpus has
+# streamed through — in ANY batch partitioning — the pair table equals
+# the batch portable-minhash oracle exactly (a pair is emitted when its
+# later-arriving member is processed; every state/output write is a
+# keyed MERGE, so replaying any batch is a fixed point).
+#
+# 100 TB posture: the band table is the index — at scale it is bucketed
+# by band hash so a batch's probe is a co-located join (no state-side
+# shuffle), and the shingle store is a keyed point-lookup table; both
+# grow with the corpus, not with batch count.  Here they are plain
+# KeyedParquetTables (the container has no bucketed catalog), and each
+# probe reads the full small state — the dataflow, not the layout, is
+# what this query pins.
+# ---------------------------------------------------------------------------
+def stream_near_dup_run(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Core of stream_near_dup_pairs, parameterized on the watched dir
+    so tests can split the corpus across files and prove the pair set
+    is micro-batch-boundary independent."""
+    from ..operators import dedup as D
+
+    wd = _workdir("stream_neardup")
+    band_tbl = KeyedParquetTable(
+        spark, os.path.join(wd, "bands"), keys=["band", "doc"],
+        order_cols=["seq"],
+    )
+    sh_tbl = KeyedParquetTable(
+        spark, os.path.join(wd, "shingles"), keys=["doc"],
+        order_cols=["seq"],
+    )
+    pair_tbl = KeyedParquetTable(
+        spark, os.path.join(wd, "pairs"), keys=["id_a", "id_b"],
+        order_cols=["seq"],
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sig = D.portable_minhash_signature(F.col("sh"), num_perm)
+        new = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select(
+                F.col("doc_id").alias("doc"),
+                D.word_shingles(F.col("text"), shingle_k).alias("sh"),
+            )
+            .filter(F.size("sh") > 0)
+            .select(
+                "doc",
+                "sh",
+                F.explode(
+                    D.lsh_band_keys(sig, bands, num_perm // bands)
+                ).alias("band"),
+            )
+        )
+        new_bands = new.select(
+            "band", "doc", F.lit(batch_id).alias("seq")
+        )
+        new_sh = new.select(
+            "doc", "sh", F.lit(batch_id).alias("seq")
+        ).dropDuplicates(["doc"])
+        # state MERGE FIRST: all_bands/all_shingles then include this
+        # batch, so a replayed batch (crash after state write, before
+        # checkpoint commit) still finds every pair — a.doc != b.doc
+        # keeps self-probes out, and the pair MERGE is idempotent
+        band_tbl.upsert(new_bands)
+        sh_tbl.upsert(new_sh)
+        all_bands = band_tbl.read().select("band", "doc")
+        shingles = sh_tbl.read().select("doc", "sh")
+        cand = (
+            new_bands.select("band", "doc")
+            .join(all_bands.withColumnRenamed("doc", "other"), "band")
+            .filter(F.col("doc") != F.col("other"))
+            .select(
+                F.least("doc", "other").alias("id_a"),
+                F.greatest("doc", "other").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        verified = (
+            cand.join(
+                shingles.select(
+                    F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")
+                ),
+                "id_a",
+            )
+            .join(
+                shingles.select(
+                    F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")
+                ),
+                "id_b",
+            )
+            .withColumn("jaccard", D.jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                "id_a", "id_b", "jaccard", F.lit(batch_id).alias("seq")
+            )
+        )
+        pair_tbl.upsert(verified)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(docs_dir)
+    q = (
+        sdf.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = pair_tbl.read()
+    if out is None:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def _stream_near_dup_sql() -> str:
+    from .northstar import _portable_minhash_sql
+
+    return _portable_minhash_sql()
+
+
+@register(
+    "stream_near_dup_pairs",
+    _stream_near_dup_sql(),
+    doc="streaming near-dup ingest: each micro-batch's MinHash bands "
+    "probe the persisted band index of everything ingested so far, "
+    "candidates verify by exact shingle Jaccard, pairs MERGE keyed — "
+    "cumulative output equals the batch portable-minhash oracle for "
+    "any batch partitioning (stream ≡ batch)",
+)
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    return stream_near_dup_run(spark, _documents_path(sf_dir), schema)
+
+
+# ---------------------------------------------------------------------------
 # Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
 # key's dedup state only while it is within the watermark horizon, so
 # state size is O(keys per window), not O(all keys ever) — the fix for

@@ -458,3 +458,30 @@ def test_stream_curation_batch_boundary_independent(spark, tmp_path):
     got = sorted(tuple(r) for r in two_batches.collect())
     want = sorted(tuple(r) for r in one_batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_near_dup_batch_boundary_independent(spark, tmp_path):
+    """Split the corpus across three files fed one per micro-batch: the
+    cumulative verified-pair table must equal the single-batch run —
+    a pair is found when its later-arriving member probes the persisted
+    band index, so batch boundaries are invisible in the result."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.streaming_q import (
+        stream_near_dup_run,
+    )
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    split_dir = str(tmp_path / "docs3")
+    docs.repartition(3).write.parquet(split_dir)
+    schema = docs.schema
+
+    streamed = stream_near_dup_run(
+        spark, split_dir, schema, max_files_per_trigger=1
+    )
+    single = stream_near_dup_run(spark, split_dir, schema)
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in single.collect())
+    assert got == want and len(got) > 0
