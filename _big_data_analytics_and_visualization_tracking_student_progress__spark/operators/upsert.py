@@ -335,7 +335,8 @@ class ManifestSnapshotTable:
                  order_cols: Sequence[str] | str,
                  partition_by: Sequence[str],
                  stable_partitions: bool = False,
-                 keep_versions: int | None = None):
+                 keep_versions: int | None = None,
+                 stats_cols: Sequence[str] | None = None):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -343,6 +344,13 @@ class ManifestSnapshotTable:
             [order_cols] if isinstance(order_cols, str) else list(order_cols)
         )
         self.partition_by = list(partition_by)
+        # Zone maps: per-fragment [min, max] envelopes for these columns
+        # ride in every manifest (the Delta/Iceberg data-skipping
+        # stats), maintained incrementally — each commit records
+        # envelopes for the partitions it rewrote and inherits the rest
+        # by reference, exactly like the data files.  Numeric / string /
+        # bool columns only (envelopes are stored as JSON).
+        self.stats_cols = list(stats_cols) if stats_cols else []
         if not self.partition_by:
             raise ValueError("ManifestSnapshotTable requires partition_by")
         if not (stable_partitions or set(self.partition_by) <= set(self.keys)):
@@ -543,6 +551,91 @@ class ManifestSnapshotTable:
         return new_v
 
     # -- maintenance ----------------------------------------------------
+    def compact(self) -> int:
+        """Checkpoint commit: rewrite EVERY live partition under one new
+        version so the latest manifest references a single holder.
+
+        Incremental commits scatter a snapshot's files across version
+        dirs (each partition lives wherever it was last rewritten), so
+        reads open one scan per holder version and vacuum() must demote
+        and keep every still-referenced older dir.  Compaction collapses
+        the scatter: after ``compact()`` the latest snapshot is entirely
+        self-contained, a following ``vacuum()`` can reclaim every older
+        dir (retention permitting), and reads resolve one version.  It
+        is observationally a no-op — ``read()`` returns the same rows
+        before and after — and doubles as small-file bin-packing: the
+        rewrite repartitions on the partition columns, so each hive
+        partition's accumulated files land in one shuffle task's output
+        (at cluster scale a single huge partition would need
+        ``repartition(n, cols)`` instead — this table's shape is the
+        reference's many-small-daily-indexes layout, where one task per
+        day is the right packing).  Schema evolved across commits is
+        materialized to the unified (union-by-name) schema.
+
+        Already-compact tables (every manifest entry already points at
+        the latest version) return the current version without writing.
+        This is the OPTIMIZE/checkpoint half of the Delta/Iceberg
+        maintenance pair, next to ``vacuum()``'s retention half.
+        """
+        import json
+        import shutil
+
+        prev = self.manifest()
+        if not prev:
+            return 0
+        cur = self.versions()[-1]
+        if set(prev.values()) == {cur}:
+            return cur
+        new_v = cur + 1
+        vdir = self._vdir(new_v)
+        shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt's debris
+        (
+            self._read_fragments(prev)
+            .repartition(*[F.col(c) for c in self.partition_by])
+            .write.partitionBy(*self.partition_by)
+            .parquet(self._data_dir(new_v))
+        )
+        # same commit soundness gate as upsert(): the manifest must name
+        # exactly the dirs Spark wrote — a pure rewrite drops no
+        # partition (merges never delete rows), so equality is exact
+        written = self._written_fragments(new_v)
+        if written != set(prev):
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise ValueError(
+                "compaction rewrite diverged from the live manifest — "
+                f"written {sorted(written)} vs expected {sorted(prev)}"
+            )
+        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+            json.dump(
+                {
+                    "partition_by": self.partition_by,
+                    "partitions": {frag: new_v for frag in prev},
+                },
+                fh,
+                sort_keys=True,
+            )
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        if self.keep_versions is not None:
+            self.vacuum()
+        return new_v
+
+    def maybe_compact(self, max_scatter: int) -> int | None:
+        """Auto-OPTIMIZE policy for long-running sinks: compact when the
+        live manifest references MORE than ``max_scatter`` distinct
+        holder versions, else do nothing.  The check is one manifest
+        read (bounded metadata, no data touched), so a streaming sink
+        can afford it after every micro-batch commit; the compaction it
+        occasionally triggers bounds read fan-out (scans per read ≤
+        max_scatter + 1) and holder accumulation at any commit count.
+        Returns the new version when it compacted, else None."""
+        if max_scatter < 1:
+            raise ValueError("max_scatter must be >= 1")
+        m = self.manifest()
+        if len(set(m.values())) > max_scatter:
+            return self.compact()
+        return None
+
     def rollback(self, version: int) -> None:
         """Drop snapshots newer than `version`, making it the latest.
 

@@ -525,25 +525,36 @@ def q_modified_file_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     wd = tempfile.mkdtemp(prefix="sparkgraft_reingest_")
-    drop_dir = os.path.join(wd, "drop")
-    os.makedirs(drop_dir)
-    path = os.path.join(drop_dir, "documents.xls")
-    table = KeyedParquetTable(
-        spark,
-        os.path.join(wd, "serving"),
-        keys=["doc_id"],
-        order_cols=["ingest_seq"],
-    )
-    ing = DropIngestor(spark, drop_dir, os.path.join(wd, "state"), table)
+    try:
+        drop_dir = os.path.join(wd, "drop")
+        os.makedirs(drop_dir)
+        path = os.path.join(drop_dir, "documents.xls")
+        table = KeyedParquetTable(
+            spark,
+            os.path.join(wd, "serving"),
+            keys=["doc_id"],
+            order_cols=["ingest_seq"],
+        )
+        ing = DropIngestor(spark, drop_dir, os.path.join(wd, "state"), table)
 
-    write_minimal_xls(path, header, v1)
-    ing.process_once()  # first sight: whole file flows
-    write_minimal_xls(path, header, v2)  # in-place overwrite
-    changed = ing.process_once()  # only the edited rows flow
-    if changed is None:  # degenerate tiny fixture: nothing divisible by 3
-        empty = "doc_id double, lang string, source string, n_chars double"
-        return spark.createDataFrame([], empty)
-    return changed.select("doc_id", "lang", "source", "n_chars")
+        write_minimal_xls(path, header, v1)
+        ing.process_once()  # first sight: whole file flows
+        write_minimal_xls(path, header, v2)  # in-place overwrite
+        changed = ing.process_once()  # only the edited rows flow
+        if changed is None:  # degenerate fixture: nothing divisible by 3
+            empty = "doc_id double, lang string, source string, n_chars double"
+            return spark.createDataFrame([], empty)
+        out = changed.select("doc_id", "lang", "source", "n_chars")
+        # the edited-row diff is bounded control data (the drop file is
+        # a small operational spreadsheet); materializing lets the
+        # ephemeral drop/serving/state dirs be removed before return
+        # instead of leaking a workdir per invocation
+        rows, schema = out.collect(), out.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(wd, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -3436,6 +3447,7 @@ def q_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "version declaratively",
 )
 def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from ..operators.upsert import SnapshotKeyedTable
@@ -3449,24 +3461,32 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         order_cols=["ts_nanos", "event_id"],
     )
-    table.upsert(e.filter(F.col("event_id") % 2 == 0))
-    table.upsert(e.filter(F.col("event_id") % 2 == 1))
+    try:
+        table.upsert(e.filter(F.col("event_id") % 2 == 0))
+        table.upsert(e.filter(F.col("event_id") % 2 == 1))
 
-    v1 = table.read(1).select(
-        F.col("user_id"), F.col("event_id").alias("v1_event_id")
-    )
-    v2 = table.read(2).select(
-        F.col("user_id"), F.col("event_id").alias("v2_event_id")
-    )
-    return v2.join(v1, "user_id", "left").select(
-        "user_id",
-        F.when(F.col("v1_event_id").isNull(), "I")
-        .when(F.col("v1_event_id") != F.col("v2_event_id"), "U")
-        .otherwise("N")
-        .alias("op"),
-        "v1_event_id",
-        "v2_event_id",
-    )
+        v1 = table.read(1).select(
+            F.col("user_id"), F.col("event_id").alias("v1_event_id")
+        )
+        v2 = table.read(2).select(
+            F.col("user_id"), F.col("event_id").alias("v2_event_id")
+        )
+        feed = v2.join(v1, "user_id", "left").select(
+            "user_id",
+            F.when(F.col("v1_event_id").isNull(), "I")
+            .when(F.col("v1_event_id") != F.col("v2_event_id"), "U")
+            .otherwise("N")
+            .alias("op"),
+            "v1_event_id",
+            "v2_event_id",
+        )
+        # one row per user key (the dimension, not the fact table) —
+        # materializing lets the ephemeral snapshot table be removed
+        # before return instead of leaking a parquet table per call
+        rows, schema = feed.collect(), feed.schema
+    finally:
+        shutil.rmtree(table.path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -3551,6 +3571,113 @@ def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one row per event type — bounded control data; materializing
         # here lets the ephemeral table dir be removed before return
         # instead of leaking a parquet table per invocation
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(table.path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Compaction (OPTIMIZE/checkpoint) on the incremental-manifest table:
+# three commits scatter the live partitions across three holder
+# versions; compact() rewrites every live partition under ONE version
+# (proved in-plan from the committed manifest), after which vacuum can
+# reclaim every older dir (proved from the committed layout).  The data
+# is observationally unchanged, so the oracle is the same declarative
+# merge recompute — the query certifies maintenance leaves answers
+# fixed while collapsing the physical layout.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_compaction_commits",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 1 AND event_type = 'click'
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 2 AND event_type = 'view'
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_latest_event_id
+    FROM latest GROUP BY event_type
+    """,
+    doc="manifest-table compaction: three incremental commits scatter "
+    "partitions across three holder versions; compact() collapses the "
+    "manifest to a single self-contained version and vacuum() then "
+    "reclaims every older dir — read answers are provably unchanged "
+    "(oracle recomputes the merges declaratively)",
+)
+def q_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.upsert import ManifestSnapshotTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    table = ManifestSnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_compact_"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    try:
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        table.upsert(
+            e.filter(
+                (F.col("event_id") % 3 == 1)
+                & (F.col("event_type") == "click")
+            )
+        )
+        table.upsert(
+            e.filter(
+                (F.col("event_id") % 3 == 2)
+                & (F.col("event_type") == "view")
+            )
+        )
+        # pre-compact layout proof: live partitions are scattered across
+        # all three holder versions (the state compaction exists to fix)
+        if set(table.manifest().values()) != {1, 2, 3}:
+            raise RuntimeError(
+                f"expected 3-version scatter, got {table.manifest()}"
+            )
+        new_v = table.compact()
+        m = table.manifest()
+        if set(m.values()) != {new_v}:
+            raise RuntimeError(
+                f"compaction left a scattered manifest: {m}"
+            )
+        # the compacted snapshot is self-contained, so retention can now
+        # reclaim EVERY older dir — no demoted holders survive
+        table.keep_versions = 1
+        table.vacuum()
+        if table._committed_dirs() != [new_v]:
+            raise RuntimeError(
+                "vacuum after compaction left stale version dirs: "
+                f"{table._committed_dirs()}"
+            )
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint")
+                .alias("sum_latest_event_id"),
+            )
+        )
+        # one row per event type — bounded control data; materializing
+        # here lets the ephemeral table dir be removed before return
         rows, schema = agg.collect(), agg.schema
     finally:
         shutil.rmtree(table.path, ignore_errors=True)

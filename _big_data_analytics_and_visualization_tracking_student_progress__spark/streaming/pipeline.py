@@ -169,6 +169,7 @@ def upsert_stream_run(
     table: KeyedParquetTable | ManifestSnapshotTable,
     workdir: str | None = None,
     quarantine_predicate: Column | None = None,
+    max_scatter: int | None = None,
 ) -> DataFrame:
     """Stream → keyed MERGE sink (S5/T2; reference con.py:55-63).  Each
     micro-batch upserts into the keyed table inside foreachBatch;
@@ -179,7 +180,15 @@ def upsert_stream_run(
     keys) are diverted to a quarantine parquet dir instead of being
     silently dropped — the reference logs-and-drops them (con.py:65-66);
     a quarantine sink keeps them replayable.  Returns the keyed table
-    (empty-schema DataFrame when the source produced no batches)."""
+    (empty-schema DataFrame when the source produced no batches).
+
+    `max_scatter` (ManifestSnapshotTable sinks only): auto-OPTIMIZE —
+    after each micro-batch commit, compact the table whenever its live
+    manifest references more than this many holder versions.  Without
+    it, a long-running incremental sink accretes one holder version per
+    distinct touched-partition set, growing read fan-out without bound;
+    with it, scans per read stay ≤ max_scatter + 1 forever.  Compaction
+    is observationally the identity, so replay stays a fixed point."""
     wd = workdir or _workdir("upsert")
     ckpt = os.path.join(wd, "ckpt")
     quarantine_dir = os.path.join(wd, "quarantine")
@@ -193,6 +202,13 @@ def upsert_stream_run(
                 F.coalesce(quarantine_predicate, F.lit(False))
             )
         table.upsert(good)
+        if max_scatter is not None:
+            if not isinstance(table, ManifestSnapshotTable):
+                raise TypeError(
+                    "max_scatter auto-compaction needs a "
+                    "ManifestSnapshotTable sink"
+                )
+            table.maybe_compact(max_scatter)
 
     q = (
         sdf.writeStream.foreachBatch(merge_batch)

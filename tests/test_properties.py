@@ -588,10 +588,12 @@ def test_pruned_merge_equals_full_merge(spark, batches):
 
 # ---------------------------------------------------------------------------
 # ManifestSnapshotTable maintenance: for ANY interleaving of upsert /
-# vacuum / rollback, the set of READABLE snapshots and every readable
-# snapshot's content equal a plain model — vacuum's holder demotion and
-# rollback's holder sweep never change what a retained version reads,
-# and version numbering continues correctly after rollback.
+# vacuum / rollback / compact, the set of READABLE snapshots and every
+# readable snapshot's content equal a plain model — vacuum's holder
+# demotion and rollback's holder sweep never change what a retained
+# version reads, version numbering continues correctly after rollback,
+# and compact() is observationally the identity (a new snapshot with
+# the latest content, or a no-op when already single-holder).
 # ---------------------------------------------------------------------------
 MAINT_OPS = st.lists(
     st.one_of(
@@ -609,6 +611,7 @@ MAINT_OPS = st.lists(
         ),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
         st.tuples(st.just("rollback"), st.integers(0, 5)),
+        st.tuples(st.just("compact"), st.just(0)),
     ),
     min_size=2,
     max_size=7,
@@ -656,6 +659,23 @@ def test_manifest_maintenance_equals_model(spark, ops):
                 t.vacuum()
                 t.keep_versions = None
                 readable = readable[-arg:]
+            elif op == "compact":
+                if not readable:
+                    assert t.compact() == 0
+                    continue
+                # already-compact = latest manifest is single-holder;
+                # decided from the table's own manifest (pinned correct
+                # by the snapshot-content assertions below)
+                already = set(t.manifest().values()) == {readable[-1]}
+                res = t.compact()
+                if already:
+                    assert res == readable[-1]
+                else:
+                    new_v = readable[-1] + 1
+                    assert res == new_v
+                    assert set(t.manifest().values()) == {new_v}
+                    states[new_v] = states[readable[-1]]
+                    readable.append(new_v)
             else:  # rollback to a valid readable version (or skip)
                 if not readable:
                     continue

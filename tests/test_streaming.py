@@ -392,6 +392,52 @@ def test_snapshot_table_vacuum_retains_window(spark, workdir):
     assert t.read().head().v == 4.0
 
 
+def test_stream_manifest_auto_compact_bounds_scatter(spark, workdir):
+    """A long-running manifest sink accretes one holder version per
+    micro-batch's touched-partition set; max_scatter auto-compaction
+    must bound that scatter while leaving the keyed content identical
+    to an unconstrained twin run."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        ManifestSnapshotTable,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (
+        upsert_stream_run,
+    )
+
+    src = os.path.join(workdir, "src")
+    _write_chunk(spark, [("a", 1, 1.0)], src)
+    _write_chunk(spark, [("b", 1, 10.0)], src)
+    _write_chunk(spark, [("c", 1, 100.0)], src)
+    _write_chunk(spark, [("a", 2, 2.0)], src)
+
+    def run(name, **kw):
+        table = ManifestSnapshotTable(
+            spark,
+            os.path.join(workdir, name, "tbl"),
+            keys=["k"],
+            order_cols=["seq"],
+            partition_by=["k"],
+        )
+        upsert_stream_run(
+            spark,
+            file_stream(spark, src, SCHEMA, max_files_per_trigger=1),
+            table,
+            workdir=os.path.join(workdir, name, "run"),
+            **kw,
+        )
+        return table
+
+    plain = run("plain")
+    auto = run("auto", max_scatter=2)
+    want = {("a", 2, 2.0), ("b", 1, 10.0), ("c", 1, 100.0)}
+    for t in (plain, auto):
+        assert {(r.k, r.seq, r.v) for r in t.read().collect()} == want
+    # unconstrained: every partition still held by a different version;
+    # auto-compacted: batch 3 tripped the threshold, bounding fan-out
+    assert len(set(plain.manifest().values())) == 3
+    assert len(set(auto.manifest().values())) <= 2
+
+
 def test_stream_restart_processes_only_new_files(spark, workdir):
     """T2/T5 — checkpoint recovery: a restarted availableNow stream must
     pick up exactly the files that arrived while it was down, appending

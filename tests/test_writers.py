@@ -539,6 +539,83 @@ class TestManifestSnapshotTable:
         got = {(r.day, r.k): r.v for r in t.read().collect()}
         assert got == {("d1", 1): "a5", ("d2", 1): "c4"}
 
+    def test_compact_collapses_scatter_and_unblocks_vacuum(
+        self, spark, tmp_path
+    ):
+        """compact() rewrites every live partition under one version:
+        the manifest collapses to a single self-contained holder, reads
+        are observationally unchanged (including time travel to older
+        snapshots), and a following vacuum can reclaim EVERY older dir
+        — no demoted holders survive."""
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
+        t.upsert(self._rows(spark, [("d2", 1, "c2", 3), ("d3", 1, "z", 3)]))
+        before = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert set(t.manifest().values()) == {2, 3}
+        assert t.compact() == 4
+        assert t.manifest() == {"day=d1": 4, "day=d2": 4, "day=d3": 4}
+        after = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert after == before == {
+            ("d1", 1): "a2", ("d2", 1): "c2", ("d3", 1): "z",
+        }
+        # pre-compact snapshots stay readable until retention says not
+        old = {(r.day, r.k): r.v for r in t.read(version=1).collect()}
+        assert old == {("d1", 1): "a", ("d2", 1): "c"}
+        t.keep_versions = 1
+        t.vacuum()
+        assert t._committed_dirs() == [4]
+        assert {(r.day, r.k): r.v for r in t.read().collect()} == after
+
+    def test_compact_noop_on_empty_and_already_compact(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        assert t.compact() == 0  # empty table: nothing to write
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        # single-holder manifest: compact is a no-op, no new version
+        assert t.compact() == 1
+        assert t.versions() == [1]
+        t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
+        assert t.compact() == 3
+        assert t.compact() == 3  # idempotent once compact
+        assert t.versions() == [1, 2, 3]
+
+    def test_compact_bin_packs_one_file_per_partition(self, spark, tmp_path):
+        """The compaction rewrite repartitions on the partition columns,
+        so each hive partition's accumulated small files land in exactly
+        one output file."""
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [("d1", k, f"v{k}", 1) for k in range(4)]))
+        t.upsert(self._rows(spark, [("d2", 1, "y", 2)]))
+        v = t.compact()
+        data = tmp_path / "ms" / f"v=0000{v}" / "data"
+        for part in ("day=d1", "day=d2"):
+            files = [
+                f for f in os.listdir(str(data / part))
+                if f.startswith("part-") and f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{part}: {files}"
+
+    def test_maybe_compact_fires_only_over_threshold(self, spark, tmp_path):
+        """maybe_compact(N) is the auto-OPTIMIZE policy: a no-op while
+        the manifest references ≤ N holder versions, one compaction the
+        moment it exceeds N."""
+        import pytest as _pytest
+
+        t = self._mk(spark, tmp_path)
+        with _pytest.raises(ValueError, match="max_scatter"):
+            t.maybe_compact(0)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 1, "c", 1)]))
+        t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
+        # scatter = 2 holders: at the threshold, not over it
+        assert t.maybe_compact(2) is None
+        t.upsert(self._rows(spark, [("d3", 1, "z", 3)]))
+        # scatter = 3 > 2: compacts to a single holder
+        assert t.maybe_compact(2) == 4
+        assert set(t.manifest().values()) == {4}
+        assert t.maybe_compact(2) is None  # compact table: quiescent
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 1): "a2", ("d2", 1): "c", ("d3", 1): "z"}
+
     def test_unsound_pruning_config_rejected(self, spark, tmp_path):
         from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
             ManifestSnapshotTable,

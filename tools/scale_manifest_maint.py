@@ -15,7 +15,9 @@ Phases, each timed with driver-RSS snapshots:
    excluded from versions(); reads must still resolve every partition
 5. rollback(v2): drops v3, keeps the v1 holder, table readable
 6. re-commit after rollback                             → v3'
-7. final correctness: latest-by-key counts equal a direct batch
+7. compact(): every live partition rewritten under one version → v4,
+   then vacuum(keep_versions=1) reclaims EVERY older dir
+8. final correctness: latest-by-key counts equal a direct batch
    computation over the same replica (exact, not sampled)
 
 Appends a `## 1000x manifest maintenance` section to SCALE.md.
@@ -135,6 +137,26 @@ def main() -> None:
         lambda: table.upsert(click.filter(F.col("event_id") % 2 == 1)),
     )
 
+    # 8. compact: rewrite every live partition under ONE version — the
+    # only maintenance op whose cost tracks the TABLE (a full rewrite,
+    # run occasionally to collapse holder scatter), vs the incremental
+    # commits above whose cost tracks the batch.  After it, retention
+    # can reclaim every older dir.
+    phase("compact_to_single_holder_v4", table.compact)
+    m4 = table.manifest()
+    if set(m4.values()) != {4}:
+        raise RuntimeError(f"compaction left scatter: {m4}")
+
+    def vacuum_keep1() -> None:
+        table.keep_versions = 1
+        table.vacuum()
+
+    phase("vacuum_keep1_reclaims_all_older", vacuum_keep1)
+    if table._committed_dirs() != [4]:
+        raise RuntimeError(
+            f"expected only v4 on disk, got {table._committed_dirs()}"
+        )
+
     # exact final-state check: latest-by-key over (full ∪ click-evens ∪
     # click-odds) — identical input multiset to the committed batches
     from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.windows import (  # noqa: E501
@@ -207,7 +229,11 @@ def main() -> None:
         "click partition — their cost tracks the batch, not the "
         f"{n_events:,}-row table — and vacuum/rollback are manifest "
         "metadata operations plus bounded directory removals (no data "
-        "rewrite at any size).  Final-state check: exact match.",
+        "rewrite at any size).  compact() is the one op whose cost "
+        "tracks the TABLE (a deliberate full rewrite collapsing holder "
+        "scatter so vacuum keep_versions=1 can reclaim every older "
+        "dir — verified: only the compacted dir survives).  "
+        "Final-state check: exact match.",
         "",
     ]
     with open(os.path.join(ROOT, "SCALE.md"), "a") as fh:
