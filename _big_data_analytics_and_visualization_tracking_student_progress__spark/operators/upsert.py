@@ -439,8 +439,9 @@ class ManifestSnapshotTable:
             level = nxt
         return set(level)
 
-    def manifest(self, version: int | None = None) -> dict[str, int]:
-        """partition-dir-fragment → version holding its current files."""
+    def _manifest_doc(self, version: int | None = None) -> dict:
+        """Parsed manifest.json of a readable snapshot ({} when the
+        table has no committed versions)."""
         import json
 
         vs = self.versions()
@@ -457,7 +458,21 @@ class ManifestSnapshotTable:
                 )
             raise ValueError(f"version {version} not in {vs}")
         with open(os.path.join(self._vdir(version), "manifest.json")) as fh:
-            return {k: int(v) for k, v in json.load(fh)["partitions"].items()}
+            return json.load(fh)
+
+    def manifest(self, version: int | None = None) -> dict[str, int]:
+        """partition-dir-fragment → version holding its current files."""
+        doc = self._manifest_doc(version)
+        return {k: int(v) for k, v in doc.get("partitions", {}).items()}
+
+    def fragment_stats(
+        self, version: int | None = None
+    ) -> dict[str, dict[str, list]]:
+        """Zone maps: partition-dir-fragment → {stats_col: [min, max]}.
+        Fragments committed before ``stats_cols`` was configured (or
+        whose commit lacked the column) have no entry — readers must
+        treat a missing envelope as unprunable."""
+        return self._manifest_doc(version).get("stats", {})
 
     # -- read -----------------------------------------------------------
     def _read_fragments(
@@ -490,6 +505,74 @@ class ManifestSnapshotTable:
         if not m:
             return None
         return self._read_fragments(m)
+
+    def read_where(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[DataFrame | None, int, int]:
+        """Zone-map-pruned range read: resolve the manifest, drop every
+        fragment whose recorded [min, max] envelope for ``col`` misses
+        the inclusive range [lo, hi] WITHOUT touching its files, scan
+        only the survivors, then apply the exact predicate.  Fragments
+        with no recorded envelope (committed before ``stats_cols``, or
+        the column absent from that commit's schema) are kept
+        conservatively — pruning is an optimization, never a filter.
+
+        This is manifest-level data skipping on non-partition columns —
+        at fact-table scale the difference between scanning 2 daily
+        partitions and 2000 — complementing the hive-path partition
+        pruning read() already gets for ``partition_by`` columns.
+        Returns ``(frame, fragments_kept, fragments_total)``; frame is
+        None on an empty table.
+        """
+        m = self.manifest(version)
+        if not m:
+            return None, 0, 0
+        st = self.fragment_stats(version)
+        keep: dict[str, int] = {}
+        for frag, v in m.items():
+            env = st.get(frag, {}).get(col)
+            unprunable = (
+                env is None or env[0] is None or env[1] is None
+            )
+            if unprunable or not (env[1] < lo or env[0] > hi):
+                keep[frag] = v
+        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        if not keep:
+            # nothing intersects: an empty frame with the table schema
+            return (
+                self._read_fragments(m).filter(F.lit(False)),
+                0,
+                len(m),
+            )
+        return self._read_fragments(keep).filter(pred), len(keep), len(m)
+
+    def _compute_stats(self, new_v: int) -> dict[str, dict[str, list]]:
+        """Per-fragment [min, max] envelopes for ``stats_cols`` over the
+        files just written under version ``new_v``.  Reads back ONLY the
+        stats + partition columns (parquet column pruning) and produces
+        one row per written partition — bounded control data.  Columns
+        absent from this commit's schema get no envelope (readers keep
+        such fragments conservatively)."""
+        if not self.stats_cols:
+            return {}
+        df = self.spark.read.option(
+            "basePath", self._data_dir(new_v)
+        ).parquet(self._data_dir(new_v))
+        present = [c for c in self.stats_cols if c in df.columns]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs.append(F.min(c).alias(f"mn_{c}"))
+            aggs.append(F.max(c).alias(f"mx_{c}"))
+        out: dict[str, dict[str, list]] = {}
+        for r in df.groupBy(*self.partition_by).agg(*aggs).collect():
+            d = r.asDict()
+            frag = self._part_key([d[c] for c in self.partition_by])
+            out[frag] = {
+                c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in present
+            }
+        return out
 
     # -- write ----------------------------------------------------------
     def upsert(self, batch: DataFrame) -> int:
@@ -535,12 +618,20 @@ class ManifestSnapshotTable:
             )
         manifest = {frag: v for frag, v in prev.items() if frag not in frags}
         manifest.update({frag: new_v for frag in frags})
+        doc = {"partition_by": self.partition_by, "partitions": manifest}
+        if self.stats_cols:
+            # zone maps: fresh envelopes for rewritten fragments,
+            # untouched fragments inherit their envelope by reference —
+            # the same commit discipline as the data files
+            stats = {
+                frag: s
+                for frag, s in self.fragment_stats().items()
+                if frag not in frags
+            } if prev else {}
+            stats.update(self._compute_stats(new_v))
+            doc["stats"] = stats
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
-            json.dump(
-                {"partition_by": self.partition_by, "partitions": manifest},
-                fh,
-                sort_keys=True,
-            )
+            json.dump(doc, fh, sort_keys=True)
         # commit marker LAST: a crash before this line leaves the new
         # dir invisible to versions()/manifest() — readers still resolve
         # the previous snapshot
@@ -605,15 +696,16 @@ class ManifestSnapshotTable:
                 "compaction rewrite diverged from the live manifest — "
                 f"written {sorted(written)} vs expected {sorted(prev)}"
             )
+        doc = {
+            "partition_by": self.partition_by,
+            "partitions": {frag: new_v for frag in prev},
+        }
+        if self.stats_cols:
+            # full rewrite: recompute every envelope, which also
+            # backfills fragments committed before stats_cols was set
+            doc["stats"] = self._compute_stats(new_v)
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
-            json.dump(
-                {
-                    "partition_by": self.partition_by,
-                    "partitions": {frag: new_v for frag in prev},
-                },
-                fh,
-                sort_keys=True,
-            )
+            json.dump(doc, fh, sort_keys=True)
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
             pass
         if self.keep_versions is not None:

@@ -3685,6 +3685,98 @@ def q_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Zone maps (manifest-level data skipping) on the incremental-manifest
+# table: the 100 TB time-partitioned fact-table read shape.  Events are
+# committed partitioned by day bucket with per-fragment [min, max]
+# ts_nanos envelopes riding in the manifest; a 2-day range read prunes
+# 30 day fragments to exactly the 2 that intersect — proved in-plan
+# from the pruning counters WITHOUT scanning the skipped fragments —
+# then applies the exact predicate.  The oracle recomputes keyed
+# latest + the same window declaratively, so pruning is certified to
+# be an optimization, never a filter.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_pruned_read",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), b AS (
+        SELECT MIN(tsn) AS dmin FROM src
+    ), keyed AS (
+        SELECT user_id, event_type, event_id, tsn,
+               ROW_NUMBER() OVER (
+                   PARTITION BY (tsn - (SELECT dmin FROM b))
+                                    // 86400000000000,
+                                user_id, event_type
+                   ORDER BY tsn DESC, event_id DESC) AS rn
+        FROM src
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM keyed
+    WHERE rn = 1
+      AND tsn >= (SELECT dmin FROM b) + 5 * 86400000000000
+      AND tsn <= (SELECT dmin FROM b) + 7 * 86400000000000 - 1
+    GROUP BY event_type
+    """,
+    doc="zone-map data skipping on the manifest table: day-bucketed "
+    "commit records per-fragment ts_nanos envelopes in the manifest; "
+    "a 2-day range read prunes 30 fragments to the 2 intersecting "
+    "ones without touching skipped files (counters proved in-plan), "
+    "oracle recomputes keyed-latest + window declaratively",
+)
+def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.upsert import ManifestSnapshotTable
+
+    day_ns = 86_400_000_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    # one-row control collect: the bucket origin (time-partitioned
+    # tables derive this from the partition spec, not a scan)
+    dmin = e.agg(F.min("ts_nanos")).first()[0]
+    ev = e.withColumn(
+        "day_bucket", F.expr(f"(ts_nanos - {dmin}) DIV {day_ns}")
+    )
+    table = ManifestSnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_zonemap_"),
+        keys=["day_bucket", "user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["day_bucket"],
+        stats_cols=["ts_nanos"],
+    )
+    try:
+        table.upsert(ev)
+        lo = dmin + 5 * day_ns
+        hi = dmin + 7 * day_ns - 1
+        df, kept, total = table.read_where("ts_nanos", lo, hi)
+        # pruning proof: exactly the two intersecting day fragments are
+        # scanned (buckets 5 and 6 — bucket envelopes nest in bucket
+        # boundaries by construction); everything else is skipped on
+        # manifest metadata alone
+        if kept != 2 or total <= kept:
+            raise RuntimeError(
+                f"zone-map pruning ineffective: kept {kept} of {total}"
+            )
+        agg = df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+        # one row per event type — bounded; materializing lets the
+        # ephemeral table dir be removed before return
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(table.path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured handling via VariantType (Spark 4): props parses ONCE
 # into the binary variant encoding and every field access is a typed
 # path lookup — at scale this replaces repeated get_json_object string

@@ -616,6 +616,74 @@ class TestManifestSnapshotTable:
         got = {(r.day, r.k): r.v for r in t.read().collect()}
         assert got == {("d1", 1): "a2", ("d2", 1): "c", ("d3", 1): "z"}
 
+    def test_zone_map_stats_recorded_and_inherited(self, spark, tmp_path):
+        """stats_cols envelopes follow the manifest commit discipline:
+        rewritten fragments get fresh [min,max], untouched fragments
+        inherit their envelope by reference."""
+        t = self._mk(spark, tmp_path, stats_cols=["seq", "v"])
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d1", 2, "b", 5), ("d2", 1, "c", 3),
+        ]))
+        st = t.fragment_stats()
+        assert st["day=d1"]["seq"] == [1, 5]
+        assert st["day=d2"]["seq"] == [3, 3]
+        t.upsert(self._rows(spark, [("d2", 2, "z", 9)]))
+        st2 = t.fragment_stats()
+        assert st2["day=d1"]["seq"] == [1, 5]      # inherited
+        assert st2["day=d2"]["seq"] == [3, 9]      # rescanned on merge
+        assert st2["day=d2"]["v"] == ["c", "z"]    # string envelopes too
+
+    def test_read_where_prunes_by_envelope_matches_full_filter(
+        self, spark, tmp_path
+    ):
+        t = self._mk(spark, tmp_path, stats_cols=["seq"])
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d1", 2, "b", 3),
+            ("d2", 1, "c", 10), ("d2", 2, "d", 12),
+            ("d3", 1, "e", 20), ("d3", 2, "f", 22),
+        ]))
+        df, kept, total = t.read_where("seq", 10, 21)
+        assert (kept, total) == (2, 3)  # d1's [1,3] envelope skipped
+        got = {(r.day, r.k, r.seq) for r in df.collect()}
+        full = {
+            (r.day, r.k, r.seq)
+            for r in t.read().filter("seq >= 10 and seq <= 21").collect()
+        }
+        assert got == full == {("d2", 1, 10), ("d2", 2, 12), ("d3", 1, 20)}
+        # fully disjoint range: zero fragments read, schema preserved
+        df0, k0, t0 = t.read_where("seq", 100, 200)
+        assert (k0, t0) == (0, 3)
+        assert df0.count() == 0
+        assert set(df0.columns) == {"day", "k", "v", "seq"}
+
+    def test_read_where_keeps_unstatted_fragments_and_compact_backfills(
+        self, spark, tmp_path
+    ):
+        """Fragments committed before stats_cols was configured have no
+        envelope: read_where must keep them conservatively (pruning is
+        never a filter), and compact()'s full rewrite backfills them."""
+        legacy = self._mk(spark, tmp_path)  # no stats_cols
+        legacy.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d2", 1, "c", 10),
+        ]))
+        t = self._mk(spark, tmp_path, stats_cols=["seq"])
+        t.upsert(self._rows(spark, [("d3", 1, "e", 20)]))
+        assert set(t.fragment_stats()) == {"day=d3"}
+        # range hits nothing, but the two legacy fragments must survive
+        df, kept, total = t.read_where("seq", 5, 12)
+        assert (kept, total) == (2, 3)
+        assert {(r.day, r.seq) for r in df.collect()} == {("d2", 10)}
+        v = t.compact()
+        st = t.fragment_stats()
+        assert st == {
+            "day=d1": {"seq": [1, 1]},
+            "day=d2": {"seq": [10, 10]},
+            "day=d3": {"seq": [20, 20]},
+        }
+        _, kept2, total2 = t.read_where("seq", 5, 12)
+        assert (kept2, total2) == (1, 3)
+        assert set(t.manifest().values()) == {v}
+
     def test_unsound_pruning_config_rejected(self, spark, tmp_path):
         from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
             ManifestSnapshotTable,
