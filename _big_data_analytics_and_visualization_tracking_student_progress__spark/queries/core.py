@@ -3777,6 +3777,106 @@ def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incrementally-maintained materialized rollup (continuous aggregate)
+# over the manifest table: the reference re-aggregates its whole index
+# per dashboard load (app.py:58, Kibana panels README.md:26-27); at
+# 100 TB the refresh must instead track the commits.  The view stores
+# per-fragment partial aggregates keyed by the base's manifest; after
+# the second commit (which touches ONLY the click partition) the
+# refresh recomputes exactly 1 of N fragments — proved in-plan from the
+# refresh counters — and the merged read still equals the declarative
+# aggregate over everything staged (the oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "matview_incremental_refresh",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 1 AND event_type = 'click'
+    ), latest AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    )
+    SELECT CAST(tsn // 86400000000000 AS BIGINT) AS day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(MAX(tsn) AS BIGINT) AS max_ts_nanos
+    FROM latest GROUP BY day_num
+    """,
+    doc="incremental materialized view (IncrementalAggView): rollup of "
+    "the manifest table's latest-key state maintained by recomputing "
+    "only manifest-changed fragments — refresh #2 recomputes 1 of N "
+    "partitions (proved from the refresh counters), merged partials "
+    "equal the declarative aggregate over both staged commits",
+)
+def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.matview import IncrementalAggView
+    from ..operators.upsert import ManifestSnapshotTable
+
+    day_ns = 86_400_000_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    base = ManifestSnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_mvbase_"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    view = IncrementalAggView(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_mview_"),
+        base,
+        group_cols=["day_num"],
+        measures=[
+            ("n_keys", None, "count"),
+            ("sum_event_id", "event_id", "sum"),
+            ("max_ts_nanos", "ts_nanos", "max"),
+        ],
+        prepare=lambda df: df.withColumn(
+            "day_num", F.expr(f"ts_nanos DIV {day_ns}")
+        ),
+    )
+    try:
+        base.upsert(e.filter(F.col("event_id") % 3 == 0))
+        view.refresh()
+        base.upsert(
+            e.filter(
+                (F.col("event_id") % 3 == 1)
+                & (F.col("event_type") == "click")
+            )
+        )
+        info = view.refresh()
+        # incremental proof, bounded control data: the second refresh
+        # recomputed ONLY the click fragment; every other fragment's
+        # partials were inherited untouched.  Explicit raise — must
+        # survive `python -O`.
+        if info["recomputed"] != 1 or info["inherited"] != info["total"] - 1:
+            raise RuntimeError(
+                f"matview refresh was not incremental: {info}"
+            )
+        agg = view.read()
+        # one row per (day, ) group — bounded; materializing lets both
+        # ephemeral table dirs be removed before return
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(base.path, ignore_errors=True)
+        shutil.rmtree(view.path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured handling via VariantType (Spark 4): props parses ONCE
 # into the binary variant encoding and every field access is a typed
 # path lookup — at scale this replaces repeated get_json_object string

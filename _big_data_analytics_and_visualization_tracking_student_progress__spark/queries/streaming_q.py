@@ -455,6 +455,135 @@ def q_stream_manifest_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_single_file(df: DataFrame, watch: str, name: str, mtime: int) -> None:
+    """Write `df` as ONE parquet file named `name` inside the watched
+    dir with a pinned mtime, so the file-stream source (which orders
+    files by modification time) delivers the staged batches in a
+    deterministic sequence."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_stage_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            os.path.join(tmp, n)
+            for n in sorted(os.listdir(tmp))
+            if n.endswith(".parquet")
+        )
+        dst = os.path.join(watch, name)
+        os.replace(part, dst)
+        os.utime(dst, (mtime, mtime))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming continuous aggregate: the manifest sink commits each
+# micro-batch as a changed-partitions-only snapshot AND an
+# IncrementalAggView refreshes after every commit — the rollup the
+# reference recomputes from the full index on every dashboard load
+# (app.py:58) is instead maintained at O(partitions touched per batch).
+# Same staged input split and same oracle as the batch
+# matview_incremental_refresh, so this also proves stream ≡ batch.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_matview_refresh",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 1 AND event_type = 'click'
+    ), latest AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    )
+    SELECT CAST(tsn // 86400000000000 AS BIGINT) AS day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(MAX(tsn) AS BIGINT) AS max_ts_nanos
+    FROM latest GROUP BY day_num
+    """,
+    doc="streaming continuous aggregate: file stream → manifest-table "
+    "MERGE sink with a per-micro-batch IncrementalAggView refresh; the "
+    "second batch touches only the click partition and its refresh "
+    "recomputes exactly 1 fragment (proved from view.refresh_log); "
+    "final view state equals the batch declarative aggregate",
+)
+def q_stream_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..datasets import load_table
+    from ..operators.matview import IncrementalAggView
+    from ..operators.upsert import ManifestSnapshotTable
+
+    day_ns = 86_400_000_000_000
+    wd = _workdir("matview_q")
+    watch = os.path.join(wd, "in")
+    os.makedirs(watch, exist_ok=True)
+    # stage the two micro-batches as single files with pinned mtimes:
+    # batch 1 hits every event_type partition, batch 2 ONLY click
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.col("ts_nanos").alias("ts"),
+    )
+    _stage_single_file(
+        e.filter(F.col("event_id") % 3 == 0), watch, "b1.parquet", 1_000_000_000
+    )
+    _stage_single_file(
+        e.filter(
+            (F.col("event_id") % 3 == 1) & (F.col("event_type") == "click")
+        ),
+        watch, "b2.parquet", 1_000_000_100,
+    )
+    table = ManifestSnapshotTable(
+        spark,
+        os.path.join(wd, "table"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    view = IncrementalAggView(
+        spark,
+        os.path.join(wd, "mv"),
+        table,
+        group_cols=["day_num"],
+        measures=[
+            ("n_keys", None, "count"),
+            ("sum_event_id", "event_id", "sum"),
+            ("max_ts_nanos", "ts_nanos", "max"),
+        ],
+        prepare=lambda df: df.withColumn(
+            "day_num", F.expr(f"ts_nanos DIV {day_ns}")
+        ),
+    )
+    ev = events_file_stream(spark, watch, max_files_per_trigger=1).select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    upsert_stream_run(
+        spark, ev, table, workdir=os.path.join(wd, "run"), view=view
+    )
+    # in-plan incrementality proof (explicit raise — survives python -O):
+    # batch 2 touched only the click partition, so its refresh recomputed
+    # exactly one fragment and inherited every other partial untouched
+    log = view.refresh_log
+    if (
+        len(log) != 2
+        or log[1]["recomputed"] != 1
+        or log[1]["inherited"] != log[1]["total"] - 1
+    ):
+        raise RuntimeError(
+            f"streaming matview refresh was not incremental: {log}"
+        )
+    out = view.read()
+    assert out is not None
+    return out
+
+
 # ---------------------------------------------------------------------------
 # P6/T3 — CDC anti-join inside the stream
 # ---------------------------------------------------------------------------

@@ -170,6 +170,7 @@ def upsert_stream_run(
     workdir: str | None = None,
     quarantine_predicate: Column | None = None,
     max_scatter: int | None = None,
+    view: "IncrementalAggView | None" = None,
 ) -> DataFrame:
     """Stream → keyed MERGE sink (S5/T2; reference con.py:55-63).  Each
     micro-batch upserts into the keyed table inside foreachBatch;
@@ -188,10 +189,24 @@ def upsert_stream_run(
     it, a long-running incremental sink accretes one holder version per
     distinct touched-partition set, growing read fan-out without bound;
     with it, scans per read stay ≤ max_scatter + 1 forever.  Compaction
-    is observationally the identity, so replay stays a fixed point."""
+    is observationally the identity, so replay stays a fixed point.
+
+    `view` (ManifestSnapshotTable sinks only): a continuous aggregate —
+    an `operators.matview.IncrementalAggView` over `table` refreshed
+    after every micro-batch commit, so the rollup is always one commit
+    behind at most and each refresh costs O(partitions touched by the
+    batch), not O(table).  This is the streaming replacement for the
+    reference's per-dashboard-load full re-aggregation (app.py:58).
+    Refresh is a pure function of the base manifest, so batch replay
+    stays a fixed point (the extra refresh is a no-op).  Per-batch
+    outcomes land in `view.refresh_log`."""
     wd = workdir or _workdir("upsert")
     ckpt = os.path.join(wd, "ckpt")
     quarantine_dir = os.path.join(wd, "quarantine")
+    if view is not None and view.base is not table:
+        raise ValueError(
+            "view must be an IncrementalAggView over the sink table"
+        )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         good = batch_df
@@ -209,6 +224,8 @@ def upsert_stream_run(
                     "ManifestSnapshotTable sink"
                 )
             table.maybe_compact(max_scatter)
+        if view is not None:
+            view.refresh()
 
     q = (
         sdf.writeStream.foreachBatch(merge_batch)

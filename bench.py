@@ -61,6 +61,11 @@ HEADLINE = [
     # portable variant trades ~3x wall for engine-portable md5 hashing.
     "dedup_fuzzy_clusters_fast",
     "token_pack_manifest",
+    # storage-layer round-8 additions: both build an ephemeral
+    # ManifestSnapshotTable from events, so their wall includes the
+    # commit cost by design (the metric is the end-to-end story)
+    "manifest_pruned_read",
+    "matview_incremental_refresh",
 ]
 
 

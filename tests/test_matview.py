@@ -1,0 +1,292 @@
+"""IncrementalAggView: materialized rollups over ManifestSnapshotTable
+maintained by recomputing ONLY the fragments whose manifest holder
+moved since the last refresh.  The invariant every test circles back
+to: ``view.read()`` is row-for-row identical to aggregating
+``base.read()`` directly, no matter how commits and refreshes
+interleave."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.matview import (
+    IncrementalAggView,
+)
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+    ManifestSnapshotTable,
+)
+
+
+def _mk_base(spark, tmp_path):
+    return ManifestSnapshotTable(
+        spark,
+        str(tmp_path / "base"),
+        keys=["day", "k"],
+        order_cols=["seq"],
+        partition_by=["day"],
+    )
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "day string, k int, v int, seq int")
+
+
+def _mk_view(spark, tmp_path, base, **kw):
+    return IncrementalAggView(
+        spark,
+        str(tmp_path / "mv"),
+        base,
+        group_cols=["grp"],
+        measures=[
+            ("n", None, "count"),
+            ("sum_v", "v", "sum"),
+            ("max_v", "v", "max"),
+            ("min_v", "v", "min"),
+        ],
+        prepare=lambda df: df.withColumn("grp", F.col("k") % 2),
+        **kw,
+    )
+
+
+def _direct(base):
+    """The view's contract: aggregate the merged snapshot directly."""
+    return (
+        base.read()
+        .withColumn("grp", F.col("k") % 2)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.max("v").alias("max_v"),
+            F.min("v").alias("min_v"),
+        )
+    )
+
+
+def _frame_set(df):
+    cols = sorted(df.columns)
+    return {tuple(str(r[c]) for c in cols) for r in df.collect()}
+
+
+class TestIncrementalAggView:
+    def test_initial_refresh_builds_and_matches_direct(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [
+            ("d1", 1, 10, 1), ("d1", 2, 20, 1),
+            ("d2", 3, 30, 1), ("d3", 4, 40, 1),
+        ]))
+        view = _mk_view(spark, tmp_path, base)
+        info = view.refresh()
+        assert (info["recomputed"], info["inherited"], info["total"]) == (3, 0, 3)
+        assert _frame_set(view.read()) == _frame_set(_direct(base))
+
+    def test_refresh_recomputes_only_changed_fragments(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [
+            ("d1", 1, 10, 1), ("d2", 3, 30, 1), ("d3", 4, 40, 1),
+        ]))
+        view = _mk_view(spark, tmp_path, base)
+        view.refresh()
+        # second commit touches ONLY d2 (replaces k=3, adds k=5)
+        base.upsert(_rows(spark, [("d2", 3, 31, 2), ("d2", 5, 50, 2)]))
+        info = view.refresh()
+        assert (info["recomputed"], info["inherited"], info["total"]) == (1, 2, 3)
+        assert _frame_set(view.read()) == _frame_set(_direct(base))
+
+    def test_noop_refresh_when_base_unchanged(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1)]))
+        view = _mk_view(spark, tmp_path, base)
+        v1 = view.refresh()["version"]
+        info = view.refresh()
+        assert info == {
+            "version": -1, "recomputed": 0, "inherited": 1, "total": 1,
+        }
+        assert view.versions() == [v1]  # no new snapshot written
+
+    def test_empty_base_is_a_noop(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        view = _mk_view(spark, tmp_path, base)
+        assert view.refresh()["total"] == 0
+        assert view.read() is None
+
+    def test_crash_before_marker_leaves_previous_readable(
+        self, spark, tmp_path
+    ):
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1)]))
+        view = _mk_view(spark, tmp_path, base)
+        view.refresh()
+        before = _frame_set(view.read())
+        # simulate a crashed refresh: version dir without _SUCCESS
+        os.makedirs(str(tmp_path / "mv" / "v=00009"))
+        assert view.versions() == [1]
+        assert _frame_set(view.read()) == before
+        # and a real refresh after more commits clears the debris path
+        base.upsert(_rows(spark, [("d2", 2, 20, 1)]))
+        view.refresh()
+        assert _frame_set(view.read()) == _frame_set(_direct(base))
+
+    def test_vacuum_retains_newest_and_old_version_still_readable(
+        self, spark, tmp_path
+    ):
+        base = _mk_base(spark, tmp_path)
+        view = _mk_view(spark, tmp_path, base, keep_versions=2)
+        for i in range(4):
+            base.upsert(_rows(spark, [(f"d{i}", i, i * 10, 1)]))
+            view.refresh()
+        vs = view.versions()
+        assert len(vs) == 2  # snapshots are self-contained: plain retention
+        # the older retained version reflects the base as of refresh 3
+        older = view.read(version=vs[0])
+        assert older.agg(F.sum("n")).first()[0] == 3
+        assert _frame_set(view.read()) == _frame_set(_direct(base))
+
+    def test_interleaved_commits_and_refreshes_property(self, spark, tmp_path):
+        """Model check: arbitrary commit/refresh interleaving, the view
+        always equals the direct aggregate after each refresh."""
+        base = _mk_base(spark, tmp_path)
+        view = _mk_view(spark, tmp_path, base)
+        batches = [
+            [("d1", 1, 5, 1), ("d2", 2, 6, 1)],
+            [("d1", 1, 7, 2)],                       # replace a key
+            [("d3", 9, 1, 1), ("d2", 4, 2, 1)],      # new frag + touch old
+            [("d1", 6, 3, 1), ("d3", 9, 9, 2)],
+        ]
+        refresh_after = {1, 3}  # skip refreshing after batches 0 and 2
+        for i, b in enumerate(batches):
+            base.upsert(_rows(spark, b))
+            if i in refresh_after:
+                view.refresh()
+                assert _frame_set(view.read()) == _frame_set(_direct(base))
+        # a refresh that covers TWO commits recomputes their union
+        base.upsert(_rows(spark, [("d2", 2, 8, 3)]))
+        base.upsert(_rows(spark, [("d4", 0, 4, 1)]))
+        info = view.refresh()
+        assert info["recomputed"] == 2 and info["total"] == 4
+
+    def test_rejects_non_decomposable_kind_and_name_collision(
+        self, spark, tmp_path
+    ):
+        base = _mk_base(spark, tmp_path)
+        with pytest.raises(ValueError, match="not decomposable"):
+            IncrementalAggView(
+                spark, str(tmp_path / "x"), base, ["grp"],
+                [("q", "v", "median")],
+            )
+        with pytest.raises(ValueError, match="collide"):
+            IncrementalAggView(
+                spark, str(tmp_path / "x"), base, ["grp"],
+                [("grp", "v", "sum")],
+            )
+
+    def test_refresh_log_records_every_outcome(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        view = _mk_view(spark, tmp_path, base)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1), ("d2", 2, 20, 1)]))
+        view.refresh()
+        view.refresh()  # no-op
+        base.upsert(_rows(spark, [("d2", 2, 21, 2)]))
+        view.refresh()
+        assert [
+            (i["recomputed"], i["inherited"]) for i in view.refresh_log
+        ] == [(2, 0), (0, 2), (1, 1)]
+
+
+class TestStreamingContinuousAggregate:
+    """upsert_stream_run(view=...): the view refreshes once per
+    micro-batch commit, each refresh O(partitions the batch touched)."""
+
+    def _stream(self, spark, watch):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (
+            file_stream,
+        )
+
+        return file_stream(
+            spark,
+            str(watch),
+            "day string, k int, v int, seq int",
+            max_files_per_trigger=1,
+        )
+
+    @staticmethod
+    def _stage(df, watch, name, mtime):
+        import os
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="mv_stage_")
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                os.path.join(tmp, n)
+                for n in sorted(os.listdir(tmp))
+                if n.endswith(".parquet")
+            )
+            dst = os.path.join(str(watch), name)
+            os.replace(part, dst)
+            os.utime(dst, (mtime, mtime))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_view_refreshes_per_batch_and_matches_direct(
+        self, spark, tmp_path
+    ):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (
+            upsert_stream_run,
+        )
+
+        watch = tmp_path / "in"
+        watch.mkdir()
+        self._stage(
+            _rows(spark, [("d1", 1, 10, 1), ("d2", 3, 30, 1)]),
+            watch, "b1.parquet", 1_000_000_000,
+        )
+        self._stage(
+            _rows(spark, [("d2", 3, 31, 2), ("d2", 5, 50, 2)]),
+            watch, "b2.parquet", 1_000_000_100,
+        )
+        base = _mk_base(spark, tmp_path)
+        view = _mk_view(spark, tmp_path, base)
+        upsert_stream_run(
+            spark,
+            self._stream(spark, watch),
+            base,
+            workdir=str(tmp_path / "run"),
+            view=view,
+        )
+        # batch 1 commits d1+d2 (both recomputed); batch 2 touches only
+        # d2 — its refresh recomputes 1 fragment and inherits the other
+        assert [
+            (i["recomputed"], i["inherited"]) for i in view.refresh_log
+        ] == [(2, 0), (1, 1)]
+        assert _frame_set(view.read()) == _frame_set(_direct(base))
+
+    def test_view_over_wrong_base_is_rejected(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (
+            upsert_stream_run,
+        )
+
+        watch = tmp_path / "in"
+        watch.mkdir()
+        self._stage(
+            _rows(spark, [("d1", 1, 10, 1)]), watch, "b1.parquet",
+            1_000_000_000,
+        )
+        base = _mk_base(spark, tmp_path)
+        other = ManifestSnapshotTable(
+            spark,
+            str(tmp_path / "other"),
+            keys=["day", "k"],
+            order_cols=["seq"],
+            partition_by=["day"],
+        )
+        view = _mk_view(spark, tmp_path, other)
+        with pytest.raises(ValueError, match="over the sink table"):
+            upsert_stream_run(
+                spark,
+                self._stream(spark, watch),
+                base,
+                workdir=str(tmp_path / "run"),
+                view=view,
+            )
