@@ -587,9 +587,13 @@ class ManifestSnapshotTable:
             for r in batch.select(*self.partition_by).distinct().collect()
         ]
         prev = self.manifest()
-        new_v = (self.versions()[-1] + 1) if prev else 1
+        # next version comes from the committed DIRS, not the manifest:
+        # a delete() can empty the manifest while version dirs remain,
+        # and reusing their numbers would clobber history
+        vs = self.versions()
+        new_v = (vs[-1] + 1) if vs else 1
         if not touched:
-            return new_v - 1 if prev else 0
+            return vs[-1] if vs else 0
         frags = {self._part_key(c) for c in touched}
         # old holders of the touched partitions only
         target = self._read_fragments(
@@ -640,6 +644,201 @@ class ManifestSnapshotTable:
         if self.keep_versions is not None:
             self.vacuum()
         return new_v
+
+    # -- delete ---------------------------------------------------------
+    def delete(self, keys: DataFrame) -> int:
+        """Keyed DELETE commit (the GDPR / right-to-erasure / retention
+        shape a 100 TB fact table must support): remove every row whose
+        key appears in ``keys``, rewriting ONLY the partitions those
+        keys live in — the same copy-on-write pruning as `upsert`, so
+        the cost tracks the delete batch, not the table.
+
+        When partition columns ⊆ keys (the constructor's default
+        soundness regime) the touched partitions come straight from the
+        delete batch — no table scan at all.  Under
+        ``stable_partitions=True`` the keys don't name their partitions,
+        so one column-pruned semi-join scan locates them first.
+
+        A partition whose rows are ALL deleted leaves the manifest
+        entirely (readers never see an empty fragment); deleting the
+        last row of the last partition leaves an empty table
+        (``read()`` → None).  Returns the committed version, or the
+        current version unchanged when no key matched a live partition.
+        Replay-safe: deleting the same keys twice is a fixed point."""
+        missing = [c for c in self.keys if c not in keys.columns]
+        if missing:
+            raise ValueError(f"delete batch lacks key columns: {missing}")
+        prev = self.manifest()
+        if not prev:
+            vs = self.versions()
+            return vs[-1] if vs else 0
+        keys = keys.select(*self.keys).distinct()
+        if set(self.partition_by) <= set(self.keys):
+            touched = [
+                tuple(r)
+                for r in keys.select(*self.partition_by).distinct().collect()
+            ]
+            frags = {self._part_key(c) for c in touched} & set(prev)
+        else:
+            scan_cols = sorted(set(self.keys) | set(self.partition_by))
+            located = (
+                self._read_fragments(prev)
+                .select(*scan_cols)
+                .join(keys, on=self.keys, how="left_semi")
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            )
+            frags = {self._part_key(tuple(r)) for r in located}
+        return self._commit_delete(
+            prev,
+            frags,
+            lambda df: df.join(keys, on=self.keys, how="left_anti"),
+        )
+
+    def delete_where(self, condition: Column) -> int:
+        """Predicate DELETE commit: remove rows where ``condition`` is
+        TRUE (NULL keeps the row, matching SQL DELETE semantics),
+        rewriting only the partitions that contain a matching row —
+        located by a filter-pushdown scan of the partition columns.
+        Same manifest/commit discipline as `delete`."""
+        prev = self.manifest()
+        if not prev:
+            vs = self.versions()
+            return vs[-1] if vs else 0
+        hit = F.coalesce(condition, F.lit(False))
+        touched = [
+            tuple(r)
+            for r in self._read_fragments(prev)
+            .filter(hit)
+            .select(*self.partition_by)
+            .distinct()
+            .collect()
+        ]
+        frags = {self._part_key(c) for c in touched} & set(prev)
+        return self._commit_delete(prev, frags, lambda df: df.filter(~hit))
+
+    def _commit_delete(self, prev, frags, keep_fn) -> int:
+        """Shared delete commit: rewrite the touched fragments through
+        ``keep_fn`` (which drops the doomed rows), drop fully-emptied
+        fragments from the manifest, inherit everything else."""
+        import json
+        import shutil
+
+        cur_v = self.versions()[-1]
+        if not frags:
+            return cur_v  # nothing to delete: no-op, no new commit
+        kept = keep_fn(
+            self._read_fragments({f: prev[f] for f in frags})
+        )
+        new_v = cur_v + 1
+        vdir = self._vdir(new_v)
+        shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt's debris
+        kept.write.partitionBy(*self.partition_by).parquet(
+            self._data_dir(new_v)
+        )
+        written = self._written_fragments(new_v)
+        if not written <= frags:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise ValueError(
+                "delete rewrote fragments outside its pruning set — "
+                f"written {sorted(written)} vs touched {sorted(frags)}"
+            )
+        manifest = {f: v for f, v in prev.items() if f not in frags}
+        manifest.update({f: new_v for f in written})
+        doc = {"partition_by": self.partition_by, "partitions": manifest}
+        if self.stats_cols:
+            stats = {
+                f: s
+                for f, s in self.fragment_stats().items()
+                if f not in frags
+            }
+            stats.update(self._compute_stats(new_v))
+            doc["stats"] = stats
+        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+            json.dump(doc, fh, sort_keys=True)
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        if self.keep_versions is not None:
+            self.vacuum()
+        return new_v
+
+    # -- change feed ------------------------------------------------------
+    def changes(self, from_version: int, to_version: int) -> DataFrame | None:
+        """Change data feed between two readable snapshots: one row per
+        key whose state differs, tagged ``_change_type`` ∈ {'insert',
+        'update_postimage', 'delete'} (deletes carry the pre-image, the
+        others the post-image).  This is the Delta/Iceberg CDF read
+        shape — the feed a downstream incremental consumer tails
+        instead of re-diffing whole snapshots.
+
+        Cost tracks the COMMITS, not the table: only fragments whose
+        manifest entry differs between the versions are read (an
+        unchanged partition is inherited by reference on both sides, so
+        it provably holds no change); the keyed diff then joins just
+        those fragments' rows.  Columns follow the to-version schema
+        (rows from before an additive widening read NULL there, same as
+        `read()`); change detection compares every non-key column
+        null-safely.  Both endpoints must be readable snapshots —
+        vacuum-demoted holders are refused, like `read(version=...)`.
+        Returns None when both snapshots are empty."""
+        if to_version <= from_version:
+            raise ValueError(
+                f"need from_version < to_version, got "
+                f"{from_version} >= {to_version}"
+            )
+        m0 = self.manifest(from_version)
+        m1 = self.manifest(to_version)
+        frags = {
+            f for f in set(m0) | set(m1) if m0.get(f) != m1.get(f)
+        }
+        if not m0 and not m1:
+            return None
+        old = self._read_fragments({f: m0[f] for f in frags & set(m0)})
+        new = self._read_fragments({f: m1[f] for f in frags & set(m1)})
+        if old is None and new is None:
+            # no fragment moved: an empty feed with the to-schema
+            base = self.read(to_version) or self.read(from_version)
+            return base.filter(F.lit(False)).withColumn(
+                "_change_type", F.lit("")
+            ).select("_change_type", *base.columns)
+        # align both sides to the union schema (additive evolution)
+        if old is None:
+            old = new.filter(F.lit(False))
+        if new is None:
+            new = old.filter(F.lit(False))
+        old = old.unionByName(new.limit(0), allowMissingColumns=True)
+        new = new.unionByName(old.limit(0), allowMissingColumns=True)
+        cols = new.columns
+        data_cols = [c for c in cols if c not in self.keys]
+        o = old.select(*cols).alias("o")
+        n = new.select(*cols).alias("n")
+        cond = None
+        for k in self.keys:
+            eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+            cond = eq if cond is None else cond & eq
+        j = o.join(n, cond, "full_outer")
+        o_here = F.col(f"o.{self.keys[0]}").isNotNull()
+        n_here = F.col(f"n.{self.keys[0]}").isNotNull()
+        differs = F.lit(False)
+        for c in data_cols:
+            differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        ct = (
+            F.when(~o_here, F.lit("insert"))
+            .when(~n_here, F.lit("delete"))
+            .when(differs, F.lit("update_postimage"))
+        )
+        out_cols = [
+            F.when(ct == "delete", F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+        return (
+            j.withColumn("_change_type", ct)
+            .filter(F.col("_change_type").isNotNull())
+            .select("_change_type", *out_cols)
+        )
 
     # -- maintenance ----------------------------------------------------
     def compact(self) -> int:

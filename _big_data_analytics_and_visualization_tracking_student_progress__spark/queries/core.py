@@ -3777,6 +3777,214 @@ def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DELETE commits on the incremental-manifest table: the GDPR /
+# right-to-erasure / retention shape every long-lived fact table needs.
+# Both forms are copy-on-write commits that rewrite ONLY the partitions
+# the doomed rows live in: the keyed delete locates its partitions from
+# the delete batch alone (partition cols ⊆ keys — no table scan), the
+# predicate delete from one pushed-filter scan of the partition
+# columns.  Pruning is proved in-plan from the committed manifests; the
+# oracle recomputes merge-then-delete declaratively.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_delete_commits",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    ), after_del AS (
+        SELECT * FROM latest
+        WHERE NOT (event_type = 'click' AND user_id % 7 = 0)
+          AND NOT (event_type = 'error' AND event_id % 11 = 0)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM after_del GROUP BY event_type
+    """,
+    doc="keyed + predicate DELETE commits (ManifestSnapshotTable.delete/"
+    "delete_where): each delete rewrites only the partition its doomed "
+    "rows live in — keyed deletes locate partitions from the delete "
+    "batch with no table scan — proved in-plan from the committed "
+    "manifests; oracle recomputes merge-then-delete declaratively",
+)
+def q_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.upsert import ManifestSnapshotTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    table = ManifestSnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_del_"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    try:
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        # GDPR-style keyed erasure: every (user_id % 7 == 0, click) key
+        doomed = (
+            e.select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 7 == 0)
+            .withColumn("event_type", F.lit("click"))
+        )
+        v2 = table.delete(doomed)
+        m2 = table.manifest()
+        if [k for k, v in m2.items() if v == v2] != ["event_type=click"]:
+            raise RuntimeError(
+                f"keyed delete rewrote unexpected partitions: {m2}"
+            )
+        # retention-style predicate erasure, pruned to one partition
+        v3 = table.delete_where(
+            (F.col("event_type") == "error") & (F.col("event_id") % 11 == 0)
+        )
+        m3 = table.manifest()
+        if [k for k, v in m3.items() if v == v3] != ["event_type=error"]:
+            raise RuntimeError(
+                f"predicate delete rewrote unexpected partitions: {m3}"
+            )
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+        )
+        # one row per event type — bounded; materializing lets the
+        # ephemeral table dir be removed before return
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(table.path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Change data feed between manifest snapshots: the incremental-consumer
+# read shape (Delta/Iceberg CDF) — one row per key whose state changed
+# between two versions, tagged insert / update_postimage / delete.
+# Cost tracks the commits: only fragments whose manifest entry moved
+# are read (proved in-plan: exactly one fragment differs between the
+# compared versions), then a keyed full-outer diff of just those rows.
+# The oracle recomputes both snapshot states declaratively and diffs
+# them with SQL joins.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_change_feed",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), s1 AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM src WHERE event_id % 3 = 0) WHERE rn = 1
+    ), staged2 AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 1 AND event_type = 'click'
+    ), s2 AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged2) WHERE rn = 1
+    ), s3 AS (
+        SELECT * FROM s2
+        WHERE NOT (event_type = 'click' AND user_id % 7 = 0)
+    )
+    SELECT 'insert' AS change_type, n.user_id, n.event_type,
+           CAST(n.event_id AS BIGINT) AS event_id,
+           CAST(n.tsn AS BIGINT) AS ts_nanos
+    FROM s3 n LEFT JOIN s1 o
+      ON o.user_id = n.user_id AND o.event_type = n.event_type
+    WHERE o.user_id IS NULL
+    UNION ALL
+    SELECT 'delete' AS change_type, o.user_id, o.event_type,
+           CAST(o.event_id AS BIGINT) AS event_id,
+           CAST(o.tsn AS BIGINT) AS ts_nanos
+    FROM s1 o LEFT JOIN s3 n
+      ON o.user_id = n.user_id AND o.event_type = n.event_type
+    WHERE n.user_id IS NULL
+    UNION ALL
+    SELECT 'update_postimage' AS change_type, n.user_id, n.event_type,
+           CAST(n.event_id AS BIGINT) AS event_id,
+           CAST(n.tsn AS BIGINT) AS ts_nanos
+    FROM s3 n JOIN s1 o
+      ON o.user_id = n.user_id AND o.event_type = n.event_type
+    WHERE n.event_id <> o.event_id OR n.tsn <> o.tsn
+    """,
+    doc="change data feed between manifest snapshots "
+    "(ManifestSnapshotTable.changes): keyed insert/update/delete diff "
+    "read from ONLY the fragments whose manifest entry moved (proved "
+    "in-plan: one fragment differs); oracle diffs the two snapshot "
+    "states with declarative SQL joins",
+)
+def q_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.upsert import ManifestSnapshotTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    table = ManifestSnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_cdf_"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    try:
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        table.upsert(
+            e.filter(
+                (F.col("event_id") % 3 == 1)
+                & (F.col("event_type") == "click")
+            )
+        )
+        table.delete(
+            e.select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 7 == 0)
+            .withColumn("event_type", F.lit("click"))
+        )
+        # pruning proof, bounded control data: across v1→v3 ONLY the
+        # click fragment's holder moved, so the feed reads exactly one
+        # fragment per side.  Explicit raise — survives `python -O`.
+        m1, m3 = table.manifest(1), table.manifest(3)
+        moved = sorted(
+            f for f in set(m1) | set(m3) if m1.get(f) != m3.get(f)
+        )
+        if moved != ["event_type=click"]:
+            raise RuntimeError(
+                f"change feed would read unexpected fragments: {moved}"
+            )
+        feed = table.changes(1, 3).withColumnRenamed(
+            "_change_type", "change_type"
+        )
+        rows, schema = feed.collect(), feed.schema
+    finally:
+        shutil.rmtree(table.path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
 # Incrementally-maintained materialized rollup (continuous aggregate)
 # over the manifest table: the reference re-aggregates its whole index
 # per dashboard load (app.py:58, Kibana panels README.md:26-27); at

@@ -588,12 +588,14 @@ def test_pruned_merge_equals_full_merge(spark, batches):
 
 # ---------------------------------------------------------------------------
 # ManifestSnapshotTable maintenance: for ANY interleaving of upsert /
-# vacuum / rollback / compact, the set of READABLE snapshots and every
-# readable snapshot's content equal a plain model — vacuum's holder
-# demotion and rollback's holder sweep never change what a retained
-# version reads, version numbering continues correctly after rollback,
-# and compact() is observationally the identity (a new snapshot with
-# the latest content, or a no-op when already single-holder).
+# delete / vacuum / rollback / compact, the set of READABLE snapshots
+# and every readable snapshot's content equal a plain model — vacuum's
+# holder demotion and rollback's holder sweep never change what a
+# retained version reads, version numbering continues correctly after
+# rollback, compact() is observationally the identity (a new snapshot
+# with the latest content, or a no-op when already single-holder), and
+# keyed deletes remove exactly their keys (committing a new version iff
+# a live partition was touched, dropping fully-emptied partitions).
 # ---------------------------------------------------------------------------
 MAINT_OPS = st.lists(
     st.one_of(
@@ -607,6 +609,17 @@ MAINT_OPS = st.lists(
                 ),
                 min_size=1,
                 max_size=4,
+            ),
+        ),
+        st.tuples(
+            st.just("delete"),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["d1", "d2", "d3"]),
+                    st.integers(0, 3),
+                ),
+                min_size=1,
+                max_size=3,
             ),
         ),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
@@ -654,13 +667,29 @@ def test_manifest_maintenance_equals_model(spark, ops):
                 new_v = (readable[-1] + 1) if readable else 1
                 states[new_v] = model
                 readable.append(new_v)
+            elif op == "delete":
+                doomed = sorted(set(arg))
+                t.delete(spark.createDataFrame(
+                    doomed, "day string, k int",
+                ))
+                live_days = {d for d, _k in model}
+                if not (readable and {d for d, _k in doomed} & live_days):
+                    continue  # no live partition touched: no new commit
+                model = {
+                    kk: v for kk, v in model.items() if kk not in doomed
+                }
+                new_v = readable[-1] + 1
+                states[new_v] = model
+                readable.append(new_v)
             elif op == "vacuum":
                 t.keep_versions = arg
                 t.vacuum()
                 t.keep_versions = None
                 readable = readable[-arg:]
             elif op == "compact":
-                if not readable:
+                if not readable or not model:
+                    # empty table OR fully-deleted latest snapshot
+                    # (empty manifest): compaction has nothing to do
                     assert t.compact() == 0
                     continue
                 # already-compact = latest manifest is single-holder;
@@ -685,9 +714,9 @@ def test_manifest_maintenance_equals_model(spark, ops):
                 model = states[target]
             assert t.versions() == readable
             for v in readable:
-                got = {
-                    (r.day, r.k): r.v
-                    for r in t.read(version=v).collect()
+                df = t.read(version=v)  # None = fully-deleted snapshot
+                got = {} if df is None else {
+                    (r.day, r.k): r.v for r in df.collect()
                 }
                 assert got == states[v], f"version {v} diverged"
     finally:

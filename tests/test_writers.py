@@ -696,6 +696,276 @@ class TestManifestSnapshotTable:
                 order_cols=["seq"], partition_by=["day"],
             )
 
+
+class TestManifestDelete:
+    """Keyed / predicate DELETE commits: copy-on-write rewrite of ONLY
+    the partitions the doomed rows live in; fully-emptied partitions
+    leave the manifest."""
+
+    _mk = staticmethod(TestManifestSnapshotTable._mk)
+    _rows = staticmethod(TestManifestSnapshotTable._rows)
+
+    def _seed(self, spark, tmp_path, **kw):
+        t = self._mk(spark, tmp_path, **kw)
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d1", 2, "b", 1),
+            ("d2", 3, "c", 1), ("d3", 4, "z", 1),
+        ]))
+        return t
+
+    def test_delete_rewrites_only_touched_partitions(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        v = t.delete(spark.createDataFrame([("d1", 1)], "day string, k int"))
+        assert v == 2
+        # v=2 holds ONLY day=d1 (the partition the deleted key lives in)
+        v2_data = os.listdir(str(tmp_path / "ms" / "v=00002" / "data"))
+        assert [d for d in v2_data if d.startswith("day=")] == ["day=d1"]
+        assert t.manifest() == {"day=d1": 2, "day=d2": 1, "day=d3": 1}
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {("d1", 2): "b", ("d2", 3): "c", ("d3", 4): "z"}
+        # time travel: the pre-delete snapshot still shows the row
+        assert ("d1", 1) in {
+            (r.day, r.k) for r in t.read(version=1).collect()
+        }
+
+    def test_delete_emptied_partition_leaves_manifest(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        t.delete(spark.createDataFrame([("d2", 3)], "day string, k int"))
+        m = t.manifest()
+        assert "day=d2" not in m
+        assert {r.day for r in t.read().collect()} == {"d1", "d3"}
+
+    def test_delete_all_rows_empties_table(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1)]))
+        t.delete(spark.createDataFrame([("d1", 1)], "day string, k int"))
+        assert t.manifest() == {}
+        assert t.read() is None
+        # the table accepts new commits after being emptied
+        t.upsert(self._rows(spark, [("d9", 7, "q", 1)]))
+        assert {(r.day, r.k) for r in t.read().collect()} == {("d9", 7)}
+
+    def test_delete_missing_keys_is_noop(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        v = t.delete(
+            spark.createDataFrame([("d1", 99), ("nope", 1)],
+                                  "day string, k int")
+        )
+        # d1 is rewritten (its partition was named by a key) but nothing
+        # changes observationally; the unmatched partition is ignored
+        assert t.manifest()["day=d2"] == 1
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        assert got == {
+            ("d1", 1): "a", ("d1", 2): "b",
+            ("d2", 3): "c", ("d3", 4): "z",
+        }
+        assert v == 2
+
+    def test_delete_replay_is_fixed_point(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        doomed = spark.createDataFrame([("d1", 1)], "day string, k int")
+        t.delete(doomed)
+        before = {(r.day, r.k): r.v for r in t.read().collect()}
+        t.delete(doomed)
+        assert {(r.day, r.k): r.v for r in t.read().collect()} == before
+
+    def test_delete_missing_key_columns_rejected(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="lacks key columns"):
+            t.delete(spark.createDataFrame([("d1",)], "day string"))
+
+    def test_delete_empty_table_is_noop(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        assert t.delete(
+            spark.createDataFrame([("d1", 1)], "day string, k int")
+        ) == 0
+
+    def test_delete_where_prunes_and_keeps_null_condition_rows(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        t = self._mk(spark, tmp_path)
+        t.upsert(
+            spark.createDataFrame(
+                [("d1", 1, "del", 1), ("d1", 2, None, 1),
+                 ("d2", 3, "keep", 1), ("d3", 4, "del", 1)],
+                "day string, k int, v string, seq int",
+            )
+        )
+        v = t.delete_where(F.col("v") == "del")
+        assert v == 2
+        # d2 has no matching row: inherited untouched (not rewritten)
+        assert t.manifest()["day=d2"] == 1
+        assert t.manifest()["day=d1"] == 2
+        got = {(r.day, r.k): r.v for r in t.read().collect()}
+        # NULL condition keeps the row (SQL DELETE semantics)
+        assert got == {("d1", 2): None, ("d2", 3): "keep"}
+        assert "day=d3" not in t.manifest()  # fully emptied
+
+    def test_delete_under_stable_partitions_locates_by_scan(
+        self, spark, tmp_path
+    ):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+            ManifestSnapshotTable,
+        )
+
+        t = ManifestSnapshotTable(
+            spark,
+            str(tmp_path / "sp"),
+            keys=["k"],
+            order_cols=["seq"],
+            partition_by=["day"],
+            stable_partitions=True,
+        )
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d2", 2, "b", 1), ("d3", 3, "c", 1),
+        ]))
+        t.delete(spark.createDataFrame([(2,)], "k int"))
+        assert t.manifest() == {"day=d1": 1, "day=d3": 1}
+        assert {r.k for r in t.read().collect()} == {1, 3}
+
+    def test_delete_refreshes_zone_map_stats(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, stats_cols=["k"])
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d1", 9, "b", 1), ("d2", 5, "c", 1),
+        ]))
+        assert t.fragment_stats()["day=d1"]["k"] == [1, 9]
+        t.delete(spark.createDataFrame([("d1", 9)], "day string, k int"))
+        # the rewritten fragment's envelope shrinks; untouched inherited
+        assert t.fragment_stats()["day=d1"]["k"] == [1, 1]
+        assert t.fragment_stats()["day=d2"]["k"] == [5, 5]
+
+    def test_matview_refresh_after_delete_matches_direct(
+        self, spark, tmp_path
+    ):
+        """Deletes move fragment holders (or drop fragments); the
+        incremental materialized view must converge either way."""
+        from pyspark.sql import functions as F
+
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.matview import (
+            IncrementalAggView,
+        )
+
+        t = self._seed(spark, tmp_path)
+        view = IncrementalAggView(
+            spark,
+            str(tmp_path / "mv"),
+            t,
+            group_cols=["grp"],
+            measures=[("n", None, "count"), ("max_k", "k", "max")],
+            prepare=lambda df: df.withColumn("grp", F.col("k") % 2),
+        )
+        view.refresh()
+        # in-place delete: d1's holder moves → 1 fragment recomputed
+        t.delete(spark.createDataFrame([("d1", 1)], "day string, k int"))
+        info = view.refresh()
+        assert (info["recomputed"], info["inherited"]) == (1, 2)
+        # partition-dropping delete: fragment vanishes → full rebuild
+        t.delete(spark.createDataFrame([("d2", 3)], "day string, k int"))
+        info = view.refresh()
+        assert info["total"] == 2
+        direct = (
+            t.read()
+            .withColumn("grp", F.col("k") % 2)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
+        )
+        assert {tuple(r) for r in view.read().collect()} == {
+            tuple(r) for r in direct.collect()
+        }
+
+class TestManifestChangeFeed:
+    """changes(v0, v1): keyed row diff between snapshots, read from
+    ONLY the fragments whose manifest entry moved."""
+
+    _mk = staticmethod(TestManifestSnapshotTable._mk)
+    _rows = staticmethod(TestManifestSnapshotTable._rows)
+
+    @staticmethod
+    def _feed(t, a, b):
+        return {
+            (r._change_type, r.day, r.k, r.v)
+            for r in t.changes(a, b).collect()
+        }
+
+    def test_insert_update_delete_all_reported(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d1", 2, "b", 1), ("d2", 3, "c", 1),
+        ]))
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a2", 2),            # update
+            ("d1", 9, "new", 2),           # insert
+        ]))
+        t.delete(spark.createDataFrame([("d1", 2)], "day string, k int"))
+        assert self._feed(t, 1, 3) == {
+            ("update_postimage", "d1", 1, "a2"),
+            ("insert", "d1", 9, "new"),
+            ("delete", "d1", 2, "b"),
+        }
+        # intermediate window: the delete hasn't happened yet
+        assert self._feed(t, 2, 3) == {("delete", "d1", 2, "b")}
+
+    def test_unchanged_rows_in_moved_fragments_not_emitted(
+        self, spark, tmp_path
+    ):
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d1", 2, "b", 1)]))
+        # rewrite d1 but change only k=1; k=2 is rewritten yet identical
+        t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
+        assert self._feed(t, 1, 2) == {("update_postimage", "d1", 1, "a2")}
+
+    def test_compact_produces_empty_feed(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1)]))
+        t.upsert(self._rows(spark, [("d2", 2, "b", 2)]))
+        v = t.compact()
+        assert t.changes(2, v).count() == 0
+
+    def test_matches_brute_force_snapshot_diff(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [
+            ("d1", 0, "x", 1), ("d2", 1, "y", 1), ("d3", 2, "z", 1),
+        ]))
+        t.upsert(self._rows(spark, [("d2", 1, "y2", 2), ("d2", 5, "w", 2)]))
+        t.delete(spark.createDataFrame([("d3", 2)], "day string, k int"))
+        s0 = {(r.day, r.k): r.v for r in t.read(version=1).collect()}
+        s1 = {(r.day, r.k): r.v for r in t.read(version=3).collect()}
+        expect = (
+            {("insert", d, k, s1[(d, k)]) for (d, k) in s1 if (d, k) not in s0}
+            | {("delete", d, k, s0[(d, k)]) for (d, k) in s0 if (d, k) not in s1}
+            | {("update_postimage", d, k, s1[(d, k)])
+               for (d, k) in s1
+               if (d, k) in s0 and s0[(d, k)] != s1[(d, k)]}
+        )
+        assert self._feed(t, 1, 3) == expect
+
+    def test_additive_schema_evolution_in_feed(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d1", 2, "b", 1)]))
+        widened = spark.createDataFrame(
+            [("d1", 1, "a2", 2, 7.5)],
+            "day string, k int, v string, seq int, extra double",
+        )
+        t.upsert(widened)
+        got = {
+            (r._change_type, r.day, r.k, r.v, r.extra)
+            for r in t.changes(1, 2).collect()
+        }
+        assert got == {("update_postimage", "d1", 1, "a2", 7.5)}
+
+    def test_version_order_enforced(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1)]))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="from_version < to_version"):
+            t.changes(1, 1)
+
+
 class TestManifestEscaping:
     def test_hive_special_chars_round_trip(self, spark, tmp_path):
         """Partition values Spark hive-escapes in dir names (':' etc.)
