@@ -585,6 +585,67 @@ def q_stream_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC apply with delete tombstones: the Debezium op='d' shape — a
+# streaming change feed where some records are deletion markers for
+# their key.  The sink applies each micro-batch's latest record per key
+# as an upsert OR a partition-pruned keyed DELETE.  Staged as one
+# micro-batch so the oracle is the pure declarative form: latest per
+# key, keys whose latest record is a tombstone absent from the table.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_cdc_tombstones",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), latest AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM src) WHERE rn = 1
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM latest WHERE event_id % 10 <> 7
+    GROUP BY event_type
+    """,
+    doc="streaming CDC apply with delete tombstones (Debezium op='d'): "
+    "records with event_id % 10 = 7 are deletion markers; the sink "
+    "applies each batch's latest record per key as an upsert or a "
+    "partition-pruned keyed DELETE — keys whose latest record is a "
+    "tombstone are absent from the final table",
+)
+def q_stream_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_file_stream(spark, _events_path(sf_dir)).select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    from ..operators.upsert import ManifestSnapshotTable
+
+    wd = _workdir("tombstone_q")
+    table = ManifestSnapshotTable(
+        spark,
+        os.path.join(wd, "table"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    upsert_stream_run(
+        spark,
+        ev,
+        table,
+        workdir=os.path.join(wd, "run"),
+        tombstone_predicate=F.col("event_id") % 10 == 7,
+    )
+    out = table.read()
+    assert out is not None
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P6/T3 — CDC anti-join inside the stream
 # ---------------------------------------------------------------------------
 _CDC_COLS = ["event_id", "event_type", "props", "user_id"]

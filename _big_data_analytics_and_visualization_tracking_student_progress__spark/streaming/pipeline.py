@@ -171,6 +171,7 @@ def upsert_stream_run(
     quarantine_predicate: Column | None = None,
     max_scatter: int | None = None,
     view: "IncrementalAggView | None" = None,
+    tombstone_predicate: Column | None = None,
 ) -> DataFrame:
     """Stream → keyed MERGE sink (S5/T2; reference con.py:55-63).  Each
     micro-batch upserts into the keyed table inside foreachBatch;
@@ -199,13 +200,32 @@ def upsert_stream_run(
     reference's per-dashboard-load full re-aggregation (app.py:58).
     Refresh is a pure function of the base manifest, so batch replay
     stays a fixed point (the extra refresh is a no-op).  Per-batch
-    outcomes land in `view.refresh_log`."""
+    outcomes land in `view.refresh_log`.
+
+    `tombstone_predicate` (ManifestSnapshotTable sinks only): CDC
+    delete markers — the Debezium ``op='d'`` shape.  Within each
+    micro-batch the latest record per key (by the table's order
+    columns) decides: tombstone → the key is DELETED from the table
+    (partition-pruned, see `ManifestSnapshotTable.delete`), otherwise
+    upserted.  Batches apply in arrival order, so a later batch's
+    record resurrects a previously-deleted key regardless of event
+    time — standard CDC apply-in-commit-order semantics (a hard delete
+    keeps no tombstone timestamp to compare against).  Replaying a
+    batch re-applies the same split, so delivery stays effectively
+    once."""
     wd = workdir or _workdir("upsert")
     ckpt = os.path.join(wd, "ckpt")
     quarantine_dir = os.path.join(wd, "quarantine")
     if view is not None and view.base is not table:
         raise ValueError(
             "view must be an IncrementalAggView over the sink table"
+        )
+    if tombstone_predicate is not None and not isinstance(
+        table, ManifestSnapshotTable
+    ):
+        raise TypeError(
+            "tombstone_predicate needs a ManifestSnapshotTable sink "
+            "(keyed deletes)"
         )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -216,7 +236,19 @@ def upsert_stream_run(
             good = batch_df.filter(
                 F.coalesce(quarantine_predicate, F.lit(False))
             )
-        table.upsert(good)
+        if tombstone_predicate is not None:
+            from ..operators.windows import latest_by_key
+
+            latest = latest_by_key(
+                good,
+                table.keys,
+                [F.col(c).desc() for c in table.order_cols],
+            )
+            dead = F.coalesce(tombstone_predicate, F.lit(False))
+            table.upsert(latest.filter(~dead))
+            table.delete(latest.filter(dead).select(*table.keys))
+        else:
+            table.upsert(good)
         if max_scatter is not None:
             if not isinstance(table, ManifestSnapshotTable):
                 raise TypeError(

@@ -531,3 +531,90 @@ def test_stream_near_dup_batch_boundary_independent(spark, tmp_path):
     got = sorted(tuple(r) for r in streamed.collect())
     want = sorted(tuple(r) for r in single.collect())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# CDC apply with delete tombstones (Debezium op='d'): within a batch the
+# latest record per key decides upsert vs keyed DELETE; batches apply in
+# arrival order (a later batch's record resurrects a deleted key).
+# ---------------------------------------------------------------------------
+TOMB_SCHEMA = "day string, k int, v string, seq int, op string"
+
+
+def _stage_tomb(spark, rows, src, name, mtime):
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(rows, TOMB_SCHEMA)
+    tmp = tempfile.mkdtemp(prefix="tomb_stage_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            os.path.join(tmp, n)
+            for n in sorted(os.listdir(tmp))
+            if n.endswith(".parquet")
+        )
+        os.makedirs(src, exist_ok=True)
+        dst = os.path.join(src, name)
+        os.replace(part, dst)
+        os.utime(dst, (mtime, mtime))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_tombstones_delete_and_resurrect(spark, workdir):
+    src = os.path.join(workdir, "src")
+    # batch 1: insert a/b/c; b's LATEST record in-batch is a tombstone
+    _stage_tomb(spark, [
+        ("d1", 1, "a", 1, "u"),
+        ("d1", 2, "b", 1, "u"), ("d1", 2, None, 2, "d"),
+        ("d2", 3, "c", 1, "u"),
+    ], src, "b1.parquet", 1_000_000_000)
+    # batch 2: tombstone a; resurrect b with an OLDER seq (arrival order
+    # wins across batches — the hard delete kept no tombstone to compare)
+    _stage_tomb(spark, [
+        ("d1", 1, None, 9, "d"),
+        ("d1", 2, "b2", 1, "u"),
+    ], src, "b2.parquet", 1_000_000_100)
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        ManifestSnapshotTable,
+    )
+
+    table = ManifestSnapshotTable(
+        spark,
+        os.path.join(workdir, "tbl"),
+        keys=["day", "k"],
+        order_cols=["seq"],
+        partition_by=["day"],
+    )
+    out = upsert_stream_run(
+        spark,
+        file_stream(spark, src, TOMB_SCHEMA, max_files_per_trigger=1),
+        table,
+        workdir=os.path.join(workdir, "run"),
+        tombstone_predicate=F.col("op") == "d",
+    )
+    got = {(r.day, r.k, r.v) for r in out.collect()}
+    assert got == {("d1", 2, "b2"), ("d2", 3, "c")}
+    # d2 was never touched by a tombstone batch: still held by v1
+    assert table.manifest()["day=d2"] == 1
+
+
+def test_stream_tombstones_require_manifest_sink(spark, workdir):
+    src = os.path.join(workdir, "src")
+    _stage_tomb(
+        spark, [("d1", 1, "a", 1, "u")], src, "b1.parquet", 1_000_000_000
+    )
+    table = KeyedParquetTable(
+        spark, os.path.join(workdir, "tbl"), keys=["day", "k"],
+        order_cols=["seq"],
+    )
+    with pytest.raises(TypeError, match="ManifestSnapshotTable"):
+        upsert_stream_run(
+            spark,
+            file_stream(spark, src, TOMB_SCHEMA),
+            table,
+            workdir=os.path.join(workdir, "run"),
+            tombstone_predicate=F.col("op") == "d",
+        )
