@@ -840,6 +840,36 @@ class ManifestSnapshotTable:
             .select("_change_type", *out_cols)
         )
 
+    def tail_changes(
+        self, since_version: int | None
+    ) -> tuple[DataFrame | None, int]:
+        """Incremental-consumer cursor over the change feed: returns
+        ``(feed, cursor)`` where ``feed`` is everything that changed
+        since the caller's last cursor and ``cursor`` is the version to
+        pass next time.  ``since_version=None`` is the initial load —
+        the full current snapshot tagged ``'insert'``.  When nothing new
+        committed, feed is None and the cursor is unchanged.  This is
+        the polling half of a CDF subscription (the availableNow
+        trigger's shape): consumers checkpoint the cursor, not offsets,
+        and each poll costs the commits since the last one."""
+        vs = self.versions()
+        if not vs:
+            return None, 0
+        latest = vs[-1]
+        if since_version is None:
+            snap = self.read(latest)
+            if snap is None:
+                return None, latest
+            return (
+                snap.withColumn("_change_type", F.lit("insert")).select(
+                    "_change_type", *snap.columns
+                ),
+                latest,
+            )
+        if since_version >= latest:
+            return None, since_version
+        return self.changes(since_version, latest), latest
+
     # -- maintenance ----------------------------------------------------
     def compact(self) -> int:
         """Checkpoint commit: rewrite EVERY live partition under one new

@@ -965,6 +965,33 @@ class TestManifestChangeFeed:
         with _pytest.raises(ValueError, match="from_version < to_version"):
             t.changes(1, 1)
 
+    def test_tail_changes_cursor_protocol(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path)
+        feed, cur = t.tail_changes(None)
+        assert feed is None and cur == 0  # empty table
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1), ("d2", 2, "b", 1)]))
+        feed, cur = t.tail_changes(None)  # initial load: all inserts
+        assert cur == 1
+        assert self._set(feed) == {
+            ("insert", "d1", 1, "a"), ("insert", "d2", 2, "b"),
+        }
+        feed, cur2 = t.tail_changes(cur)  # nothing new
+        assert feed is None and cur2 == cur
+        t.upsert(self._rows(spark, [("d1", 1, "a2", 2)]))
+        t.delete(spark.createDataFrame([("d2", 2)], "day string, k int"))
+        feed, cur3 = t.tail_changes(cur)
+        assert cur3 == 3
+        assert self._set(feed) == {
+            ("update_postimage", "d1", 1, "a2"),
+            ("delete", "d2", 2, "b"),
+        }
+
+    @staticmethod
+    def _set(feed):
+        return {
+            (r._change_type, r.day, r.k, r.v) for r in feed.collect()
+        }
+
 
 class TestManifestEscaping:
     def test_hive_special_chars_round_trip(self, spark, tmp_path):
