@@ -26,10 +26,13 @@ aggregates keyed by the base table's manifest:
 
 Soundness requirements (all checked or documented):
 
-- Measures must be decomposable: sum / count / min / max (avg = sum ÷
-  count at read time).  Holistic aggregates (exact quantiles, count
-  distinct) don't merge from partials; use the sketch operators for
-  those.
+- Measures must be decomposable: sum / count / min / max, plus avg
+  (partials = exact integer sum + count, one IEEE division at read
+  time) and hll_distinct (partials = the 16 max-rank registers of the
+  portable HyperLogLog sketch, merged with MAX — the mergeable-sketch
+  form of a distinct count, since exact COUNT(DISTINCT) is holistic
+  and cannot merge from partials).  Exact quantiles remain out of
+  scope; use the sketch operators directly.
 - The optional ``prepare`` transform runs per fragment before
   aggregation and must be ROW-LOCAL and deterministic (derive a day
   bucket, cast, filter) — anything that looks across rows would break
@@ -55,13 +58,117 @@ from pyspark.sql import functions as F
 
 from .upsert import ManifestSnapshotTable
 
-#: measure kinds → (partial aggregate, merge aggregate)
-_KINDS = {
+# ---------------------------------------------------------------------------
+# Measure kinds.  Each kind is a decomposable aggregate expressed as
+# (partial aggregates over raw rows) → (merge aggregates over partials)
+# → (finalizer over merged partials).  Simple kinds carry one partial
+# column; `avg` carries (sum, count) and divides at read time;
+# `hll_distinct` carries the 16 max-rank registers of the portable
+# HyperLogLog sketch (operators/sketches.py, p=4) — the mergeable-
+# sketch partial that makes DISTINCT counts continuous-aggregate-able
+# (a plain COUNT(DISTINCT) is holistic and cannot merge from partials).
+# ---------------------------------------------------------------------------
+_HLL_P = 4
+_HLL_M = 1 << _HLL_P
+_HLL_W1 = 60 - _HLL_P + 1  # 57: width+1 for p=4 (see sketches.hll_rho)
+_HLL_ALPHA_M2 = 0.673 * float(_HLL_M * _HLL_M)
+
+_SIMPLE = {
     "sum": (F.sum, F.sum),
     "count": (lambda c: F.count(c), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
+
+KINDS = tuple(_SIMPLE) + ("avg", "hll_distinct")
+
+
+def _hll_fields(col: Column) -> tuple[Column, Column]:
+    from .dedup import portable_hash64
+    from .sketches import hll_rho
+
+    h = portable_hash64(col.cast("string"))
+    bucket = h.bitwiseAND(F.lit(_HLL_M - 1))
+    rho = hll_rho(F.shiftright(h, _HLL_P), _HLL_W1 - 1)
+    return bucket, rho
+
+
+def _partial_aggs(name: str, src: str | None, kind: str) -> list[Column]:
+    col = F.lit(1) if src is None else F.col(src)
+    if kind in _SIMPLE:
+        part, _ = _SIMPLE[kind]
+        return [part(col).alias(f"__p_{name}__0")]
+    if kind == "avg":
+        return [
+            F.sum(col).alias(f"__p_{name}__0"),
+            F.count(col).alias(f"__p_{name}__1"),
+        ]
+    # hll_distinct: one max-rank register per bucket
+    bucket, rho = _hll_fields(col)
+    return [
+        F.max(F.when(bucket == i, rho)).alias(f"__p_{name}__{i}")
+        for i in range(_HLL_M)
+    ]
+
+
+def _merge_aggs(name: str, kind: str) -> list[Column]:
+    if kind in _SIMPLE:
+        _, merge = _SIMPLE[kind]
+        return [merge(F.col(f"__p_{name}__0")).alias(f"__m_{name}__0")]
+    if kind == "avg":
+        return [
+            F.sum(f"__p_{name}__0").alias(f"__m_{name}__0"),
+            F.sum(f"__p_{name}__1").alias(f"__m_{name}__1"),
+        ]
+    return [
+        F.max(f"__p_{name}__{i}").alias(f"__m_{name}__{i}")
+        for i in range(_HLL_M)
+    ]
+
+
+def _final_expr(name: str, kind: str) -> Column:
+    if kind in _SIMPLE:
+        return F.col(f"__m_{name}__0").alias(name)
+    if kind == "avg":
+        # exact integer sum/count; ONE shared IEEE division, quantized
+        # with the repo-wide FLOOR(x·s+0.5)/s so both engines hash equal
+        est = (
+            F.col(f"__m_{name}__0").cast("double")
+            / F.col(f"__m_{name}__1").cast("double")
+        )
+        return (
+            F.floor(est * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        ).alias(name)
+    # hll_distinct: raw-HLL estimate from the merged registers — exact
+    # BIGINT sum_scaled, one IEEE division (sketches.hll_estimate twin)
+    regs = [F.col(f"__m_{name}__{i}") for i in range(_HLL_M)]
+    nb = sum(
+        (r.isNotNull().cast("long") for r in regs), F.lit(0).cast("long")
+    )
+    observed = sum(
+        (
+            F.coalesce(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), "
+                    f"{_HLL_W1} - `__m_{name}__{i}`)"
+                ),
+                F.lit(0).cast("long"),
+            )
+            for i in range(_HLL_M)
+        ),
+        F.lit(0).cast("long"),
+    )
+    sum_scaled = observed + (F.lit(_HLL_M) - nb) * F.expr(
+        f"shiftleft(cast(1 as bigint), {_HLL_W1})"
+    )
+    est = (
+        F.lit(_HLL_ALPHA_M2)
+        * F.pow(F.lit(2.0), F.lit(float(_HLL_W1)))
+        / sum_scaled.cast("double")
+    )
+    return (
+        F.floor(est * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)
+    ).alias(name)
 
 
 class IncrementalAggView:
@@ -74,8 +181,8 @@ class IncrementalAggView:
         aggregates.
     group_cols : columns of the (prepared) base rows to group by.
     measures : sequence of ``(out_name, src_col, kind)`` with kind in
-        ``{"sum", "count", "min", "max"}``; ``src_col=None`` with
-        ``"count"`` counts rows.
+        ``KINDS`` = {"sum", "count", "min", "max", "avg",
+        "hll_distinct"}; ``src_col=None`` with ``"count"`` counts rows.
     prepare : optional row-local DataFrame transform applied to each
         fragment's rows before aggregation (derive buckets, filter).
     """
@@ -104,10 +211,10 @@ class IncrementalAggView:
         if not self.measures:
             raise ValueError("IncrementalAggView requires measures")
         for name, _src, kind in self.measures:
-            if kind not in _KINDS:
+            if kind not in KINDS:
                 raise ValueError(
                     f"measure {name!r}: kind {kind!r} not decomposable "
-                    f"(supported: {sorted(_KINDS)})"
+                    f"(supported: {sorted(KINDS)})"
                 )
         overlap = set(self.group_cols) & {m[0] for m in self.measures}
         if overlap:
@@ -154,12 +261,7 @@ class IncrementalAggView:
         # the changed fragments' rows via a broadcast anti-join
         aggs = []
         for name, src, kind in self.measures:
-            part, _merge = _KINDS[kind]
-            aggs.append(
-                part(F.lit(1) if src is None else F.col(src)).alias(
-                    f"__p_{name}"
-                )
-            )
+            aggs.extend(_partial_aggs(name, src, kind))
         return df.groupBy(
             *self.base.partition_by, *self.group_cols
         ).agg(*aggs)
@@ -251,7 +353,12 @@ class IncrementalAggView:
             os.path.join(self._vdir(v), "partials.parquet")
         )
         merges = []
+        finals = []
         for name, _src, kind in self.measures:
-            _part, merge = _KINDS[kind]
-            merges.append(merge(F.col(f"__p_{name}")).alias(name))
-        return partials.groupBy(*self.group_cols).agg(*merges)
+            merges.extend(_merge_aggs(name, kind))
+            finals.append(_final_expr(name, kind))
+        return (
+            partials.groupBy(*self.group_cols)
+            .agg(*merges)
+            .select(*self.group_cols, *finals)
+        )

@@ -4085,6 +4085,124 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch measures inside the materialized view: avg rides as exact
+# (sum, count) partials, and DISTINCT users ride as mergeable
+# HyperLogLog registers (p=4, portable md5-prefix hash) — the partial
+# form that makes a distinct-count KPI continuous-aggregate-able at
+# all (exact COUNT(DISTINCT) is holistic and cannot merge from
+# partials).  The oracle recomputes the identical register arithmetic
+# in DuckDB, so even the estimates hash-compare exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "matview_sketch_rollup",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 1 AND event_type = 'click'
+    ), latest AS (
+        SELECT user_id, event_type, event_id,
+               CAST(tsn // 86400000000000 AS BIGINT) AS day_num
+        FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    ), plain AS (
+        SELECT day_num,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               FLOOR(CAST(SUM(event_id) AS DOUBLE)
+                     / CAST(COUNT(event_id) AS DOUBLE) * 1e9 + 0.5) / 1e9
+                   AS avg_event_id
+        FROM latest GROUP BY day_num
+    ), br AS (
+        SELECT day_num, hv & 15 AS bucket,
+               CASE WHEN (hv >> 4) = 0 THEN 57
+                    ELSE 57 - LENGTH(bin(hv >> 4)) END AS rho
+        FROM (
+            SELECT day_num,
+                   ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT
+                       AS hv
+            FROM latest)
+    ), regs AS (
+        SELECT day_num, bucket, MAX(rho) AS register
+        FROM br GROUP BY day_num, bucket
+    ), sk AS (
+        SELECT day_num, COUNT(*) AS nb,
+               SUM(1::BIGINT << (57 - register)) AS observed
+        FROM regs GROUP BY day_num
+    )
+    SELECT p.day_num, p.n_keys, p.avg_event_id,
+           FLOOR(((0.673 * 256.0) * POWER(2.0, 57.0))
+                 / CAST(sk.observed + (16 - sk.nb) * (1::BIGINT << 57)
+                        AS DOUBLE)
+                 * 1000.0 + 0.5) / 1000.0 AS du_users
+    FROM plain p JOIN sk ON p.day_num = sk.day_num
+    """,
+    doc="materialized view with sketch measures: avg as exact "
+    "(sum,count) partials and distinct users as mergeable HLL(p=4) "
+    "registers riding the per-fragment partials; second refresh "
+    "recomputes 1 fragment (proved from refresh counters); the oracle "
+    "recomputes the identical register arithmetic in DuckDB",
+)
+def q_matview_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.matview import IncrementalAggView
+    from ..operators.upsert import ManifestSnapshotTable
+
+    day_ns = 86_400_000_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    base = ManifestSnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_mvskb_"),
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    )
+    view = IncrementalAggView(
+        spark,
+        tempfile.mkdtemp(prefix="sparkgraft_mvsk_"),
+        base,
+        group_cols=["day_num"],
+        measures=[
+            ("n_keys", None, "count"),
+            ("avg_event_id", "event_id", "avg"),
+            ("du_users", "user_id", "hll_distinct"),
+        ],
+        prepare=lambda df: df.withColumn(
+            "day_num", F.expr(f"ts_nanos DIV {day_ns}")
+        ),
+    )
+    try:
+        base.upsert(e.filter(F.col("event_id") % 3 == 0))
+        view.refresh()
+        base.upsert(
+            e.filter(
+                (F.col("event_id") % 3 == 1)
+                & (F.col("event_type") == "click")
+            )
+        )
+        info = view.refresh()
+        if info["recomputed"] != 1 or info["inherited"] != info["total"] - 1:
+            raise RuntimeError(
+                f"sketch matview refresh was not incremental: {info}"
+            )
+        agg = view.read()
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(base.path, ignore_errors=True)
+        shutil.rmtree(view.path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured handling via VariantType (Spark 4): props parses ONCE
 # into the binary variant encoding and every field access is a typed
 # path lookup — at scale this replaces repeated get_json_object string

@@ -180,6 +180,70 @@ class TestIncrementalAggView:
                 [("grp", "v", "sum")],
             )
 
+    def test_avg_and_hll_measures_merge_from_partials(self, spark, tmp_path):
+        """avg and hll_distinct stay correct across incremental
+        refreshes: the merged view equals the same aggregate computed
+        directly over the full base (identical arithmetic, so exact
+        equality — not approximate)."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        base = _mk_base(spark, tmp_path)
+        view = IncrementalAggView(
+            spark,
+            str(tmp_path / "mv2"),
+            base,
+            group_cols=["grp"],
+            measures=[
+                ("avg_v", "v", "avg"),
+                ("du", "k", "hll_distinct"),
+            ],
+            prepare=lambda df: df.withColumn("grp", F.col("k") % 2),
+        )
+        base.upsert(_rows(spark, [
+            ("d1", 1, 10, 1), ("d1", 2, 20, 1), ("d2", 3, 31, 1),
+            ("d2", 4, 40, 1), ("d3", 5, 50, 1),
+        ]))
+        view.refresh()
+        # incremental: touch ONLY d2 (replace k=3, add k=6)
+        base.upsert(_rows(spark, [("d2", 3, 30, 2), ("d2", 6, 60, 2)]))
+        info = view.refresh()
+        assert info["recomputed"] == 1
+        got = {
+            (r.grp, r.avg_v, r.du) for r in view.read().collect()
+        }
+        prepared = base.read().withColumn("grp", F.col("k") % 2)
+        avg_direct = {
+            (r.grp, r.avg_v)
+            for r in prepared.groupBy("grp")
+            .agg(
+                (
+                    F.floor(
+                        F.sum("v").cast("double")
+                        / F.count("v").cast("double")
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e9)
+                ).alias("avg_v")
+            )
+            .collect()
+        }
+        hll_direct = {
+            (r.grp, r.est_distinct)
+            for r in hll_estimate(
+                hll_registers(
+                    prepared, F.col("k"), p=4, group_cols=["grp"]
+                ),
+                p=4,
+                group_cols=["grp"],
+            ).collect()
+        }
+        assert {(g, a) for g, a, _ in got} == avg_direct
+        assert {(g, d) for g, _, d in got} == hll_direct
+
     def test_refresh_log_records_every_outcome(self, spark, tmp_path):
         base = _mk_base(spark, tmp_path)
         view = _mk_view(spark, tmp_path, base)
