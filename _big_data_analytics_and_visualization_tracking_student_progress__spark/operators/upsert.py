@@ -474,6 +474,15 @@ class ManifestSnapshotTable:
         treat a missing envelope as unprunable."""
         return self._manifest_doc(version).get("stats", {})
 
+    def file_stats(
+        self, version: int | None = None
+    ) -> dict[str, dict[str, dict[str, list]]]:
+        """Per-FILE zone maps: partition-dir-fragment → {file name →
+        {stats_col: [min, max]}}.  The finer tier below
+        `fragment_stats`; absent for pre-file-stats commits (readers
+        keep whole fragments conservatively)."""
+        return self._manifest_doc(version).get("file_stats", {})
+
     # -- read -----------------------------------------------------------
     def _read_fragments(
         self, frag_to_version: dict[str, int]
@@ -508,25 +517,31 @@ class ManifestSnapshotTable:
 
     def read_where(
         self, col: str, lo, hi, version: int | None = None
-    ) -> tuple[DataFrame | None, int, int]:
-        """Zone-map-pruned range read: resolve the manifest, drop every
-        fragment whose recorded [min, max] envelope for ``col`` misses
-        the inclusive range [lo, hi] WITHOUT touching its files, scan
-        only the survivors, then apply the exact predicate.  Fragments
-        with no recorded envelope (committed before ``stats_cols``, or
-        the column absent from that commit's schema) are kept
-        conservatively — pruning is an optimization, never a filter.
+    ) -> tuple[DataFrame | None, int, int, int, int]:
+        """Zone-map-pruned range read, two tiers of data skipping on
+        metadata alone: (1) drop every FRAGMENT whose recorded
+        [min, max] envelope for ``col`` misses the inclusive range
+        [lo, hi]; (2) inside surviving fragments, drop every FILE whose
+        per-file envelope misses it — which pays once
+        ``compact(cluster_by=[col])`` has laid files out over disjoint
+        ranges.  Anything without a recorded envelope (fragments or
+        files from pre-``stats_cols`` commits, or a column absent from
+        that commit's schema) is kept conservatively — pruning is an
+        optimization, never a filter.  The survivors are scanned and
+        the exact predicate applied.
 
         This is manifest-level data skipping on non-partition columns —
         at fact-table scale the difference between scanning 2 daily
         partitions and 2000 — complementing the hive-path partition
         pruning read() already gets for ``partition_by`` columns.
-        Returns ``(frame, fragments_kept, fragments_total)``; frame is
-        None on an empty table.
+        Returns ``(frame, fragments_kept, fragments_total, files_kept,
+        files_total)``; frame is None on an empty table.  File counts
+        cover the SURVIVING fragments (the denominator pruning tier 2
+        works against).
         """
         m = self.manifest(version)
         if not m:
-            return None, 0, 0
+            return None, 0, 0, 0, 0
         st = self.fragment_stats(version)
         keep: dict[str, int] = {}
         for frag, v in m.items():
@@ -543,8 +558,57 @@ class ManifestSnapshotTable:
                 self._read_fragments(m).filter(F.lit(False)),
                 0,
                 len(m),
+                0,
+                0,
             )
-        return self._read_fragments(keep).filter(pred), len(keep), len(m)
+        # tier 2: file-level skipping inside the surviving fragments
+        fst = self.file_stats(version)
+        files_total = files_kept = 0
+        by_version: dict[int, list[str]] = {}
+        for frag, v in keep.items():
+            frag_dir = os.path.join(self._data_dir(v), frag)
+            fdoc = fst.get(frag)
+            if not fdoc:
+                # no per-file envelopes: whole fragment, conservatively
+                n = sum(
+                    1
+                    for name in os.listdir(frag_dir)
+                    if name.endswith(".parquet")
+                )
+                files_total += n
+                files_kept += n
+                by_version.setdefault(v, []).append(frag_dir)
+                continue
+            files_total += len(fdoc)
+            for fname, envs in sorted(fdoc.items()):
+                e = envs.get(col)
+                unprunable = e is None or e[0] is None or e[1] is None
+                if unprunable or not (e[1] < lo or e[0] > hi):
+                    files_kept += 1
+                    by_version.setdefault(v, []).append(
+                        os.path.join(frag_dir, fname)
+                    )
+        if not by_version:
+            # every file pruned: empty frame with the table schema
+            return (
+                self._read_fragments(m).filter(F.lit(False)),
+                len(keep),
+                len(m),
+                0,
+                files_total,
+            )
+        out = None
+        for v, paths in sorted(by_version.items()):
+            df = (
+                self.spark.read.option("basePath", self._data_dir(v))
+                .parquet(*sorted(paths))
+            )
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+        return out.filter(pred), len(keep), len(m), files_kept, files_total
 
     def _compute_stats(self, new_v: int) -> dict[str, dict[str, list]]:
         """Per-fragment [min, max] envelopes for ``stats_cols`` over the
@@ -570,6 +634,42 @@ class ManifestSnapshotTable:
             d = r.asDict()
             frag = self._part_key([d[c] for c in self.partition_by])
             out[frag] = {
+                c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in present
+            }
+        return out
+
+    def _compute_file_stats(
+        self, new_v: int
+    ) -> dict[str, dict[str, dict[str, list]]]:
+        """Per-FILE [min, max] envelopes for ``stats_cols`` over the
+        files just written under ``new_v`` — the finer tier of the
+        data-skipping index (fragment envelopes bound whole partitions;
+        file envelopes let `read_where` skip individual files inside a
+        surviving fragment, which pays once `compact(cluster_by=...)`
+        lays files out over disjoint ranges).  One row per data file —
+        bounded control data, same single stats-column read as
+        `_compute_stats`."""
+        if not self.stats_cols:
+            return {}
+        df = self.spark.read.option(
+            "basePath", self._data_dir(new_v)
+        ).parquet(self._data_dir(new_v))
+        present = [c for c in self.stats_cols if c in df.columns]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs.append(F.min(c).alias(f"mn_{c}"))
+            aggs.append(F.max(c).alias(f"mx_{c}"))
+        grouped = df.groupBy(
+            F.col("_metadata.file_path").alias("__fp"), *self.partition_by
+        ).agg(*aggs)
+        out: dict[str, dict[str, dict[str, list]]] = {}
+        for r in grouped.collect():
+            d = r.asDict()
+            frag = self._part_key([d[c] for c in self.partition_by])
+            fname = os.path.basename(d["__fp"])
+            out.setdefault(frag, {})[fname] = {
                 c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in present
             }
         return out
@@ -634,6 +734,13 @@ class ManifestSnapshotTable:
             } if prev else {}
             stats.update(self._compute_stats(new_v))
             doc["stats"] = stats
+            fstats = {
+                frag: s
+                for frag, s in self.file_stats().items()
+                if frag not in frags
+            } if prev else {}
+            fstats.update(self._compute_file_stats(new_v))
+            doc["file_stats"] = fstats
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
         # commit marker LAST: a crash before this line leaves the new
@@ -755,6 +862,13 @@ class ManifestSnapshotTable:
             }
             stats.update(self._compute_stats(new_v))
             doc["stats"] = stats
+            fstats = {
+                f: s
+                for f, s in self.file_stats().items()
+                if f not in frags
+            }
+            fstats.update(self._compute_file_stats(new_v))
+            doc["file_stats"] = fstats
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
@@ -871,9 +985,23 @@ class ManifestSnapshotTable:
         return self.changes(since_version, latest), latest
 
     # -- maintenance ----------------------------------------------------
-    def compact(self) -> int:
+    def compact(
+        self,
+        cluster_by: Sequence[str] | None = None,
+        cluster_files: int = 8,
+    ) -> int:
         """Checkpoint commit: rewrite EVERY live partition under one new
         version so the latest manifest references a single holder.
+
+        ``cluster_by``: OPTIMIZE-with-clustering — instead of one file
+        per partition, range-partition the rewrite on (partition cols,
+        cluster cols) across ``cluster_files`` tasks and sort within
+        each, so a fragment's files own DISJOINT cluster-column ranges.
+        Combined with the per-file zone maps every stats commit records,
+        `read_where` then skips individual files inside a surviving
+        fragment (Delta's OPTIMIZE ZORDER BY, for one key family), and
+        the in-file sort tightens parquet row-group min/max for the
+        scan that remains.  Still observationally the identity.
 
         Incremental commits scatter a snapshot's files across version
         dirs (each partition lives wherever it was last rewritten), so
@@ -904,16 +1032,25 @@ class ManifestSnapshotTable:
         if not prev:
             return 0
         cur = self.versions()[-1]
-        if set(prev.values()) == {cur}:
+        if set(prev.values()) == {cur} and not cluster_by:
+            # already single-holder; with cluster_by the rewrite is a
+            # LAYOUT change, wanted even when no scatter exists
             return cur
         new_v = cur + 1
         vdir = self._vdir(new_v)
         shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt's debris
-        (
-            self._read_fragments(prev)
-            .repartition(*[F.col(c) for c in self.partition_by])
-            .write.partitionBy(*self.partition_by)
-            .parquet(self._data_dir(new_v))
+        src = self._read_fragments(prev)
+        if cluster_by:
+            lay_cols = [
+                F.col(c) for c in (*self.partition_by, *cluster_by)
+            ]
+            out = src.repartitionByRange(
+                cluster_files, *lay_cols
+            ).sortWithinPartitions(*lay_cols)
+        else:
+            out = src.repartition(*[F.col(c) for c in self.partition_by])
+        out.write.partitionBy(*self.partition_by).parquet(
+            self._data_dir(new_v)
         )
         # same commit soundness gate as upsert(): the manifest must name
         # exactly the dirs Spark wrote — a pure rewrite drops no
@@ -933,6 +1070,7 @@ class ManifestSnapshotTable:
             # full rewrite: recompute every envelope, which also
             # backfills fragments committed before stats_cols was set
             doc["stats"] = self._compute_stats(new_v)
+            doc["file_stats"] = self._compute_file_stats(new_v)
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
         with open(os.path.join(vdir, "_SUCCESS"), "w"):

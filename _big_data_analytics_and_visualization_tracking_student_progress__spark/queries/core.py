@@ -3755,7 +3755,7 @@ def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.upsert(ev)
         lo = dmin + 5 * day_ns
         hi = dmin + 7 * day_ns - 1
-        df, kept, total = table.read_where("ts_nanos", lo, hi)
+        df, kept, total, _fk, _ft = table.read_where("ts_nanos", lo, hi)
         # pruning proof: exactly the two intersecting day fragments are
         # scanned (buckets 5 and 6 — bucket envelopes nest in bucket
         # boundaries by construction); everything else is skipped on
