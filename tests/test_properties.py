@@ -625,6 +625,7 @@ MAINT_OPS = st.lists(
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
         st.tuples(st.just("rollback"), st.integers(0, 5)),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("ccompact"), st.just(0)),  # cluster_by variant
     ),
     min_size=2,
     max_size=7,
@@ -686,6 +687,17 @@ def test_manifest_maintenance_equals_model(spark, ops):
                 t.vacuum()
                 t.keep_versions = None
                 readable = readable[-arg:]
+            elif op == "ccompact":
+                # clustered compact: observationally identity, but a
+                # LAYOUT change — commits even when already compact
+                if not readable or not model:
+                    assert t.compact(cluster_by=["k"]) == 0
+                    continue
+                new_v = readable[-1] + 1
+                assert t.compact(cluster_by=["k"], cluster_files=3) == new_v
+                assert set(t.manifest().values()) == {new_v}
+                states[new_v] = states[readable[-1]]
+                readable.append(new_v)
             elif op == "compact":
                 if not readable or not model:
                     # empty table OR fully-deleted latest snapshot
