@@ -518,17 +518,36 @@ class ManifestSnapshotTable:
     def read_where(
         self, col: str, lo, hi, version: int | None = None
     ) -> tuple[DataFrame | None, int, int, int, int]:
-        """Zone-map-pruned range read, two tiers of data skipping on
-        metadata alone: (1) drop every FRAGMENT whose recorded
-        [min, max] envelope for ``col`` misses the inclusive range
-        [lo, hi]; (2) inside surviving fragments, drop every FILE whose
-        per-file envelope misses it — which pays once
-        ``compact(cluster_by=[col])`` has laid files out over disjoint
-        ranges.  Anything without a recorded envelope (fragments or
-        files from pre-``stats_cols`` commits, or a column absent from
-        that commit's schema) is kept conservatively — pruning is an
-        optimization, never a filter.  The survivors are scanned and
-        the exact predicate applied.
+        """Single-column form of `read_where_all` — see there."""
+        return self.read_where_all([(col, lo, hi)], version)
+
+    @staticmethod
+    def _envelopes_intersect(envs: dict | None, conds) -> bool:
+        """True unless SOME condition's recorded envelope proves the
+        range empty.  Missing/partial envelopes are unprunable —
+        pruning is an optimization, never a filter."""
+        for col, lo, hi in conds:
+            env = (envs or {}).get(col)
+            if env is None or env[0] is None or env[1] is None:
+                continue
+            if env[1] < lo or env[0] > hi:
+                return False
+        return True
+
+    def read_where_all(
+        self, conds: Sequence[tuple], version: int | None = None
+    ) -> tuple[DataFrame | None, int, int, int, int]:
+        """Zone-map-pruned range read over a CONJUNCTION of ranges
+        (``conds`` = [(col, lo, hi), ...], all inclusive), two tiers of
+        data skipping on metadata alone: (1) drop every FRAGMENT whose
+        recorded [min, max] envelope for ANY condition's column misses
+        its range; (2) inside surviving fragments, drop every FILE the
+        same way — which pays once ``compact(cluster_by=[...])`` has
+        laid files out over disjoint ranges.  Anything without a
+        recorded envelope (fragments or files from pre-``stats_cols``
+        commits, or a column absent from that commit's schema) is kept
+        conservatively.  The survivors are scanned and the exact
+        AND-of-ranges predicate applied.
 
         This is manifest-level data skipping on non-partition columns —
         at fact-table scale the difference between scanning 2 daily
@@ -539,19 +558,21 @@ class ManifestSnapshotTable:
         cover the SURVIVING fragments (the denominator pruning tier 2
         works against).
         """
+        conds = [tuple(c) for c in conds]
+        if not conds:
+            raise ValueError("read_where_all needs at least one condition")
         m = self.manifest(version)
         if not m:
             return None, 0, 0, 0, 0
         st = self.fragment_stats(version)
         keep: dict[str, int] = {}
         for frag, v in m.items():
-            env = st.get(frag, {}).get(col)
-            unprunable = (
-                env is None or env[0] is None or env[1] is None
-            )
-            if unprunable or not (env[1] < lo or env[0] > hi):
+            if self._envelopes_intersect(st.get(frag), conds):
                 keep[frag] = v
-        pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        pred = None
+        for col, lo, hi in conds:
+            c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+            pred = c if pred is None else pred & c
         if not keep:
             # nothing intersects: an empty frame with the table schema
             return (
@@ -581,9 +602,7 @@ class ManifestSnapshotTable:
                 continue
             files_total += len(fdoc)
             for fname, envs in sorted(fdoc.items()):
-                e = envs.get(col)
-                unprunable = e is None or e[0] is None or e[1] is None
-                if unprunable or not (e[1] < lo or e[0] > hi):
+                if self._envelopes_intersect(envs, conds):
                     files_kept += 1
                     by_version.setdefault(v, []).append(
                         os.path.join(frag_dir, fname)

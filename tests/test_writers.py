@@ -723,6 +723,32 @@ class TestManifestSnapshotTable:
         assert fs2["day=d1"] == fs1["day=d1"]
         assert fs2["day=d2"] != fs1["day=d2"]
 
+    def test_read_where_all_conjunction_prunes_on_any_column(
+        self, spark, tmp_path
+    ):
+        """Multi-column skipping: a fragment survives only if EVERY
+        condition's envelope intersects; result equals the full
+        AND-filter exactly."""
+        t = self._mk(spark, tmp_path, stats_cols=["seq", "k"])
+        t.upsert(self._rows(spark, [
+            ("d1", 1, "a", 1), ("d1", 2, "b", 3),    # seq [1,3]  k [1,2]
+            ("d2", 5, "c", 10), ("d2", 6, "d", 12),  # seq [10,12] k [5,6]
+            ("d3", 1, "e", 20), ("d3", 9, "f", 22),  # seq [20,22] k [1,9]
+        ]))
+        # seq range admits d2+d3; k range admits d1+d3 → only d3 kept
+        df, kept, total, _fk, _ft = t.read_where_all(
+            [("seq", 10, 25), ("k", 0, 2)]
+        )
+        assert (kept, total) == (1, 3)
+        got = {(r.day, r.k, r.seq) for r in df.collect()}
+        full = {
+            (r.day, r.k, r.seq)
+            for r in t.read()
+            .filter("seq between 10 and 25 and k between 0 and 2")
+            .collect()
+        }
+        assert got == full == {("d3", 1, 20)}
+
     def test_read_where_conservative_without_file_stats(
         self, spark, tmp_path
     ):
