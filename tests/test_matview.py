@@ -326,6 +326,61 @@ class TestStreamingContinuousAggregate:
         ] == [(2, 0), (1, 1)]
         assert _frame_set(view.read()) == _frame_set(_direct(base))
 
+    def test_view_converges_under_streamed_tombstones(self, spark, tmp_path):
+        """Tombstone deletes move or drop fragments; the continuous
+        aggregate refreshed per batch must still equal the direct
+        aggregate of the final table."""
+        from pyspark.sql.types import StructType
+
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (
+            file_stream,
+        )
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (
+            upsert_stream_run,
+        )
+
+        schema = "day string, k int, v int, seq int, op string"
+        watch = tmp_path / "in"
+        watch.mkdir()
+
+        def rows(data):
+            return spark.createDataFrame(data, schema)
+
+        self._stage(
+            rows([("d1", 1, 10, 1, "u"), ("d2", 3, 30, 1, "u"),
+                  ("d2", 5, 50, 1, "u")]),
+            watch, "b1.parquet", 1_000_000_000,
+        )
+        # batch 2: delete d2/k=3, update d2/k=5 — only d2's refresh runs
+        self._stage(
+            rows([("d2", 3, 0, 2, "d"), ("d2", 5, 51, 2, "u")]),
+            watch, "b2.parquet", 1_000_000_100,
+        )
+        base = _mk_base(spark, tmp_path)
+        view = _mk_view(spark, tmp_path, base)
+        upsert_stream_run(
+            spark,
+            file_stream(spark, str(watch), schema, max_files_per_trigger=1),
+            base,
+            workdir=str(tmp_path / "run"),
+            view=view,
+            tombstone_predicate=F.col("op") == "d",
+        )
+        assert _frame_set(view.read()) == _frame_set(
+            base.read()
+            .withColumn("grp", F.col("k") % 2)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sum_v"),
+                F.max("v").alias("max_v"),
+                F.min("v").alias("min_v"),
+            )
+        )
+        assert {(r.day, r.k, r.v) for r in base.read().collect()} == {
+            ("d1", 1, 10), ("d2", 5, 51),
+        }
+
     def test_view_over_wrong_base_is_rejected(self, spark, tmp_path):
         from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (
             upsert_stream_run,
