@@ -53,7 +53,7 @@ import os
 import shutil
 from typing import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .upsert import ManifestSnapshotTable
@@ -216,9 +216,12 @@ class IncrementalAggView:
                     f"measure {name!r}: kind {kind!r} not decomposable "
                     f"(supported: {sorted(KINDS)})"
                 )
-        overlap = set(self.group_cols) & {m[0] for m in self.measures}
+        dims = set(self.group_cols) | set(base.partition_by)
+        overlap = dims & {m[0] for m in self.measures}
         if overlap:
-            raise ValueError(f"measure names collide with group cols: {overlap}")
+            raise ValueError(
+                f"measure names collide with group/partition cols: {overlap}"
+            )
 
     # -- snapshot layout (self-contained versions, marker-gated) --------
     def _vdir(self, v: int) -> str:
@@ -262,9 +265,13 @@ class IncrementalAggView:
         aggs = []
         for name, src, kind in self.measures:
             aggs.extend(_partial_aggs(name, src, kind))
-        return df.groupBy(
-            *self.base.partition_by, *self.group_cols
-        ).agg(*aggs)
+        # group cols may overlap the partition cols (a daily rollup of
+        # a day-partitioned base is the natural shape) — dedupe so the
+        # partials carry each dimension once
+        dims = list(self.base.partition_by) + [
+            g for g in self.group_cols if g not in self.base.partition_by
+        ]
+        return df.groupBy(*dims).agg(*aggs)
 
     def refresh(self) -> dict:
         """Bring the view up to date with the base's latest snapshot.
@@ -280,38 +287,57 @@ class IncrementalAggView:
         prev_frags: dict[str, int] = {
             k: int(v) for k, v in state.get("fragments", {}).items()
         }
+        # evict = every fragment whose old partial rows may be stale:
+        # holder moved (changed) OR fragment left the manifest entirely
+        # (a delete emptied its partition).  Eviction keys off the OLD
+        # partials' own partition values (below), NOT the recomputed
+        # rows — a changed fragment whose recompute yields zero partial
+        # rows (prepare filtered everything, or all its rows were
+        # deleted) must still have its old rows evicted.
         dropped = set(prev_frags) - set(m)
-        if dropped:
-            # the base never removes fragments today; if one vanishes
-            # (manual surgery), stale partials can't be identified
-            # row-wise — rebuild from scratch rather than serve wrong
-            prev_frags = {}
         changed = {
             f: v for f, v in m.items() if prev_frags.get(f) != v
         }
-        if not changed and prev_frags:
+        evict = set(changed) | dropped
+        if not evict and prev_frags:
             return {
                 "version": -1,
                 "recomputed": 0,
                 "inherited": len(m),
                 "total": len(m),
             }
-        if not m:
+        if not m and not prev_frags:
             return {"version": -1, "recomputed": 0, "inherited": 0, "total": 0}
-        fresh = self._partials_for(changed)
+        pb = self.base.partition_by
+        fresh = self._partials_for(changed) if changed else None
         kept_frags = {f: v for f, v in m.items() if f not in changed}
-        if kept_frags and prev_frags:
+        old = None
+        if prev_frags:
             old = self.spark.read.parquet(
                 os.path.join(self._vdir(self.versions()[-1]), "partials.parquet")
             )
-            # replace changed fragments' partial rows: anti-join on the
-            # partition columns against the (small, broadcast) set of
-            # recomputed fragment combos
-            combos = fresh.select(*self.base.partition_by).distinct()
-            kept = old.join(
-                F.broadcast(combos), on=self.base.partition_by, how="left_anti"
+        if old is not None:
+            # one row per fragment — bounded control data; mapping each
+            # combo back through _part_key identifies the rows to evict
+            # with the exact types the partials table stores
+            combos = old.select(*pb).distinct()
+            evict_rows = [
+                r
+                for r in combos.collect()
+                if self.base._part_key([r[c] for c in pb]) in evict
+            ]
+            if evict_rows:
+                evict_df = self.spark.createDataFrame(
+                    evict_rows, combos.schema
+                )
+                old = old.join(
+                    F.broadcast(evict_df), on=list(pb), how="left_anti"
+                )
+            partials = (
+                old
+                if fresh is None
+                else old.unionByName(fresh, allowMissingColumns=True)
             )
-            partials = kept.unionByName(fresh, allowMissingColumns=True)
         else:
             partials = fresh
         new_v = (self.versions()[-1] + 1) if self.versions() else 1

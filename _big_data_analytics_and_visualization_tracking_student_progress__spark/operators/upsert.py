@@ -629,53 +629,34 @@ class ManifestSnapshotTable:
             )
         return out.filter(pred), len(keep), len(m), files_kept, files_total
 
-    def _compute_stats(self, new_v: int) -> dict[str, dict[str, list]]:
-        """Per-fragment [min, max] envelopes for ``stats_cols`` over the
-        files just written under version ``new_v``.  Reads back ONLY the
-        stats + partition columns (parquet column pruning) and produces
-        one row per written partition — bounded control data.  Columns
-        absent from this commit's schema get no envelope (readers keep
-        such fragments conservatively)."""
-        if not self.stats_cols:
-            return {}
-        df = self.spark.read.option(
-            "basePath", self._data_dir(new_v)
-        ).parquet(self._data_dir(new_v))
-        present = [c for c in self.stats_cols if c in df.columns]
-        if not present:
-            return {}
-        aggs = []
-        for c in present:
-            aggs.append(F.min(c).alias(f"mn_{c}"))
-            aggs.append(F.max(c).alias(f"mx_{c}"))
-        out: dict[str, dict[str, list]] = {}
-        for r in df.groupBy(*self.partition_by).agg(*aggs).collect():
-            d = r.asDict()
-            frag = self._part_key([d[c] for c in self.partition_by])
-            out[frag] = {
-                c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in present
-            }
-        return out
-
-    def _compute_file_stats(
+    def _compute_stats_both(
         self, new_v: int
-    ) -> dict[str, dict[str, dict[str, list]]]:
-        """Per-FILE [min, max] envelopes for ``stats_cols`` over the
-        files just written under ``new_v`` — the finer tier of the
-        data-skipping index (fragment envelopes bound whole partitions;
-        file envelopes let `read_where` skip individual files inside a
-        surviving fragment, which pays once `compact(cluster_by=...)`
-        lays files out over disjoint ranges).  One row per data file —
-        bounded control data, same single stats-column read as
-        `_compute_stats`."""
+    ) -> tuple[dict, dict]:
+        """Zone maps for the files just written under ``new_v``, BOTH
+        tiers from ONE stats-column read: per-file [min, max] envelopes
+        for ``stats_cols`` (one aggregate row per data file — bounded
+        control data), with the per-fragment envelopes folded from them
+        in plain Python (min of file-mins / max of file-maxes, NULLs
+        ignored like the SQL aggregates would).  Returns
+        ``(fragment_stats, file_stats)``.  Columns absent from this
+        commit's schema get no envelope, and a commit that wrote no
+        data files at all (a delete that emptied every touched
+        partition) gets empty stats — readers keep envelope-less
+        entries conservatively."""
         if not self.stats_cols:
-            return {}
-        df = self.spark.read.option(
-            "basePath", self._data_dir(new_v)
-        ).parquet(self._data_dir(new_v))
+            return {}, {}
+        data_dir = self._data_dir(new_v)
+        has_files = any(
+            name.endswith(".parquet")
+            for _dir, _subdirs, names in os.walk(data_dir)
+            for name in names
+        )
+        if not has_files:
+            return {}, {}
+        df = self.spark.read.option("basePath", data_dir).parquet(data_dir)
         present = [c for c in self.stats_cols if c in df.columns]
         if not present:
-            return {}
+            return {}, {}
         aggs = []
         for c in present:
             aggs.append(F.min(c).alias(f"mn_{c}"))
@@ -683,15 +664,23 @@ class ManifestSnapshotTable:
         grouped = df.groupBy(
             F.col("_metadata.file_path").alias("__fp"), *self.partition_by
         ).agg(*aggs)
-        out: dict[str, dict[str, dict[str, list]]] = {}
+        file_stats: dict[str, dict[str, dict[str, list]]] = {}
+        frag_stats: dict[str, dict[str, list]] = {}
         for r in grouped.collect():
             d = r.asDict()
             frag = self._part_key([d[c] for c in self.partition_by])
             fname = os.path.basename(d["__fp"])
-            out.setdefault(frag, {})[fname] = {
+            file_stats.setdefault(frag, {})[fname] = {
                 c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in present
             }
-        return out
+            env = frag_stats.setdefault(frag, {c: [None, None] for c in present})
+            for c in present:
+                mn, mx = d[f"mn_{c}"], d[f"mx_{c}"]
+                if mn is not None and (env[c][0] is None or mn < env[c][0]):
+                    env[c][0] = mn
+                if mx is not None and (env[c][1] is None or mx > env[c][1]):
+                    env[c][1] = mx
+        return frag_stats, file_stats
 
     # -- write ----------------------------------------------------------
     def upsert(self, batch: DataFrame) -> int:
@@ -746,19 +735,20 @@ class ManifestSnapshotTable:
             # zone maps: fresh envelopes for rewritten fragments,
             # untouched fragments inherit their envelope by reference —
             # the same commit discipline as the data files
+            new_fs, new_ffs = self._compute_stats_both(new_v)
             stats = {
                 frag: s
                 for frag, s in self.fragment_stats().items()
                 if frag not in frags
             } if prev else {}
-            stats.update(self._compute_stats(new_v))
+            stats.update(new_fs)
             doc["stats"] = stats
             fstats = {
                 frag: s
                 for frag, s in self.file_stats().items()
                 if frag not in frags
             } if prev else {}
-            fstats.update(self._compute_file_stats(new_v))
+            fstats.update(new_ffs)
             doc["file_stats"] = fstats
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
@@ -874,19 +864,20 @@ class ManifestSnapshotTable:
         manifest.update({f: new_v for f in written})
         doc = {"partition_by": self.partition_by, "partitions": manifest}
         if self.stats_cols:
+            new_fs, new_ffs = self._compute_stats_both(new_v)
             stats = {
                 f: s
                 for f, s in self.fragment_stats().items()
                 if f not in frags
             }
-            stats.update(self._compute_stats(new_v))
+            stats.update(new_fs)
             doc["stats"] = stats
             fstats = {
                 f: s
                 for f, s in self.file_stats().items()
                 if f not in frags
             }
-            fstats.update(self._compute_file_stats(new_v))
+            fstats.update(new_ffs)
             doc["file_stats"] = fstats
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
@@ -944,15 +935,19 @@ class ManifestSnapshotTable:
         new = new.unionByName(old.limit(0), allowMissingColumns=True)
         cols = new.columns
         data_cols = [c for c in cols if c not in self.keys]
-        o = old.select(*cols).alias("o")
-        n = new.select(*cols).alias("n")
+        # explicit presence markers + null-safe key equality: a row
+        # whose key carries a NULL (legal in non-partition key columns)
+        # must pair its old and new copies instead of emitting a
+        # phantom delete+insert on every fragment rewrite
+        o = old.select(*cols).withColumn("__o", F.lit(1)).alias("o")
+        n = new.select(*cols).withColumn("__n", F.lit(1)).alias("n")
         cond = None
         for k in self.keys:
-            eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+            eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
             cond = eq if cond is None else cond & eq
         j = o.join(n, cond, "full_outer")
-        o_here = F.col(f"o.{self.keys[0]}").isNotNull()
-        n_here = F.col(f"n.{self.keys[0]}").isNotNull()
+        o_here = F.col("o.__o").isNotNull()
+        n_here = F.col("n.__n").isNotNull()
         differs = F.lit(False)
         for c in data_cols:
             differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
@@ -989,7 +984,9 @@ class ManifestSnapshotTable:
         if not vs:
             return None, 0
         latest = vs[-1]
-        if since_version is None:
+        if since_version is None or since_version == 0:
+            # 0 is the cursor this method itself hands out for an
+            # empty table — the next poll is an initial load
             snap = self.read(latest)
             if snap is None:
                 return None, latest
@@ -1088,8 +1085,7 @@ class ManifestSnapshotTable:
         if self.stats_cols:
             # full rewrite: recompute every envelope, which also
             # backfills fragments committed before stats_cols was set
-            doc["stats"] = self._compute_stats(new_v)
-            doc["file_stats"] = self._compute_file_stats(new_v)
+            doc["stats"], doc["file_stats"] = self._compute_stats_both(new_v)
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
         with open(os.path.join(vdir, "_SUCCESS"), "w"):

@@ -471,6 +471,7 @@ def _stage_single_file(df: DataFrame, watch: str, name: str, mtime: int) -> None
             for n in sorted(os.listdir(tmp))
             if n.endswith(".parquet")
         )
+        os.makedirs(watch, exist_ok=True)
         dst = os.path.join(watch, name)
         os.replace(part, dst)
         os.utime(dst, (mtime, mtime))

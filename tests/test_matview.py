@@ -244,6 +244,79 @@ class TestIncrementalAggView:
         assert {(g, a) for g, a, _ in got} == avg_direct
         assert {(g, d) for g, _, d in got} == hll_direct
 
+    def test_empty_recompute_evicts_stale_partials(self, spark, tmp_path):
+        """Regression: a changed fragment whose recompute yields ZERO
+        partial rows (filtering prepare) must still evict its old
+        partial rows — eviction keys off the old partials, not the
+        fresh ones."""
+        base = _mk_base(spark, tmp_path)
+        view = IncrementalAggView(
+            spark,
+            str(tmp_path / "mvf"),
+            base,
+            group_cols=["grp"],
+            measures=[("n", None, "count"), ("sum_v", "v", "sum")],
+            prepare=lambda df: df.filter(F.col("v") > 0).withColumn(
+                "grp", F.col("k") % 2
+            ),
+        )
+        base.upsert(_rows(spark, [("d1", 1, 10, 1), ("d2", 2, 5, 1)]))
+        view.refresh()
+        # replace d1's only row with one the prepare filter drops
+        base.upsert(_rows(spark, [("d1", 1, -10, 2)]))
+        view.refresh()
+        got = {(r.grp, r.n, r.sum_v) for r in view.read().collect()}
+        assert got == {(0, 1, 5)}  # d1's old (1,1,10) partial evicted
+
+    def test_fragment_dropping_delete_stays_incremental(
+        self, spark, tmp_path
+    ):
+        """Regression: a delete that removes a fragment from the
+        manifest evicts that fragment's partials WITHOUT a full
+        rebuild — the other fragments' partials are inherited."""
+        base = _mk_base(spark, tmp_path)
+        view = _mk_view(spark, tmp_path, base)
+        base.upsert(_rows(spark, [
+            ("d1", 1, 10, 1), ("d2", 2, 20, 1), ("d3", 3, 30, 1),
+        ]))
+        view.refresh()
+        base.delete(spark.createDataFrame([("d2", 2)], "day string, k int"))
+        info = view.refresh()
+        # nothing recomputed (no holder moved), d1/d3 inherited
+        assert (info["recomputed"], info["inherited"], info["total"]) \
+            == (0, 2, 2)
+        assert _frame_set(view.read()) == _frame_set(_direct(base))
+
+    def test_all_rows_deleted_empties_view(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        view = _mk_view(spark, tmp_path, base)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1)]))
+        view.refresh()
+        base.delete(spark.createDataFrame([("d1", 1)], "day string, k int"))
+        view.refresh()
+        assert view.read().count() == 0
+
+    def test_group_cols_may_include_partition_cols(self, spark, tmp_path):
+        """Regression: the natural daily-rollup shape — group by the
+        base's own partition column — must work (dims deduped)."""
+        base = _mk_base(spark, tmp_path)
+        view = IncrementalAggView(
+            spark,
+            str(tmp_path / "mvd"),
+            base,
+            group_cols=["day"],
+            measures=[("n", None, "count"), ("sum_v", "v", "sum")],
+        )
+        base.upsert(_rows(spark, [
+            ("d1", 1, 10, 1), ("d1", 2, 20, 1), ("d2", 3, 30, 1),
+        ]))
+        view.refresh()
+        base.upsert(_rows(spark, [("d2", 4, 40, 1)]))
+        info = view.refresh()
+        assert info["recomputed"] == 1
+        got = {(r.day, r.n, r.sum_v) for r in view.read().collect()}
+        assert got == {("d1", 2, 30), ("d2", 2, 70)}
+
     def test_refresh_log_records_every_outcome(self, spark, tmp_path):
         base = _mk_base(spark, tmp_path)
         view = _mk_view(spark, tmp_path, base)
@@ -275,23 +348,11 @@ class TestStreamingContinuousAggregate:
 
     @staticmethod
     def _stage(df, watch, name, mtime):
-        import os
-        import shutil
-        import tempfile
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.streaming_q import (
+            _stage_single_file,
+        )
 
-        tmp = tempfile.mkdtemp(prefix="mv_stage_")
-        try:
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                os.path.join(tmp, n)
-                for n in sorted(os.listdir(tmp))
-                if n.endswith(".parquet")
-            )
-            dst = os.path.join(str(watch), name)
-            os.replace(part, dst)
-            os.utime(dst, (mtime, mtime))
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        _stage_single_file(df, str(watch), name, mtime)
 
     def test_view_refreshes_per_batch_and_matches_direct(
         self, spark, tmp_path

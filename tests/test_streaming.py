@@ -542,24 +542,12 @@ TOMB_SCHEMA = "day string, k int, v string, seq int, op string"
 
 
 def _stage_tomb(spark, rows, src, name, mtime):
-    import shutil
-    import tempfile
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.streaming_q import (
+        _stage_single_file,
+    )
 
-    df = spark.createDataFrame(rows, TOMB_SCHEMA)
-    tmp = tempfile.mkdtemp(prefix="tomb_stage_")
-    try:
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            os.path.join(tmp, n)
-            for n in sorted(os.listdir(tmp))
-            if n.endswith(".parquet")
-        )
-        os.makedirs(src, exist_ok=True)
-        dst = os.path.join(src, name)
-        os.replace(part, dst)
-        os.utime(dst, (mtime, mtime))
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    _stage_single_file(spark.createDataFrame(rows, TOMB_SCHEMA), src, name, mtime)
 
 
 def test_stream_tombstones_delete_and_resurrect(spark, workdir):

@@ -905,6 +905,24 @@ class TestManifestDelete:
         assert t.manifest() == {"day=d1": 1, "day=d3": 1}
         assert {r.k for r in t.read().collect()} == {1, 3}
 
+    def test_delete_emptying_all_touched_partitions_with_stats(
+        self, spark, tmp_path
+    ):
+        """Regression: a delete whose rewrite produces NO files (every
+        touched partition fully emptied) must commit cleanly when
+        stats_cols is configured — the stats pass has nothing to read."""
+        t = self._mk(spark, tmp_path, stats_cols=["seq"])
+        t.upsert(self._rows(spark, [("d1", 1, "a", 5), ("d2", 2, "b", 9)]))
+        v = t.delete(
+            spark.createDataFrame([("d1", 1)], "day string, k int")
+        )
+        assert v == 2
+        assert "day=d1" not in t.manifest()
+        assert t.fragment_stats()["day=d2"]["seq"] == [9, 9]  # inherited
+        # the full-table predicate wipe (the docstring-advertised case)
+        assert t.delete_where(F.lit(True)) == 3
+        assert t.manifest() == {} and t.read() is None
+
     def test_delete_refreshes_zone_map_stats(self, spark, tmp_path):
         t = self._mk(spark, tmp_path, stats_cols=["k"])
         t.upsert(self._rows(spark, [
@@ -1068,6 +1086,51 @@ class TestManifestChangeFeed:
     def _set(feed):
         return {
             (r._change_type, r.day, r.k, r.v) for r in feed.collect()
+        }
+
+    def test_tail_changes_zero_cursor_is_initial_load(self, spark, tmp_path):
+        """Regression: the 0 cursor tail_changes hands out for an empty
+        table must be pollable — the next poll is an initial load, not
+        a crash."""
+        t = self._mk(spark, tmp_path)
+        _feed, cur = t.tail_changes(None)
+        assert cur == 0
+        t.upsert(self._rows(spark, [("d1", 1, "a", 1)]))
+        feed, cur2 = t.tail_changes(cur)
+        assert cur2 == 1
+        assert self._set(feed) == {("insert", "d1", 1, "a")}
+
+    def test_null_in_key_column_produces_no_phantom_changes(
+        self, spark, tmp_path
+    ):
+        """Regression: a row with a NULL non-partition key column must
+        pair its old and new copies across a fragment rewrite (null-
+        safe key join) instead of emitting a phantom delete+insert."""
+        t = self._mk(spark, tmp_path)
+        t.upsert(
+            spark.createDataFrame(
+                [("d1", None, "nullk", 1), ("d1", 7, "x", 1)],
+                "day string, k int, v string, seq int",
+            )
+        )
+        # rewrite d1 touching only k=7; the NULL-key row is unchanged
+        t.upsert(
+            spark.createDataFrame(
+                [("d1", 7, "x2", 2)], "day string, k int, v string, seq int"
+            )
+        )
+        assert self._set(t.changes(1, 2)) == {
+            ("update_postimage", "d1", 7, "x2"),
+        }
+        # and a real change to the NULL-key row IS reported, once
+        t.upsert(
+            spark.createDataFrame(
+                [("d1", None, "nullk2", 3)],
+                "day string, k int, v string, seq int",
+            )
+        )
+        assert self._set(t.changes(2, 3)) == {
+            ("update_postimage", "d1", None, "nullk2"),
         }
 
 
