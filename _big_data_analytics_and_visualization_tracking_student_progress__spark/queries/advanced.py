@@ -168,6 +168,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # checkpoint changes nothing semantically
             .localCheckpoint(eager=True)
         )
+    # the eager checkpoints materialized every dependent plan, so the
+    # persisted edge+degree table can be released before returning —
+    # long bench/serving sessions otherwise accumulate its blocks
+    ewd.unpersist()
     return (
         ranks.orderBy(F.col("r").desc(), "node")
         .limit(100)
