@@ -30,10 +30,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Names with oracle=None by design: if windowed they post `no_oracle`
-# driver rows that count as non-green.  Their portable twins ARE
-# hash-checked and rotate normally.
-ROWS_ONLY_EXCLUDED = frozenset(
+# Names with oracle=None by design: windowed, they post `no_oracle`
+# driver rows that count as non-green — but that weaker row (rows>0, no
+# crash) is still the only EXTERNAL execution evidence a rows-only query
+# can earn, so each gets windowed exactly ONCE (VERDICT r8 item 3): a
+# rows-only name with zero recorded driver rows enters the never-checked
+# pool; after its first row (green or `no_oracle`) it is excluded
+# permanently.  Their portable twins ARE hash-checked and rotate
+# normally.
+ROWS_ONLY = frozenset(
     {
         "approx_distinct_and_quantiles",
         "dedup_minhash_lsh",
@@ -159,7 +164,14 @@ def _rotation_priority(name: str) -> tuple:
 
 def propose_window(window_size: int = 50, repo: str = REPO) -> dict:
     status = query_status(repo)
-    eligible = [n for n in status if n not in ROWS_ONLY_EXCLUDED]
+    # Rows-only names are eligible only until they hold ANY driver row
+    # (their `no_oracle` rows read as non-green, so leaving them in
+    # would burn a window slot on a known-non-green row every round).
+    eligible = [
+        n
+        for n in status
+        if n not in ROWS_ONLY or not status[n]["checked_rounds"]
+    ]
 
     core = [n for n in FIXED_CORE if n in eligible]
     pool_never = [
@@ -194,7 +206,9 @@ def propose_window(window_size: int = 50, repo: str = REPO) -> dict:
             n for n in window if status[n]["status"] == "stale_fail"
         ],
         "never_checked_total": sorted(never_total, key=_rotation_priority),
-        "excluded_rows_only": sorted(ROWS_ONLY_EXCLUDED),
+        "excluded_rows_only": sorted(
+            n for n in ROWS_ONLY if status[n]["checked_rounds"]
+        ),
         "status": status,
     }
 
