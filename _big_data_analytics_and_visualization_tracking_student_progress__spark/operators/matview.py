@@ -33,6 +33,20 @@ Soundness requirements (all checked or documented):
   form of a distinct count, since exact COUNT(DISTINCT) is holistic
   and cannot merge from partials).  Exact quantiles remain out of
   scope; use the sketch operators directly.
+- ``sum`` and ``avg`` sources must be integral (or decimal): their
+  exactness claim — merged partials bit-equal to a single-pass
+  aggregate regardless of fragment order — only holds for exact
+  arithmetic.  A double source would sum per-fragment in fragment
+  order and could drift from a one-pass aggregate in the last ulp,
+  breaking the hash-equality contract with declarative oracles, so
+  refresh VALIDATES the (prepared) source dtype and raises on floats
+  (quantize to integer micro-units in ``prepare`` instead).
+- The view definition (group_cols / measures / a fingerprint of
+  ``prepare``'s code) is persisted with every refresh; reconstructing
+  a view over the same path with a DIFFERENT definition triggers a
+  full rebuild instead of silently unioning old-definition partials
+  with new ones (config drift would otherwise NULL-fill the new
+  measures for inherited fragments).
 - The optional ``prepare`` transform runs per fragment before
   aggregation and must be ROW-LOCAL and deterministic (derive a day
   bucket, cast, filter) — anything that looks across rows would break
@@ -255,10 +269,35 @@ class IncrementalAggView:
             shutil.rmtree(self._vdir(v), ignore_errors=True)
 
     # -- refresh --------------------------------------------------------
+    # dtypes whose sums are exact (partial-merge order cannot change the
+    # result); float/double sums are order-sensitive in the last ulp and
+    # would break the view's exactness contract
+    _EXACT_SUM_TYPES = ("tinyint", "smallint", "int", "bigint", "boolean")
+
+    def _validate_exact_sources(self, df: DataFrame) -> None:
+        dtypes = dict(df.dtypes)
+        for name, src, kind in self.measures:
+            if kind not in ("sum", "avg") or src is None:
+                continue
+            dt = dtypes.get(src)
+            if dt is None:
+                raise ValueError(
+                    f"measure {name!r}: source column {src!r} missing "
+                    "from the (prepared) base rows"
+                )
+            if not (dt in self._EXACT_SUM_TYPES or dt.startswith("decimal")):
+                raise ValueError(
+                    f"measure {name!r}: {kind} over {src!r} ({dt}) is not "
+                    "exactly mergeable — per-fragment float sums depend on "
+                    "merge order in the last ulp.  Quantize to an integer "
+                    "(micro-)unit or a decimal in `prepare` first."
+                )
+
     def _partials_for(self, frag_to_ver: dict[str, int]) -> DataFrame:
         df = self.base._read_fragments(frag_to_ver)
         if self.prepare is not None:
             df = self.prepare(df)
+        self._validate_exact_sources(df)
         # group ALSO by the base partition columns: one partial row
         # group per fragment, so a later refresh can replace exactly
         # the changed fragments' rows via a broadcast anti-join
@@ -281,12 +320,64 @@ class IncrementalAggView:
         self.refresh_log.append(info)
         return info
 
+    def _prepare_fingerprint(self) -> str | None:
+        """A stable code fingerprint of ``prepare`` (None when absent):
+        bytecode + consts + names + closure-cell reprs, sha256'd.  Used
+        to DETECT definition drift — a mismatch forces a full rebuild.
+        It cannot prove semantic equality (an uninspectable callable or
+        an exotic closure hashes conservatively), but any detected
+        change is guaranteed to rebuild rather than silently merge
+        partials computed under two different row transforms."""
+        if self.prepare is None:
+            return None
+        import hashlib
+
+        code = getattr(self.prepare, "__code__", None)
+        if code is None:
+            return "uninspectable"
+        cells = []
+        for cell in getattr(self.prepare, "__closure__", None) or ():
+            try:
+                cells.append(repr(cell.cell_contents))
+            except ValueError:  # empty cell
+                cells.append("<empty>")
+        blob = repr(
+            (code.co_code, code.co_consts, code.co_names, tuple(cells))
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()
+
+    def _definition(self) -> dict:
+        return {
+            "group_cols": self.group_cols,
+            "measures": [list(t) for t in self.measures],
+            "prepare_fingerprint": self._prepare_fingerprint(),
+        }
+
     def _refresh(self) -> dict:
         m = self.base.manifest()
         state = self._state()
         prev_frags: dict[str, int] = {
             k: int(v) for k, v in state.get("fragments", {}).items()
         }
+        # Config-drift gate: partials persisted under a DIFFERENT view
+        # definition (group cols, measure set, or prepare code) cannot
+        # be inherited — unioning them would NULL-fill the new measure
+        # columns for inherited fragments, a silently wrong aggregate.
+        # Treat every fragment as changed instead (full rebuild).
+        live_def = self._definition()
+        persisted_def = {
+            "group_cols": state.get("group_cols"),
+            "measures": state.get("measures"),
+            "prepare_fingerprint": state.get("prepare_fingerprint"),
+        }
+        if state and persisted_def != live_def:
+            if not m:
+                raise ValueError(
+                    "view definition changed but the base table is "
+                    "empty — the old-definition partials cannot be "
+                    "rebuilt; delete the view path to redefine it"
+                )
+            prev_frags = {}
         # evict = every fragment whose old partial rows may be stale:
         # holder moved (changed) OR fragment left the manifest entirely
         # (a delete emptied its partition).  Eviction keys off the OLD
@@ -346,13 +437,7 @@ class IncrementalAggView:
         partials.write.parquet(os.path.join(vdir, "partials.parquet"))
         with open(os.path.join(vdir, "state.json"), "w") as fh:
             json.dump(
-                {
-                    "fragments": m,
-                    "group_cols": self.group_cols,
-                    "measures": [list(t) for t in self.measures],
-                },
-                fh,
-                sort_keys=True,
+                {"fragments": m, **live_def}, fh, sort_keys=True
             )
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
             pass

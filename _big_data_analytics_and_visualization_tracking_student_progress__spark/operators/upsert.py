@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 from .windows import latest_by_key
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer holds (or already won) the next snapshot
+    version of a `ManifestSnapshotTable`.  The loser's work is not
+    partially applied — the table stays readable at its current version
+    — and the correct response is to re-run the whole commit (re-read,
+    re-merge) against the new basis, exactly the Delta/Iceberg
+    optimistic-concurrency retry contract."""
+
+
 def merge_by_key(
     target: DataFrame | None,
     source: DataFrame,
@@ -321,7 +330,15 @@ class ManifestSnapshotTable:
 
         root/v=00001/data/<pcol>=<val>/part-*.parquet
         root/v=00001/manifest.json   {"partitions": {"<pcol>=<val>": 1}}
+        root/v=00001/_CLAIM          (writer identity: pid/host/ts)
         root/v=00001/_SUCCESS        (commit marker, written LAST)
+
+    Concurrency: commits use optimistic concurrency — every writer
+    atomically claims its version directory (os.mkdir) BEFORE reading
+    its commit basis, so two concurrent writers can never both publish
+    the same version or silently drop each other's commits; the loser
+    raises `CommitConflictError` and must re-run against the new basis.
+    See the "commit protocol" section below.
 
     Soundness: pruned MERGE requires that a key can never change
     partition, so the constructor demands partition columns ⊆ keys or
@@ -336,7 +353,8 @@ class ManifestSnapshotTable:
                  partition_by: Sequence[str],
                  stable_partitions: bool = False,
                  keep_versions: int | None = None,
-                 stats_cols: Sequence[str] | None = None):
+                 stats_cols: Sequence[str] | None = None,
+                 claim_ttl_seconds: float = 3600.0):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -360,6 +378,10 @@ class ManifestSnapshotTable:
                 "would leave its stale row behind in the old partition)"
             )
         self.keep_versions = keep_versions
+        # Cross-host fallback for reclaiming a crashed writer's version
+        # claim (same-host claims are judged by liveness of the
+        # recorded pid, not age) — see `_claim_is_stale`.
+        self.claim_ttl_seconds = claim_ttl_seconds
 
     # -- layout helpers -------------------------------------------------
     def _vdir(self, v: int) -> str:
@@ -561,10 +583,16 @@ class ManifestSnapshotTable:
         conds = [tuple(c) for c in conds]
         if not conds:
             raise ValueError("read_where_all needs at least one condition")
-        m = self.manifest(version)
+        # ONE pinned manifest read: partitions, fragment stats and file
+        # stats all come from the same doc — resolving them separately
+        # could pair a new commit's envelopes with the old fragment map
+        # when a writer lands between the reads, making pruning lossy
+        # instead of a pure optimization
+        doc = self._manifest_doc(version)
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
         if not m:
             return None, 0, 0, 0, 0
-        st = self.fragment_stats(version)
+        st = doc.get("stats", {})
         keep: dict[str, int] = {}
         for frag, v in m.items():
             if self._envelopes_intersect(st.get(frag), conds):
@@ -583,7 +611,8 @@ class ManifestSnapshotTable:
                 0,
             )
         # tier 2: file-level skipping inside the surviving fragments
-        fst = self.file_stats(version)
+        # (same pinned doc as tier 1)
+        fst = doc.get("file_stats", {})
         files_total = files_kept = 0
         by_version: dict[int, list[str]] = {}
         for frag, v in keep.items():
@@ -682,6 +711,111 @@ class ManifestSnapshotTable:
                     env[c][1] = mx
         return frag_stats, file_stats
 
+    # -- commit protocol ------------------------------------------------
+    # Optimistic concurrency (the Delta/Iceberg baseline): every commit
+    # path first CLAIMS the next version number by atomically creating
+    # its directory (os.mkdir — EEXIST means someone else owns it), so
+    # two writers can never both commit the same version, and the
+    # commit basis (the previous manifest) is always read UNDER the
+    # claim — a peer cannot slip a commit between basis-read and
+    # publish, which is what makes pruned copy-on-write sound under
+    # concurrency (no lost updates).  A claim directory carries a
+    # `_CLAIM` marker naming its writer (pid/host/ts) and becomes a
+    # snapshot only when `_SUCCESS` lands; until then readers cannot
+    # see it.  On EEXIST the would-be writer distinguishes:
+    #   - `_SUCCESS` present → a peer committed this number between our
+    #     dir listing and mkdir; take the next number (safe: the basis
+    #     has not been read yet);
+    #   - live claim → raise `CommitConflictError` (caller re-runs the
+    #     commit against the new basis once the peer publishes);
+    #   - crash debris (same-host claim whose pid is gone, or any claim
+    #     older than `claim_ttl_seconds`) → reclaim: remove and retry.
+    # On a real object store the mkdir would be a conditional PUT of
+    # the claim marker (If-None-Match) or a transaction-log service;
+    # the protocol shape is identical.
+    _CLAIM_MARKER = "_CLAIM"
+
+    def _claim_is_stale(self, vdir: str) -> bool:
+        """True when an unfinished version dir is a crashed writer's
+        debris (reclaimable), False when it may be a live writer."""
+        import json
+        import socket
+        import time
+
+        cpath = os.path.join(vdir, self._CLAIM_MARKER)
+        try:
+            with open(cpath) as fh:
+                claim = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            # mkdir happened but the marker never (fully) landed: either
+            # a writer inside the sub-second mkdir→marker window or a
+            # crash in it — only age can tell
+            try:
+                age = time.time() - os.path.getmtime(vdir)
+            except OSError:
+                return False  # dir vanished: someone else handled it
+            return age > self.claim_ttl_seconds
+        if claim.get("host") == socket.gethostname():
+            pid = claim.get("pid")
+            if isinstance(pid, int) and pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    return False  # writer process still alive
+                except ProcessLookupError:
+                    return True  # same host, writer gone: crash debris
+                except PermissionError:
+                    return False  # alive under another uid
+        # cross-host claim (or unreadable identity): TTL decides —
+        # pid liveness means nothing across machines
+        return time.time() - float(claim.get("ts") or 0) > self.claim_ttl_seconds
+
+    def _claim_version(self) -> tuple[int, str]:
+        """Atomically claim the next version; returns (version, dir).
+
+        Loops past versions a peer managed to commit first (safe —
+        the caller reads its commit basis after this returns) and past
+        reclaimed crash debris; raises `CommitConflictError` on a live
+        concurrent claim."""
+        import json
+        import shutil
+        import socket
+        import time
+
+        os.makedirs(self.path, exist_ok=True)
+        while True:
+            dirs = self._committed_dirs()
+            new_v = (dirs[-1] + 1) if dirs else 1
+            vdir = self._vdir(new_v)
+            try:
+                os.mkdir(vdir)
+            except FileExistsError:
+                if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                    continue  # peer committed this number: next one
+                if self._claim_is_stale(vdir):
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    continue  # crashed attempt's debris: reclaim
+                raise CommitConflictError(
+                    f"version {new_v} of {self.path} is claimed by a "
+                    "concurrent writer; re-run this commit after it "
+                    "publishes (or reclaim via claim_ttl_seconds if it "
+                    "crashed on another host)"
+                )
+            with open(os.path.join(vdir, self._CLAIM_MARKER), "w") as fh:
+                json.dump(
+                    {
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "ts": time.time(),
+                    },
+                    fh,
+                )
+            return new_v, vdir
+
+    def _abandon_claim(self, vdir: str) -> None:
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
+
     # -- write ----------------------------------------------------------
     def upsert(self, batch: DataFrame) -> int:
         """Pruned MERGE commit: read ONLY the batch's partitions from
@@ -694,64 +828,79 @@ class ManifestSnapshotTable:
             tuple(r)
             for r in batch.select(*self.partition_by).distinct().collect()
         ]
-        prev = self.manifest()
-        # next version comes from the committed DIRS, not the manifest:
-        # a delete() can empty the manifest while version dirs remain,
-        # and reusing their numbers would clobber history
-        vs = self.versions()
-        new_v = (vs[-1] + 1) if vs else 1
         if not touched:
+            vs = self.versions()
             return vs[-1] if vs else 0
         frags = {self._part_key(c) for c in touched}
-        # old holders of the touched partitions only
-        target = self._read_fragments(
-            {frag: prev[frag] for frag in frags & set(prev)}
-        )
-        merged = merge_by_key(
-            target, batch, self.keys,
-            [F.col(c).desc() for c in self.order_cols],
-        )
-        vdir = self._vdir(new_v)
-        shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt's debris
-        merged.write.partitionBy(*self.partition_by).parquet(
-            self._data_dir(new_v)
-        )
-        # the manifest is only sound if its fragments name the dirs
-        # Spark ACTUALLY wrote — verify before committing, so a value
-        # whose rendering diverges from _part_key fails loudly here
-        # instead of wedging every later read with PATH_NOT_FOUND
-        written = self._written_fragments(new_v)
-        if written != frags:
-            shutil.rmtree(vdir, ignore_errors=True)
-            raise ValueError(
-                "partition dir names diverged from manifest fragments — "
-                f"written {sorted(written)} vs expected {sorted(frags)}; "
-                "this partition value type/rendering is unsupported"
+        # claim the next version BEFORE reading the commit basis: the
+        # claim freezes the version sequence (no peer can publish while
+        # we hold it), so the manifest read below cannot go stale —
+        # two writers can neither commit the same number nor lose each
+        # other's updates (the loser of the claim gets
+        # CommitConflictError inside _claim_version)
+        new_v, vdir = self._claim_version()
+        try:
+            # one pinned manifest read: partitions + both stats tiers
+            # come from the SAME doc (no torn basis)
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            # old holders of the touched partitions only
+            target = self._read_fragments(
+                {frag: prev[frag] for frag in frags & set(prev)}
             )
-        manifest = {frag: v for frag, v in prev.items() if frag not in frags}
-        manifest.update({frag: new_v for frag in frags})
-        doc = {"partition_by": self.partition_by, "partitions": manifest}
-        if self.stats_cols:
-            # zone maps: fresh envelopes for rewritten fragments,
-            # untouched fragments inherit their envelope by reference —
-            # the same commit discipline as the data files
-            new_fs, new_ffs = self._compute_stats_both(new_v)
-            stats = {
-                frag: s
-                for frag, s in self.fragment_stats().items()
-                if frag not in frags
-            } if prev else {}
-            stats.update(new_fs)
-            doc["stats"] = stats
-            fstats = {
-                frag: s
-                for frag, s in self.file_stats().items()
-                if frag not in frags
-            } if prev else {}
-            fstats.update(new_ffs)
-            doc["file_stats"] = fstats
-        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
-            json.dump(doc, fh, sort_keys=True)
+            merged = merge_by_key(
+                target, batch, self.keys,
+                [F.col(c).desc() for c in self.order_cols],
+            )
+            merged.write.partitionBy(*self.partition_by).parquet(
+                self._data_dir(new_v)
+            )
+            # the manifest is only sound if its fragments name the dirs
+            # Spark ACTUALLY wrote — verify before committing, so a value
+            # whose rendering diverges from _part_key fails loudly here
+            # instead of wedging every later read with PATH_NOT_FOUND
+            written = self._written_fragments(new_v)
+            if written != frags:
+                raise ValueError(
+                    "partition dir names diverged from manifest fragments "
+                    f"— written {sorted(written)} vs expected "
+                    f"{sorted(frags)}; this partition value type/rendering "
+                    "is unsupported"
+                )
+            manifest = {
+                frag: v for frag, v in prev.items() if frag not in frags
+            }
+            manifest.update({frag: new_v for frag in frags})
+            doc = {"partition_by": self.partition_by, "partitions": manifest}
+            if self.stats_cols:
+                # zone maps: fresh envelopes for rewritten fragments,
+                # untouched fragments inherit their envelope by reference
+                # — the same commit discipline as the data files
+                new_fs, new_ffs = self._compute_stats_both(new_v)
+                stats = {
+                    frag: s
+                    for frag, s in prev_doc.get("stats", {}).items()
+                    if frag not in frags
+                }
+                stats.update(new_fs)
+                doc["stats"] = stats
+                fstats = {
+                    frag: s
+                    for frag, s in prev_doc.get("file_stats", {}).items()
+                    if frag not in frags
+                }
+                fstats.update(new_ffs)
+                doc["file_stats"] = fstats
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            # abandon the claim: the table stays readable at its
+            # current version, nothing partial is visible
+            self._abandon_claim(vdir)
+            raise
         # commit marker LAST: a crash before this line leaves the new
         # dir invisible to versions()/manifest() — readers still resolve
         # the previous snapshot
@@ -784,33 +933,49 @@ class ManifestSnapshotTable:
         missing = [c for c in self.keys if c not in keys.columns]
         if missing:
             raise ValueError(f"delete batch lacks key columns: {missing}")
-        prev = self.manifest()
-        if not prev:
-            vs = self.versions()
-            return vs[-1] if vs else 0
-        keys = keys.select(*self.keys).distinct()
-        if set(self.partition_by) <= set(self.keys):
-            touched = [
-                tuple(r)
-                for r in keys.select(*self.partition_by).distinct().collect()
-            ]
-            frags = {self._part_key(c) for c in touched} & set(prev)
-        else:
-            scan_cols = sorted(set(self.keys) | set(self.partition_by))
-            located = (
-                self._read_fragments(prev)
-                .select(*scan_cols)
-                .join(keys, on=self.keys, how="left_semi")
-                .select(*self.partition_by)
-                .distinct()
-                .collect()
+        # claim before reading the basis (see upsert): a peer commit
+        # between locate and rewrite would otherwise be silently undone
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            keys = keys.select(*self.keys).distinct()
+            if set(self.partition_by) <= set(self.keys):
+                touched = [
+                    tuple(r)
+                    for r in keys.select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                ]
+                frags = {self._part_key(c) for c in touched} & set(prev)
+            else:
+                scan_cols = sorted(set(self.keys) | set(self.partition_by))
+                located = (
+                    self._read_fragments(prev)
+                    .select(*scan_cols)
+                    .join(keys, on=self.keys, how="left_semi")
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                )
+                frags = {self._part_key(tuple(r)) for r in located}
+            return self._commit_delete(
+                new_v,
+                vdir,
+                prev_doc,
+                frags,
+                lambda df: df.join(keys, on=self.keys, how="left_anti"),
             )
-            frags = {self._part_key(tuple(r)) for r in located}
-        return self._commit_delete(
-            prev,
-            frags,
-            lambda df: df.join(keys, on=self.keys, how="left_anti"),
-        )
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
 
     def delete_where(self, condition: Column) -> int:
         """Predicate DELETE commit: remove rows where ``condition`` is
@@ -818,44 +983,58 @@ class ManifestSnapshotTable:
         rewriting only the partitions that contain a matching row —
         located by a filter-pushdown scan of the partition columns.
         Same manifest/commit discipline as `delete`."""
-        prev = self.manifest()
-        if not prev:
-            vs = self.versions()
-            return vs[-1] if vs else 0
-        hit = F.coalesce(condition, F.lit(False))
-        touched = [
-            tuple(r)
-            for r in self._read_fragments(prev)
-            .filter(hit)
-            .select(*self.partition_by)
-            .distinct()
-            .collect()
-        ]
-        frags = {self._part_key(c) for c in touched} & set(prev)
-        return self._commit_delete(prev, frags, lambda df: df.filter(~hit))
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            hit = F.coalesce(condition, F.lit(False))
+            touched = [
+                tuple(r)
+                for r in self._read_fragments(prev)
+                .filter(hit)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            ]
+            frags = {self._part_key(c) for c in touched} & set(prev)
+            return self._commit_delete(
+                new_v, vdir, prev_doc, frags, lambda df: df.filter(~hit)
+            )
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
 
-    def _commit_delete(self, prev, frags, keep_fn) -> int:
+    def _commit_delete(self, new_v, vdir, prev_doc, frags, keep_fn) -> int:
         """Shared delete commit: rewrite the touched fragments through
         ``keep_fn`` (which drops the doomed rows), drop fully-emptied
-        fragments from the manifest, inherit everything else."""
+        fragments from the manifest, inherit everything else.  Runs
+        under an already-held version claim (``new_v``/``vdir``) with
+        ``prev_doc`` the basis manifest read under that claim; the
+        callers' except-blocks abandon the claim on any failure."""
         import json
-        import shutil
 
-        cur_v = self.versions()[-1]
         if not frags:
-            return cur_v  # nothing to delete: no-op, no new commit
+            # nothing to delete: no-op, no new commit
+            self._abandon_claim(vdir)
+            return self.versions()[-1]
+        prev = {
+            k: int(v) for k, v in prev_doc.get("partitions", {}).items()
+        }
         kept = keep_fn(
             self._read_fragments({f: prev[f] for f in frags})
         )
-        new_v = cur_v + 1
-        vdir = self._vdir(new_v)
-        shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt's debris
         kept.write.partitionBy(*self.partition_by).parquet(
             self._data_dir(new_v)
         )
         written = self._written_fragments(new_v)
         if not written <= frags:
-            shutil.rmtree(vdir, ignore_errors=True)
             raise ValueError(
                 "delete rewrote fragments outside its pruning set — "
                 f"written {sorted(written)} vs touched {sorted(frags)}"
@@ -867,14 +1046,14 @@ class ManifestSnapshotTable:
             new_fs, new_ffs = self._compute_stats_both(new_v)
             stats = {
                 f: s
-                for f, s in self.fragment_stats().items()
+                for f, s in prev_doc.get("stats", {}).items()
                 if f not in frags
             }
             stats.update(new_fs)
             doc["stats"] = stats
             fstats = {
                 f: s
-                for f, s in self.file_stats().items()
+                for f, s in prev_doc.get("file_stats", {}).items()
                 if f not in frags
             }
             fstats.update(new_ffs)
@@ -1042,52 +1221,62 @@ class ManifestSnapshotTable:
         maintenance pair, next to ``vacuum()``'s retention half.
         """
         import json
-        import shutil
 
-        prev = self.manifest()
-        if not prev:
+        if not self.versions():
             return 0
-        cur = self.versions()[-1]
-        if set(prev.values()) == {cur} and not cluster_by:
-            # already single-holder; with cluster_by the rewrite is a
-            # LAYOUT change, wanted even when no scatter exists
-            return cur
-        new_v = cur + 1
-        vdir = self._vdir(new_v)
-        shutil.rmtree(vdir, ignore_errors=True)  # crashed attempt's debris
-        src = self._read_fragments(prev)
-        if cluster_by:
-            lay_cols = [
-                F.col(c) for c in (*self.partition_by, *cluster_by)
-            ]
-            out = src.repartitionByRange(
-                cluster_files, *lay_cols
-            ).sortWithinPartitions(*lay_cols)
-        else:
-            out = src.repartition(*[F.col(c) for c in self.partition_by])
-        out.write.partitionBy(*self.partition_by).parquet(
-            self._data_dir(new_v)
-        )
-        # same commit soundness gate as upsert(): the manifest must name
-        # exactly the dirs Spark wrote — a pure rewrite drops no
-        # partition (merges never delete rows), so equality is exact
-        written = self._written_fragments(new_v)
-        if written != set(prev):
-            shutil.rmtree(vdir, ignore_errors=True)
-            raise ValueError(
-                "compaction rewrite diverged from the live manifest — "
-                f"written {sorted(written)} vs expected {sorted(prev)}"
+        new_v, vdir = self._claim_version()
+        try:
+            prev = self.manifest()
+            if not prev:
+                self._abandon_claim(vdir)
+                return self.versions()[-1]
+            cur = new_v - 1
+            if set(prev.values()) == {cur} and not cluster_by:
+                # already single-holder; with cluster_by the rewrite is
+                # a LAYOUT change, wanted even when no scatter exists
+                self._abandon_claim(vdir)
+                return cur
+            src = self._read_fragments(prev)
+            if cluster_by:
+                lay_cols = [
+                    F.col(c) for c in (*self.partition_by, *cluster_by)
+                ]
+                out = src.repartitionByRange(
+                    cluster_files, *lay_cols
+                ).sortWithinPartitions(*lay_cols)
+            else:
+                out = src.repartition(
+                    *[F.col(c) for c in self.partition_by]
+                )
+            out.write.partitionBy(*self.partition_by).parquet(
+                self._data_dir(new_v)
             )
-        doc = {
-            "partition_by": self.partition_by,
-            "partitions": {frag: new_v for frag in prev},
-        }
-        if self.stats_cols:
-            # full rewrite: recompute every envelope, which also
-            # backfills fragments committed before stats_cols was set
-            doc["stats"], doc["file_stats"] = self._compute_stats_both(new_v)
-        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
-            json.dump(doc, fh, sort_keys=True)
+            # same commit soundness gate as upsert(): the manifest must
+            # name exactly the dirs Spark wrote — a pure rewrite drops
+            # no partition (merges never delete rows), so equality is
+            # exact
+            written = self._written_fragments(new_v)
+            if written != set(prev):
+                raise ValueError(
+                    "compaction rewrite diverged from the live manifest "
+                    f"— written {sorted(written)} vs expected "
+                    f"{sorted(prev)}"
+                )
+            doc = {
+                "partition_by": self.partition_by,
+                "partitions": {frag: new_v for frag in prev},
+            }
+            if self.stats_cols:
+                # full rewrite: recompute every envelope, which also
+                # backfills fragments committed before stats_cols was set
+                doc["stats"], doc["file_stats"] = self._compute_stats_both(
+                    new_v
+                )
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
             pass
         if self.keep_versions is not None:

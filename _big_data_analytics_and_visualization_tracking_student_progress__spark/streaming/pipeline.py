@@ -249,6 +249,16 @@ def upsert_stream_run(
             table.delete(latest.filter(dead).select(*table.keys))
         else:
             table.upsert(good)
+        # refresh BEFORE any compaction: a compaction moves EVERY
+        # fragment's holder version, so a refresh that followed it
+        # would recompute every partial — O(table) instead of the
+        # promised O(partitions touched by the batch).  Refreshing
+        # first keeps the per-batch cost claim true; the compacted
+        # manifest (content-identical) then makes the NEXT refresh the
+        # full recompute, which is the deliberate, amortized OPTIMIZE
+        # cost rather than a per-batch one.
+        if view is not None:
+            view.refresh()
         if max_scatter is not None:
             if not isinstance(table, ManifestSnapshotTable):
                 raise TypeError(
@@ -256,8 +266,6 @@ def upsert_stream_run(
                     "ManifestSnapshotTable sink"
                 )
             table.maybe_compact(max_scatter)
-        if view is not None:
-            view.refresh()
 
     q = (
         sdf.writeStream.foreachBatch(merge_batch)

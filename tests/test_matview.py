@@ -470,3 +470,137 @@ class TestStreamingContinuousAggregate:
                 workdir=str(tmp_path / "run"),
                 view=view,
             )
+
+
+class TestDefinitionDrift:
+    """Config-drift gate: reconstructing a view over the same path with
+    a different definition must NOT union old-definition partials with
+    new ones (they would NULL-fill the new measures for inherited
+    fragments) — it rebuilds from scratch instead."""
+
+    def test_changed_measures_force_full_rebuild(self, spark, tmp_path):
+        # the exact ADVICE repro: measures [count] -> [sum], then an
+        # incremental refresh over a second commit; read() must equal
+        # the direct aggregate, not a NULL-filled union
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1), ("d2", 2, 40, 1)]))
+        v1 = IncrementalAggView(
+            spark, str(tmp_path / "mv"), base,
+            group_cols=["grp"],
+            measures=[("n", None, "count")],
+            prepare=lambda df: df.withColumn("grp", F.col("k") % 2),
+        )
+        v1.refresh()
+        base.upsert(_rows(spark, [("d2", 3, 20, 2)]))
+        v2 = IncrementalAggView(
+            spark, str(tmp_path / "mv"), base,
+            group_cols=["grp"],
+            measures=[("sum_v", "v", "sum")],
+            prepare=lambda df: df.withColumn("grp", F.col("k") % 2),
+        )
+        info = v2.refresh()
+        # drift detected: EVERY fragment recomputed, none inherited
+        assert info["recomputed"] == info["total"] == 2
+        direct = (
+            base.read()
+            .withColumn("grp", F.col("k") % 2)
+            .groupBy("grp")
+            .agg(F.sum("v").alias("sum_v"))
+        )
+        assert _frame_set(v2.read()) == _frame_set(direct)
+
+    def test_changed_prepare_code_forces_full_rebuild(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1), ("d2", 2, 40, 1)]))
+        measures = [("sum_v", "v", "sum")]
+        v1 = IncrementalAggView(
+            spark, str(tmp_path / "mv"), base,
+            group_cols=["grp"], measures=measures,
+            prepare=lambda df: df.withColumn("grp", F.col("k") % 2),
+        )
+        v1.refresh()
+        base.upsert(_rows(spark, [("d2", 3, 20, 2)]))
+        v2 = IncrementalAggView(
+            spark, str(tmp_path / "mv"), base,
+            group_cols=["grp"], measures=measures,
+            # different bucketing: grp is now k % 3
+            prepare=lambda df: df.withColumn("grp", F.col("k") % 3),
+        )
+        info = v2.refresh()
+        assert info["recomputed"] == info["total"] == 2
+        direct = (
+            base.read()
+            .withColumn("grp", F.col("k") % 3)
+            .groupBy("grp")
+            .agg(F.sum("v").alias("sum_v"))
+        )
+        assert _frame_set(v2.read()) == _frame_set(direct)
+
+    def test_unchanged_definition_stays_incremental(self, spark, tmp_path):
+        # the gate must not tax the steady state: same definition (same
+        # lambda code, same closure) → the second handle's refresh
+        # still recomputes only the touched fragment
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1), ("d2", 2, 40, 1)]))
+        mk = lambda: _mk_view(spark, tmp_path, base)  # noqa: E731
+        mk().refresh()
+        base.upsert(_rows(spark, [("d2", 3, 20, 2)]))
+        info = mk().refresh()
+        assert info == {
+            "version": 2, "recomputed": 1, "inherited": 1, "total": 2,
+        }
+
+    def test_drift_on_empty_base_raises(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1)]))
+        v1 = IncrementalAggView(
+            spark, str(tmp_path / "mv"), base,
+            group_cols=["day"], measures=[("n", None, "count")],
+        )
+        v1.refresh()
+        base.delete_where(F.lit(True))  # empty the table
+        v2 = IncrementalAggView(
+            spark, str(tmp_path / "mv"), base,
+            group_cols=["day"], measures=[("sum_v", "v", "sum")],
+        )
+        with pytest.raises(ValueError, match="definition changed"):
+            v2.refresh()
+
+
+class TestExactSourceValidation:
+    """sum/avg sources must be exactly mergeable (integral/decimal):
+    float partial sums depend on fragment merge order in the last ulp."""
+
+    def test_double_sum_source_is_rejected(self, spark, tmp_path):
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1)]))
+        view = IncrementalAggView(
+            spark, str(tmp_path / "mv"), base,
+            group_cols=["day"],
+            measures=[("sum_vd", "vd", "sum")],
+            prepare=lambda df: df.withColumn(
+                "vd", F.col("v").cast("double") / 3.0
+            ),
+        )
+        with pytest.raises(ValueError, match="not exactly mergeable"):
+            view.refresh()
+
+    def test_decimal_and_integral_sources_are_accepted(
+        self, spark, tmp_path
+    ):
+        base = _mk_base(spark, tmp_path)
+        base.upsert(_rows(spark, [("d1", 1, 10, 1), ("d1", 2, 20, 1)]))
+        view = IncrementalAggView(
+            spark, str(tmp_path / "mv"), base,
+            group_cols=["day"],
+            measures=[
+                ("sum_dec", "vdec", "sum"),
+                ("avg_v", "v", "avg"),
+            ],
+            prepare=lambda df: df.withColumn(
+                "vdec", F.col("v").cast("decimal(20,2)")
+            ),
+        )
+        view.refresh()
+        got = {(r.day, str(r.sum_dec), r.avg_v) for r in view.read().collect()}
+        assert got == {("d1", "30.00", 15.0)}
