@@ -549,12 +549,13 @@ def q_modified_file_reingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a small operational spreadsheet); materializing lets the
         # ephemeral drop/serving/state dirs be removed before return
         # instead of leaking a workdir per invocation
-        rows, schema = out.collect(), out.schema
+        from ._ephemeral import materialize_bounded
+
+        return materialize_bounded(spark, out)
     finally:
         import shutil
 
         shutil.rmtree(wd, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -3447,21 +3448,19 @@ def q_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "version declaratively",
 )
 def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.upsert import SnapshotKeyedTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts_nanos"
     )
-    table = SnapshotKeyedTable(
+    with ephemeral_table(
+        SnapshotKeyedTable,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_snap_"),
+        "snap",
         keys=["user_id"],
         order_cols=["ts_nanos", "event_id"],
-    )
-    try:
+    ) as table:
         table.upsert(e.filter(F.col("event_id") % 2 == 0))
         table.upsert(e.filter(F.col("event_id") % 2 == 1))
 
@@ -3481,12 +3480,8 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v2_event_id",
         )
         # one row per user key (the dimension, not the fact table) —
-        # materializing lets the ephemeral snapshot table be removed
-        # before return instead of leaking a parquet table per call
-        rows, schema = feed.collect(), feed.schema
-    finally:
-        shutil.rmtree(table.path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        # bounded by design
+        return materialize_bounded(spark, feed)
 
 
 # ---------------------------------------------------------------------------
@@ -3525,22 +3520,20 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "declaratively",
 )
 def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts_nanos"
     )
-    table = ManifestSnapshotTable(
+    with ephemeral_table(
+        ManifestSnapshotTable,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_manifest_"),
+        "manifest",
         keys=["user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["event_type"],
-    )
-    try:
+    ) as table:
         table.upsert(e.filter(F.col("event_id") % 3 == 0))
         table.upsert(
             e.filter(
@@ -3568,13 +3561,8 @@ def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_latest_event_id"),
             )
         )
-        # one row per event type — bounded control data; materializing
-        # here lets the ephemeral table dir be removed before return
-        # instead of leaking a parquet table per invocation
-        rows, schema = agg.collect(), agg.schema
-    finally:
-        shutil.rmtree(table.path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        # one row per event type — bounded control data
+        return materialize_bounded(spark, agg)
 
 
 # ---------------------------------------------------------------------------
@@ -3617,22 +3605,20 @@ def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(oracle recomputes the merges declaratively)",
 )
 def q_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts_nanos"
     )
-    table = ManifestSnapshotTable(
+    with ephemeral_table(
+        ManifestSnapshotTable,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_compact_"),
+        "compact",
         keys=["user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["event_type"],
-    )
-    try:
+    ) as table:
         table.upsert(e.filter(F.col("event_id") % 3 == 0))
         table.upsert(
             e.filter(
@@ -3676,12 +3662,8 @@ def q_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_latest_event_id"),
             )
         )
-        # one row per event type — bounded control data; materializing
-        # here lets the ephemeral table dir be removed before return
-        rows, schema = agg.collect(), agg.schema
-    finally:
-        shutil.rmtree(table.path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        # one row per event type — bounded control data
+        return materialize_bounded(spark, agg)
 
 
 # ---------------------------------------------------------------------------
@@ -3728,10 +3710,8 @@ def q_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle recomputes keyed-latest + window declaratively",
 )
 def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
 
     day_ns = 86_400_000_000_000
     e = load_table(spark, sf_dir, "events").select(
@@ -3743,15 +3723,15 @@ def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.withColumn(
         "day_bucket", F.expr(f"(ts_nanos - {dmin}) DIV {day_ns}")
     )
-    table = ManifestSnapshotTable(
+    with ephemeral_table(
+        ManifestSnapshotTable,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_zonemap_"),
+        "zonemap",
         keys=["day_bucket", "user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["day_bucket"],
         stats_cols=["ts_nanos"],
-    )
-    try:
+    ) as table:
         table.upsert(ev)
         lo = dmin + 5 * day_ns
         hi = dmin + 7 * day_ns - 1
@@ -3768,12 +3748,8 @@ def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("event_id").cast("bigint").alias("sum_event_id"),
         )
-        # one row per event type — bounded; materializing lets the
-        # ephemeral table dir be removed before return
-        rows, schema = agg.collect(), agg.schema
-    finally:
-        shutil.rmtree(table.path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        # one row per event type — bounded
+        return materialize_bounded(spark, agg)
 
 
 # ---------------------------------------------------------------------------
@@ -3816,22 +3792,20 @@ def q_manifest_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "manifests; oracle recomputes merge-then-delete declaratively",
 )
 def q_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts_nanos"
     )
-    table = ManifestSnapshotTable(
+    with ephemeral_table(
+        ManifestSnapshotTable,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_del_"),
+        "del",
         keys=["user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["event_type"],
-    )
-    try:
+    ) as table:
         table.upsert(e.filter(F.col("event_id") % 3 == 0))
         # GDPR-style keyed erasure: every (user_id % 7 == 0, click) key
         doomed = (
@@ -3863,12 +3837,8 @@ def q_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("event_id").cast("bigint").alias("sum_event_id"),
             )
         )
-        # one row per event type — bounded; materializing lets the
-        # ephemeral table dir be removed before return
-        rows, schema = agg.collect(), agg.schema
-    finally:
-        shutil.rmtree(table.path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        # one row per event type — bounded
+        return materialize_bounded(spark, agg)
 
 
 # ---------------------------------------------------------------------------
@@ -3935,22 +3905,20 @@ def q_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "states with declarative SQL joins",
 )
 def q_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts_nanos"
     )
-    table = ManifestSnapshotTable(
+    with ephemeral_table(
+        ManifestSnapshotTable,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_cdf_"),
+        "cdf",
         keys=["user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["event_type"],
-    )
-    try:
+    ) as table:
         table.upsert(e.filter(F.col("event_id") % 3 == 0))
         table.upsert(
             e.filter(
@@ -3978,10 +3946,8 @@ def q_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = table.changes(1, 3).withColumnRenamed(
             "_change_type", "change_type"
         )
-        rows, schema = feed.collect(), feed.schema
-    finally:
-        shutil.rmtree(table.path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        # one row per changed key in one fragment — bounded
+        return materialize_bounded(spark, feed)
 
 
 # ---------------------------------------------------------------------------
@@ -4025,27 +3991,26 @@ def q_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equal the declarative aggregate over both staged commits",
 )
 def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.matview import IncrementalAggView
     from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
 
     day_ns = 86_400_000_000_000
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts_nanos"
     )
-    base = ManifestSnapshotTable(
+    with ephemeral_table(
+        ManifestSnapshotTable,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_mvbase_"),
+        "mvbase",
         keys=["user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["event_type"],
-    )
-    view = IncrementalAggView(
+    ) as base, ephemeral_table(
+        IncrementalAggView,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_mview_"),
-        base,
+        "mview",
+        base=base,
         group_cols=["day_num"],
         measures=[
             ("n_keys", None, "count"),
@@ -4055,8 +4020,7 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         prepare=lambda df: df.withColumn(
             "day_num", F.expr(f"ts_nanos DIV {day_ns}")
         ),
-    )
-    try:
+    ) as view:
         base.upsert(e.filter(F.col("event_id") % 3 == 0))
         view.refresh()
         base.upsert(
@@ -4074,14 +4038,8 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"matview refresh was not incremental: {info}"
             )
-        agg = view.read()
-        # one row per (day, ) group — bounded; materializing lets both
-        # ephemeral table dirs be removed before return
-        rows, schema = agg.collect(), agg.schema
-    finally:
-        shutil.rmtree(base.path, ignore_errors=True)
-        shutil.rmtree(view.path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        # one row per (day, ) group — bounded
+        return materialize_bounded(spark, view.read())
 
 
 # ---------------------------------------------------------------------------
@@ -4149,27 +4107,26 @@ def q_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recomputes the identical register arithmetic in DuckDB",
 )
 def q_matview_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.matview import IncrementalAggView
     from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
 
     day_ns = 86_400_000_000_000
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts_nanos"
     )
-    base = ManifestSnapshotTable(
+    with ephemeral_table(
+        ManifestSnapshotTable,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_mvskb_"),
+        "mvskb",
         keys=["user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["event_type"],
-    )
-    view = IncrementalAggView(
+    ) as base, ephemeral_table(
+        IncrementalAggView,
         spark,
-        tempfile.mkdtemp(prefix="sparkgraft_mvsk_"),
-        base,
+        "mvsk",
+        base=base,
         group_cols=["day_num"],
         measures=[
             ("n_keys", None, "count"),
@@ -4179,8 +4136,7 @@ def q_matview_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         prepare=lambda df: df.withColumn(
             "day_num", F.expr(f"ts_nanos DIV {day_ns}")
         ),
-    )
-    try:
+    ) as view:
         base.upsert(e.filter(F.col("event_id") % 3 == 0))
         view.refresh()
         base.upsert(
@@ -4194,12 +4150,8 @@ def q_matview_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"sketch matview refresh was not incremental: {info}"
             )
-        agg = view.read()
-        rows, schema = agg.collect(), agg.schema
-    finally:
-        shutil.rmtree(base.path, ignore_errors=True)
-        shutil.rmtree(view.path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+        # one row per (day, ) group — bounded
+        return materialize_bounded(spark, view.read())
 
 
 # ---------------------------------------------------------------------------
