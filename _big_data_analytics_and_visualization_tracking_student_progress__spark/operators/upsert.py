@@ -592,9 +592,35 @@ class ManifestSnapshotTable:
         m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
         if not m:
             return None, 0, 0, 0, 0
+        frame, frags_kept, files_kept, files_total = (
+            self._pruned_fragment_read(doc, m, conds)
+        )
+        if frame is None:
+            # everything pruned: an empty frame with the table schema
+            return (
+                self._read_fragments(m).filter(F.lit(False)),
+                frags_kept,
+                len(m),
+                files_kept,
+                files_total,
+            )
+        return frame, frags_kept, len(m), files_kept, files_total
+
+    def _pruned_fragment_read(
+        self, doc: dict, frag_map: dict[str, int], conds: Sequence[tuple]
+    ) -> tuple[DataFrame | None, int, int, int]:
+        """Two-tier zone-map pruning + scan of ``frag_map`` (fragment →
+        holder version), with both stats tiers read from the PINNED
+        manifest ``doc``, and the exact AND-of-ranges predicate applied
+        to the survivors (pruning is an optimization, never a filter).
+        Shared by `read_where_all` and the range-filtered change feed
+        (`changes`/`tail_changes` ``where=``).  Returns ``(frame,
+        fragments_kept, files_kept, files_total)``; frame is None when
+        ``frag_map`` is empty or everything was pruned; files_total
+        counts files in surviving fragments only."""
         st = doc.get("stats", {})
         keep: dict[str, int] = {}
-        for frag, v in m.items():
+        for frag, v in frag_map.items():
             if self._envelopes_intersect(st.get(frag), conds):
                 keep[frag] = v
         pred = None
@@ -602,16 +628,8 @@ class ManifestSnapshotTable:
             c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
             pred = c if pred is None else pred & c
         if not keep:
-            # nothing intersects: an empty frame with the table schema
-            return (
-                self._read_fragments(m).filter(F.lit(False)),
-                0,
-                len(m),
-                0,
-                0,
-            )
+            return None, 0, 0, 0
         # tier 2: file-level skipping inside the surviving fragments
-        # (same pinned doc as tier 1)
         fst = doc.get("file_stats", {})
         files_total = files_kept = 0
         by_version: dict[int, list[str]] = {}
@@ -637,14 +655,7 @@ class ManifestSnapshotTable:
                         os.path.join(frag_dir, fname)
                     )
         if not by_version:
-            # every file pruned: empty frame with the table schema
-            return (
-                self._read_fragments(m).filter(F.lit(False)),
-                len(keep),
-                len(m),
-                0,
-                files_total,
-            )
+            return None, len(keep), 0, files_total
         out = None
         for v, paths in sorted(by_version.items()):
             df = (
@@ -656,7 +667,7 @@ class ManifestSnapshotTable:
                 if out is None
                 else out.unionByName(df, allowMissingColumns=True)
             )
-        return out.filter(pred), len(keep), len(m), files_kept, files_total
+        return out.filter(pred), len(keep), files_kept, files_total
 
     def _compute_stats_both(
         self, new_v: int
@@ -1067,7 +1078,12 @@ class ManifestSnapshotTable:
         return new_v
 
     # -- change feed ------------------------------------------------------
-    def changes(self, from_version: int, to_version: int) -> DataFrame | None:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int,
+        where: Sequence[tuple] | None = None,
+    ) -> DataFrame | None:
         """Change data feed between two readable snapshots: one row per
         key whose state differs, tagged ``_change_type`` ∈ {'insert',
         'update_postimage', 'delete'} (deletes carry the pre-image, the
@@ -1084,7 +1100,19 @@ class ManifestSnapshotTable:
         `read()`); change detection compares every non-key column
         null-safely.  Both endpoints must be readable snapshots —
         vacuum-demoted holders are refused, like `read(version=...)`.
-        Returns None when both snapshots are empty."""
+        Returns None when both snapshots are empty.
+
+        ``where`` (optional): a conjunction of inclusive ranges
+        ``[(col, lo, hi), ...]`` — the feed of the RANGE-FILTERED
+        table: both snapshot states are restricted to rows satisfying
+        every range before diffing, so a consumer maintaining a
+        filtered replica sees a row leave its range as a ``delete``
+        and enter it as an ``insert`` (subset-CDF semantics).  The
+        filter rides the same two-tier zone maps as `read_where_all`:
+        inside the moved fragments, files whose recorded envelopes
+        miss the range are skipped on manifest metadata alone (each
+        side pinned to its own version's stats doc) — completing the
+        "every read path prunes on metadata" story for the feed."""
         if to_version <= from_version:
             raise ValueError(
                 f"need from_version < to_version, got "
@@ -1097,8 +1125,21 @@ class ManifestSnapshotTable:
         }
         if not m0 and not m1:
             return None
-        old = self._read_fragments({f: m0[f] for f in frags & set(m0)})
-        new = self._read_fragments({f: m1[f] for f in frags & set(m1)})
+        if where:
+            where = [tuple(c) for c in where]
+            old, *_ = self._pruned_fragment_read(
+                self._manifest_doc(from_version),
+                {f: m0[f] for f in frags & set(m0)},
+                where,
+            )
+            new, *_ = self._pruned_fragment_read(
+                self._manifest_doc(to_version),
+                {f: m1[f] for f in frags & set(m1)},
+                where,
+            )
+        else:
+            old = self._read_fragments({f: m0[f] for f in frags & set(m0)})
+            new = self._read_fragments({f: m1[f] for f in frags & set(m1)})
         if old is None and new is None:
             # no fragment moved: an empty feed with the to-schema
             base = self.read(to_version) or self.read(from_version)
@@ -1148,7 +1189,9 @@ class ManifestSnapshotTable:
         )
 
     def tail_changes(
-        self, since_version: int | None
+        self,
+        since_version: int | None,
+        where: Sequence[tuple] | None = None,
     ) -> tuple[DataFrame | None, int]:
         """Incremental-consumer cursor over the change feed: returns
         ``(feed, cursor)`` where ``feed`` is everything that changed
@@ -1158,7 +1201,13 @@ class ManifestSnapshotTable:
         committed, feed is None and the cursor is unchanged.  This is
         the polling half of a CDF subscription (the availableNow
         trigger's shape): consumers checkpoint the cursor, not offsets,
-        and each poll costs the commits since the last one."""
+        and each poll costs the commits since the last one.
+
+        ``where``: subscribe to the RANGE-FILTERED table (see
+        `changes`); the initial load is then a zone-map-pruned
+        `read_where_all` and every later poll prunes files inside the
+        moved fragments — a subscriber to one key range never pays for
+        the rest of the table."""
         vs = self.versions()
         if not vs:
             return None, 0
@@ -1166,7 +1215,10 @@ class ManifestSnapshotTable:
         if since_version is None or since_version == 0:
             # 0 is the cursor this method itself hands out for an
             # empty table — the next poll is an initial load
-            snap = self.read(latest)
+            if where:
+                snap = self.read_where_all(where, version=latest)[0]
+            else:
+                snap = self.read(latest)
             if snap is None:
                 return None, latest
             return (
@@ -1177,7 +1229,7 @@ class ManifestSnapshotTable:
             )
         if since_version >= latest:
             return None, since_version
-        return self.changes(since_version, latest), latest
+        return self.changes(since_version, latest, where=where), latest
 
     # -- maintenance ----------------------------------------------------
     def compact(

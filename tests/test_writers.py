@@ -1273,3 +1273,84 @@ class TestTypeChangeFallsBackToFullRewrite:
             TestPartitionPrunedMerge(), str(tmp_path / "t" / "day=d1")
         )
         assert sig == after  # d1 files untouched → pruning still active
+
+
+class TestChangeFeedZoneMapPruning:
+    """`changes`/`tail_changes` with ``where=`` read the feed of the
+    RANGE-FILTERED table, and the filter rides the zone maps: inside
+    the moved fragments, files whose envelopes miss the range are
+    skipped on manifest metadata alone (VERDICT r8 item 7)."""
+
+    _mk = staticmethod(TestManifestSnapshotTable._mk)
+
+    @staticmethod
+    def _vrows(spark, data):
+        return spark.createDataFrame(
+            data, "day string, k int, v int, seq int"
+        )
+
+    def _build(self, spark, tmp_path):
+        """v1: 100 keys in one day partition; v2: OPTIMIZE clustered on
+        v (4 files over disjoint v ranges); v3: one upsert that updates
+        k=5 (v 5→7, stays in [1,10]), k=3 (v 3→50, leaves the range)
+        and k=90 (v 90→4, enters the range)."""
+        t = self._mk(spark, tmp_path, stats_cols=["v"])
+        t.upsert(self._vrows(
+            spark, [("d1", k, k, 1) for k in range(1, 101)]
+        ))
+        t.compact(cluster_by=["v"], cluster_files=4)
+        t.upsert(self._vrows(
+            spark, [("d1", 5, 7, 2), ("d1", 3, 50, 2), ("d1", 90, 4, 2)]
+        ))
+        assert t.versions() == [1, 2, 3]
+        return t
+
+    def test_subset_feed_semantics(self, spark, tmp_path):
+        t = self._build(spark, tmp_path)
+        feed = t.changes(2, 3, where=[("v", 1, 10)])
+        got = {(r._change_type, r.k, r.v) for r in feed.collect()}
+        # k=5 updated within the range; k=3 left it (delete carries the
+        # pre-image); k=90 entered it (insert carries the post-image);
+        # every other in-range key is unchanged → absent from the feed
+        assert got == {
+            ("update_postimage", 5, 7),
+            ("delete", 3, 3),
+            ("insert", 90, 4),
+        }
+
+    def test_feed_skips_files_on_zone_maps(self, spark, tmp_path):
+        t = self._build(spark, tmp_path)
+        full = t.changes(2, 3)
+        pruned = t.changes(2, 3, where=[("v", 1, 10)])
+        n_full = len(set(full.inputFiles()))
+        n_pruned = len(set(pruned.inputFiles()))
+        # the old side holds 4 clustered files with disjoint v ranges;
+        # the range touches at most 2 of them (v∈[1,10] plus the file
+        # band that held v=90's pre-image... no — the OLD side only
+        # needs envelopes intersecting [1,10]); the unfiltered feed
+        # reads all 4
+        assert n_pruned < n_full, (n_pruned, n_full)
+        # concrete: old side drops at least 2 of the 4 clustered files
+        assert n_full - n_pruned >= 2, (n_pruned, n_full)
+
+    def test_tail_changes_where_initial_and_incremental(
+        self, spark, tmp_path
+    ):
+        t = self._build(spark, tmp_path)
+        # initial load at cursor None: the pruned snapshot, all inserts
+        feed, cur = t.tail_changes(None, where=[("v", 1, 10)])
+        assert cur == 3
+        got = {(r._change_type, r.k, r.v) for r in feed.collect()}
+        # post-v3 in-range rows: k=1..10 minus k=3 (now 50) minus k=5
+        # (now 7 — still in) plus k=90 (now 4)
+        expect_keys = {(k, k) for k in range(1, 11)} - {(3, 3), (5, 5)}
+        expect_keys |= {(5, 7), (90, 4)}
+        assert got == {("insert", k, v) for k, v in expect_keys}
+        # caught-up poll: nothing new
+        feed2, cur2 = t.tail_changes(cur, where=[("v", 1, 10)])
+        assert feed2 is None and cur2 == 3
+        # a fourth commit out of range: the subscriber sees nothing
+        t.upsert(self._vrows(spark, [("d1", 60, 61, 3)]))
+        feed3, cur3 = t.tail_changes(cur, where=[("v", 1, 10)])
+        assert cur3 == 4
+        assert feed3.count() == 0
