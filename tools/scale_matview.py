@@ -4,11 +4,19 @@ that touches ONE partition, refresh() costs a fraction of both the
 initial build and a full re-aggregation of the table (the reference's
 per-dashboard-load recompute shape, app.py:58).
 
+The base is DAY-BUCKETED (31 fragments at sf0.1 — the production
+fact-table cardinality shape, reusing scale_file_skip.py's bucketing;
+VERDICT r8 item 5): the round-8 run partitioned by event_type (5
+fragments), which capped the demonstrable incremental win at ~5x
+because one fragment was ~1/5 of the table.  With ~31 day fragments a
+single-day commit's refresh scans ~1/31 of the data, so the
+incremental-vs-full-reaggregation gap shows at its true size.
+
 Phases, each timed with driver-RSS snapshots:
 
-1. full-load commit (every event_type partition)         → base v1
+1. full-load commit (every day partition)                 → base v1
 2. initial refresh: partials built for EVERY fragment
-3. incremental commit touching ONLY the click partition  → base v2
+3. incremental commit touching ONLY day bucket 5          → base v2
 4. incremental refresh: recomputes exactly 1 fragment
 5. serve: read() merges partials (never touches the base)
 6. the alternative being replaced: full re-aggregation of
@@ -69,27 +77,33 @@ def main() -> None:
     table = ManifestSnapshotTable(
         spark,
         os.path.join(tdir, "table"),
-        keys=["user_id", "event_type"],
+        keys=["day_bucket", "user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
-        partition_by=["event_type"],
+        partition_by=["day_bucket"],
     )
+    # rollup over a DIFFERENT dimension than the partition (event_type
+    # KPIs over a day-partitioned base) — the shape where partials are
+    # genuinely needed: each fragment contributes to every group
     view = IncrementalAggView(
         spark,
         os.path.join(tdir, "mv"),
         table,
-        group_cols=["day_num"],
+        group_cols=["event_type"],
         measures=[
             ("n_keys", None, "count"),
             ("sum_event_id", "event_id", "sum"),
             ("max_ts_nanos", "ts_nanos", "max"),
         ],
-        prepare=lambda df: df.withColumn(
-            "day_num", F.expr(f"ts_nanos DIV {DAY_NS}")
-        ),
     )
 
-    ev = load_table(spark, scaled_dir, "events").select(
+    e = load_table(spark, scaled_dir, "events").select(
         "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    # bucket origin: one-row control collect (a production table derives
+    # this from its partition spec)
+    dmin = e.agg(F.min("ts_nanos")).first()[0]
+    ev = e.withColumn(
+        "day_bucket", F.expr(f"(ts_nanos - {dmin}) DIV {DAY_NS}")
     )
     n_events = ev.count()
 
@@ -102,15 +116,16 @@ def main() -> None:
         timings[label] = round(time.perf_counter() - t0, 2)
         rss[label] = rss_snapshot_mb()
 
-    click = ev.filter(F.col("event_type") == "click")
+    day5 = ev.filter(F.col("day_bucket") == 5)
     phase(
         "full_load_commit",
         lambda: table.upsert(ev.filter(F.col("event_id") % 2 == 0)),
     )
+    n_frags = len(table.manifest())
     phase("initial_refresh_all_fragments", view.refresh)
     phase(
-        "incremental_commit_click_only",
-        lambda: table.upsert(click.filter(F.col("event_id") % 2 == 1)),
+        "incremental_commit_day5_only",
+        lambda: table.upsert(day5.filter(F.col("event_id") % 2 == 1)),
     )
     phase("incremental_refresh_one_fragment", view.refresh)
     info = view.refresh_log[-1]
@@ -126,8 +141,7 @@ def main() -> None:
     def full_reagg() -> None:
         (
             table.read()
-            .withColumn("day_num", F.expr(f"ts_nanos DIV {DAY_NS}"))
-            .groupBy("day_num")
+            .groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_keys"),
                 F.sum("event_id").alias("sum_event_id"),
@@ -143,8 +157,7 @@ def main() -> None:
     # exact correctness: merged partials equal the direct aggregate
     direct = (
         table.read()
-        .withColumn("day_num", F.expr(f"ts_nanos DIV {DAY_NS}"))
-        .groupBy("day_num")
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("event_id").alias("sum_event_id"),
@@ -169,15 +182,18 @@ def main() -> None:
     init = timings["initial_refresh_all_fragments"]
     reagg = timings["full_reaggregation_for_comparison"]
     lines = [
-        f"## {FACTOR}x matview refresh (continuous aggregate)",
+        f"## {FACTOR}x matview refresh (continuous aggregate, "
+        f"day-bucketed base)",
         "",
         f"Auto-generated by `python tools/scale_matview.py {SF_DIR} "
         f"{FACTOR}`: events replicated {FACTOR}x ({n_events:,} rows), "
-        "committed to a ManifestSnapshotTable partitioned by event_type "
-        "with an IncrementalAggView rollup (day_num × count/sum/max).  "
-        "After a commit touching ONLY the click partition, the refresh "
-        "recomputes exactly 1 fragment; serving merges partials without "
-        "touching the base.",
+        f"committed to a ManifestSnapshotTable partitioned by day bucket "
+        f"({n_frags} fragments — production fact-table cardinality) with "
+        "an IncrementalAggView rollup (event_type × count/sum/max, a "
+        "different dimension than the partition so every fragment "
+        "contributes partials to every group).  After a commit touching "
+        "ONLY day bucket 5, the refresh recomputes exactly 1 fragment; "
+        "serving merges partials without touching the base.",
         "",
         "| Phase | wall (s) | driver RSS after |",
         "|---|---|---|",
@@ -187,12 +203,13 @@ def main() -> None:
     lines += [
         "",
         f"Incremental refresh = {inc:.2f} s vs initial build "
-        f"{init:.2f} s ({inc / init:.2f}x) and vs the full "
-        f"re-aggregation it replaces {reagg:.2f} s "
-        f"({inc / reagg:.2f}x).  Refresh cost tracks the partitions the "
-        "commit touched — at a fixed commit size it is flat in table "
-        "size, while the per-load recompute grows linearly.  "
-        "Final-state check: exact match against the direct aggregate.",
+        f"{init:.2f} s ({init / max(inc, 0.01):.1f}x cheaper) and vs "
+        f"the full re-aggregation it replaces {reagg:.2f} s "
+        f"({reagg / max(inc, 0.01):.1f}x cheaper).  Refresh cost tracks "
+        "the partitions the commit touched — at a fixed commit size it "
+        "is flat in table size, while the per-load recompute grows "
+        "linearly.  Final-state check: exact match against the direct "
+        "aggregate.",
         "",
     ]
     with open(os.path.join(ROOT, "SCALE.md"), "a") as fh:
