@@ -68,6 +68,89 @@ def merge_by_key(
     return out.drop("__src")
 
 
+def merge_clauses(
+    target: DataFrame | None,
+    source: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    *,
+    when_matched_update: Column | None = None,
+    when_not_matched_insert: Column | None = None,
+    when_matched_delete: Column | None = None,
+) -> DataFrame:
+    """Conditional MERGE — the full Delta/Iceberg `MERGE INTO` clause
+    surface, where `merge_by_key` is only its unconditional
+    (always-update, always-insert, never-delete) special case:
+
+    - matched (key in both) and ``when_matched_delete`` → row dropped;
+    - matched and ``when_matched_update`` → source row replaces target;
+    - matched otherwise → target row kept unchanged;
+    - source-only and ``when_not_matched_insert`` → source row inserted
+      (dropped otherwise);
+    - target-only → kept unchanged (no WHEN NOT MATCHED BY SOURCE
+      clause; compose with `ManifestSnapshotTable.delete_where` for
+      that).
+
+    Condition Columns reference the two sides as ``t.<col>`` /
+    ``s.<col>`` (e.g. ``F.col("s.ts") >= F.col("t.ts")``); an
+    unqualified column name is ambiguous and will be rejected by the
+    analyzer.  ``None`` conditions mean the clause always applies
+    (delete defaults to never).  NULL condition results count as
+    false, SQL-style.  Clause precedence matches Delta: delete is
+    tested before update.
+
+    The source is first collapsed to one row per key by ``order_by``
+    recency (a batch may carry several versions of a key); schema may
+    differ between the sides — both are aligned to the union-by-name
+    schema, missing columns NULL, same additive evolution as
+    `merge_by_key`.  One full-outer shuffle join on the key — the
+    Delta MERGE physical shape — with NULL-safe key equality so NULL
+    key components match themselves, consistent with
+    `latest_by_key`'s groupBy."""
+    srcd = latest_by_key(source, keys, list(order_by))
+    if target is None:
+        target = srcd.limit(0)
+    t_ = target.unionByName(
+        srcd.limit(0), allowMissingColumns=True
+    ).withColumn("__t", F.lit(1))
+    s_ = srcd.unionByName(
+        target.limit(0), allowMissingColumns=True
+    ).withColumn("__s", F.lit(1))
+    cols = [c for c in s_.columns if c != "__s"]
+    cond = None
+    for k in keys:
+        e = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = e if cond is None else cond & e
+    j = t_.alias("t").join(s_.alias("s"), cond, "full_outer")
+    has_t = F.col("t.__t").isNotNull()
+    has_s = F.col("s.__s").isNotNull()
+    upd = (
+        F.lit(True)
+        if when_matched_update is None
+        else F.coalesce(when_matched_update, F.lit(False))
+    )
+    ins = (
+        F.lit(True)
+        if when_not_matched_insert is None
+        else F.coalesce(when_not_matched_insert, F.lit(False))
+    )
+    dele = (
+        F.lit(False)
+        if when_matched_delete is None
+        else F.coalesce(when_matched_delete, F.lit(False))
+    )
+    keep = ~(has_t & has_s & dele) & ~(has_s & ~has_t & ~ins)
+    take_s = (has_s & ~has_t) | (has_t & has_s & ~dele & upd)
+    return j.filter(keep).select(
+        *[
+            F.when(take_s, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+    )
+
+
 class KeyedParquetTable:
     """A keyed, mutable table on parquet — the engine's stand-in for the
     reference's Elasticsearch index (daily index + `_id` upsert,
@@ -354,7 +437,10 @@ class ManifestSnapshotTable:
                  stable_partitions: bool = False,
                  keep_versions: int | None = None,
                  stats_cols: Sequence[str] | None = None,
-                 claim_ttl_seconds: float = 3600.0):
+                 claim_ttl_seconds: float = 3600.0,
+                 bloom_cols: Sequence[str] | None = None,
+                 bloom_bits: int = 1 << 16,
+                 bloom_k: int = 5):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -369,6 +455,25 @@ class ManifestSnapshotTable:
         # by reference, exactly like the data files.  Numeric / string /
         # bool columns only (envelopes are stored as JSON).
         self.stats_cols = list(stats_cols) if stats_cols else []
+        if self._ROWS_KEY in self.stats_cols:
+            raise ValueError(f"{self._ROWS_KEY!r} is a reserved stats key")
+        # Bloom filters: per-FILE bloom bitsets over these columns ride
+        # each version as a `blooms.json` sidecar (the Delta bloom-
+        # filter-index shape).  They answer the skipping question zone
+        # maps can't: EQUALITY on a high-cardinality column whose values
+        # are scattered across every file, where each file's [min, max]
+        # spans the whole domain.  `bloom_bits` is the per-file bitset
+        # size (size ≈ 10 bits per expected distinct value per file for
+        # ~1% false positives); `bloom_k` the hash count.  Sidecars are
+        # inherited BY REFERENCE like the data files — the manifest's
+        # fragment→holder map locates them, so unchanged fragments'
+        # (potentially large) bitsets are never copied forward.
+        self.bloom_cols = list(bloom_cols) if bloom_cols else []
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_k = int(bloom_k)
+        if self.bloom_cols and (self.bloom_bits < 8 or self.bloom_k < 1):
+            raise ValueError("need bloom_bits >= 8 and bloom_k >= 1")
+        self._bloom_cache: dict[int, dict] = {}
         if not self.partition_by:
             raise ValueError("ManifestSnapshotTable requires partition_by")
         if not (stable_partitions or set(self.partition_by) <= set(self.keys)):
@@ -669,6 +774,13 @@ class ManifestSnapshotTable:
             )
         return out.filter(pred), len(keep), files_kept, files_total
 
+    # Reserved key inside stats envelopes: exact per-file / per-fragment
+    # row counts, recorded next to the [min, max] envelopes so COUNT(*)
+    # can be served from the manifest alone (Iceberg's metadata-only
+    # scan).  Not a legal bare SQL identifier, so it cannot collide with
+    # a real stats column (the constructor refuses it anyway).
+    _ROWS_KEY = "#rows"
+
     def _compute_stats_both(
         self, new_v: int
     ) -> tuple[dict, dict]:
@@ -677,12 +789,14 @@ class ManifestSnapshotTable:
         for ``stats_cols`` (one aggregate row per data file — bounded
         control data), with the per-fragment envelopes folded from them
         in plain Python (min of file-mins / max of file-maxes, NULLs
-        ignored like the SQL aggregates would).  Returns
-        ``(fragment_stats, file_stats)``.  Columns absent from this
-        commit's schema get no envelope, and a commit that wrote no
-        data files at all (a delete that emptied every touched
-        partition) gets empty stats — readers keep envelope-less
-        entries conservatively."""
+        ignored like the SQL aggregates would).  Every envelope also
+        carries the exact row count under the reserved ``#rows`` key
+        (both tiers), which is what serves `count_rows` without
+        touching data.  Returns ``(fragment_stats, file_stats)``.
+        Columns absent from this commit's schema get no envelope, and a
+        commit that wrote no data files at all (a delete that emptied
+        every touched partition) gets empty stats — readers keep
+        envelope-less entries conservatively."""
         if not self.stats_cols:
             return {}, {}
         data_dir = self._data_dir(new_v)
@@ -695,25 +809,27 @@ class ManifestSnapshotTable:
             return {}, {}
         df = self.spark.read.option("basePath", data_dir).parquet(data_dir)
         present = [c for c in self.stats_cols if c in df.columns]
-        if not present:
-            return {}, {}
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__nr")]
         for c in present:
             aggs.append(F.min(c).alias(f"mn_{c}"))
             aggs.append(F.max(c).alias(f"mx_{c}"))
         grouped = df.groupBy(
             F.col("_metadata.file_path").alias("__fp"), *self.partition_by
         ).agg(*aggs)
+        rk = self._ROWS_KEY
         file_stats: dict[str, dict[str, dict[str, list]]] = {}
         frag_stats: dict[str, dict[str, list]] = {}
         for r in grouped.collect():
             d = r.asDict()
             frag = self._part_key([d[c] for c in self.partition_by])
             fname = os.path.basename(d["__fp"])
-            file_stats.setdefault(frag, {})[fname] = {
-                c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in present
-            }
-            env = frag_stats.setdefault(frag, {c: [None, None] for c in present})
+            fenv = {c: [d[f"mn_{c}"], d[f"mx_{c}"]] for c in present}
+            fenv[rk] = int(d["__nr"])
+            file_stats.setdefault(frag, {})[fname] = fenv
+            env = frag_stats.setdefault(
+                frag, {c: [None, None] for c in present} | {rk: 0}
+            )
+            env[rk] += int(d["__nr"])
             for c in present:
                 mn, mx = d[f"mn_{c}"], d[f"mx_{c}"]
                 if mn is not None and (env[c][0] is None or mn < env[c][0]):
@@ -721,6 +837,319 @@ class ManifestSnapshotTable:
                 if mx is not None and (env[c][1] is None or mx > env[c][1]):
                     env[c][1] = mx
         return frag_stats, file_stats
+
+    # -- bloom filters (per-file equality skipping) -----------------------
+    # Zone maps prune RANGES; they are blind to equality probes on a
+    # high-cardinality column whose values round-robin across files
+    # (every file's [min, max] spans the domain).  Per-file bloom
+    # bitsets close that gap — Delta's bloom filter index — letting a
+    # point lookup on a non-partition, non-clustered key open ~1 file
+    # instead of every file in the fragment.  Hashing is double-hash-
+    # free: position_i = pmod(xxhash64(cast(col as string), i), m),
+    # computed by the ENGINE on both the build and the probe side (the
+    # probe evaluates the same expression over a 1-row frame), so there
+    # is no cross-language hash-compatibility trap.  NULLs are never
+    # added and cannot be probed (use IS NULL scans for that).
+    _BLOOM_DOC = "blooms.json"
+
+    def _compute_blooms(self, new_v: int) -> dict:
+        """Bloom sidecar content for the files just written under
+        ``new_v``: {fragment → {file → {col → {"m", "k", "b64"}}}}.
+        One engine-side job: per row, k candidate bit positions per
+        bloom column, exploded and set-aggregated per (file, column) —
+        the shuffle and the driver collect both carry at most
+        min(rows·k, m) DISTINCT positions per (file, column), so
+        control data is bounded by the bitset size, never by row
+        count."""
+        import base64
+
+        if not self.bloom_cols:
+            return {}
+        data_dir = self._data_dir(new_v)
+        has_files = any(
+            name.endswith(".parquet")
+            for _dir, _subdirs, names in os.walk(data_dir)
+            for name in names
+        )
+        if not has_files:
+            return {}
+        df = self.spark.read.option("basePath", data_dir).parquet(data_dir)
+        present = [c for c in self.bloom_cols if c in df.columns]
+        if not present:
+            return {}
+        m, k = self.bloom_bits, self.bloom_k
+        entries = []
+        for c in present:
+            s = F.col(c).cast("string")
+            for i in range(k):
+                entries.append(
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.when(
+                            s.isNotNull(),
+                            F.pmod(F.xxhash64(s, F.lit(i)), F.lit(m)),
+                        ).alias("p"),
+                    )
+                )
+        pos = (
+            df.select(
+                F.col("_metadata.file_path").alias("__fp"),
+                *self.partition_by,
+                F.explode(F.array(*entries)).alias("e"),
+            )
+            .filter(F.col("e.p").isNotNull())
+            .groupBy("__fp", *self.partition_by, F.col("e.c").alias("__c"))
+            .agg(F.collect_set(F.col("e.p")).alias("__ps"))
+        )
+        out: dict[str, dict[str, dict[str, dict]]] = {}
+        for r in pos.collect():
+            d = r.asDict()
+            frag = self._part_key([d[c] for c in self.partition_by])
+            fname = os.path.basename(d["__fp"])
+            bits = bytearray((m + 7) // 8)
+            for p in d["__ps"]:
+                p = int(p)
+                bits[p >> 3] |= 1 << (p & 7)
+            out.setdefault(frag, {}).setdefault(fname, {})[d["__c"]] = {
+                "m": m,
+                "k": k,
+                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+        return out
+
+    def _write_blooms(self, new_v: int, vdir: str) -> None:
+        """Write the version's bloom sidecar (no-op without bloom_cols
+        or data files).  Sidecars live NEXT TO the files they describe
+        and are resolved through the manifest's fragment→holder map, so
+        inherited fragments reuse the holder's sidecar by reference —
+        nothing is copied forward on unrelated commits, and vacuum's
+        holder demotion keeps sidecars alive exactly as long as the
+        files."""
+        import json
+
+        blooms = self._compute_blooms(new_v)
+        if blooms:
+            with open(os.path.join(vdir, self._BLOOM_DOC), "w") as fh:
+                json.dump(blooms, fh, sort_keys=True)
+
+    def _bloom_doc(self, v: int) -> dict:
+        """Parsed (and cached — version dirs are immutable once
+        committed) bloom sidecar of a version; {} when the version
+        predates bloom_cols."""
+        import json
+
+        if v not in self._bloom_cache:
+            try:
+                with open(
+                    os.path.join(self._vdir(v), self._BLOOM_DOC)
+                ) as fh:
+                    self._bloom_cache[v] = json.load(fh)
+            except FileNotFoundError:
+                self._bloom_cache[v] = {}
+        return self._bloom_cache[v]
+
+    def _probe_positions(
+        self, shapes: set[tuple[str, int, int]], values: dict[str, object]
+    ) -> dict[tuple[str, int, int], list[int]]:
+        """Candidate bit positions for every (col, m, k) bitset shape in
+        play, computed BY THE ENGINE over a 1-row frame with the exact
+        build-side expression (same cast, same hash) — one tiny job for
+        the whole read."""
+        if not shapes:
+            return {}
+        exprs, order = [], []
+        for idx, (c, m, k) in enumerate(sorted(shapes)):
+            s = F.lit(values[c]).cast("string")
+            for i in range(k):
+                exprs.append(
+                    F.pmod(F.xxhash64(s, F.lit(i)), F.lit(m)).alias(
+                        f"p_{idx}_{i}"
+                    )
+                )
+            order.append((c, m, k))
+        row = self.spark.range(1).select(*exprs).first()
+        out = {}
+        for idx, shape in enumerate(order):
+            _c, _m, k = shape
+            out[shape] = [int(row[f"p_{idx}_{i}"]) for i in range(k)]
+        return out
+
+    @staticmethod
+    def _bloom_may_contain(entry: dict, positions: list[int]) -> bool:
+        import base64
+
+        bits = base64.b64decode(entry["b64"])
+        return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+    def read_where_eq(
+        self, pairs: Sequence[tuple], version: int | None = None
+    ) -> tuple[DataFrame | None, int, int, int, int]:
+        """Equality point read over a CONJUNCTION of (col, value)
+        pairs, with THREE tiers of metadata skipping: (1) fragment
+        zone-map envelopes (an equality is the degenerate range
+        [v, v]); (2) per-file zone-map envelopes; (3) per-file bloom
+        bitsets — the tier that actually bites when the probed column
+        is high-cardinality and unclustered, where every file's
+        envelope spans the domain and tiers 1-2 keep everything.
+        Anything without recorded metadata is kept conservatively, and
+        the exact equality predicate is applied to the survivors —
+        bloom false positives cost a scan, never a wrong row.  NULL
+        probe values are refused (SQL `= NULL` matches nothing; bloom
+        bitsets never index NULLs).  Returns the same counter shape as
+        `read_where_all`: ``(frame, fragments_kept, fragments_total,
+        files_kept, files_total)``."""
+        pairs = [(c, v) for c, v in pairs]
+        if not pairs:
+            raise ValueError("read_where_eq needs at least one pair")
+        if any(v is None for _c, v in pairs):
+            raise ValueError("cannot probe NULL (= NULL matches nothing)")
+        values = dict(pairs)
+        conds = [(c, v, v) for c, v in pairs]
+        doc = self._manifest_doc(version)
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
+        if not m:
+            return None, 0, 0, 0, 0
+        st = doc.get("stats", {})
+        keep = {
+            f: hv
+            for f, hv in m.items()
+            if self._envelopes_intersect(st.get(f), conds)
+        }
+        pred = None
+        for c, v in pairs:
+            e = F.col(c) == F.lit(v)
+            pred = e if pred is None else pred & e
+        fst = doc.get("file_stats", {})
+        # one engine probe job for all bitset shapes seen in sidecars
+        shapes: set[tuple[str, int, int]] = set()
+        frag_blooms: dict[str, dict] = {}
+        for frag, hv in keep.items():
+            bdoc = self._bloom_doc(hv).get(frag, {})
+            frag_blooms[frag] = bdoc
+            for fentry in bdoc.values():
+                for c, _v in pairs:
+                    be = fentry.get(c)
+                    if be:
+                        shapes.add((c, int(be["m"]), int(be["k"])))
+        probes = self._probe_positions(shapes, values)
+        files_total = files_kept = 0
+        by_version: dict[int, list[str]] = {}
+        for frag, hv in sorted(keep.items()):
+            frag_dir = os.path.join(self._data_dir(hv), frag)
+            fdoc = fst.get(frag) or {}
+            bdoc = frag_blooms[frag]
+            names = sorted(fdoc) if fdoc else sorted(
+                n for n in os.listdir(frag_dir) if n.endswith(".parquet")
+            )
+            for fname in names:
+                files_total += 1
+                envs = fdoc.get(fname)
+                if envs is not None and not self._envelopes_intersect(
+                    envs, conds
+                ):
+                    continue
+                fb = bdoc.get(fname)
+                if fb and not all(
+                    self._bloom_may_contain(
+                        fb[c], probes[(c, int(fb[c]["m"]), int(fb[c]["k"]))]
+                    )
+                    for c, _v in pairs
+                    if fb.get(c)
+                ):
+                    continue
+                files_kept += 1
+                by_version.setdefault(hv, []).append(
+                    os.path.join(frag_dir, fname)
+                )
+        if not by_version:
+            return (
+                self._read_fragments(m).filter(F.lit(False)),
+                len(keep),
+                len(m),
+                0,
+                files_total,
+            )
+        out = None
+        for v, paths in sorted(by_version.items()):
+            df = (
+                self.spark.read.option("basePath", self._data_dir(v))
+                .parquet(*sorted(paths))
+            )
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
+        return out.filter(pred), len(keep), len(m), files_kept, files_total
+
+    # -- metadata-only aggregates -----------------------------------------
+    def count_rows(
+        self, version: int | None = None
+    ) -> tuple[int, int, int]:
+        """Exact COUNT(*) of a snapshot served from manifest metadata —
+        the Iceberg/Delta metadata-only scan: every stats commit records
+        per-file row counts, so counting a 100 TB table costs one
+        manifest read, zero data GETs.  Fragments committed before
+        ``stats_cols`` was configured have no counts and are scanned
+        (exactness is never traded for speed).  Returns ``(rows,
+        fragments_from_metadata, fragments_scanned)``."""
+        doc = self._manifest_doc(version)
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
+        if not m:
+            return 0, 0, 0
+        fst = doc.get("file_stats", {})
+        rk = self._ROWS_KEY
+        total, meta, to_scan = 0, 0, {}
+        for frag, hv in m.items():
+            fdoc = fst.get(frag)
+            if fdoc and all(rk in envs for envs in fdoc.values()):
+                total += sum(int(envs[rk]) for envs in fdoc.values())
+                meta += 1
+            else:
+                to_scan[frag] = hv
+        if to_scan:
+            total += self._read_fragments(to_scan).count()
+        return total, meta, len(to_scan)
+
+    def metadata_min_max(
+        self, col: str, version: int | None = None
+    ) -> tuple[object, object, int, int]:
+        """Exact MIN/MAX of a stats column served from the fragment
+        zone maps (min of fragment-mins / max of fragment-maxes — exact
+        because every envelope is the exact min/max of its files).  A
+        recorded all-NULL envelope ([None, None]) contributes nothing,
+        matching SQL MIN/MAX; fragments WITHOUT a recorded envelope are
+        scanned.  Returns ``(min, max, fragments_from_metadata,
+        fragments_scanned)``."""
+        doc = self._manifest_doc(version)
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
+        if not m:
+            return None, None, 0, 0
+        st = doc.get("stats", {})
+        mn = mx = None
+        meta, to_scan = 0, {}
+        for frag, hv in m.items():
+            fenv = st.get(frag)
+            if fenv is None or col not in fenv:
+                to_scan[frag] = hv
+                continue
+            meta += 1
+            lo, hi = fenv[col]
+            if lo is not None and (mn is None or lo < mn):
+                mn = lo
+            if hi is not None and (mx is None or hi > mx):
+                mx = hi
+        if to_scan:
+            r = (
+                self._read_fragments(to_scan)
+                .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+                .first()
+            )
+            if r["mn"] is not None and (mn is None or r["mn"] < mn):
+                mn = r["mn"]
+            if r["mx"] is not None and (mx is None or r["mx"] > mx):
+                mx = r["mx"]
+        return mn, mx, meta, len(to_scan)
 
     # -- commit protocol ------------------------------------------------
     # Optimistic concurrency (the Delta/Iceberg baseline): every commit
@@ -905,6 +1334,7 @@ class ManifestSnapshotTable:
                 }
                 fstats.update(new_ffs)
                 doc["file_stats"] = fstats
+            self._write_blooms(new_v, vdir)
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
         except BaseException:
@@ -915,6 +1345,103 @@ class ManifestSnapshotTable:
         # commit marker LAST: a crash before this line leaves the new
         # dir invisible to versions()/manifest() — readers still resolve
         # the previous snapshot
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        if self.keep_versions is not None:
+            self.vacuum()
+        return new_v
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: Column | None = None,
+        when_not_matched_insert: Column | None = None,
+        when_matched_delete: Column | None = None,
+    ) -> int:
+        """Conditional MERGE commit — `merge_clauses` semantics
+        (``t.<col>`` / ``s.<col>`` condition references; see its
+        docstring for the clause table) under the same pruned
+        copy-on-write discipline as `upsert`: only the source batch's
+        partitions are read, merged, and rewritten; everything else is
+        inherited by reference.  Soundness rides the constructor's
+        invariant (partition columns ⊆ keys, or the
+        ``stable_partitions`` promise): a matched target row's
+        partition values equal its source row's, so the source batch
+        names every partition the merge can touch.  A partition the
+        delete clause empties leaves the manifest (like `delete`); an
+        insert into a brand-new partition creates its fragment.
+        Returns the committed version (current version unchanged on an
+        empty source)."""
+        import json
+
+        touched = [
+            tuple(r)
+            for r in source.select(*self.partition_by).distinct().collect()
+        ]
+        if not touched:
+            vs = self.versions()
+            return vs[-1] if vs else 0
+        frags = {self._part_key(c) for c in touched}
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            target = self._read_fragments(
+                {frag: prev[frag] for frag in frags & set(prev)}
+            )
+            merged = merge_clauses(
+                target,
+                source,
+                self.keys,
+                [F.col(c).desc() for c in self.order_cols],
+                when_matched_update=when_matched_update,
+                when_not_matched_insert=when_not_matched_insert,
+                when_matched_delete=when_matched_delete,
+            )
+            merged.write.partitionBy(*self.partition_by).parquet(
+                self._data_dir(new_v)
+            )
+            # delete/insert clauses may empty a touched partition or
+            # skip it entirely, so (unlike upsert) written ⊆ touched —
+            # but never outside it
+            written = self._written_fragments(new_v)
+            if not written <= frags:
+                raise ValueError(
+                    "merge rewrote fragments outside its source's "
+                    f"partitions — written {sorted(written)} vs touched "
+                    f"{sorted(frags)}"
+                )
+            manifest = {
+                frag: v for frag, v in prev.items() if frag not in frags
+            }
+            manifest.update({frag: new_v for frag in written})
+            doc = {"partition_by": self.partition_by, "partitions": manifest}
+            if self.stats_cols:
+                new_fs, new_ffs = self._compute_stats_both(new_v)
+                stats = {
+                    frag: s
+                    for frag, s in prev_doc.get("stats", {}).items()
+                    if frag not in frags
+                }
+                stats.update(new_fs)
+                doc["stats"] = stats
+                fstats = {
+                    frag: s
+                    for frag, s in prev_doc.get("file_stats", {}).items()
+                    if frag not in frags
+                }
+                fstats.update(new_ffs)
+                doc["file_stats"] = fstats
+            self._write_blooms(new_v, vdir)
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
             pass
         if self.keep_versions is not None:
@@ -1069,6 +1596,7 @@ class ManifestSnapshotTable:
             }
             fstats.update(new_ffs)
             doc["file_stats"] = fstats
+        self._write_blooms(new_v, vdir)
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
@@ -1324,6 +1852,7 @@ class ManifestSnapshotTable:
                 doc["stats"], doc["file_stats"] = self._compute_stats_both(
                     new_v
                 )
+            self._write_blooms(new_v, vdir)
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
         except BaseException:

@@ -4635,3 +4635,293 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping on the manifest table: the equality-probe
+# complement to the zone-map tiers.  The table is clustered on user_id
+# — a column UNCORRELATED with event_id — so every file's event_id
+# [min, max] envelope spans the fragment's whole range and zone maps
+# cannot skip a single file; the per-file bloom bitsets each commit
+# records (Delta's bloom filter index) prune a point lookup to ~1 file
+# per probe, proved in-plan from the read counters.  Bloom hits are
+# re-checked by the exact predicate, so false positives cost a scan,
+# never a wrong row — certified by the declarative oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_bloom_point_read",
+    """
+    WITH src AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
+        FROM events
+    ), b AS (
+        SELECT MIN(event_id) AS emn, MAX(event_id) AS emx FROM src
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id, user_id, event_type,
+           CAST(tsn AS BIGINT) AS ts_nanos
+    FROM src
+    WHERE event_id IN (SELECT emn FROM b)
+       OR event_id IN (SELECT emx FROM b)
+       OR event_id IN (SELECT (emn + emx) // 2 FROM b)
+    """,
+    doc="per-file bloom-filter data skipping on the manifest table "
+    "(ManifestSnapshotTable.read_where_eq): point lookups on a "
+    "high-cardinality unclustered column open ~1 file per probe where "
+    "zone maps keep every file (pruning proved in-plan from the read "
+    "counters); exact predicate re-checks survivors, oracle certifies "
+    "row-exact results",
+)
+def q_manifest_bloom_point_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    day_ns = 86_400_000_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_nanos"
+    )
+    # bounded control collects: the bucket origin + the probe values
+    dmin = e.agg(F.min("ts_nanos")).first()[0]
+    lohi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    emn, emx = int(lohi[0]), int(lohi[1])
+    probes = [emn, emx, (emn + emx) // 2]
+    ev = e.withColumn(
+        "day_bucket", F.expr(f"(ts_nanos - {dmin}) DIV {day_ns}")
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "bloom",
+        keys=["day_bucket", "event_id"],
+        order_cols=["ts_nanos"],
+        partition_by=["day_bucket"],
+    ) as loader:
+        loader.upsert(ev)
+        # enable the bloom index AFTER the initial load (the Delta
+        # ALTER-then-OPTIMIZE shape): the clustered compact both lays
+        # files out by user_id — a column UNCORRELATED with event_id,
+        # so per-file event_id envelopes all span their fragment and
+        # only blooms can skip — and backfills stats + bloom sidecars
+        # in the same rewrite, instead of paying the index build twice
+        table = ManifestSnapshotTable(
+            spark,
+            loader.path,
+            keys=["day_bucket", "event_id"],
+            order_cols=["ts_nanos"],
+            partition_by=["day_bucket"],
+            stats_cols=["ts_nanos"],
+            bloom_cols=["event_id"],
+        )
+        table.compact(cluster_by=["user_id"], cluster_files=120)
+        frames, files_kept, files_total = [], 0, 0
+        for p in probes:
+            fr, _fk, _ft, flk, flt = table.read_where_eq(
+                [("event_id", p)]
+            )
+            files_kept += flk
+            files_total += flt
+            frames.append(
+                fr.select(
+                    F.col("event_id").cast("bigint").alias("event_id"),
+                    "user_id",
+                    "event_type",
+                    F.col("ts_nanos").cast("bigint").alias("ts_nanos"),
+                )
+            )
+        # pruning proof: without blooms every probe scans every file
+        # (no event_id envelopes anywhere); with them the three probes
+        # together open a small fraction
+        if files_total < 30 or files_kept * 8 > files_total:
+            raise RuntimeError(
+                "bloom skipping ineffective: kept "
+                f"{files_kept} of {files_total}"
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        # three probed rows — bounded
+        return materialize_bounded(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregates on the manifest table: COUNT(*) / MIN / MAX
+# of a 100 TB snapshot answered from the manifest alone — zero data
+# GETs — because every stats commit records exact per-file row counts
+# next to its zone-map envelopes (the Iceberg/Delta metadata-only
+# scan).  Stays exact across upsert and DELETE commits (rewritten
+# partitions re-record, inherited partitions keep their counts by
+# reference); the in-plan counters prove no fragment was scanned, and
+# the oracle recomputes merge-then-delete declaratively.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_metadata_agg",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), latest AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM src) WHERE rn = 1
+    ), after_del AS (
+        SELECT * FROM latest WHERE NOT (event_id % 5 = 0)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(tsn) AS BIGINT) AS min_tsn,
+           CAST(MAX(tsn) AS BIGINT) AS max_tsn
+    FROM after_del
+    """,
+    doc="metadata-only COUNT(*)/MIN/MAX on the manifest table "
+    "(count_rows / metadata_min_max): served from per-file row counts "
+    "and zone-map envelopes in the manifest with ZERO data reads "
+    "(proved by the fragments-scanned counter), exact across upsert "
+    "and DELETE commits; oracle recomputes merge-then-delete "
+    "declaratively",
+)
+def q_manifest_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "metaagg",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+        stats_cols=["ts_nanos"],
+    ) as table:
+        table.upsert(e)
+        table.delete_where(F.col("event_id") % 5 == 0)
+        n_rows, _meta, scanned = table.count_rows()
+        mn, mx, _meta2, scanned2 = table.metadata_min_max("ts_nanos")
+        if scanned or scanned2:
+            raise RuntimeError(
+                "metadata-only aggregate fell back to scanning "
+                f"{scanned or scanned2} fragments"
+            )
+        return spark.createDataFrame(
+            [(n_rows, int(mn), int(mx))],
+            "n_rows bigint, min_tsn bigint, max_tsn bigint",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Conditional MERGE INTO on the manifest table: the full Delta/Iceberg
+# clause surface (WHEN MATCHED AND <cond> THEN DELETE / UPDATE, WHEN
+# NOT MATCHED AND <cond> THEN INSERT) as one pruned copy-on-write
+# commit — only the source batch's partitions are read and rewritten.
+# The oracle recomputes the clause semantics declaratively as a FULL
+# JOIN with CASE, so delete-before-update precedence, NULL-as-false
+# conditions, and recency collapse of the source are all certified.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_merge_into",
+    """
+    WITH src AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
+        FROM events
+    ), b AS (
+        SELECT MIN(tsn) AS dmin FROM src
+    ), ev AS (
+        SELECT event_id, user_id, event_type, tsn,
+               (tsn - (SELECT dmin FROM b)) // 86400000000000
+                   AS day_bucket
+        FROM src
+    ), tgt AS (
+        SELECT day_bucket, user_id, event_type, event_id, tsn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY day_bucket, user_id, event_type
+                ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM ev WHERE event_id % 2 = 0) WHERE rn = 1
+    ), s AS (
+        SELECT day_bucket, user_id, event_type, event_id, tsn FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY day_bucket, user_id, event_type
+                ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM ev WHERE event_id % 2 = 1) WHERE rn = 1
+    ), flags AS (
+        SELECT t.event_type AS t_ty, t.event_id AS t_e,
+               t.user_id AS t_u,
+               s.event_type AS s_ty, s.event_id AS s_e,
+               s.user_id AS s_u,
+               (t.user_id IS NOT NULL) AS has_t,
+               (s.user_id IS NOT NULL) AS has_s,
+               COALESCE(s.user_id % 10 = 0, FALSE) AS del,
+               COALESCE(s.tsn >= t.tsn, FALSE) AS upd,
+               COALESCE(s.user_id % 10 <> 0, FALSE) AS ins
+        FROM tgt t FULL JOIN s
+          ON t.day_bucket = s.day_bucket AND t.user_id = s.user_id
+         AND t.event_type = s.event_type
+    ), kept AS (
+        SELECT *,
+               ((has_s AND NOT has_t)
+                OR (has_t AND has_s AND NOT del AND upd)) AS take_s
+        FROM flags
+        WHERE NOT (has_t AND has_s AND del)
+          AND NOT (has_s AND NOT has_t AND NOT ins)
+    ), m AS (
+        SELECT CASE WHEN take_s THEN s_ty ELSE t_ty END AS event_type,
+               CASE WHEN take_s THEN s_e ELSE t_e END AS event_id,
+               CASE WHEN take_s THEN s_u ELSE t_u END AS user_id
+        FROM kept
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+    FROM m GROUP BY event_type
+    """,
+    doc="conditional MERGE INTO commit on the manifest table "
+    "(merge_into / merge_clauses): WHEN MATCHED AND cond DELETE, WHEN "
+    "MATCHED AND cond UPDATE, WHEN NOT MATCHED AND cond INSERT, as one "
+    "pruned copy-on-write commit reading only the source's partitions; "
+    "oracle recomputes clause precedence + NULL-as-false semantics as "
+    "a declarative FULL JOIN with CASE",
+)
+def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    day_ns = 86_400_000_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_nanos"
+    )
+    dmin = e.agg(F.min("ts_nanos")).first()[0]
+    ev = e.withColumn(
+        "day_bucket", F.expr(f"(ts_nanos - {dmin}) DIV {day_ns}")
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "merge",
+        keys=["day_bucket", "user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["day_bucket"],
+        stats_cols=["ts_nanos"],
+    ) as table:
+        table.upsert(ev.filter(F.col("event_id") % 2 == 0))
+        table.merge_into(
+            ev.filter(F.col("event_id") % 2 == 1),
+            when_matched_delete=F.col("s.user_id") % 10 == 0,
+            when_matched_update=(
+                F.col("s.ts_nanos") >= F.col("t.ts_nanos")
+            ),
+            when_not_matched_insert=F.col("s.user_id") % 10 != 0,
+        )
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+                F.sum("user_id").cast("bigint").alias("sum_user_id"),
+            )
+        )
+        # one row per event type — bounded
+        return materialize_bounded(spark, agg)

@@ -66,6 +66,10 @@ HEADLINE = [
     # commit cost by design (the metric is the end-to-end story)
     "manifest_pruned_read",
     "matview_incremental_refresh",
+    # round-9 additions (ephemeral-table walls include commit cost, as
+    # above): bloom-filter point reads and the conditional MERGE commit
+    "manifest_bloom_point_read",
+    "manifest_merge_into",
 ]
 
 

@@ -676,10 +676,12 @@ class TestManifestSnapshotTable:
         assert {(r.day, r.seq) for r in df.collect()} == {("d2", 10)}
         v = t.compact()
         st = t.fragment_stats()
+        # envelopes carry the reserved #rows count (metadata-only
+        # COUNT(*)) next to the [min, max] pairs
         assert st == {
-            "day=d1": {"seq": [1, 1]},
-            "day=d2": {"seq": [10, 10]},
-            "day=d3": {"seq": [20, 20]},
+            "day=d1": {"seq": [1, 1], "#rows": 1},
+            "day=d2": {"seq": [10, 10], "#rows": 1},
+            "day=d3": {"seq": [20, 20], "#rows": 1},
         }
         _, kept2, total2, _fk2, _ft2 = t.read_where("seq", 5, 12)
         assert (kept2, total2) == (1, 3)
