@@ -1364,3 +1364,131 @@ def q_stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return search_inverted_index(spark, idx, _SEARCH_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Streaming change-data-feed relay: the manifest table as a STREAM
+# SOURCE (Delta's "stream FROM a table" / CDF streaming).  A file
+# stream on the table's commit markers triggers per-commit relays into
+# a partitioned feed: the earliest snapshot as a full insert bootstrap,
+# every later version as changes(v-1, v) — so downstream incremental
+# consumers tail per-commit change rows whose production cost tracks
+# the commits, never the table.  The cursor is the feed itself
+# (per-version overwrites), making checkpoint replay and crash recovery
+# converge on the same feed.  Same staged commits as the batch
+# manifest_change_feed query; the oracle recomputes all three commit
+# states declaratively and diffs consecutive pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_change_feed_relay",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), s1 AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM src WHERE event_id % 3 = 0) WHERE rn = 1
+    ), staged2 AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 1 AND event_type = 'click'
+    ), s2 AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged2) WHERE rn = 1
+    ), s3 AS (
+        SELECT * FROM s2
+        WHERE NOT (event_type = 'click' AND user_id % 7 = 0)
+    ), feed AS (
+        SELECT 1 AS commit_version, 'insert' AS change_type,
+               event_type, event_id
+        FROM s1
+        UNION ALL
+        SELECT 2, 'insert', n.event_type, n.event_id
+        FROM s2 n LEFT JOIN s1 o
+          ON o.user_id = n.user_id AND o.event_type = n.event_type
+        WHERE o.user_id IS NULL
+        UNION ALL
+        SELECT 2, 'update_postimage', n.event_type, n.event_id
+        FROM s2 n JOIN s1 o
+          ON o.user_id = n.user_id AND o.event_type = n.event_type
+        WHERE n.event_id <> o.event_id OR n.tsn <> o.tsn
+        UNION ALL
+        SELECT 3, 'delete', o.event_type, o.event_id
+        FROM s2 o LEFT JOIN s3 n
+          ON o.user_id = n.user_id AND o.event_type = n.event_type
+        WHERE n.user_id IS NULL
+    )
+    SELECT CAST(commit_version AS INTEGER) AS commit_version,
+           change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_changes,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM feed GROUP BY commit_version, change_type, event_type
+    """,
+    doc="streaming CDF relay (changes_relay_run): the manifest table as "
+    "a stream source — commit markers trigger per-commit relays of "
+    "changes(v-1, v) into a partitioned feed (initial snapshot as "
+    "insert bootstrap), cursor = the feed itself so replay converges; "
+    "oracle recomputes all commit states and diffs consecutive pairs",
+)
+def q_stream_change_feed_relay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ..streaming.pipeline import changes_relay_run
+    from .core import load_table
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "cdfrelay",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    ) as table:
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        table.upsert(
+            e.filter(
+                (F.col("event_id") % 3 == 1)
+                & (F.col("event_type") == "click")
+            )
+        )
+        table.delete(
+            e.select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 7 == 0)
+            .withColumn("event_type", F.lit("click"))
+        )
+        feed = changes_relay_run(spark, table)
+        assert feed is not None
+        # relay completeness proof, bounded: every committed version
+        # must hold a relayed feed partition (explicit raise — survives
+        # `python -O`)
+        relayed = {
+            int(r.commit_version)
+            for r in feed.select("commit_version").distinct().collect()
+        }
+        if relayed != set(table.versions()):
+            raise RuntimeError(
+                f"relay missed commits: {sorted(relayed)} vs "
+                f"{table.versions()}"
+            )
+        agg = feed.groupBy(
+            F.col("commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+        # ≤ versions x change kinds x event types rows — bounded
+        return materialize_bounded(spark, agg)

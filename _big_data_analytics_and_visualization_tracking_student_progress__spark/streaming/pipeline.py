@@ -289,6 +289,121 @@ def read_quarantine(
     return spark.read.parquet(path)
 
 
+def changes_relay_run(
+    spark: SparkSession,
+    table: ManifestSnapshotTable,
+    workdir: str | None = None,
+) -> DataFrame | None:
+    """Stream a ManifestSnapshotTable's change data feed to a parquet
+    feed dir — Delta's "stream FROM a table" / CDF-as-a-source shape:
+    downstream incremental consumers read per-commit change rows
+    (``_change_type`` + ``commit_version``) instead of re-diffing
+    snapshots, and the feed is maintained BY a stream, commit by
+    commit, not by ad-hoc batch calls.
+
+    Mechanics (each piece carries the exactly-once story):
+
+    - **Trigger**: a file stream on the table's manifests
+      (``v=*/manifest.json`` — the commit marker itself is empty, and
+      the file source surfaces no batch for 0-row files) — one new
+      file per commit, so the stream wakes exactly when the table
+      changes.  Batch CONTENT is ignored: the trigger is a scheduler,
+      not a data channel, which makes the relay immune to the
+      manifest-vs-marker write-order race (a manifest seen before its
+      ``_SUCCESS`` lands simply isn't in ``versions()`` yet and is
+      picked up by the next trigger) and to replayed/missed triggers
+      alike.
+    - **Cursor**: the feed itself.  Each relayed version lands under
+      ``feed/commit_version=<v>`` with its own ``_SUCCESS``; the
+      relay resumes from the highest marked version, so checkpoint
+      replay, crashes mid-batch, and gap triggers all converge to the
+      same feed (per-version writes are whole-dir overwrites —
+      idempotent).
+    - **Bootstrap**: the earliest readable snapshot is relayed as a
+      full ``insert`` feed (Delta's initial-snapshot semantics for
+      table-source streams); every later version as
+      ``changes(v-1, v)`` — cost tracks the commit, never the table.
+
+    Retention contract: relaying version v needs v-1 readable, so
+    ``keep_versions`` must cover the relay's maximum lag (the same
+    retention bound Delta places on CDF consumers); a vacuumed gap
+    raises instead of silently skipping commits.  The table must have
+    ≥1 commit before the stream starts (the marker glob must match).
+    Returns the accumulated feed (None when the table was empty)."""
+    wd = workdir or _workdir("cdfrelay")
+    feed, ckpt = os.path.join(wd, "feed"), os.path.join(wd, "ckpt")
+    os.makedirs(feed, exist_ok=True)
+
+    def _relayed_high_water() -> int:
+        done = 0
+        for name in os.listdir(feed):
+            if name.startswith("commit_version=") and os.path.exists(
+                os.path.join(feed, name, "_SUCCESS")
+            ):
+                done = max(done, int(name.split("=", 1)[1]))
+        return done
+
+    def relay(_batch_df: DataFrame, _batch_id: int) -> None:
+        vs = table.versions()
+        if not vs:
+            return
+        done = _relayed_high_water()
+        pending = [v for v in vs if v > done]
+        if done and pending and pending[0] != done + 1:
+            raise RuntimeError(
+                f"change-feed retention gap: last relayed version "
+                f"{done}, earliest readable {pending[0]} — raise "
+                "keep_versions to cover the relay's lag"
+            )
+        for v in pending:
+            if v == vs[0]:
+                # initial snapshot: every live row as an insert
+                base = table.read(v)
+                if base is None:
+                    out_dir = os.path.join(feed, f"commit_version={v}")
+                    os.makedirs(out_dir, exist_ok=True)
+                    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+                        pass
+                    continue
+                df = base.withColumn(
+                    "_change_type", F.lit("insert")
+                ).select("_change_type", *base.columns)
+            else:
+                df = table.changes(v - 1, v)
+            out_dir = os.path.join(feed, f"commit_version={v}")
+            df.write.mode("overwrite").parquet(out_dir)
+
+    trigger = spark.readStream.format("text").load(
+        os.path.join(table.path, "v=*", "manifest.json")
+    )
+    q = (
+        trigger.writeStream.foreachBatch(relay)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_change_feed(spark, wd)
+
+
+def read_change_feed(
+    spark: SparkSession, workdir: str
+) -> DataFrame | None:
+    """The accumulated relay feed: all per-commit change rows with
+    their ``commit_version`` partition column (hive-inferred)."""
+    feed = os.path.join(workdir, "feed")
+    if not os.path.isdir(feed):
+        return None
+    has_files = any(
+        name.endswith(".parquet")
+        for _d, _s, names in os.walk(feed)
+        for name in names
+    )
+    if not has_files:
+        return None
+    return spark.read.option("basePath", feed).parquet(feed)
+
+
 def interval_stream_join(
     left: DataFrame,
     right: DataFrame,
