@@ -77,6 +77,7 @@ def merge_clauses(
     when_matched_update: Column | None = None,
     when_not_matched_insert: Column | None = None,
     when_matched_delete: Column | None = None,
+    when_not_matched_by_source_delete: Column | None = None,
 ) -> DataFrame:
     """Conditional MERGE — the full Delta/Iceberg `MERGE INTO` clause
     surface, where `merge_by_key` is only its unconditional
@@ -87,9 +88,14 @@ def merge_clauses(
     - matched otherwise → target row kept unchanged;
     - source-only and ``when_not_matched_insert`` → source row inserted
       (dropped otherwise);
-    - target-only → kept unchanged (no WHEN NOT MATCHED BY SOURCE
-      clause; compose with `ManifestSnapshotTable.delete_where` for
-      that).
+    - target-only and ``when_not_matched_by_source_delete`` → row
+      dropped (Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE — the
+      "source is the full desired state, reap everything it no longer
+      names" sync shape); target-only otherwise → kept unchanged.
+      This condition can only usefully reference ``t.<col>`` — the
+      source side is all-NULL on such rows, so any ``s.`` comparison
+      is NULL → false.  BY SOURCE ... UPDATE (set-expressions) is not
+      implemented.
 
     Condition Columns reference the two sides as ``t.<col>`` /
     ``s.<col>`` (e.g. ``F.col("s.ts") >= F.col("t.ts")``); an
@@ -139,7 +145,16 @@ def merge_clauses(
         if when_matched_delete is None
         else F.coalesce(when_matched_delete, F.lit(False))
     )
-    keep = ~(has_t & has_s & dele) & ~(has_s & ~has_t & ~ins)
+    bs_dele = (
+        F.lit(False)
+        if when_not_matched_by_source_delete is None
+        else F.coalesce(when_not_matched_by_source_delete, F.lit(False))
+    )
+    keep = (
+        ~(has_t & has_s & dele)
+        & ~(has_s & ~has_t & ~ins)
+        & ~(has_t & ~has_s & bs_dele)
+    )
     take_s = (has_s & ~has_t) | (has_t & has_s & ~dele & upd)
     return j.filter(keep).select(
         *[
@@ -1358,6 +1373,7 @@ class ManifestSnapshotTable:
         when_matched_update: Column | None = None,
         when_not_matched_insert: Column | None = None,
         when_matched_delete: Column | None = None,
+        when_not_matched_by_source_delete: Column | None = None,
     ) -> int:
         """Conditional MERGE commit — `merge_clauses` semantics
         (``t.<col>`` / ``s.<col>`` condition references; see its
@@ -1371,18 +1387,20 @@ class ManifestSnapshotTable:
         names every partition the merge can touch.  A partition the
         delete clause empties leaves the manifest (like `delete`); an
         insert into a brand-new partition creates its fragment.
-        Returns the committed version (current version unchanged on an
-        empty source)."""
+
+        ``when_not_matched_by_source_delete`` widens the touch set:
+        the clause can reap target rows in partitions the source never
+        names, so one column-pruned locate scan of the condition (a
+        SUPERSET is sound — located-but-unmatched-and-false rows are
+        kept verbatim by the clause logic) adds those partitions to
+        the rewrite, exactly like `delete_where`'s locate.  Full-table
+        WHEN NOT MATCHED BY SOURCE semantics, partition-pruned.
+
+        Returns the committed version (current version unchanged on a
+        no-op: empty source and nothing for the by-source clause to
+        reap)."""
         import json
 
-        touched = [
-            tuple(r)
-            for r in source.select(*self.partition_by).distinct().collect()
-        ]
-        if not touched:
-            vs = self.versions()
-            return vs[-1] if vs else 0
-        frags = {self._part_key(c) for c in touched}
         new_v, vdir = self._claim_version()
         try:
             prev_doc = self._manifest_doc()
@@ -1390,6 +1408,32 @@ class ManifestSnapshotTable:
                 k: int(v)
                 for k, v in prev_doc.get("partitions", {}).items()
             }
+            touched = [
+                tuple(r)
+                for r in source.select(*self.partition_by)
+                .distinct()
+                .collect()
+            ]
+            frags = {self._part_key(c) for c in touched}
+            if when_not_matched_by_source_delete is not None and prev:
+                hit = F.coalesce(
+                    when_not_matched_by_source_delete, F.lit(False)
+                )
+                located = (
+                    self._read_fragments(prev)
+                    .alias("t")
+                    .filter(hit)
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                )
+                frags |= {
+                    self._part_key(tuple(r)) for r in located
+                } & set(prev)
+            if not frags:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
             target = self._read_fragments(
                 {frag: prev[frag] for frag in frags & set(prev)}
             )
@@ -1401,6 +1445,9 @@ class ManifestSnapshotTable:
                 when_matched_update=when_matched_update,
                 when_not_matched_insert=when_not_matched_insert,
                 when_matched_delete=when_matched_delete,
+                when_not_matched_by_source_delete=(
+                    when_not_matched_by_source_delete
+                ),
             )
             merged.write.partitionBy(*self.partition_by).parquet(
                 self._data_dir(new_v)

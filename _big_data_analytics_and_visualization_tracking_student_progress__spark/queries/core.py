@@ -4866,6 +4866,7 @@ def q_manifest_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flags
         WHERE NOT (has_t AND has_s AND del)
           AND NOT (has_s AND NOT has_t AND NOT ins)
+          AND NOT (has_t AND NOT has_s AND t_u % 9 = 0)
     ), m AS (
         SELECT CASE WHEN take_s THEN s_ty ELSE t_ty END AS event_type,
                CASE WHEN take_s THEN s_e ELSE t_e END AS event_id,
@@ -4879,10 +4880,11 @@ def q_manifest_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="conditional MERGE INTO commit on the manifest table "
     "(merge_into / merge_clauses): WHEN MATCHED AND cond DELETE, WHEN "
-    "MATCHED AND cond UPDATE, WHEN NOT MATCHED AND cond INSERT, as one "
-    "pruned copy-on-write commit reading only the source's partitions; "
-    "oracle recomputes clause precedence + NULL-as-false semantics as "
-    "a declarative FULL JOIN with CASE",
+    "MATCHED AND cond UPDATE, WHEN NOT MATCHED AND cond INSERT, WHEN "
+    "NOT MATCHED BY SOURCE AND cond DELETE, as one pruned "
+    "copy-on-write commit reading only the source's (+ by-source "
+    "located) partitions; oracle recomputes clause precedence + "
+    "NULL-as-false semantics as a declarative FULL JOIN with CASE",
 )
 def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.upsert import ManifestSnapshotTable
@@ -4913,6 +4915,11 @@ def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s.ts_nanos") >= F.col("t.ts_nanos")
             ),
             when_not_matched_insert=F.col("s.user_id") % 10 != 0,
+            # the sync shape: reap target keys the source no longer
+            # names (here: a deterministic user slice of them)
+            when_not_matched_by_source_delete=(
+                F.col("t.user_id") % 9 == 0
+            ),
         )
         agg = (
             table.read()

@@ -175,6 +175,43 @@ def test_merge_schema_evolution_additive(spark, root):
     assert got == {(0, 1): (11, "tag"), (0, 2): (22, None)}
 
 
+def test_by_source_delete_reaps_unnamed_keys(spark, root):
+    t = _mk(spark, root)
+    t.upsert(spark.createDataFrame(
+        [(0, 1, 10, 1), (0, 2, 20, 1), (5, 9, 90, 1), (5, 4, 40, 1)],
+        SCHEMA,
+    ))
+    # source names only (0,1); full-sync semantics: every target key
+    # the source doesn't name and matching the condition is reaped —
+    # including (5, 9), whose partition the source never touches
+    src = spark.createDataFrame([(0, 1, 11, 2)], SCHEMA)
+    t.merge_into(
+        src,
+        when_not_matched_by_source_delete=F.col("t.k") % 2 == 1,
+    )
+    got = {(r.day, r.k): r.v for r in t.read().collect()}
+    assert got == {(0, 1): 11, (0, 2): 20, (5, 4): 40}
+
+
+def test_by_source_delete_with_empty_source(spark, root):
+    t = _mk(spark, root)
+    t.upsert(spark.createDataFrame(
+        [(0, 1, 10, 1), (1, 2, 20, 1)], SCHEMA))
+    empty = spark.createDataFrame([], SCHEMA)
+    v = t.merge_into(
+        empty,
+        when_not_matched_by_source_delete=F.col("t.v") >= 20,
+    )
+    assert v == 2
+    assert {(r.day, r.k) for r in t.read().collect()} == {(0, 1)}
+    # condition matching nothing: no-op, no new commit
+    v2 = t.merge_into(
+        empty,
+        when_not_matched_by_source_delete=F.col("t.v") >= 999,
+    )
+    assert v2 == 2 and t.versions() == [1, 2]
+
+
 def test_merge_clauses_none_target_inserts_only(spark):
     src = spark.createDataFrame([(0, 1, 10, 1), (0, 2, -5, 1)], SCHEMA)
     out = merge_clauses(
@@ -212,11 +249,12 @@ ROWS = st.lists(
 
 
 @given(tgt_rows=ROWS, src_rows=ROWS, mods=st.tuples(
-    st.integers(2, 4), st.integers(2, 4), st.integers(2, 4)))
+    st.integers(2, 4), st.integers(2, 4), st.integers(2, 4),
+    st.integers(2, 4)))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_merge_matches_model(spark, tgt_rows, src_rows, mods):
-    dm, um, im = mods
+    dm, um, im, bm = mods
     root = tempfile.mkdtemp(prefix="ms_merge_prop_")
     try:
         t = ManifestSnapshotTable(
@@ -238,8 +276,12 @@ def test_merge_matches_model(spark, tgt_rows, src_rows, mods):
             when_matched_delete=F.col("s.v") % dm == 0,
             when_matched_update=F.col("s.v") % um != 0,
             when_not_matched_insert=F.col("s.v") % im != 0,
+            when_not_matched_by_source_delete=F.col("t.v") % bm == 0,
         )
         model = dict(tgt)
+        for (d, k), v in list(model.items()):
+            if (d, k) not in src and v % bm == 0:
+                model.pop((d, k))
         for (d, k), v in src.items():
             if (d, k) in tgt:
                 if v % dm == 0:
