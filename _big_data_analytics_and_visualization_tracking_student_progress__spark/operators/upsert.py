@@ -625,6 +625,53 @@ class ManifestSnapshotTable:
         keep whole fragments conservatively)."""
         return self._manifest_doc(version).get("file_stats", {})
 
+    @staticmethod
+    def _commit_info(op: str, frags: set) -> dict:
+        """Per-commit operation metadata recorded in the manifest —
+        the DESCRIBE HISTORY payload.  `touched` names the fragments
+        this commit rewrote (or dropped); wall-clock `ts` is audit
+        color, never part of any oracle-checked output."""
+        import time
+
+        return {"op": op, "touched": sorted(frags), "ts": time.time()}
+
+    def history(self) -> DataFrame:
+        """The commit log as a DataFrame — Delta's DESCRIBE HISTORY:
+        one row per READABLE snapshot with its operation, touched-
+        fragment count, and timestamp.  Pure manifest metadata (no
+        data reads); versions committed before operation recording (or
+        retained only as data holders) surface op=NULL / are absent,
+        respectively, mirroring `versions()`."""
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        rows = []
+        for v in self.versions():
+            info = self._manifest_doc(v).get("commit") or {}
+            touched = info.get("touched")
+            rows.append(
+                (
+                    v,
+                    info.get("op"),
+                    len(touched) if touched is not None else None,
+                    float(info["ts"]) if "ts" in info else None,
+                )
+            )
+        schema = StructType(
+            [
+                StructField("version", IntegerType(), False),
+                StructField("op", StringType(), True),
+                StructField("n_touched", IntegerType(), True),
+                StructField("ts", DoubleType(), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     # -- read -----------------------------------------------------------
     def _read_fragments(
         self, frag_to_version: dict[str, int]
@@ -870,12 +917,18 @@ class ManifestSnapshotTable:
     def _compute_blooms(self, new_v: int) -> dict:
         """Bloom sidecar content for the files just written under
         ``new_v``: {fragment → {file → {col → {"m", "k", "b64"}}}}.
-        One engine-side job: per row, k candidate bit positions per
-        bloom column, exploded and set-aggregated per (file, column) —
-        the shuffle and the driver collect both carry at most
-        min(rows·k, m) DISTINCT positions per (file, column), so
-        control data is bounded by the bitset size, never by row
-        count."""
+        One engine-side job, fully distributed: per row, k candidate
+        bit positions per bloom column, chunked into (64-bit word
+        index, bit mask) pairs, folded with a map-side-combining
+        ``bit_or`` per (file, column, word) — the shuffle carries at
+        most min(rows·k, m/64) WORDS per (file, column) — and
+        assembled into the final byte arrays by an Arrow-grouped
+        ``applyInPandas`` per (file, column), so the driver collects
+        exactly ONE binary bitset row per file-column (m/8 bytes each)
+        regardless of row count or bitset occupancy.  (Both collapses
+        are load-bearing at scale: a position-set collect blew the
+        driver at 100M rows, and even word rows carry the file-path
+        string ~130 bytes each — 2 GB at 16M occupied words.)"""
         import base64
 
         if not self.bloom_cols:
@@ -893,42 +946,85 @@ class ManifestSnapshotTable:
         if not present:
             return {}
         m, k = self.bloom_bits, self.bloom_k
+        nwords = (m + 63) // 64
         entries = []
         for c in present:
-            s = F.col(c).cast("string")
+            qc = f"`{c}`"
             for i in range(k):
+                pos = f"pmod(xxhash64(cast({qc} as string), {i}), {m})"
                 entries.append(
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.when(
-                            s.isNotNull(),
-                            F.pmod(F.xxhash64(s, F.lit(i)), F.lit(m)),
-                        ).alias("p"),
+                    F.expr(
+                        "CASE WHEN cast({qc} as string) IS NOT NULL THEN "
+                        "named_struct("
+                        "'c', '{c}', "
+                        "'w', CAST({pos} DIV 64 AS LONG), "
+                        "'b', shiftleft(CAST(1 AS LONG), "
+                        "CAST(pmod({pos}, 64) AS INT))"
+                        ") END".format(qc=qc, c=c, pos=pos)
                     )
                 )
-        pos = (
+        words = (
             df.select(
                 F.col("_metadata.file_path").alias("__fp"),
                 *self.partition_by,
                 F.explode(F.array(*entries)).alias("e"),
             )
-            .filter(F.col("e.p").isNotNull())
-            .groupBy("__fp", *self.partition_by, F.col("e.c").alias("__c"))
-            .agg(F.collect_set(F.col("e.p")).alias("__ps"))
+            .filter(F.col("e.c").isNotNull())
+            .groupBy(
+                "__fp",
+                *self.partition_by,
+                F.col("e.c").alias("__c"),
+                F.col("e.w").alias("__w"),
+            )
+            .agg(F.bit_or(F.col("e.b")).alias("__b"))
+        )
+        from pyspark.sql.types import BinaryType, StructField, StructType
+
+        key_fields = [
+            f
+            for f in words.schema.fields
+            if f.name not in ("__w", "__b")
+        ]
+        key_names = [f.name for f in key_fields]
+        out_schema = StructType(
+            list(key_fields) + [StructField("__bits", BinaryType())]
+        )
+        nbytes = (m + 7) // 8
+        nw = nwords
+
+        def _assemble(pdf):
+            # executors only; numpy/pandas imported in the worker.
+            # little-endian words give exactly the byte/bit layout the
+            # probe tests: bit p lives at byte p>>3, bit p&7
+            import numpy as np
+
+            arr = np.zeros(nw, dtype=np.uint64)
+            idx = pdf["__w"].to_numpy()
+            # per-word rows are already bit_or-folded: indices unique,
+            # fancy-indexed |= is safe
+            arr[idx] |= (
+                pdf["__b"].to_numpy().astype(np.int64).view(np.uint64)
+            )
+            head = pdf.iloc[[0]][key_names].copy()
+            head["__bits"] = [arr.astype("<u8").tobytes()[:nbytes]]
+            return head
+
+        bits_df = words.groupBy("__fp", *self.partition_by, "__c").applyInPandas(
+            _assemble, out_schema
         )
         out: dict[str, dict[str, dict[str, dict]]] = {}
-        for r in pos.collect():
+        # one row per (file, bloom column): m/8 bytes each — the only
+        # driver-side payload
+        for r in bits_df.collect():
             d = r.asDict()
             frag = self._part_key([d[c] for c in self.partition_by])
             fname = os.path.basename(d["__fp"])
-            bits = bytearray((m + 7) // 8)
-            for p in d["__ps"]:
-                p = int(p)
-                bits[p >> 3] |= 1 << (p & 7)
             out.setdefault(frag, {}).setdefault(fname, {})[d["__c"]] = {
                 "m": m,
                 "k": k,
-                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+                "b64": base64.b64encode(bytes(d["__bits"])).decode(
+                    "ascii"
+                ),
             }
         return out
 
@@ -1330,6 +1426,7 @@ class ManifestSnapshotTable:
             }
             manifest.update({frag: new_v for frag in frags})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
+            doc["commit"] = self._commit_info("upsert", frags)
             if self.stats_cols:
                 # zone maps: fresh envelopes for rewritten fragments,
                 # untouched fragments inherit their envelope by reference
@@ -1467,6 +1564,7 @@ class ManifestSnapshotTable:
             }
             manifest.update({frag: new_v for frag in written})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
+            doc["commit"] = self._commit_info("merge", frags)
             if self.stats_cols:
                 new_fs, new_ffs = self._compute_stats_both(new_v)
                 stats = {
@@ -1590,13 +1688,20 @@ class ManifestSnapshotTable:
             ]
             frags = {self._part_key(c) for c in touched} & set(prev)
             return self._commit_delete(
-                new_v, vdir, prev_doc, frags, lambda df: df.filter(~hit)
+                new_v,
+                vdir,
+                prev_doc,
+                frags,
+                lambda df: df.filter(~hit),
+                op="delete_where",
             )
         except BaseException:
             self._abandon_claim(vdir)
             raise
 
-    def _commit_delete(self, new_v, vdir, prev_doc, frags, keep_fn) -> int:
+    def _commit_delete(
+        self, new_v, vdir, prev_doc, frags, keep_fn, op: str = "delete"
+    ) -> int:
         """Shared delete commit: rewrite the touched fragments through
         ``keep_fn`` (which drops the doomed rows), drop fully-emptied
         fragments from the manifest, inherit everything else.  Runs
@@ -1627,6 +1732,7 @@ class ManifestSnapshotTable:
         manifest = {f: v for f, v in prev.items() if f not in frags}
         manifest.update({f: new_v for f in written})
         doc = {"partition_by": self.partition_by, "partitions": manifest}
+        doc["commit"] = self._commit_info(op, frags)
         if self.stats_cols:
             new_fs, new_ffs = self._compute_stats_both(new_v)
             stats = {
@@ -1893,6 +1999,7 @@ class ManifestSnapshotTable:
                 "partition_by": self.partition_by,
                 "partitions": {frag: new_v for frag in prev},
             }
+            doc["commit"] = self._commit_info("compact", set(prev))
             if self.stats_cols:
                 # full rewrite: recompute every envelope, which also
                 # backfills fragments committed before stats_cols was set

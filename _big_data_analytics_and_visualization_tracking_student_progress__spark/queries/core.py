@@ -4932,3 +4932,57 @@ def q_manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # one row per event type — bounded
         return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# Commit history on the manifest table (Delta's DESCRIBE HISTORY): every
+# commit records its operation and touched-fragment set in the manifest,
+# so the table's audit log is pure metadata — no data reads.  The oracle
+# derives the expected touch counts from the data itself (the full
+# upsert and the compact touch every event-type partition; the scoped
+# upsert and predicate delete touch exactly one).
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_history",
+    """
+    WITH t AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n
+        FROM events
+    )
+    SELECT CAST(1 AS INTEGER) AS version, 'upsert' AS op,
+           (SELECT n FROM t) AS n_touched
+    UNION ALL SELECT 2, 'upsert', 1
+    UNION ALL SELECT 3, 'delete_where', 1
+    UNION ALL SELECT 4, 'compact', (SELECT n FROM t)
+    """,
+    doc="commit history (ManifestSnapshotTable.history — DESCRIBE "
+    "HISTORY): per-commit op + touched-fragment counts recorded in the "
+    "manifest, served from metadata alone; oracle derives the expected "
+    "touch counts from the data (partition cardinality vs scoped "
+    "commits)",
+)
+def q_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "history",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    ) as table:
+        table.upsert(e)
+        table.upsert(e.filter(F.col("event_type") == "click"))
+        table.delete_where(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % 2 == 0)
+        )
+        table.compact()
+        h = table.history().select("version", "op", "n_touched")
+        # four commits — bounded audit metadata
+        return materialize_bounded(spark, h)

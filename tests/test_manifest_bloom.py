@@ -227,3 +227,40 @@ def test_reserved_rows_key_refused_in_stats_cols(spark, root):
             spark, root, keys=["day", "k"], order_cols=["seq"],
             partition_by=["day"], stats_cols=["#rows"],
         )
+
+
+def test_history_records_every_commit_kind(spark, root):
+    t = _table(spark, root)
+    t.upsert(spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2)], "day int, k long, seq long"))
+    t.merge_into(
+        spark.createDataFrame([(0, 3, 3)], "day int, k long, seq long"))
+    t.delete(spark.createDataFrame([(1, 2)], "day int, k long"))
+    t.compact()
+    got = [(r.version, r.op, r.n_touched) for r in
+           t.history().orderBy("version").collect()]
+    # the delete emptied day=1, so the compact rewrites only day=0
+    assert got == [
+        (1, "upsert", 2),
+        (2, "merge", 1),
+        (3, "delete", 1),
+        (4, "compact", 1),
+    ]
+    # ts is audit color: present and monotone-ish, never oracle-checked
+    ts = [r.ts for r in t.history().orderBy("version").collect()]
+    assert all(x is not None for x in ts) and ts == sorted(ts)
+
+
+def test_history_null_op_for_pre_recording_manifests(spark, root):
+    import json
+
+    t = _table(spark, root)
+    t.upsert(spark.createDataFrame([(0, 1, 1)], "day int, k long, seq long"))
+    # simulate a manifest written before op recording existed
+    mpath = os.path.join(t._vdir(1), "manifest.json")
+    doc = json.load(open(mpath))
+    doc.pop("commit")
+    with open(mpath, "w") as fh:
+        json.dump(doc, fh)
+    row = t.history().collect()[0]
+    assert (row.version, row.op, row.n_touched) == (1, None, None)

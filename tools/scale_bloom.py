@@ -77,6 +77,14 @@ def main() -> None:
         "day_bucket", F.expr(f"(ts_nanos - {dmin}) DIV {DAY_NS}")
     )
     n_events = ev.count()
+    n_days = ev.select("day_bucket").distinct().count()
+
+    # size the bitsets for the clustered layout below (~8 files per
+    # fragment): the documented ~10 bits per expected distinct key per
+    # file for ~1% false positives — an UNDERSIZED bloom saturates and
+    # prunes nothing, so sizing rides the data, not a constant
+    n_per_file = max(1, n_events // (n_days * 8))
+    bloom_bits = 1 << max(13, (10 * n_per_file - 1).bit_length())
 
     table = ManifestSnapshotTable(
         spark,
@@ -86,10 +94,7 @@ def main() -> None:
         partition_by=["day_bucket"],
         stats_cols=["ts_nanos"],
         bloom_cols=["event_id"],
-        # size for the clustered layout below: ~n_events / (frags*8)
-        # distinct event_ids per file; 2^20 bits ≈ 10 bits/key at the
-        # 1000x scale (~83k keys/file), the documented ~1% fpp point
-        bloom_bits=1 << 20,
+        bloom_bits=bloom_bits,
         bloom_k=5,
     )
 
@@ -178,7 +183,9 @@ def main() -> None:
         f"Auto-generated by `python tools/scale_bloom.py {SF_DIR} "
         f"{FACTOR}`: events replicated {FACTOR}x ({n_events:,} rows), "
         f"committed day-bucketed ({n_frags} fragments) with event_id "
-        "bloom sidecars, then clustered on user_id — a column "
+        f"bloom sidecars ({bloom_bits:,} bits/file, k=5, sized at ~10 "
+        "bits per expected key per file), then clustered on user_id — "
+        "a column "
         "uncorrelated with event_id, so every file's event_id envelope "
         "spans its fragment and zone maps keep 100% of files.  A point "
         f"lookup kept {counters['files_kept']}/{counters['files_total']} "
@@ -200,7 +207,7 @@ def main() -> None:
         "every-file GETs into ~1 GET per fragment the probe can live "
         "in; the absent-value case (the common case for existence "
         "checks and CDC key probes) touches no data at all.  The "
-        "sidecars ride the commit (bounded, set-aggregated build; "
+        "sidecars ride the commit (word-chunked bit_or build, one Arrow transfer; "
         "inherited by reference like the data files), and the "
         "metadata-only aggregates answer COUNT/MIN/MAX with zero data "
         "reads at any table size.",
