@@ -35,7 +35,33 @@ class CommitConflictError(RuntimeError):
     partially applied — the table stays readable at its current version
     — and the correct response is to re-run the whole commit (re-read,
     re-merge) against the new basis, exactly the Delta/Iceberg
-    optimistic-concurrency retry contract."""
+    optimistic-concurrency retry contract (`retry_commit` below is
+    that retry loop)."""
+
+
+def retry_commit(fn, attempts: int = 5, backoff_s: float = 0.05):
+    """Run a commit closure with the standard optimistic-concurrency
+    retry loop — Delta's automatic conflict retry.  ``fn`` must be the
+    WHOLE commit (e.g. ``lambda: table.upsert(batch)``): every commit
+    method re-reads its basis under a fresh version claim, so simply
+    re-invoking it after a `CommitConflictError` replays the merge
+    against the peer's published state — no lost updates, no partial
+    application (the loser's claim was abandoned whole).  Exponential
+    backoff with deterministic per-attempt jitter spreads herds;
+    raises the final `CommitConflictError` after ``attempts`` losses
+    (a writer that cannot win in N rounds signals real contention the
+    caller should see, not mask)."""
+    import time as _time
+
+    last: CommitConflictError | None = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except CommitConflictError as e:
+            last = e
+            # deterministic jitter (no RNG): stagger by attempt parity
+            _time.sleep(backoff_s * (2**attempt) * (1 + 0.37 * (attempt % 3)))
+    raise last
 
 
 def merge_by_key(

@@ -194,3 +194,69 @@ class TestVersionClaim:
         root = str(tmp_path / "ms")
         assert sorted(os.listdir(root)) == ["v=00001"]
         assert t.upsert(_rows(spark, [("d1", 2, "b", 2)])) == 2
+
+
+# ---------------------------------------------------------------------------
+# retry_commit: the Delta-style automatic conflict-retry loop.  Four
+# concurrent writers each land 5 keyed upserts on a SHARED table
+# (disjoint keys, overlapping partitions — the worst case for version
+# claims); with retries every commit must land, the version sequence
+# must be dense, and the final state must equal the single-writer
+# model.  Run on a real thread pool: the claims genuinely interleave.
+# ---------------------------------------------------------------------------
+def test_retry_commit_multi_writer_all_commits_land(spark, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        ManifestSnapshotTable,
+        retry_commit,
+    )
+
+    path = str(tmp_path / "t")
+    n_writers, n_commits = 4, 5
+
+    def writer(w: int) -> None:
+        # each thread gets its OWN table handle (no shared driver state)
+        t = ManifestSnapshotTable(
+            spark, path, keys=["day", "k"], order_cols=["seq"],
+            partition_by=["day"],
+        )
+        for i in range(n_commits):
+            df = spark.createDataFrame(
+                [(i % 2, w * 1000 + i, w, i)],
+                "day int, k int, v int, seq int",
+            )
+            retry_commit(lambda: t.upsert(df), attempts=50)
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        list(ex.map(writer, range(n_writers)))
+
+    t = ManifestSnapshotTable(
+        spark, path, keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"],
+    )
+    # every commit landed exactly once: dense version sequence
+    assert t.versions() == list(range(1, n_writers * n_commits + 1))
+    got = {(r.day, r.k): r.v for r in t.read().collect()}
+    want = {
+        (i % 2, w * 1000 + i): w
+        for w in range(n_writers)
+        for i in range(n_commits)
+    }
+    assert got == want
+
+
+def test_retry_commit_exhausts_and_reraises(spark, tmp_path):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        retry_commit,
+    )
+
+    calls = []
+
+    def always_conflict():
+        calls.append(1)
+        raise _conflict_cls()("still contended")
+
+    with pytest.raises(_conflict_cls(), match="still contended"):
+        retry_commit(always_conflict, attempts=3, backoff_s=0.001)
+    assert len(calls) == 3
