@@ -53,6 +53,8 @@ def retry_commit(fn, attempts: int = 5, backoff_s: float = 0.05):
     caller should see, not mask)."""
     import time as _time
 
+    if attempts < 1:
+        raise ValueError("retry_commit needs attempts >= 1")
     last: CommitConflictError | None = None
     for attempt in range(attempts):
         try:
@@ -1083,6 +1085,10 @@ class ManifestSnapshotTable:
                     self._bloom_cache[v] = json.load(fh)
             except FileNotFoundError:
                 self._bloom_cache[v] = {}
+            # bitset docs can be MBs; a long-lived reader (streaming
+            # relay, serving process) must not accrete one per version
+            while len(self._bloom_cache) > 4:
+                self._bloom_cache.pop(next(iter(self._bloom_cache)))
         return self._bloom_cache[v]
 
     def _probe_positions(
