@@ -490,3 +490,272 @@ class IncrementalAggView:
             .agg(*merges)
             .select(*self.group_cols, *finals)
         )
+
+
+class DeltaAggView:
+    """Retraction-based incremental view maintenance (IVM) from the
+    change data feed — the second maintenance strategy next to
+    `IncrementalAggView`'s fragment-partial recompute, and the right
+    one for the CDC shape:
+
+    - `IncrementalAggView.refresh()` recomputes partials of the
+      fragments whose manifest entry MOVED — cost O(rows in touched
+      partitions).  Right when commits rewrite whole partitions.
+    - `DeltaAggView.refresh()` applies the NET change feed since the
+      last applied base version (`changes(cur, latest)` with update
+      pre-images) as signed deltas — cost O(changed ROWS).  Right when
+      partitions are huge and commits touch few keys: a 10-row CDC
+      batch against a 1 TB partition refreshes in 10 rows, not 1 TB.
+
+    Only ADDITIVE measures are retractable: count plus decimal-exact
+    sums (avg derived at read time from sum / non-null count).
+    min/max/HLL cannot subtract a departed row — use
+    `IncrementalAggView` for those.  The net-span feed telescopes:
+    applying changes(v0, v3) once equals applying the three per-commit
+    feeds, because additive deltas compose (pinned by tests).
+
+    State is one small parquet (|groups| rows: ``n`` row count, and
+    per sum column ``sum_<c>`` decimal + ``nn_<c>`` non-null count),
+    re-written whole per refresh under the same `_SUCCESS`-gated
+    version-dir discipline as every store in this repo.  Retention
+    contract: refreshing from base version v needs v still readable,
+    so the base's ``keep_versions`` bounds the view's allowed lag
+    (the CDF retention bound); a vacuumed gap raises instead of
+    silently corrupting the rollup.  Negative counts after an apply
+    mean an inconsistent feed and raise — corruption is never
+    averaged away."""
+
+    _EXACT_SUM_TYPES = ("tinyint", "smallint", "int", "bigint", "boolean")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        base: ManifestSnapshotTable,
+        group_cols: Sequence[str],
+        sum_cols: Sequence[str] = (),
+        keep_versions: int | None = 2,
+    ):
+        self.spark = spark
+        self.path = path
+        self.base = base
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+        self.keep_versions = keep_versions
+        self.refresh_log: list[dict] = []
+        if not self.group_cols:
+            raise ValueError("DeltaAggView requires group_cols")
+        bad = set(self.sum_cols) & set(self.group_cols)
+        if bad:
+            raise ValueError(f"sum cols overlap group cols: {sorted(bad)}")
+
+    # -- snapshot layout (mirrors IncrementalAggView) --------------------
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v={v:05d}")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(name[2:])
+            for name in os.listdir(self.path)
+            if name.startswith("v=")
+            and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
+        )
+
+    def _state(self) -> dict:
+        vs = self.versions()
+        if not vs:
+            return {}
+        with open(os.path.join(self._vdir(vs[-1]), "state.json")) as fh:
+            return json.load(fh)
+
+    def vacuum(self) -> None:
+        if self.keep_versions is None:
+            return
+        vs = self.versions()
+        for v in vs[: max(0, len(vs) - self.keep_versions)]:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
+
+    def _definition(self) -> dict:
+        return {"group_cols": self.group_cols, "sum_cols": self.sum_cols}
+
+    def _validate_exact_sources(self, df: DataFrame) -> None:
+        dtypes = dict(df.dtypes)
+        for c in self.sum_cols:
+            dt = dtypes.get(c)
+            if dt is None:
+                raise ValueError(f"sum column {c!r} missing from base rows")
+            if not (dt in self._EXACT_SUM_TYPES or dt.startswith("decimal")):
+                raise ValueError(
+                    f"sum over {c!r} ({dt}) is not exactly retractable — "
+                    "float additions depend on order.  Quantize to an "
+                    "integer (micro-)unit or a decimal first."
+                )
+
+    def _measure_aggs(self, sign: Column) -> list[Column]:
+        aggs = [F.sum(sign).cast("bigint").alias("n")]
+        for c in self.sum_cols:
+            aggs.append(
+                F.sum(
+                    sign.cast("decimal(22,6)")
+                    * F.coalesce(F.col(c).cast("decimal(22,6)"), F.lit(0))
+                )
+                .cast("decimal(32,6)")
+                .alias(f"sum_{c}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), sign).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias(f"nn_{c}")
+            )
+        return aggs
+
+    def _state_cols(self) -> list[str]:
+        out = ["n"]
+        for c in self.sum_cols:
+            out += [f"sum_{c}", f"nn_{c}"]
+        return out
+
+    def refresh(self) -> dict:
+        """Bring the view up to date with the base's latest snapshot.
+        Bootstrap (first refresh, or definition drift) aggregates the
+        current snapshot directly; afterwards each refresh applies the
+        net signed change feed since the last applied base version.
+        Returns ``{"version", "mode", "base_version"}`` (version = -1
+        on a no-op); also appended to ``refresh_log``."""
+        info = self._refresh()
+        self.refresh_log.append(info)
+        return info
+
+    def _refresh(self) -> dict:
+        vs = self.base.versions()
+        if not vs:
+            return {"version": -1, "mode": "noop", "base_version": None}
+        latest = vs[-1]
+        st = self._state()
+        cur = st.get("base_version")
+        if st and st.get("definition") != self._definition():
+            cur = None  # drift: full rebuild, never mixed state
+        if cur == latest:
+            return {"version": -1, "mode": "noop", "base_version": latest}
+        if cur is None:
+            snap = self.base.read(latest)
+            if snap is None:
+                # all rows deleted: nothing to bootstrap from yet
+                return {
+                    "version": -1, "mode": "noop", "base_version": None,
+                }
+            self._validate_exact_sources(snap)
+            state = snap.groupBy(*self.group_cols).agg(
+                *self._measure_aggs(F.lit(1))
+            )
+            mode = "bootstrap"
+        else:
+            if cur not in vs:
+                raise RuntimeError(
+                    f"delta-view retention gap: last applied base "
+                    f"version {cur} is no longer readable "
+                    f"(readable: {vs}) — raise the base's keep_versions "
+                    "to cover the view's refresh lag"
+                )
+            feed = self.base.changes(
+                cur, latest, emit_update_preimages=True
+            )
+            self._validate_exact_sources(feed)
+            sign = (
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+            )
+            delta = feed.groupBy(*self.group_cols).agg(
+                *self._measure_aggs(sign)
+            )
+            prev = self.read()
+            # avg_* are derived at read time — fold only raw state cols
+            prev = prev.select(*self.group_cols, *self._state_cols())
+            state = (
+                prev.unionByName(delta)
+                .groupBy(*self.group_cols)
+                .agg(
+                    *[
+                        F.sum(c).cast(
+                            "bigint" if not c.startswith("sum_")
+                            else "decimal(32,6)"
+                        ).alias(c)
+                        for c in self._state_cols()
+                    ]
+                )
+            )
+            mode = "delta"
+        state = state.localCheckpoint()
+        neg = state.filter(F.col("n") < 0).count()
+        if neg:
+            raise RuntimeError(
+                f"{neg} groups went negative applying the change feed — "
+                "inconsistent feed, refusing to publish"
+            )
+        state = state.filter(F.col("n") > 0)
+        new_v = (self.versions()[-1] + 1) if self.versions() else 1
+        vdir = self._vdir(new_v)
+        os.makedirs(vdir, exist_ok=True)
+        state.write.mode("overwrite").parquet(
+            os.path.join(vdir, "state.parquet")
+        )
+        with open(os.path.join(vdir, "state.json"), "w") as fh:
+            json.dump(
+                {
+                    "base_version": latest,
+                    "definition": self._definition(),
+                },
+                fh,
+                sort_keys=True,
+            )
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        if self.keep_versions is not None:
+            self.vacuum()
+        return {"version": new_v, "mode": mode, "base_version": latest}
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """The maintained rollup: group cols, ``n``, exact decimal
+        ``sum_<c>``, non-null counts ``nn_<c>``, and derived
+        ``avg_<c>`` (NULL when the group has no non-null values,
+        matching SQL AVG).  Never touches the base table."""
+        vs = self.versions()
+        if not vs:
+            return None
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(f"version {v} not in {vs}")
+        state = self.spark.read.parquet(
+            os.path.join(self._vdir(v), "state.parquet")
+        )
+        # SQL semantics at the edge: SUM over an all-NULL group is NULL
+        # (the stored accumulator is exactly 0 whenever nn == 0, so the
+        # mask loses nothing and internal refolds stay consistent)
+        masked = []
+        for c in self._state_cols():
+            if c.startswith("sum_"):
+                src = c[len("sum_"):]
+                masked.append(
+                    F.when(F.col(f"nn_{src}") > 0, F.col(c)).alias(c)
+                )
+            else:
+                masked.append(F.col(c))
+        derived = [
+            F.when(
+                F.col(f"nn_{c}") > 0,
+                (F.col(f"sum_{c}") / F.col(f"nn_{c}")).cast(
+                    "decimal(32,9)"
+                ),
+            ).alias(f"avg_{c}")
+            for c in self.sum_cols
+        ]
+        return state.select(*self.group_cols, *masked, *derived)

@@ -1796,6 +1796,7 @@ class ManifestSnapshotTable:
         from_version: int,
         to_version: int,
         where: Sequence[tuple] | None = None,
+        emit_update_preimages: bool = False,
     ) -> DataFrame | None:
         """Change data feed between two readable snapshots: one row per
         key whose state differs, tagged ``_change_type`` ∈ {'insert',
@@ -1895,11 +1896,27 @@ class ManifestSnapshotTable:
             .alias(c)
             for c in cols
         ]
-        return (
+        feed = (
             j.withColumn("_change_type", ct)
             .filter(F.col("_change_type").isNotNull())
             .select("_change_type", *out_cols)
         )
+        if emit_update_preimages:
+            # Delta CDF's full update shape: each update additionally
+            # emits its OLD row tagged 'update_preimage' — what a
+            # retraction-based consumer (incremental view maintenance)
+            # needs to subtract the old contribution.  Opt-in so the
+            # default feed keeps its one-row-per-changed-key contract.
+            pre = (
+                j.withColumn("_change_type", ct)
+                .filter(F.col("_change_type") == "update_postimage")
+                .select(
+                    F.lit("update_preimage").alias("_change_type"),
+                    *[F.col(f"o.{c}").alias(c) for c in cols],
+                )
+            )
+            feed = feed.unionByName(pre)
+        return feed
 
     def tail_changes(
         self,

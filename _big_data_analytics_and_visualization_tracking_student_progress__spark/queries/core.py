@@ -4986,3 +4986,107 @@ def q_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = table.history().select("version", "op", "n_touched")
         # four commits — bounded audit metadata
         return materialize_bounded(spark, h)
+
+
+# ---------------------------------------------------------------------------
+# Retraction-based incremental view maintenance (DeltaAggView) from the
+# change data feed: where matview_incremental_refresh recomputes the
+# partials of MOVED FRAGMENTS, this view applies signed row deltas
+# (insert/update-postimage +, delete/update-preimage −) from
+# changes(cur, latest) — refresh cost O(changed rows), the CDC shape.
+# The span apply telescopes (one net feed over N commits ≡ N applies),
+# and the read must equal the declarative aggregate over the staged
+# end state — certified by the oracle, with in-plan mode assertions
+# (bootstrap → delta → noop) that raise under `python -O`.
+# ---------------------------------------------------------------------------
+@register(
+    "matview_delta_refresh",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT * FROM src WHERE event_id % 3 = 1 AND event_type = 'click'
+    ), latest AS (
+        SELECT user_id, event_type, event_id, tsn FROM (
+            SELECT user_id, event_type, event_id, tsn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    ), after_del AS (
+        SELECT * FROM latest
+        WHERE NOT (event_type = 'click' AND user_id % 7 = 0)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(COUNT(event_id) AS BIGINT) AS nn_event_id
+    FROM after_del GROUP BY event_type
+    """,
+    doc="retraction-based incremental view maintenance (DeltaAggView): "
+    "rollup maintained by applying SIGNED row deltas from the change "
+    "feed (update pre-images retract old contributions) — refresh "
+    "cost O(changed rows) vs the fragment-recompute matview; span "
+    "apply over multiple commits telescopes; oracle recomputes the "
+    "staged end state declaratively",
+)
+def q_matview_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.matview import DeltaAggView
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "deltaview",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    ) as table:
+        vdir = tempfile.mkdtemp(prefix="sparkgraft_dav_")
+        try:
+            view = DeltaAggView(
+                spark,
+                vdir,
+                table,
+                group_cols=["event_type"],
+                sum_cols=["event_id"],
+            )
+            table.upsert(e.filter(F.col("event_id") % 3 == 0))
+            m1 = view.refresh()
+            table.upsert(
+                e.filter(
+                    (F.col("event_id") % 3 == 1)
+                    & (F.col("event_type") == "click")
+                )
+            )
+            table.delete(
+                e.select("user_id")
+                .distinct()
+                .filter(F.col("user_id") % 7 == 0)
+                .withColumn("event_type", F.lit("click"))
+            )
+            m2 = view.refresh()  # ONE span apply over both commits
+            m3 = view.refresh()
+            # in-plan maintenance proof — explicit raise, survives -O
+            modes = (m1["mode"], m2["mode"], m3["mode"])
+            if modes != ("bootstrap", "delta", "noop"):
+                raise RuntimeError(f"unexpected refresh modes: {modes}")
+            out = view.read().select(
+                "event_type",
+                F.col("n").alias("n_keys"),
+                F.col("sum_event_id").cast("bigint").alias("sum_event_id"),
+                F.col("nn_event_id"),
+            )
+            # one row per event type — bounded
+            return materialize_bounded(spark, out)
+        finally:
+            shutil.rmtree(vdir, ignore_errors=True)
