@@ -664,36 +664,79 @@ class DeltaAggView:
             feed = self.base.changes(
                 cur, latest, emit_update_preimages=True
             )
-            self._validate_exact_sources(feed)
-            sign = (
-                F.when(
-                    F.col("_change_type").isin(
-                        "insert", "update_postimage"
-                    ),
-                    F.lit(1),
-                )
-                .otherwise(F.lit(-1))
-            )
-            delta = feed.groupBy(*self.group_cols).agg(
-                *self._measure_aggs(sign)
-            )
-            prev = self.read()
-            # avg_* are derived at read time — fold only raw state cols
-            prev = prev.select(*self.group_cols, *self._state_cols())
-            state = (
-                prev.unionByName(delta)
-                .groupBy(*self.group_cols)
-                .agg(
-                    *[
-                        F.sum(c).cast(
-                            "bigint" if not c.startswith("sum_")
-                            else "decimal(32,6)"
-                        ).alias(c)
-                        for c in self._state_cols()
-                    ]
-                )
-            )
+            state = self._fold(feed)
             mode = "delta"
+        return self._publish(state, latest, mode)
+
+    def _fold(self, feed: DataFrame) -> DataFrame:
+        """Fold a signed change feed (insert / update_postimage add,
+        delete / update_preimage subtract) into the current state —
+        work proportional to FEED rows plus |groups|, independent of
+        the base table."""
+        self._validate_exact_sources(feed)
+        sign = (
+            F.when(
+                F.col("_change_type").isin(
+                    "insert", "update_postimage"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+        )
+        delta = feed.groupBy(*self.group_cols).agg(
+            *self._measure_aggs(sign)
+        )
+        # avg_* are derived at read time — fold only raw state cols
+        prev = self.read().select(*self.group_cols, *self._state_cols())
+        return (
+            prev.unionByName(delta)
+            .groupBy(*self.group_cols)
+            .agg(
+                *[
+                    F.sum(c).cast(
+                        "bigint" if not c.startswith("sum_")
+                        else "decimal(32,6)"
+                    ).alias(c)
+                    for c in self._state_cols()
+                ]
+            )
+        )
+
+    def apply_feed(self, feed: DataFrame, base_version: int) -> dict:
+        """Apply a PRE-MATERIALIZED change feed covering exactly
+        (current base version, ``base_version``] — the relay
+        composition: `changes_relay_run(emit_update_preimages=True)`
+        produces per-commit feeds ONCE, and every downstream view
+        applies its span from the feed store in O(feed rows) without
+        re-diffing the base (or even reaching it).  The feed must
+        carry update pre-images; cursor continuity is the caller's
+        contract (apply exactly the rows of the span, each commit
+        once) — enforced here only as monotonicity, plus the same
+        negative-count refusal as `refresh`.  The view must be
+        bootstrapped first (initial snapshots are state, not feed)."""
+        st = self._state()
+        cur = st.get("base_version")
+        if cur is None:
+            raise RuntimeError(
+                "apply_feed needs a bootstrapped view — call refresh() "
+                "once before switching to feed-driven maintenance"
+            )
+        if st.get("definition") != self._definition():
+            raise RuntimeError(
+                "view definition drifted — refresh() to rebuild before "
+                "applying feeds"
+            )
+        if base_version <= cur:
+            return {
+                "version": -1, "mode": "noop", "base_version": cur,
+            }
+        info = self._publish(self._fold(feed), base_version, "feed")
+        self.refresh_log.append(info)
+        return info
+
+    def _publish(
+        self, state: DataFrame, base_version: int, mode: str
+    ) -> dict:
         state = state.localCheckpoint()
         neg = state.filter(F.col("n") < 0).count()
         if neg:
@@ -711,7 +754,7 @@ class DeltaAggView:
         with open(os.path.join(vdir, "state.json"), "w") as fh:
             json.dump(
                 {
-                    "base_version": latest,
+                    "base_version": base_version,
                     "definition": self._definition(),
                 },
                 fh,
@@ -721,7 +764,9 @@ class DeltaAggView:
             pass
         if self.keep_versions is not None:
             self.vacuum()
-        return {"version": new_v, "mode": mode, "base_version": latest}
+        return {
+            "version": new_v, "mode": mode, "base_version": base_version,
+        }
 
     def read(self, version: int | None = None) -> DataFrame | None:
         """The maintained rollup: group cols, ``n``, exact decimal

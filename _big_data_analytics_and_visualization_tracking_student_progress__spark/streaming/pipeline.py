@@ -293,6 +293,7 @@ def changes_relay_run(
     spark: SparkSession,
     table: ManifestSnapshotTable,
     workdir: str | None = None,
+    emit_update_preimages: bool = False,
 ) -> DataFrame | None:
     """Stream a ManifestSnapshotTable's change data feed to a parquet
     feed dir — Delta's "stream FROM a table" / CDF-as-a-source shape:
@@ -329,7 +330,12 @@ def changes_relay_run(
     retention bound Delta places on CDF consumers); a vacuumed gap
     raises instead of silently skipping commits.  The table must have
     ≥1 commit before the stream starts (the marker glob must match).
-    Returns the accumulated feed (None when the table was empty)."""
+    ``emit_update_preimages`` materializes Delta's full CDF shape —
+    updates carry both images — which is what retraction-based
+    consumers (`DeltaAggView.apply_feed`) fold: produce the feed ONCE
+    here, and every downstream view applies its span in O(feed rows)
+    without re-diffing the base.  Returns the accumulated feed (None
+    when the table was empty)."""
     wd = workdir or _workdir("cdfrelay")
     feed, ckpt = os.path.join(wd, "feed"), os.path.join(wd, "ckpt")
     os.makedirs(feed, exist_ok=True)
@@ -369,7 +375,10 @@ def changes_relay_run(
                     "_change_type", F.lit("insert")
                 ).select("_change_type", *base.columns)
             else:
-                df = table.changes(v - 1, v)
+                df = table.changes(
+                    v - 1, v,
+                    emit_update_preimages=emit_update_preimages,
+                )
             out_dir = os.path.join(feed, f"commit_version={v}")
             df.write.mode("overwrite").parquet(out_dir)
 

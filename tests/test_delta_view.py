@@ -260,3 +260,47 @@ def test_delta_view_slots_into_streaming_sink(spark, root):
     assert _view(v) == _direct(t)
     assert all(i["mode"] in ("bootstrap", "delta", "noop")
                for i in v.refresh_log)
+
+
+def test_apply_feed_from_relay_without_touching_base(spark, root):
+    """Produce the CDF once (streaming relay, with pre-images), then
+    maintain the view from the MATERIALIZED feed: apply_feed must
+    reproduce exactly what refresh() computes, reading only feed rows
+    — the produce-once / apply-many composition."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (
+        changes_relay_run,
+    )
+
+    t, v = _mk(spark, root)
+    t.upsert(spark.createDataFrame(
+        [(0, 1, "a", 10, 1), (1, 2, "b", 5, 1)], SCHEMA))
+    v.refresh()  # bootstrap at base v1
+    t.upsert(spark.createDataFrame(
+        [(0, 1, "a", 20, 2), (0, 3, "b", 7, 2)], SCHEMA))
+    t.delete(spark.createDataFrame([(1, 2)], "d int, k int"))
+    feed = changes_relay_run(
+        spark, t, workdir=os.path.join(root, "relay"),
+        emit_update_preimages=True,
+    )
+    span = feed.filter(F.col("commit_version") > 1).drop(
+        "commit_version"
+    )
+    info = v.apply_feed(span, base_version=t.versions()[-1])
+    assert info["mode"] == "feed"
+    assert _view(v) == _direct(t)
+    # cursor advanced: a stale re-apply is a no-op, not a corruption
+    assert v.apply_feed(span, base_version=3)["mode"] == "noop"
+    # and refresh() agrees there is nothing left to do
+    assert v.refresh()["mode"] == "noop"
+
+
+def test_apply_feed_requires_bootstrap(spark, root):
+    t, v = _mk(spark, root)
+    t.upsert(spark.createDataFrame([(0, 1, "a", 1, 1)], SCHEMA))
+    with pytest.raises(RuntimeError, match="bootstrapped"):
+        v.apply_feed(
+            spark.createDataFrame(
+                [], "_change_type string, " + SCHEMA
+            ),
+            base_version=1,
+        )
