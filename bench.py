@@ -67,9 +67,11 @@ HEADLINE = [
     "manifest_pruned_read",
     "matview_incremental_refresh",
     # round-9 additions (ephemeral-table walls include commit cost, as
-    # above): bloom-filter point reads and the conditional MERGE commit
+    # above): bloom-filter point reads, the conditional MERGE commit,
+    # and the retraction-based delta view
     "manifest_bloom_point_read",
     "manifest_merge_into",
+    "matview_delta_refresh",
 ]
 
 
