@@ -192,11 +192,13 @@ def upsert_stream_run(
     with it, scans per read stay ≤ max_scatter + 1 forever.  Compaction
     is observationally the identity, so replay stays a fixed point.
 
-    `view` (ManifestSnapshotTable sinks only): a continuous aggregate —
-    an `operators.matview.IncrementalAggView` over `table` refreshed
-    after every micro-batch commit, so the rollup is always one commit
-    behind at most and each refresh costs O(partitions touched by the
-    batch), not O(table).  This is the streaming replacement for the
+    `view` (ManifestSnapshotTable sinks only): a continuous aggregate
+    refreshed after every micro-batch commit, so the rollup is always
+    one commit behind at most.  Duck-typed over `.base`/`.refresh()`:
+    an `operators.matview.IncrementalAggView` (refresh = recompute
+    partials of touched partitions) or a `DeltaAggView` (refresh =
+    fold the commit's signed change feed) both slot in — pick by
+    measure retractability and commit shape, see docs/STORAGE.md.  This is the streaming replacement for the
     reference's per-dashboard-load full re-aggregation (app.py:58).
     Refresh is a pure function of the base manifest, so batch replay
     stays a fixed point (the extra refresh is a no-op).  Per-batch
