@@ -185,7 +185,35 @@ def _final_expr(name: str, kind: str) -> Column:
     ).alias(name)
 
 
-class IncrementalAggView:
+class _SnapshotDirStore:
+    """Shared `_SUCCESS`-gated version-dir layout for view state
+    (v=NNNNN dirs, newest-N retention) — one implementation so the
+    snapshot discipline cannot drift between the two maintenance
+    strategies.  Subclasses provide ``self.path`` /
+    ``self.keep_versions``."""
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v={v:05d}")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(name[2:])
+            for name in os.listdir(self.path)
+            if name.startswith("v=")
+            and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
+        )
+
+    def vacuum(self) -> None:
+        if self.keep_versions is None:
+            return
+        vs = self.versions()
+        for v in vs[: max(0, len(vs) - self.keep_versions)]:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
+
+
+class IncrementalAggView(_SnapshotDirStore):
     """See module docstring.
 
     Parameters
@@ -237,20 +265,8 @@ class IncrementalAggView:
                 f"measure names collide with group/partition cols: {overlap}"
             )
 
-    # -- snapshot layout (self-contained versions, marker-gated) --------
-    def _vdir(self, v: int) -> str:
-        return os.path.join(self.path, f"v={v:05d}")
-
-    def versions(self) -> list[int]:
-        if not os.path.isdir(self.path):
-            return []
-        return sorted(
-            int(name[2:])
-            for name in os.listdir(self.path)
-            if name.startswith("v=")
-            and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
-        )
-
+    # snapshot layout (_vdir/versions/vacuum) comes from
+    # _SnapshotDirStore — shared with DeltaAggView
     def _state(self, version: int | None = None) -> dict:
         vs = self.versions()
         if not vs:
@@ -260,13 +276,6 @@ class IncrementalAggView:
             raise ValueError(f"version {v} not in {vs}")
         with open(os.path.join(self._vdir(v), "state.json")) as fh:
             return json.load(fh)
-
-    def vacuum(self) -> None:
-        if self.keep_versions is None:
-            return
-        vs = self.versions()
-        for v in vs[: max(0, len(vs) - self.keep_versions)]:
-            shutil.rmtree(self._vdir(v), ignore_errors=True)
 
     # -- refresh --------------------------------------------------------
     # dtypes whose sums are exact (partial-merge order cannot change the
@@ -492,7 +501,7 @@ class IncrementalAggView:
         )
 
 
-class DeltaAggView:
+class DeltaAggView(_SnapshotDirStore):
     """Retraction-based incremental view maintenance (IVM) from the
     change data feed — the second maintenance strategy next to
     `IncrementalAggView`'s fragment-partial recompute, and the right
@@ -549,33 +558,14 @@ class DeltaAggView:
         if bad:
             raise ValueError(f"sum cols overlap group cols: {sorted(bad)}")
 
-    # -- snapshot layout (mirrors IncrementalAggView) --------------------
-    def _vdir(self, v: int) -> str:
-        return os.path.join(self.path, f"v={v:05d}")
-
-    def versions(self) -> list[int]:
-        if not os.path.isdir(self.path):
-            return []
-        return sorted(
-            int(name[2:])
-            for name in os.listdir(self.path)
-            if name.startswith("v=")
-            and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
-        )
-
+    # snapshot layout (_vdir/versions/vacuum) comes from
+    # _SnapshotDirStore — shared with IncrementalAggView
     def _state(self) -> dict:
         vs = self.versions()
         if not vs:
             return {}
         with open(os.path.join(self._vdir(vs[-1]), "state.json")) as fh:
             return json.load(fh)
-
-    def vacuum(self) -> None:
-        if self.keep_versions is None:
-            return
-        vs = self.versions()
-        for v in vs[: max(0, len(vs) - self.keep_versions)]:
-            shutil.rmtree(self._vdir(v), ignore_errors=True)
 
     def _definition(self) -> dict:
         return {"group_cols": self.group_cols, "sum_cols": self.sum_cols}
@@ -738,11 +728,19 @@ class DeltaAggView:
         self, state: DataFrame, base_version: int, mode: str
     ) -> dict:
         state = state.localCheckpoint()
-        neg = state.filter(F.col("n") < 0).count()
+        # every counter must stay non-negative — not just n: an
+        # unmatched preimage can cancel n back to zero while leaving a
+        # negative non-null count / impossible accumulator behind, and
+        # publishing that would compound in every later fold
+        bad = F.col("n") < 0
+        for c in self.sum_cols:
+            bad = bad | (F.col(f"nn_{c}") < 0)
+            bad = bad | (F.col(f"nn_{c}") > F.col("n"))
+        neg = state.filter(bad).count()
         if neg:
             raise RuntimeError(
-                f"{neg} groups went negative applying the change feed — "
-                "inconsistent feed, refusing to publish"
+                f"{neg} groups went negative (or inconsistent) applying "
+                "the change feed — inconsistent feed, refusing to publish"
             )
         state = state.filter(F.col("n") > 0)
         new_v = (self.versions()[-1] + 1) if self.versions() else 1

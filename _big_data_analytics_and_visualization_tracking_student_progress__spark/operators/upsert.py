@@ -39,7 +39,12 @@ class CommitConflictError(RuntimeError):
     that retry loop)."""
 
 
-def retry_commit(fn, attempts: int = 5, backoff_s: float = 0.05):
+def retry_commit(
+    fn,
+    attempts: int = 5,
+    backoff_s: float = 0.05,
+    max_backoff_s: float = 2.0,
+):
     """Run a commit closure with the standard optimistic-concurrency
     retry loop — Delta's automatic conflict retry.  ``fn`` must be the
     WHOLE commit (e.g. ``lambda: table.upsert(batch)``): every commit
@@ -47,10 +52,13 @@ def retry_commit(fn, attempts: int = 5, backoff_s: float = 0.05):
     re-invoking it after a `CommitConflictError` replays the merge
     against the peer's published state — no lost updates, no partial
     application (the loser's claim was abandoned whole).  Exponential
-    backoff with deterministic per-attempt jitter spreads herds;
-    raises the final `CommitConflictError` after ``attempts`` losses
-    (a writer that cannot win in N rounds signals real contention the
-    caller should see, not mask)."""
+    backoff, CAPPED at ``max_backoff_s`` (an uncapped 2^n sleep at
+    attempt 20 would be hours — large attempt budgets must mean "keep
+    trying", never "hang"), with deterministic per-attempt jitter to
+    spread herds, and no sleep after the final loss; raises the final
+    `CommitConflictError` after ``attempts`` losses (a writer that
+    cannot win in N rounds signals real contention the caller should
+    see, not mask)."""
     import time as _time
 
     if attempts < 1:
@@ -61,8 +69,13 @@ def retry_commit(fn, attempts: int = 5, backoff_s: float = 0.05):
             return fn()
         except CommitConflictError as e:
             last = e
+            if attempt + 1 >= attempts:
+                break  # final loss: raise now, don't sleep first
             # deterministic jitter (no RNG): stagger by attempt parity
-            _time.sleep(backoff_s * (2**attempt) * (1 + 0.37 * (attempt % 3)))
+            _time.sleep(
+                min(max_backoff_s, backoff_s * (2**attempt))
+                * (1 + 0.37 * (attempt % 3))
+            )
     raise last
 
 
@@ -1092,17 +1105,28 @@ class ManifestSnapshotTable:
         return self._bloom_cache[v]
 
     def _probe_positions(
-        self, shapes: set[tuple[str, int, int]], values: dict[str, object]
+        self,
+        shapes: set[tuple[str, int, int]],
+        values: dict[str, object],
+        col_types: dict[str, str],
     ) -> dict[tuple[str, int, int], list[int]]:
         """Candidate bit positions for every (col, m, k) bitset shape in
         play, computed BY THE ENGINE over a 1-row frame with the exact
         build-side expression (same cast, same hash) — one tiny job for
-        the whole read."""
+        the whole read.  The probe literal is first cast to the
+        COLUMN's type: the build side hashed
+        cast(<col as its native type> as string), so probing an int
+        literal against a double column must hash "7.0", not "7" — a
+        type-mismatched probe would otherwise be a bloom FALSE NEGATIVE
+        (silently missing rows the exact predicate matches)."""
         if not shapes:
             return {}
         exprs, order = [], []
         for idx, (c, m, k) in enumerate(sorted(shapes)):
-            s = F.lit(values[c]).cast("string")
+            lit = F.lit(values[c])
+            if c in col_types:
+                lit = lit.cast(col_types[c])
+            s = lit.cast("string")
             for i in range(k):
                 exprs.append(
                     F.pmod(F.xxhash64(s, F.lit(i)), F.lit(m)).alias(
@@ -1163,10 +1187,12 @@ class ManifestSnapshotTable:
             e = F.col(c) == F.lit(v)
             pred = e if pred is None else pred & e
         fst = doc.get("file_stats", {})
-        # one engine probe job for all bitset shapes seen in sidecars
+        # one engine probe job for all bitset shapes seen in sidecars;
+        # sidecars resolved GROUPED BY HOLDER VERSION so each (MB-scale)
+        # bloom doc is parsed once even under the small cache
         shapes: set[tuple[str, int, int]] = set()
         frag_blooms: dict[str, dict] = {}
-        for frag, hv in keep.items():
+        for frag, hv in sorted(keep.items(), key=lambda kv: kv[1]):
             bdoc = self._bloom_doc(hv).get(frag, {})
             frag_blooms[frag] = bdoc
             for fentry in bdoc.values():
@@ -1174,7 +1200,12 @@ class ManifestSnapshotTable:
                     be = fentry.get(c)
                     if be:
                         shapes.add((c, int(be["m"]), int(be["k"])))
-        probes = self._probe_positions(shapes, values)
+        col_types: dict[str, str] = {}
+        if shapes:
+            # probe literals must be cast to the columns' native types
+            # (schema from one footer read — no data scan)
+            col_types = dict(self._read_fragments(m).dtypes)
+        probes = self._probe_positions(shapes, values, col_types)
         files_total = files_kept = 0
         by_version: dict[int, list[str]] = {}
         for frag, hv in sorted(keep.items()):

@@ -5032,10 +5032,6 @@ def q_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "staged end state declaratively",
 )
 def q_matview_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from ..operators.matview import DeltaAggView
     from ..operators.upsert import ManifestSnapshotTable
     from ._ephemeral import ephemeral_table, materialize_bounded
@@ -5050,43 +5046,39 @@ def q_matview_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id", "event_type"],
         order_cols=["ts_nanos", "event_id"],
         partition_by=["event_type"],
-    ) as table:
-        vdir = tempfile.mkdtemp(prefix="sparkgraft_dav_")
-        try:
-            view = DeltaAggView(
-                spark,
-                vdir,
-                table,
-                group_cols=["event_type"],
-                sum_cols=["event_id"],
+    ) as table, ephemeral_table(
+        DeltaAggView,
+        spark,
+        "dav",
+        base=table,
+        group_cols=["event_type"],
+        sum_cols=["event_id"],
+    ) as view:
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        m1 = view.refresh()
+        table.upsert(
+            e.filter(
+                (F.col("event_id") % 3 == 1)
+                & (F.col("event_type") == "click")
             )
-            table.upsert(e.filter(F.col("event_id") % 3 == 0))
-            m1 = view.refresh()
-            table.upsert(
-                e.filter(
-                    (F.col("event_id") % 3 == 1)
-                    & (F.col("event_type") == "click")
-                )
-            )
-            table.delete(
-                e.select("user_id")
-                .distinct()
-                .filter(F.col("user_id") % 7 == 0)
-                .withColumn("event_type", F.lit("click"))
-            )
-            m2 = view.refresh()  # ONE span apply over both commits
-            m3 = view.refresh()
-            # in-plan maintenance proof — explicit raise, survives -O
-            modes = (m1["mode"], m2["mode"], m3["mode"])
-            if modes != ("bootstrap", "delta", "noop"):
-                raise RuntimeError(f"unexpected refresh modes: {modes}")
-            out = view.read().select(
-                "event_type",
-                F.col("n").alias("n_keys"),
-                F.col("sum_event_id").cast("bigint").alias("sum_event_id"),
-                F.col("nn_event_id"),
-            )
-            # one row per event type — bounded
-            return materialize_bounded(spark, out)
-        finally:
-            shutil.rmtree(vdir, ignore_errors=True)
+        )
+        table.delete(
+            e.select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 7 == 0)
+            .withColumn("event_type", F.lit("click"))
+        )
+        m2 = view.refresh()  # ONE span apply over both commits
+        m3 = view.refresh()
+        # in-plan maintenance proof — explicit raise, survives -O
+        modes = (m1["mode"], m2["mode"], m3["mode"])
+        if modes != ("bootstrap", "delta", "noop"):
+            raise RuntimeError(f"unexpected refresh modes: {modes}")
+        out = view.read().select(
+            "event_type",
+            F.col("n").alias("n_keys"),
+            F.col("sum_event_id").cast("bigint").alias("sum_event_id"),
+            F.col("nn_event_id"),
+        )
+        # one row per event type — bounded
+        return materialize_bounded(spark, out)

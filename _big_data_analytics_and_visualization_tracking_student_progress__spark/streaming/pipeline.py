@@ -357,14 +357,23 @@ def changes_relay_run(
             return
         done = _relayed_high_water()
         pending = [v for v in vs if v > done]
-        if done and pending and pending[0] != done + 1:
+        # a relay that has ALREADY bootstrapped may only continue via
+        # per-commit diffs, and diffing pending[0] needs version `done`
+        # itself still readable — `pending[0] == done + 1` alone is not
+        # enough (vacuum can demote `done` while done+1 survives, and a
+        # silent re-bootstrap would duplicate every live row in the
+        # feed, double-counting in every downstream fold)
+        if done and pending and (
+            pending[0] != done + 1 or done not in vs
+        ):
             raise RuntimeError(
                 f"change-feed retention gap: last relayed version "
-                f"{done}, earliest readable {pending[0]} — raise "
-                "keep_versions to cover the relay's lag"
+                f"{done} must still be readable to diff against "
+                f"(readable: {vs}) — raise keep_versions to cover the "
+                "relay's lag"
             )
         for v in pending:
-            if v == vs[0]:
+            if done == 0 and v == vs[0]:
                 # initial snapshot: every live row as an insert
                 base = table.read(v)
                 if base is None:

@@ -149,3 +149,25 @@ def test_single_commit_is_pure_bootstrap(spark, root):
     feed = changes_relay_run(spark, t, workdir=os.path.join(root, "wd"))
     assert _rows(feed) == [(1, "insert", 0, 1, 1)]
     assert read_change_feed(spark, os.path.join(root, "wd")) is not None
+
+
+def test_relay_never_rebootstraps_over_vacuumed_diff_base(spark, root):
+    """A relay that already bootstrapped may only continue via diffs.
+    If retention vacuums the last-relayed version while its successor
+    survives, a naive earliest-readable bootstrap would silently
+    duplicate every live row in the feed — the relay must raise the
+    retention-gap error instead."""
+    t = _mk(spark, root, keep_versions=2)
+    wd = os.path.join(root, "wd")
+    t.upsert(spark.createDataFrame([(0, 1, 1)], "d int, k int, v int"))
+    t.upsert(spark.createDataFrame([(0, 2, 2)], "d int, k int, v int"))
+    changes_relay_run(spark, t, workdir=wd)  # high-water = 2
+    t.upsert(spark.createDataFrame([(0, 3, 3)], "d int, k int, v int"))
+    t.upsert(spark.createDataFrame([(0, 4, 4)], "d int, k int, v int"))
+    assert t.versions() == [3, 4]  # v2 vacuumed away
+    from pyspark.sql.utils import StreamingQueryException
+
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException), match="retention gap"
+    ):
+        changes_relay_run(spark, t, workdir=wd)

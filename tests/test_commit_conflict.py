@@ -260,3 +260,27 @@ def test_retry_commit_exhausts_and_reraises(spark, tmp_path):
     with pytest.raises(_conflict_cls(), match="still contended"):
         retry_commit(always_conflict, attempts=3, backoff_s=0.001)
     assert len(calls) == 3
+
+
+def test_retry_backoff_capped_and_no_final_sleep(spark):
+    """Large attempt budgets must mean 'keep trying', never multi-hour
+    exponential sleeps — and the final loss raises immediately."""
+    import time as _t
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        retry_commit,
+    )
+
+    def always_conflict():
+        raise _conflict_cls()("contended")
+
+    t0 = _t.perf_counter()
+    with pytest.raises(_conflict_cls()):
+        # uncapped this would sleep ~0.05 * 2^20 seconds around attempt
+        # 21; capped it must finish in ~attempts * max_backoff
+        retry_commit(
+            always_conflict, attempts=25, backoff_s=0.05,
+            max_backoff_s=0.01,
+        )
+    wall = _t.perf_counter() - t0
+    assert wall < 2.0, f"backoff not capped: {wall:.1f}s"

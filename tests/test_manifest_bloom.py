@@ -264,3 +264,37 @@ def test_history_null_op_for_pre_recording_manifests(spark, root):
         json.dump(doc, fh)
     row = t.history().collect()[0]
     assert (row.version, row.op, row.n_touched) == (1, None, None)
+
+
+def test_bloom_probe_casts_to_column_type(spark, root):
+    """Bloom probes must hash the probe value AS THE COLUMN'S TYPE:
+    the build side indexed cast(7.0d as string) = "7.0", so probing
+    the SQL-equal int literal 7 must not become a bloom false negative
+    (silently missing rows the exact predicate matches)."""
+    t = ManifestSnapshotTable(
+        spark, root, keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"], bloom_cols=["x"],
+        bloom_bits=1 << 10, bloom_k=3,
+    )
+    t.upsert(spark.createDataFrame(
+        [(0, 1, 1, 7.0), (0, 2, 2, 8.5)],
+        "day int, k long, seq long, x double",
+    ))
+    frame, _fk, _ft, flk, flt = t.read_where_eq([("x", 7)])
+    assert [(r.k, r.x) for r in frame.collect()] == [(1, 7.0)]
+    # and a string column probed with a str stays exact too
+    t2 = ManifestSnapshotTable(
+        spark, f"{root}_s", keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"], bloom_cols=["s"],
+        bloom_bits=1 << 10, bloom_k=3,
+    )
+    try:
+        t2.upsert(spark.createDataFrame(
+            [(0, 1, 1, "7.0")], "day int, k long, seq long, s string",
+        ))
+        fr2, *_ = t2.read_where_eq([("s", "7.0")])
+        assert [r.k for r in fr2.collect()] == [1]
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(t2.path, ignore_errors=True)
