@@ -582,14 +582,36 @@ class DeltaAggView(_SnapshotDirStore):
                     "float additions depend on order.  Quantize to an "
                     "integer (micro-)unit or a decimal first."
                 )
+            if dt.startswith("decimal"):
+                # the accumulator input is decimal(26,6) (20 integer
+                # digits / 6 fractional — wide enough for every bigint);
+                # a decimal source that can't round-trip that cast
+                # would silently lose value, so refuse it up front
+                p, s = (
+                    int(x) for x in dt[len("decimal("):-1].split(",")
+                )
+                if s > 6 or p - s > 20:
+                    raise ValueError(
+                        f"sum over {c!r} ({dt}) exceeds the exact "
+                        "accumulator's decimal(26,6) input range "
+                        "(≤20 integer digits, ≤6 fractional).  Rescale "
+                        "the column first."
+                    )
 
     def _measure_aggs(self, sign: Column) -> list[Column]:
         aggs = [F.sum(sign).cast("bigint").alias("n")]
         for c in self.sum_cols:
+            # sign is ±1 → decimal(1,0), so the product type is
+            # decimal(28,6) — exact.  The VALUE cast must hold every
+            # legal bigint (19 integer digits): decimal(26,6) gives 20.
+            # A narrower cast (the old 22,6 = 16 digits) silently
+            # NULLed values > ~1e16 under non-ANSI Spark and the
+            # coalesce turned them into 0 — a corrupted sum while
+            # nn_<c> still counted the row.
             aggs.append(
                 F.sum(
-                    sign.cast("decimal(22,6)")
-                    * F.coalesce(F.col(c).cast("decimal(22,6)"), F.lit(0))
+                    sign.cast("decimal(1,0)")
+                    * F.coalesce(F.col(c).cast("decimal(26,6)"), F.lit(0))
                 )
                 .cast("decimal(32,6)")
                 .alias(f"sum_{c}")

@@ -71,10 +71,14 @@ def retry_commit(
             last = e
             if attempt + 1 >= attempts:
                 break  # final loss: raise now, don't sleep first
-            # deterministic jitter (no RNG): stagger by attempt parity
+            # deterministic jitter (no RNG): stagger by attempt parity;
+            # cap applied AFTER the jitter so no sleep ever exceeds
+            # max_backoff_s, honoring the docstring's contract
             _time.sleep(
-                min(max_backoff_s, backoff_s * (2**attempt))
-                * (1 + 0.37 * (attempt % 3))
+                min(
+                    max_backoff_s,
+                    backoff_s * (2**attempt) * (1 + 0.37 * (attempt % 3)),
+                )
             )
     raise last
 
@@ -713,37 +717,150 @@ class ManifestSnapshotTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    # -- deletion vectors -------------------------------------------------
+    # Merge-on-read DELETE (Delta deletion vectors / Iceberg v3
+    # position deletes): instead of rewriting a whole partition to drop
+    # a few rows, a DV commit writes a tiny positional sidecar — one
+    # (file, row_index) pair per doomed row — and the read path
+    # anti-joins it out.  At 100 TB this is the difference between a
+    # GDPR erasure costing O(deleted rows) and O(touched partitions).
+    # The manifest carries ``dv`` (fragment → version holding its
+    # CURRENT vector, inherited by reference exactly like data
+    # fragments) and ``dv_rows`` (fragment → deleted-row count, which
+    # keeps `count_rows` metadata-only).  Any commit that REWRITES a
+    # fragment reads it live (vector applied) and drops its dv entry —
+    # the rewrite materializes the deletes, so vectors never outlive
+    # their files; `compact()` is the explicit materialize-everything
+    # path.  Zone-map/bloom pruning stays sound (deletion only shrinks
+    # a file's content, so recorded envelopes remain supersets), but
+    # exact metadata MIN/MAX falls back to scanning dv'd fragments.
+    #
+    # Row addressing is (path-relative file name, parquet row index):
+    # ``rel`` = the file path after its version's ``data/`` root (e.g.
+    # ``day=3/part-0-xyz.parquet`` — partition values cannot fake the
+    # ``/v=NNNNN/data/`` boundary because hive-escaping encodes ``/``),
+    # and ``row_index`` = Spark's ``_metadata.row_index``, stable for
+    # an immutable parquet file.  Addressing is version-root-relative,
+    # so a relocated table keeps its vectors.
+    _DV_REL = r"/v=\d{5}/data/(.*)$"
+
+    def _dv_dir(self, v: int) -> str:
+        return os.path.join(self._vdir(v), "dv")
+
+    def _dv_map(self, doc: dict) -> dict[str, int]:
+        return {k: int(v) for k, v in (doc.get("dv") or {}).items()}
+
+    def _read_dv(self, dv_map: dict[str, int]) -> DataFrame | None:
+        """The doomed-row table for ``dv_map`` (fragment → dv holder
+        version): columns (frag, rel, row_index), one scan per holder
+        version filtered to the fragments it currently serves."""
+        if not dv_map:
+            return None
+        by_version: dict[int, list[str]] = {}
+        for frag, v in dv_map.items():
+            by_version.setdefault(v, []).append(frag)
+        out = None
+        for v, frags in sorted(by_version.items()):
+            df = self.spark.read.parquet(self._dv_dir(v)).filter(
+                F.col("frag").isin(frags)
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _apply_dv(
+        self, df: DataFrame | None, dv_map: dict[str, int]
+    ) -> DataFrame | None:
+        """Anti-join a scan (which carried ``__rel``/``__ri`` metadata
+        columns — see `_scan_version`) against the deletion vectors,
+        dropping the helper columns.  No broadcast hint: vectors are
+        tiny by design (DV deletes are the small-scattered-erasure
+        path; mass deletes belong to copy-on-write `delete`), so AQE
+        broadcasts them, but a pathologically large vector must degrade
+        to a shuffle join rather than OOM the driver."""
+        if df is None:
+            return None
+        if not dv_map or "__rel" not in df.columns:
+            return df.drop("__rel", "__ri")
+        doomed = self._read_dv(dv_map).select(
+            F.col("rel").alias("__rel"),
+            F.col("row_index").alias("__ri"),
+        )
+        return df.join(doomed, ["__rel", "__ri"], "left_anti").drop(
+            "__rel", "__ri"
+        )
+
+    def _scan_version(
+        self, v: int, paths: list[str], with_pos: bool
+    ) -> DataFrame:
+        """One holder-version scan; ``with_pos`` appends the DV row
+        address (``__rel``, ``__ri``) from the scan's metadata column
+        (it must be derived BEFORE any union — ``_metadata`` only
+        resolves on the file-scan relation)."""
+        df = self.spark.read.option("basePath", self._data_dir(v)).parquet(
+            *sorted(paths)
+        )
+        if with_pos:
+            df = df.select(
+                "*",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), self._DV_REL, 1
+                ).alias("__rel"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        return df
+
     # -- read -----------------------------------------------------------
     def _read_fragments(
-        self, frag_to_version: dict[str, int]
+        self,
+        frag_to_version: dict[str, int],
+        dv: dict[str, int] | None = None,
+        keep_pos: bool = False,
     ) -> DataFrame | None:
         """Resolve fragment→holder-version mappings into one DataFrame:
         one scan per holding version (basePath keeps hive partition
         inference working across the per-version data roots), versions
-        unioned by name so schema may evolve across commits."""
+        unioned by name so schema may evolve across commits.
+
+        ``dv``: deletion-vector map (fragment → dv holder version) from
+        the SAME pinned manifest doc as ``frag_to_version`` — doomed
+        rows are anti-joined out, so callers see live content.
+        ``keep_pos``: retain the ``__rel``/``__ri`` address columns on
+        the result (the DV build path needs them)."""
+        dv = {
+            f: v for f, v in (dv or {}).items() if f in frag_to_version
+        }
         by_version: dict[int, list[str]] = {}
         for frag, v in frag_to_version.items():
             by_version.setdefault(v, []).append(
                 os.path.join(self._data_dir(v), frag)
             )
         out = None
+        with_pos = bool(dv) or keep_pos
         for v, paths in sorted(by_version.items()):
-            df = (
-                self.spark.read.option("basePath", self._data_dir(v))
-                .parquet(*sorted(paths))
-            )
+            df = self._scan_version(v, paths, with_pos)
             out = (
                 df
                 if out is None
                 else out.unionByName(df, allowMissingColumns=True)
             )
+        if out is None:
+            return None
+        if dv:
+            doomed = self._read_dv(dv).select(
+                F.col("rel").alias("__rel"),
+                F.col("row_index").alias("__ri"),
+            )
+            out = out.join(doomed, ["__rel", "__ri"], "left_anti")
+        if with_pos and not keep_pos:
+            out = out.drop("__rel", "__ri")
         return out
 
     def read(self, version: int | None = None) -> DataFrame | None:
-        m = self.manifest(version)
+        doc = self._manifest_doc(version)
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
         if not m:
             return None
-        return self._read_fragments(m)
+        return self._read_fragments(m, dv=self._dv_map(doc))
 
     def read_where(
         self, col: str, lo, hi, version: int | None = None
@@ -1430,6 +1547,20 @@ class ManifestSnapshotTable:
 
         shutil.rmtree(vdir, ignore_errors=True)
 
+    def _publish(self, vdir: str) -> None:
+        """Publish a fully-written version: commit marker LAST (a crash
+        before this leaves the dir invisible to ``versions()`` — readers
+        still resolve the previous snapshot), then retention vacuum.
+        MUST be called outside any try-block whose handler abandons the
+        claim: once ``_SUCCESS`` lands the version is live, and a
+        failure in vacuum must never trigger an abandon that rmtree's a
+        published snapshot (with ``keep_versions=1`` that could leave
+        ``versions()`` empty — an unreadable table)."""
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        if self.keep_versions is not None:
+            self.vacuum()
+
     # -- write ----------------------------------------------------------
     def upsert(self, batch: DataFrame) -> int:
         """Pruned MERGE commit: read ONLY the batch's partitions from
@@ -1517,13 +1648,7 @@ class ManifestSnapshotTable:
             # current version, nothing partial is visible
             self._abandon_claim(vdir)
             raise
-        # commit marker LAST: a crash before this line leaves the new
-        # dir invisible to versions()/manifest() — readers still resolve
-        # the previous snapshot
-        with open(os.path.join(vdir, "_SUCCESS"), "w"):
-            pass
-        if self.keep_versions is not None:
-            self.vacuum()
+        self._publish(vdir)
         return new_v
 
     def merge_into(
@@ -1579,11 +1704,26 @@ class ManifestSnapshotTable:
                 hit = F.coalesce(
                     when_not_matched_by_source_delete, F.lit(False)
                 )
+                # evaluate the condition exactly as merge_clauses does
+                # on a by-source-unmatched row: the source side is
+                # all-NULL there, so cross-join ONE all-NULL row with
+                # the source's schema aliased "s" — s.<col> references
+                # (legal per merge_clauses' docstring, NULL → false,
+                # and s.<col> IS NULL → true) resolve instead of
+                # failing analysis, and the located set stays a sound
+                # superset of the rows the clause can reap
+                null_s = self.spark.range(1).select(
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in source.schema.fields
+                    ]
+                )
                 located = (
                     self._read_fragments(prev)
                     .alias("t")
+                    .crossJoin(F.broadcast(null_s.alias("s")))
                     .filter(hit)
-                    .select(*self.partition_by)
+                    .select(*[F.col(f"t.{c}") for c in self.partition_by])
                     .distinct()
                     .collect()
                 )
@@ -1650,10 +1790,7 @@ class ManifestSnapshotTable:
         except BaseException:
             self._abandon_claim(vdir)
             raise
-        with open(os.path.join(vdir, "_SUCCESS"), "w"):
-            pass
-        if self.keep_versions is not None:
-            self.vacuum()
+        self._publish(vdir)
         return new_v
 
     # -- delete ---------------------------------------------------------
@@ -1712,7 +1849,7 @@ class ManifestSnapshotTable:
                     .collect()
                 )
                 frags = {self._part_key(tuple(r)) for r in located}
-            return self._commit_delete(
+            v, committed = self._commit_delete(
                 new_v,
                 vdir,
                 prev_doc,
@@ -1722,6 +1859,11 @@ class ManifestSnapshotTable:
         except BaseException:
             self._abandon_claim(vdir)
             raise
+        # publish outside the abandon scope (see _publish), mirroring
+        # upsert()/merge_into()/compact()
+        if committed:
+            self._publish(vdir)
+        return v
 
     def delete_where(self, condition: Column) -> int:
         """Predicate DELETE commit: remove rows where ``condition`` is
@@ -1750,7 +1892,7 @@ class ManifestSnapshotTable:
                 .collect()
             ]
             frags = {self._part_key(c) for c in touched} & set(prev)
-            return self._commit_delete(
+            v, committed = self._commit_delete(
                 new_v,
                 vdir,
                 prev_doc,
@@ -1761,22 +1903,31 @@ class ManifestSnapshotTable:
         except BaseException:
             self._abandon_claim(vdir)
             raise
+        if committed:
+            self._publish(vdir)
+        return v
 
     def _commit_delete(
         self, new_v, vdir, prev_doc, frags, keep_fn, op: str = "delete"
-    ) -> int:
+    ) -> tuple[int, bool]:
         """Shared delete commit: rewrite the touched fragments through
         ``keep_fn`` (which drops the doomed rows), drop fully-emptied
         fragments from the manifest, inherit everything else.  Runs
         under an already-held version claim (``new_v``/``vdir``) with
         ``prev_doc`` the basis manifest read under that claim; the
-        callers' except-blocks abandon the claim on any failure."""
+        callers' except-blocks abandon the claim on any failure.
+
+        Stops BEFORE the commit marker — returns ``(version,
+        committed)`` and the caller publishes via `_publish` outside
+        its abandon scope, so an abandon can only ever hit an
+        unpublished claim (a vacuum failure after ``_SUCCESS`` must
+        not rmtree a live snapshot)."""
         import json
 
         if not frags:
             # nothing to delete: no-op, no new commit
             self._abandon_claim(vdir)
-            return self.versions()[-1]
+            return self.versions()[-1], False
         prev = {
             k: int(v) for k, v in prev_doc.get("partitions", {}).items()
         }
@@ -1815,11 +1966,7 @@ class ManifestSnapshotTable:
         self._write_blooms(new_v, vdir)
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
-        with open(os.path.join(vdir, "_SUCCESS"), "w"):
-            pass
-        if self.keep_versions is not None:
-            self.vacuum()
-        return new_v
+        return new_v, True
 
     # -- change feed ------------------------------------------------------
     def changes(
@@ -2092,10 +2239,7 @@ class ManifestSnapshotTable:
         except BaseException:
             self._abandon_claim(vdir)
             raise
-        with open(os.path.join(vdir, "_SUCCESS"), "w"):
-            pass
-        if self.keep_versions is not None:
-            self.vacuum()
+        self._publish(vdir)
         return new_v
 
     def maybe_compact(self, max_scatter: int) -> int | None:

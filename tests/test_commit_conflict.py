@@ -284,3 +284,75 @@ def test_retry_backoff_capped_and_no_final_sleep(spark):
         )
     wall = _t.perf_counter() - t0
     assert wall < 2.0, f"backoff not capped: {wall:.1f}s"
+
+
+def test_retry_backoff_jitter_never_exceeds_cap(spark, monkeypatch):
+    """Regression (r9 review): the deterministic jitter multiplier
+    (up to 1.74x) used to be applied AFTER the cap, so sleeps could
+    reach ~1.74 * max_backoff_s.  Every sleep must honor the cap."""
+    import time as _t
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        retry_commit,
+    )
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(_t, "sleep", lambda s: sleeps.append(s))
+
+    def always_conflict():
+        raise _conflict_cls()("contended")
+
+    with pytest.raises(_conflict_cls()):
+        retry_commit(
+            always_conflict, attempts=10, backoff_s=0.05,
+            max_backoff_s=0.2,
+        )
+    assert len(sleeps) == 9  # no sleep after the final loss
+    assert all(s <= 0.2 for s in sleeps), sleeps
+    # jitter still present below the cap (attempt 1: 0.1 * 1.37)
+    assert any(abs(s - 0.137) < 1e-9 for s in sleeps), sleeps
+
+
+def test_delete_publish_survives_vacuum_failure(spark, tmp_path):
+    """Regression (r9 review): delete()/delete_where() used to write
+    _SUCCESS and run vacuum INSIDE the abandon scope — a vacuum
+    failure after publish rmtree'd the just-published snapshot (with
+    keep_versions=1, potentially leaving versions() empty).  Publish
+    must happen outside the abandon scope, like upsert/merge/compact:
+    the vacuum error propagates, but the commit stays live."""
+    from pyspark.sql import functions as F
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        ManifestSnapshotTable,
+    )
+
+    for meth, arg in [
+        ("delete", None),
+        ("delete_where", None),
+    ]:
+        path = str(tmp_path / f"t_{meth}")
+        t = ManifestSnapshotTable(
+            spark, path, keys=["day", "k"], order_cols=["seq"],
+            partition_by=["day"], keep_versions=1,
+        )
+        t.upsert(spark.createDataFrame(
+            [(0, 1, "a", 1), (0, 2, "b", 1)],
+            "day int, k int, v string, seq int",
+        ))
+        orig_vacuum = t.vacuum
+        t.vacuum = lambda: (_ for _ in ()).throw(OSError("disk woes"))
+        with pytest.raises(OSError, match="disk woes"):
+            if meth == "delete":
+                t.delete(
+                    spark.createDataFrame([(0, 1)], "day int, k int")
+                )
+            else:
+                t.delete_where(F.col("k") == 1)
+        t.vacuum = orig_vacuum
+        # the delete COMMITTED: new version live, row gone, readable
+        fresh = ManifestSnapshotTable(
+            spark, path, keys=["day", "k"], order_cols=["seq"],
+            partition_by=["day"], keep_versions=1,
+        )
+        assert fresh.versions()[-1] == 2
+        assert [(r.day, r.k) for r in fresh.read().collect()] == [(0, 2)]

@@ -58,7 +58,7 @@ def _direct(t):
         .groupBy("g")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("x").cast("decimal(22,6)"))
+            F.sum(F.col("x").cast("decimal(26,6)"))
             .cast("decimal(32,6)")
             .alias("sum_x"),
             F.count("x").alias("nn_x"),
@@ -304,3 +304,61 @@ def test_apply_feed_requires_bootstrap(spark, root):
             ),
             base_version=1,
         )
+
+
+def test_large_bigint_sums_stay_exact(spark, root):
+    """Regression (r9 review): the old decimal(22,6) value cast held
+    only 16 integer digits, so a legal bigint > ~1e16 overflowed to
+    NULL under non-ANSI Spark and the coalesce silently zeroed it —
+    sum_x corrupted while nn_x still counted the row.  The widened
+    decimal(26,6) cast (20 integer digits) must carry every bigint
+    exactly, through both bootstrap and retraction deltas."""
+    big = 4 * 10**17  # > 1e16: overflowed the old accumulator input
+    t, v = _mk(spark, root)
+    t.upsert(spark.createDataFrame(
+        [(0, 1, "a", big, 1), (0, 2, "a", 5, 1)], SCHEMA))
+    v.refresh()  # bootstrap path
+    rows = {r.g: (r.n, str(r.sum_x), r.nn_x) for r in v.read().collect()}
+    assert rows["a"] == (2, f"{big + 5}.000000", 2)
+    # delta path: update the big row (retract big, add big+1)
+    t.upsert(spark.createDataFrame([(0, 1, "a", big + 1, 2)], SCHEMA))
+    assert v.refresh()["mode"] == "delta"
+    rows = {r.g: (r.n, str(r.sum_x), r.nn_x) for r in v.read().collect()}
+    assert rows["a"] == (2, f"{big + 6}.000000", 2)
+    assert _view(v) == _direct(t)
+
+
+def test_overwide_decimal_source_rejected(spark, root):
+    """A decimal source the exact accumulator input (decimal(26,6))
+    cannot round-trip must be refused up front, not silently lost."""
+    t = ManifestSnapshotTable(
+        spark, os.path.join(root, "t"), keys=["d", "k"],
+        order_cols=["seq"], partition_by=["d"],
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, "a", 1, 1)], SCHEMA
+        ).withColumn("x", F.col("x").cast("decimal(38,0)"))
+    )
+    v = DeltaAggView(
+        spark, os.path.join(root, "v"), t,
+        group_cols=["g"], sum_cols=["x"],
+    )
+    with pytest.raises(ValueError, match="decimal\\(26,6\\)"):
+        v.refresh()
+    # scale too wide is refused the same way
+    t2 = ManifestSnapshotTable(
+        spark, os.path.join(root, "t2"), keys=["d", "k"],
+        order_cols=["seq"], partition_by=["d"],
+    )
+    t2.upsert(
+        spark.createDataFrame(
+            [(0, 1, "a", 1, 1)], SCHEMA
+        ).withColumn("x", F.col("x").cast("decimal(20,9)"))
+    )
+    v2 = DeltaAggView(
+        spark, os.path.join(root, "v2"), t2,
+        group_cols=["g"], sum_cols=["x"],
+    )
+    with pytest.raises(ValueError, match="decimal\\(26,6\\)"):
+        v2.refresh()

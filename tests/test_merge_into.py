@@ -299,3 +299,36 @@ def test_merge_matches_model(spark, tgt_rows, src_rows, mods):
         assert got == model
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_by_source_condition_may_reference_source_side(spark, root):
+    """Regression (r9 review): merge_clauses documents that the
+    by-source condition may reference ``s.<col>`` (the source side is
+    all-NULL on such rows — comparisons are NULL → false, and
+    ``s.<col> IS NULL`` is true).  merge_into's locate scan used to
+    filter the target ALONE, so any s-reference failed analysis
+    instead of behaving as documented."""
+    t = _mk(spark, root)
+    t.upsert(spark.createDataFrame(
+        [(0, 1, 10, 1), (0, 2, 20, 1), (1, 3, 30, 1)], SCHEMA,
+    ))
+    src = spark.createDataFrame([(0, 1, 11, 2)], SCHEMA)
+    # s.k IS NULL is TRUE exactly on by-source-unmatched rows; the
+    # t-side conjunct limits the reap to day 0
+    t.merge_into(
+        src,
+        when_matched_update=F.lit(True),
+        when_not_matched_by_source_delete=(
+            F.col("s.k").isNull() & (F.col("t.day") == 0)
+        ),
+    )
+    got = sorted((r.day, r.k, r.v) for r in t.read().collect())
+    assert got == [(0, 1, 11), (1, 3, 30)]  # (0,2) reaped, day-1 kept
+    # a pure s-comparison is NULL → false on unmatched rows: the
+    # clause can never fire, and the locate must not crash either
+    t.merge_into(
+        spark.createDataFrame([], SCHEMA),
+        when_not_matched_by_source_delete=F.col("s.v") > 0,
+    )
+    got2 = sorted((r.day, r.k, r.v) for r in t.read().collect())
+    assert got2 == [(0, 1, 11), (1, 3, 30)]
