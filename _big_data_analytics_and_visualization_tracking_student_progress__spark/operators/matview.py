@@ -302,8 +302,12 @@ class IncrementalAggView(_SnapshotDirStore):
                     "(micro-)unit or a decimal in `prepare` first."
                 )
 
-    def _partials_for(self, frag_to_ver: dict[str, int]) -> DataFrame:
-        df = self.base._read_fragments(frag_to_ver)
+    def _partials_for(
+        self,
+        frag_to_ver: dict[str, int],
+        dv: dict[str, int] | None = None,
+    ) -> DataFrame:
+        df = self.base._read_fragments(frag_to_ver, dv=dv)
         if self.prepare is not None:
             df = self.prepare(df)
         self._validate_exact_sources(df)
@@ -363,11 +367,22 @@ class IncrementalAggView(_SnapshotDirStore):
         }
 
     def _refresh(self) -> dict:
-        m = self.base.manifest()
-        state = self._state()
-        prev_frags: dict[str, int] = {
-            k: int(v) for k, v in state.get("fragments", {}).items()
+        base_doc = self.base._manifest_doc()
+        m = {
+            k: int(v) for k, v in base_doc.get("partitions", {}).items()
         }
+        base_dv = self.base._dv_map(base_doc)
+        # a fragment's effective content is (data holder, deletion-
+        # vector holder): a dv-only delete moves no data files but
+        # still changes what this view must aggregate, so the
+        # persisted fingerprint carries both (old int-only states
+        # simply compare unequal and recompute — safe migration)
+        fp = {
+            f: (f"{v}+dv{base_dv[f]}" if f in base_dv else v)
+            for f, v in m.items()
+        }
+        state = self._state()
+        prev_frags: dict = dict(state.get("fragments", {}))
         # Config-drift gate: partials persisted under a DIFFERENT view
         # definition (group cols, measure set, or prepare code) cannot
         # be inherited — unioning them would NULL-fill the new measure
@@ -396,7 +411,7 @@ class IncrementalAggView(_SnapshotDirStore):
         # deleted) must still have its old rows evicted.
         dropped = set(prev_frags) - set(m)
         changed = {
-            f: v for f, v in m.items() if prev_frags.get(f) != v
+            f: v for f, v in m.items() if prev_frags.get(f) != fp[f]
         }
         evict = set(changed) | dropped
         if not evict and prev_frags:
@@ -409,7 +424,14 @@ class IncrementalAggView(_SnapshotDirStore):
         if not m and not prev_frags:
             return {"version": -1, "recomputed": 0, "inherited": 0, "total": 0}
         pb = self.base.partition_by
-        fresh = self._partials_for(changed) if changed else None
+        fresh = (
+            self._partials_for(
+                changed,
+                dv={f: base_dv[f] for f in changed if f in base_dv},
+            )
+            if changed
+            else None
+        )
         kept_frags = {f: v for f, v in m.items() if f not in changed}
         old = None
         if prev_frags:
@@ -463,7 +485,7 @@ class IncrementalAggView(_SnapshotDirStore):
         )
         with open(os.path.join(vdir, "state.json"), "w") as fh:
             json.dump(
-                {"fragments": m, **live_def}, fh, sort_keys=True
+                {"fragments": fp, **live_def}, fh, sort_keys=True
             )
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
             pass

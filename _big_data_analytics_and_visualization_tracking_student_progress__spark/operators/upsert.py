@@ -750,6 +750,26 @@ class ManifestSnapshotTable:
     def _dv_map(self, doc: dict) -> dict[str, int]:
         return {k: int(v) for k, v in (doc.get("dv") or {}).items()}
 
+    def _carry_dv(
+        self, doc: dict, prev_doc: dict, rewritten: set[str]
+    ) -> None:
+        """Inherit deletion vectors for fragments this commit did NOT
+        rewrite.  A rewritten fragment was read LIVE (vector applied),
+        so its deletes are materialized into the new files — its vector
+        is dropped with the old files, never carried forward."""
+        dv = {
+            f: v
+            for f, v in self._dv_map(prev_doc).items()
+            if f not in rewritten
+        }
+        if dv:
+            doc["dv"] = dv
+            doc["dv_rows"] = {
+                f: int(n)
+                for f, n in (prev_doc.get("dv_rows") or {}).items()
+                if f not in rewritten
+            }
+
     def _read_dv(self, dv_map: dict[str, int]) -> DataFrame | None:
         """The doomed-row table for ``dv_map`` (fragment → dv holder
         version): columns (frag, rel, row_index), one scan per holder
@@ -981,17 +1001,16 @@ class ManifestSnapshotTable:
                     )
         if not by_version:
             return None, len(keep), 0, files_total
+        dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
         out = None
         for v, paths in sorted(by_version.items()):
-            df = (
-                self.spark.read.option("basePath", self._data_dir(v))
-                .parquet(*sorted(paths))
-            )
+            df = self._scan_version(v, paths, bool(dv))
             out = (
                 df
                 if out is None
                 else out.unionByName(df, allowMissingColumns=True)
             )
+        out = self._apply_dv(out, dv)
         return out.filter(pred), len(keep), files_kept, files_total
 
     # Reserved key inside stats envelopes: exact per-file / per-fragment
@@ -1360,17 +1379,16 @@ class ManifestSnapshotTable:
                 0,
                 files_total,
             )
+        dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
         out = None
         for v, paths in sorted(by_version.items()):
-            df = (
-                self.spark.read.option("basePath", self._data_dir(v))
-                .parquet(*sorted(paths))
-            )
+            df = self._scan_version(v, paths, bool(dv))
             out = (
                 df
                 if out is None
                 else out.unionByName(df, allowMissingColumns=True)
             )
+        out = self._apply_dv(out, dv)
         return out.filter(pred), len(keep), len(m), files_kept, files_total
 
     # -- metadata-only aggregates -----------------------------------------
@@ -1389,17 +1407,28 @@ class ManifestSnapshotTable:
         if not m:
             return 0, 0, 0
         fst = doc.get("file_stats", {})
+        dv = self._dv_map(doc)
+        dvr = {k: int(v) for k, v in (doc.get("dv_rows") or {}).items()}
         rk = self._ROWS_KEY
         total, meta, to_scan = 0, 0, {}
         for frag, hv in m.items():
             fdoc = fst.get(frag)
+            if frag in dv and frag not in dvr:
+                # a vector with no recorded cardinality (should not
+                # happen — every DV commit records both) is scanned
+                to_scan[frag] = hv
+                continue
             if fdoc and all(rk in envs for envs in fdoc.values()):
-                total += sum(int(envs[rk]) for envs in fdoc.values())
+                total += sum(
+                    int(envs[rk]) for envs in fdoc.values()
+                ) - dvr.get(frag, 0)
                 meta += 1
             else:
                 to_scan[frag] = hv
         if to_scan:
-            total += self._read_fragments(to_scan).count()
+            total += self._read_fragments(
+                to_scan, dv={f: v for f, v in dv.items() if f in to_scan}
+            ).count()
         return total, meta, len(to_scan)
 
     def metadata_min_max(
@@ -1417,11 +1446,15 @@ class ManifestSnapshotTable:
         if not m:
             return None, None, 0, 0
         st = doc.get("stats", {})
+        dv = self._dv_map(doc)
         mn = mx = None
         meta, to_scan = 0, {}
         for frag, hv in m.items():
             fenv = st.get(frag)
-            if fenv is None or col not in fenv:
+            if fenv is None or col not in fenv or frag in dv:
+                # a dv'd fragment's envelope is only a SUPERSET (the
+                # row holding the recorded min/max may be deleted) —
+                # sound for pruning, not for an exact answer: scan it
                 to_scan[frag] = hv
                 continue
             meta += 1
@@ -1432,7 +1465,10 @@ class ManifestSnapshotTable:
                 mx = hi
         if to_scan:
             r = (
-                self._read_fragments(to_scan)
+                self._read_fragments(
+                    to_scan,
+                    dv={f: v for f, v in dv.items() if f in to_scan},
+                )
                 .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
                 .first()
             )
@@ -1592,9 +1628,11 @@ class ManifestSnapshotTable:
                 k: int(v)
                 for k, v in prev_doc.get("partitions", {}).items()
             }
-            # old holders of the touched partitions only
+            # old holders of the touched partitions only, read LIVE
+            # (deletion vectors applied — the rewrite materializes them)
             target = self._read_fragments(
-                {frag: prev[frag] for frag in frags & set(prev)}
+                {frag: prev[frag] for frag in frags & set(prev)},
+                dv=self._dv_map(prev_doc),
             )
             merged = merge_by_key(
                 target, batch, self.keys,
@@ -1621,6 +1659,7 @@ class ManifestSnapshotTable:
             manifest.update({frag: new_v for frag in frags})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("upsert", frags)
+            self._carry_dv(doc, prev_doc, frags)
             if self.stats_cols:
                 # zone maps: fresh envelopes for rewritten fragments,
                 # untouched fragments inherit their envelope by reference
@@ -1719,7 +1758,7 @@ class ManifestSnapshotTable:
                     ]
                 )
                 located = (
-                    self._read_fragments(prev)
+                    self._read_fragments(prev, dv=self._dv_map(prev_doc))
                     .alias("t")
                     .crossJoin(F.broadcast(null_s.alias("s")))
                     .filter(hit)
@@ -1735,7 +1774,8 @@ class ManifestSnapshotTable:
                 vs = self.versions()
                 return vs[-1] if vs else 0
             target = self._read_fragments(
-                {frag: prev[frag] for frag in frags & set(prev)}
+                {frag: prev[frag] for frag in frags & set(prev)},
+                dv=self._dv_map(prev_doc),
             )
             merged = merge_clauses(
                 target,
@@ -1768,6 +1808,7 @@ class ManifestSnapshotTable:
             manifest.update({frag: new_v for frag in written})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("merge", frags)
+            self._carry_dv(doc, prev_doc, frags)
             if self.stats_cols:
                 new_fs, new_ffs = self._compute_stats_both(new_v)
                 stats = {
@@ -1841,7 +1882,7 @@ class ManifestSnapshotTable:
             else:
                 scan_cols = sorted(set(self.keys) | set(self.partition_by))
                 located = (
-                    self._read_fragments(prev)
+                    self._read_fragments(prev, dv=self._dv_map(prev_doc))
                     .select(*scan_cols)
                     .join(keys, on=self.keys, how="left_semi")
                     .select(*self.partition_by)
@@ -1885,7 +1926,9 @@ class ManifestSnapshotTable:
             hit = F.coalesce(condition, F.lit(False))
             touched = [
                 tuple(r)
-                for r in self._read_fragments(prev)
+                for r in self._read_fragments(
+                    prev, dv=self._dv_map(prev_doc)
+                )
                 .filter(hit)
                 .select(*self.partition_by)
                 .distinct()
@@ -1931,8 +1974,12 @@ class ManifestSnapshotTable:
         prev = {
             k: int(v) for k, v in prev_doc.get("partitions", {}).items()
         }
+        # read the doomed fragments LIVE: a row already dv-deleted must
+        # not be resurrected by the rewrite
         kept = keep_fn(
-            self._read_fragments({f: prev[f] for f in frags})
+            self._read_fragments(
+                {f: prev[f] for f in frags}, dv=self._dv_map(prev_doc)
+            )
         )
         kept.write.partitionBy(*self.partition_by).parquet(
             self._data_dir(new_v)
@@ -1947,6 +1994,7 @@ class ManifestSnapshotTable:
         manifest.update({f: new_v for f in written})
         doc = {"partition_by": self.partition_by, "partitions": manifest}
         doc["commit"] = self._commit_info(op, frags)
+        self._carry_dv(doc, prev_doc, frags)
         if self.stats_cols:
             new_fs, new_ffs = self._compute_stats_both(new_v)
             stats = {
@@ -1964,6 +2012,230 @@ class ManifestSnapshotTable:
             fstats.update(new_ffs)
             doc["file_stats"] = fstats
         self._write_blooms(new_v, vdir)
+        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+            json.dump(doc, fh, sort_keys=True)
+        return new_v, True
+
+    # -- merge-on-read delete (deletion vectors) --------------------------
+    def delete_dv(self, keys: DataFrame) -> int:
+        """Keyed DELETE as a deletion-vector commit (Delta deletion
+        vectors / Iceberg v3 position deletes) — `delete`'s
+        merge-on-read twin.  No data file is rewritten: the commit
+        writes one (file, row_index) sidecar row per doomed row and the
+        read path anti-joins them out, so erasing 100 scattered keys
+        from a 100 TB table costs O(100 rows located + written), not
+        O(their partitions rewritten).  The trade is a per-read
+        anti-join on the affected fragments until some later commit
+        rewrites them (any upsert/merge/delete touching the fragment
+        materializes its vector) or `compact()` materializes
+        everything.  Same pruning, claim and publish discipline as
+        `delete`; a fragment whose every live row is deleted leaves the
+        manifest.  Replay-safe: deleting the same keys twice is a
+        no-op second time (returns the current version unchanged)."""
+        missing = [c for c in self.keys if c not in keys.columns]
+        if missing:
+            raise ValueError(f"delete batch lacks key columns: {missing}")
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            keys = keys.select(*self.keys).distinct()
+            if set(self.partition_by) <= set(self.keys):
+                touched = [
+                    tuple(r)
+                    for r in keys.select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                ]
+                frags = {self._part_key(c) for c in touched} & set(prev)
+            else:
+                scan_cols = sorted(set(self.keys) | set(self.partition_by))
+                located = (
+                    self._read_fragments(prev, dv=self._dv_map(prev_doc))
+                    .select(*scan_cols)
+                    .join(keys, on=self.keys, how="left_semi")
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                )
+                frags = {self._part_key(tuple(r)) for r in located}
+            v, committed = self._commit_dv(
+                new_v,
+                vdir,
+                prev_doc,
+                frags,
+                lambda df: df.join(keys, on=self.keys, how="left_semi"),
+                op="delete_dv",
+            )
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        if committed:
+            self._publish(vdir)
+        return v
+
+    def delete_where_dv(self, condition: Column) -> int:
+        """Predicate DELETE as a deletion-vector commit — see
+        `delete_dv`.  SQL DELETE NULL semantics (NULL keeps the row),
+        partitions located by a filter-pushdown scan like
+        `delete_where`, but only sidecar rows are written."""
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            hit = F.coalesce(condition, F.lit(False))
+            touched = [
+                tuple(r)
+                for r in self._read_fragments(
+                    prev, dv=self._dv_map(prev_doc)
+                )
+                .filter(hit)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            ]
+            frags = {self._part_key(c) for c in touched} & set(prev)
+            v, committed = self._commit_dv(
+                new_v,
+                vdir,
+                prev_doc,
+                frags,
+                lambda df: df.filter(hit),
+                op="delete_where_dv",
+            )
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        if committed:
+            self._publish(vdir)
+        return v
+
+    def _commit_dv(
+        self, new_v, vdir, prev_doc, frags, doom_fn, op: str
+    ) -> tuple[int, bool]:
+        """Shared deletion-vector commit: scan the touched fragments
+        LIVE (existing vectors applied — a row cannot be doomed twice)
+        with their (rel, row_index) addresses, select the doomed rows
+        through ``doom_fn``, and write `old vector ∪ newly doomed` as
+        the new sidecar.  Data files, zone maps and bloom sidecars are
+        all inherited untouched (deletion only shrinks a file, so every
+        recorded envelope/bitset stays a sound superset for pruning);
+        `dv_rows` keeps `count_rows` metadata-only.  A fragment whose
+        live rows all die leaves the manifest.  Runs under an
+        already-held claim; stops before the commit marker like
+        `_commit_delete` (caller publishes outside its abandon scope).
+        Returns ``(version, committed)``."""
+        import json
+
+        if not frags:
+            self._abandon_claim(vdir)
+            return self.versions()[-1], False
+        prev = {
+            k: int(v) for k, v in prev_doc.get("partitions", {}).items()
+        }
+        dv_prev = self._dv_map(prev_doc)
+        dvr_prev = {
+            k: int(v) for k, v in (prev_doc.get("dv_rows") or {}).items()
+        }
+        live = self._read_fragments(
+            {f: prev[f] for f in frags},
+            dv={f: v for f, v in dv_prev.items() if f in frags},
+            keep_pos=True,
+        )
+        doomed = doom_fn(live).select(
+            F.regexp_extract(F.col("__rel"), r"^(.*)/[^/]+$", 1).alias(
+                "frag"
+            ),
+            F.col("__rel").alias("rel"),
+            F.col("__ri").alias("row_index"),
+        )
+        carried = self._read_dv(
+            {f: v for f, v in dv_prev.items() if f in frags}
+        )
+        if carried is not None:
+            doomed = doomed.unionByName(carried)
+        doomed.write.parquet(self._dv_dir(new_v))
+        # bounded control data: one (fragment, count) row per touched
+        # fragment that has a vector
+        cnt = {
+            r["frag"]: int(r["n"])
+            for r in self.spark.read.parquet(self._dv_dir(new_v))
+            .groupBy("frag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if sum(cnt.values()) == sum(dvr_prev.get(f, 0) for f in frags):
+            # nothing newly doomed (e.g. a replay of an applied
+            # delete): no-op, no new commit
+            self._abandon_claim(vdir)
+            return self.versions()[-1], False
+        # data-file row counts for the vectored fragments, to drop the
+        # fully-emptied ones: manifest metadata where recorded, one
+        # grouped count over the rest
+        fst = prev_doc.get("file_stats", {})
+        rk = self._ROWS_KEY
+        data_rows: dict[str, int] = {}
+        need_count = []
+        for f in cnt:
+            fdoc = fst.get(f)
+            if fdoc and all(rk in envs for envs in fdoc.values()):
+                data_rows[f] = sum(int(envs[rk]) for envs in fdoc.values())
+            else:
+                need_count.append(f)
+        if need_count:
+            grouped = (
+                self._read_fragments({f: prev[f] for f in need_count})
+                .groupBy(*self.partition_by)
+                .count()
+                .collect()
+            )
+            for r in grouped:
+                f = self._part_key([r[c] for c in self.partition_by])
+                data_rows[f] = int(r["count"])
+        emptied = {f for f in cnt if data_rows[f] - cnt[f] <= 0}
+        manifest = {f: v for f, v in prev.items() if f not in emptied}
+        doc = {"partition_by": self.partition_by, "partitions": manifest}
+        doc["commit"] = self._commit_info(op, frags)
+        if self.stats_cols:
+            doc["stats"] = {
+                f: s
+                for f, s in prev_doc.get("stats", {}).items()
+                if f not in emptied
+            }
+            doc["file_stats"] = {
+                f: s for f, s in fst.items() if f not in emptied
+            }
+        dv_new = {
+            f: v
+            for f, v in dv_prev.items()
+            if f not in frags and f not in emptied
+        }
+        dvr_new = {
+            f: n
+            for f, n in dvr_prev.items()
+            if f not in frags and f not in emptied
+        }
+        for f, n in cnt.items():
+            if f not in emptied:
+                dv_new[f] = new_v
+                dvr_new[f] = n
+        if dv_new:
+            doc["dv"] = dv_new
+            doc["dv_rows"] = dvr_new
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
         return new_v, True
@@ -2010,28 +2282,37 @@ class ManifestSnapshotTable:
                 f"need from_version < to_version, got "
                 f"{from_version} >= {to_version}"
             )
-        m0 = self.manifest(from_version)
-        m1 = self.manifest(to_version)
+        doc0 = self._manifest_doc(from_version)
+        doc1 = self._manifest_doc(to_version)
+        m0 = {k: int(v) for k, v in doc0.get("partitions", {}).items()}
+        m1 = {k: int(v) for k, v in doc1.get("partitions", {}).items()}
+        dv0 = self._dv_map(doc0)
+        dv1 = self._dv_map(doc1)
+        # a fragment's effective state is (data holder, dv holder):
+        # a dv-only commit moves no data files but still changes what
+        # the fragment's readers see, so it must enter the diff
         frags = {
-            f for f in set(m0) | set(m1) if m0.get(f) != m1.get(f)
+            f
+            for f in set(m0) | set(m1)
+            if (m0.get(f), dv0.get(f)) != (m1.get(f), dv1.get(f))
         }
         if not m0 and not m1:
             return None
         if where:
             where = [tuple(c) for c in where]
             old, *_ = self._pruned_fragment_read(
-                self._manifest_doc(from_version),
-                {f: m0[f] for f in frags & set(m0)},
-                where,
+                doc0, {f: m0[f] for f in frags & set(m0)}, where,
             )
             new, *_ = self._pruned_fragment_read(
-                self._manifest_doc(to_version),
-                {f: m1[f] for f in frags & set(m1)},
-                where,
+                doc1, {f: m1[f] for f in frags & set(m1)}, where,
             )
         else:
-            old = self._read_fragments({f: m0[f] for f in frags & set(m0)})
-            new = self._read_fragments({f: m1[f] for f in frags & set(m1)})
+            old = self._read_fragments(
+                {f: m0[f] for f in frags & set(m0)}, dv=dv0
+            )
+            new = self._read_fragments(
+                {f: m1[f] for f in frags & set(m1)}, dv=dv1
+            )
         if old is None and new is None:
             # no fragment moved: an empty feed with the to-schema
             base = self.read(to_version) or self.read(from_version)
@@ -2186,17 +2467,24 @@ class ManifestSnapshotTable:
             return 0
         new_v, vdir = self._claim_version()
         try:
-            prev = self.manifest()
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            dv = self._dv_map(prev_doc)
             if not prev:
                 self._abandon_claim(vdir)
                 return self.versions()[-1]
             cur = new_v - 1
-            if set(prev.values()) == {cur} and not cluster_by:
+            if set(prev.values()) == {cur} and not cluster_by and not dv:
                 # already single-holder; with cluster_by the rewrite is
-                # a LAYOUT change, wanted even when no scatter exists
+                # a LAYOUT change, wanted even when no scatter exists —
+                # and live deletion vectors always compact (this is the
+                # explicit materialize-everything path)
                 self._abandon_claim(vdir)
                 return cur
-            src = self._read_fragments(prev)
+            src = self._read_fragments(prev, dv=dv)
             if cluster_by:
                 lay_cols = [
                     F.col(c) for c in (*self.partition_by, *cluster_by)
@@ -2279,9 +2567,13 @@ class ManifestSnapshotTable:
                     f"snapshots: {vs}"
                 )
             raise ValueError(f"version {version} not in {vs}")
+        tdoc = self._manifest_doc(version)
+        needed = set(
+            int(h) for h in tdoc.get("partitions", {}).values()
+        ) | set(self._dv_map(tdoc).values())
         missing = {
             v
-            for v in self.manifest(version).values()
+            for v in needed
             if not os.path.exists(os.path.join(self._vdir(v), "_SUCCESS"))
         }
         if missing:
@@ -2301,7 +2593,11 @@ class ManifestSnapshotTable:
 
         referenced: set[int] = set()
         for v in self.versions():
-            referenced.update(self.manifest(v).values())
+            doc = self._manifest_doc(v)
+            referenced.update(
+                int(h) for h in doc.get("partitions", {}).values()
+            )
+            referenced.update(self._dv_map(doc).values())
         for v in self._committed_dirs():
             if self._is_holder(v) and v not in referenced:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)
@@ -2323,7 +2619,14 @@ class ManifestSnapshotTable:
         retained = set(vs[-self.keep_versions:])
         referenced = set()
         for v in retained:
-            referenced.update(self.manifest(v).values())
+            doc = self._manifest_doc(v)
+            referenced.update(
+                int(h) for h in doc.get("partitions", {}).values()
+            )
+            # deletion-vector holders are live references too: a
+            # fragment's current vector may be served by an older
+            # version's dv/ dir
+            referenced.update(self._dv_map(doc).values())
         for v in self._committed_dirs():
             if v in retained:
                 continue

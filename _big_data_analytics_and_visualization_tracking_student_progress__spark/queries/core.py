@@ -3842,6 +3842,120 @@ def q_manifest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Merge-on-read DELETE via deletion vectors (Delta deletion vectors /
+# Iceberg v3 position deletes): the same erasure semantics as
+# manifest_delete_commits, but NO data file is rewritten — each DV
+# commit writes one (file, row_index) sidecar row per doomed row and
+# every read path anti-joins them out.  At 100 TB this is the
+# difference between an erasure costing O(deleted rows) and O(touched
+# partitions rewritten).  Proved in-plan: the dv commits create no
+# data dir, the data holders never move, vectors accumulate across
+# commits, and COUNT(*) stays metadata-only via the recorded vector
+# cardinalities.  The oracle recomputes merge-then-delete declaratively
+# — identical results to copy-on-write, by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_dv_delete",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    ), after_del AS (
+        SELECT * FROM latest
+        WHERE NOT (event_type = 'click' AND user_id % 5 = 0)
+          AND NOT (event_type = 'click' AND user_id % 7 = 0)
+          AND NOT (event_type = 'view' AND event_id % 13 = 0)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM after_del GROUP BY event_type
+    """,
+    doc="merge-on-read DELETE commits (ManifestSnapshotTable.delete_dv/"
+    "delete_where_dv, the Delta deletion-vector shape): keyed + "
+    "predicate erasure writing ONLY positional sidecars — proved "
+    "in-plan that no data file moved, vectors accumulate across "
+    "commits, and COUNT(*) stays metadata-only; oracle recomputes "
+    "merge-then-delete declaratively",
+)
+def q_manifest_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "dvdel",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+        stats_cols=["event_id"],
+    ) as table:
+        v1 = table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        holders_before = table.manifest()
+        # keyed erasure, twice on the SAME partition so the second
+        # vector must carry the first forward (accumulation)
+        users = e.select("user_id").distinct()
+        v2 = table.delete_dv(
+            users.filter(F.col("user_id") % 5 == 0)
+            .withColumn("event_type", F.lit("click"))
+        )
+        v3 = table.delete_dv(
+            users.filter(F.col("user_id") % 7 == 0)
+            .withColumn("event_type", F.lit("click"))
+        )
+        # predicate erasure on another partition
+        v4 = table.delete_where_dv(
+            (F.col("event_type") == "view") & (F.col("event_id") % 13 == 0)
+        )
+        import os as _os
+
+        for v in (v2, v3, v4):
+            if _os.path.exists(table._data_dir(v)):
+                raise RuntimeError(
+                    f"dv commit v{v} rewrote data files — "
+                    "merge-on-read contract broken"
+                )
+        if table.manifest() != holders_before:
+            raise RuntimeError(
+                "dv commits moved data holders: "
+                f"{holders_before} -> {table.manifest()}"
+            )
+        dv = table._dv_map(table._manifest_doc())
+        if dv.get("event_type=click") != v3 or dv.get(
+            "event_type=view"
+        ) != v4:
+            raise RuntimeError(f"unexpected vector holders: {dv}")
+        # COUNT(*) must stay metadata-only (vector cardinalities ride
+        # the manifest next to the per-file row counts)
+        n, meta, scanned = table.count_rows()
+        if scanned != 0:
+            raise RuntimeError(
+                f"count_rows scanned {scanned} fragments on a fully "
+                "stats-covered table"
+            )
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+        )
+        return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
 # Change data feed between manifest snapshots: the incremental-consumer
 # read shape (Delta/Iceberg CDF) — one row per key whose state changed
 # between two versions, tagged insert / update_postimage / delete.

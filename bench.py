@@ -72,6 +72,9 @@ HEADLINE = [
     "manifest_bloom_point_read",
     "manifest_merge_into",
     "matview_delta_refresh",
+    # round-10 addition (ephemeral-table wall includes commit cost):
+    # merge-on-read DELETE via deletion vectors — sidecar-only erasure
+    "manifest_dv_delete",
 ]
 
 
