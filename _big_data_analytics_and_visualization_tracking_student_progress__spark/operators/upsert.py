@@ -809,6 +809,43 @@ class ManifestSnapshotTable:
             "__rel", "__ri"
         )
 
+    def _scan_entries_dv(
+        self,
+        entries: list[tuple[str, int, str]],
+        dv: dict[str, int],
+    ) -> DataFrame | None:
+        """Scan ``entries`` = [(fragment, holder version, path)] with
+        the merge-on-read tax applied ONLY to vectored fragments'
+        paths: clean fragments scan without address columns and never
+        enter the anti-join, so the tax tracks the vectored data, not
+        the read.  Shared by the pruned read paths."""
+        clean: dict[int, list[str]] = {}
+        vectored: dict[int, list[str]] = {}
+        for frag, v, path in entries:
+            tgt = vectored if frag in dv else clean
+            tgt.setdefault(v, []).append(path)
+
+        def _union(by_version, with_pos):
+            out = None
+            for v, paths in sorted(by_version.items()):
+                df = self._scan_version(v, paths, with_pos)
+                out = (
+                    df
+                    if out is None
+                    else out.unionByName(df, allowMissingColumns=True)
+                )
+            return out
+
+        plain = _union(clean, False)
+        tagged = _union(vectored, True)
+        if tagged is not None:
+            tagged = self._apply_dv(tagged, dv)
+        if plain is None:
+            return tagged
+        if tagged is None:
+            return plain
+        return plain.unionByName(tagged, allowMissingColumns=True)
+
     def _scan_version(
         self, v: int, paths: list[str], with_pos: bool
     ) -> DataFrame:
@@ -849,31 +886,44 @@ class ManifestSnapshotTable:
         dv = {
             f: v for f, v in (dv or {}).items() if f in frag_to_version
         }
-        by_version: dict[int, list[str]] = {}
+        # the anti-join (and its per-row address derivation) applies
+        # ONLY to the vectored fragments' scans — reads of clean
+        # fragments pay zero merge-on-read tax, so the tax tracks the
+        # VECTORED data, not the table
+        clean: dict[int, list[str]] = {}
+        vectored: dict[int, list[str]] = {}
         for frag, v in frag_to_version.items():
-            by_version.setdefault(v, []).append(
+            tgt = vectored if (frag in dv or keep_pos) else clean
+            tgt.setdefault(v, []).append(
                 os.path.join(self._data_dir(v), frag)
             )
-        out = None
-        with_pos = bool(dv) or keep_pos
-        for v, paths in sorted(by_version.items()):
-            df = self._scan_version(v, paths, with_pos)
-            out = (
-                df
-                if out is None
-                else out.unionByName(df, allowMissingColumns=True)
-            )
-        if out is None:
-            return None
-        if dv:
+
+        def _union(by_version, with_pos):
+            out = None
+            for v, paths in sorted(by_version.items()):
+                df = self._scan_version(v, paths, with_pos)
+                out = (
+                    df
+                    if out is None
+                    else out.unionByName(df, allowMissingColumns=True)
+                )
+            return out
+
+        plain = _union(clean, False)
+        tagged = _union(vectored, True)
+        if tagged is not None and dv:
             doomed = self._read_dv(dv).select(
                 F.col("rel").alias("__rel"),
                 F.col("row_index").alias("__ri"),
             )
-            out = out.join(doomed, ["__rel", "__ri"], "left_anti")
-        if with_pos and not keep_pos:
-            out = out.drop("__rel", "__ri")
-        return out
+            tagged = tagged.join(doomed, ["__rel", "__ri"], "left_anti")
+        if tagged is not None and not keep_pos:
+            tagged = tagged.drop("__rel", "__ri")
+        if plain is None:
+            return tagged
+        if tagged is None:
+            return plain
+        return plain.unionByName(tagged, allowMissingColumns=True)
 
     def read(self, version: int | None = None) -> DataFrame | None:
         doc = self._manifest_doc(version)
@@ -977,7 +1027,7 @@ class ManifestSnapshotTable:
         # tier 2: file-level skipping inside the surviving fragments
         fst = doc.get("file_stats", {})
         files_total = files_kept = 0
-        by_version: dict[int, list[str]] = {}
+        entries: list[tuple[str, int, str]] = []
         for frag, v in keep.items():
             frag_dir = os.path.join(self._data_dir(v), frag)
             fdoc = fst.get(frag)
@@ -990,27 +1040,19 @@ class ManifestSnapshotTable:
                 )
                 files_total += n
                 files_kept += n
-                by_version.setdefault(v, []).append(frag_dir)
+                entries.append((frag, v, frag_dir))
                 continue
             files_total += len(fdoc)
             for fname, envs in sorted(fdoc.items()):
                 if self._envelopes_intersect(envs, conds):
                     files_kept += 1
-                    by_version.setdefault(v, []).append(
-                        os.path.join(frag_dir, fname)
+                    entries.append(
+                        (frag, v, os.path.join(frag_dir, fname))
                     )
-        if not by_version:
+        if not entries:
             return None, len(keep), 0, files_total
         dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
-        out = None
-        for v, paths in sorted(by_version.items()):
-            df = self._scan_version(v, paths, bool(dv))
-            out = (
-                df
-                if out is None
-                else out.unionByName(df, allowMissingColumns=True)
-            )
-        out = self._apply_dv(out, dv)
+        out = self._scan_entries_dv(entries, dv)
         return out.filter(pred), len(keep), files_kept, files_total
 
     # Reserved key inside stats envelopes: exact per-file / per-fragment
@@ -1343,7 +1385,7 @@ class ManifestSnapshotTable:
             col_types = dict(self._read_fragments(m).dtypes)
         probes = self._probe_positions(shapes, values, col_types)
         files_total = files_kept = 0
-        by_version: dict[int, list[str]] = {}
+        entries: list[tuple[str, int, str]] = []
         for frag, hv in sorted(keep.items()):
             frag_dir = os.path.join(self._data_dir(hv), frag)
             fdoc = fst.get(frag) or {}
@@ -1368,10 +1410,10 @@ class ManifestSnapshotTable:
                 ):
                     continue
                 files_kept += 1
-                by_version.setdefault(hv, []).append(
-                    os.path.join(frag_dir, fname)
+                entries.append(
+                    (frag, hv, os.path.join(frag_dir, fname))
                 )
-        if not by_version:
+        if not entries:
             return (
                 self._read_fragments(m).filter(F.lit(False)),
                 len(keep),
@@ -1380,15 +1422,7 @@ class ManifestSnapshotTable:
                 files_total,
             )
         dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
-        out = None
-        for v, paths in sorted(by_version.items()):
-            df = self._scan_version(v, paths, bool(dv))
-            out = (
-                df
-                if out is None
-                else out.unionByName(df, allowMissingColumns=True)
-            )
-        out = self._apply_dv(out, dv)
+        out = self._scan_entries_dv(entries, dv)
         return out.filter(pred), len(keep), len(m), files_kept, files_total
 
     # -- metadata-only aggregates -----------------------------------------

@@ -172,6 +172,7 @@ def upsert_stream_run(
     max_scatter: int | None = None,
     view: "IncrementalAggView | None" = None,
     tombstone_predicate: Column | None = None,
+    tombstone_mode: str = "rewrite",
 ) -> DataFrame:
     """Stream → keyed MERGE sink (S5/T2; reference con.py:55-63).  Each
     micro-batch upserts into the keyed table inside foreachBatch;
@@ -214,7 +215,16 @@ def upsert_stream_run(
     time — standard CDC apply-in-commit-order semantics (a hard delete
     keeps no tombstone timestamp to compare against).  Replaying a
     batch re-applies the same split, so delivery stays effectively
-    once."""
+    once.
+
+    `tombstone_mode`: how tombstoned keys are erased — ``"rewrite"``
+    (default) is the copy-on-write `delete` (partitions rewritten);
+    ``"dv"`` applies them as deletion-vector commits (`delete_dv` —
+    positional sidecars only, O(deleted rows) per batch, the right
+    shape when tombstones are sparse relative to partition size).
+    Replay stays a fixed point either way (re-deleting applied keys is
+    a dv no-op), and `max_scatter` auto-compaction doubles as the
+    vector-materialization schedule."""
     wd = workdir or _workdir("upsert")
     ckpt = os.path.join(wd, "ckpt")
     quarantine_dir = os.path.join(wd, "quarantine")
@@ -228,6 +238,11 @@ def upsert_stream_run(
         raise TypeError(
             "tombstone_predicate needs a ManifestSnapshotTable sink "
             "(keyed deletes)"
+        )
+    if tombstone_mode not in ("rewrite", "dv"):
+        raise ValueError(
+            f"tombstone_mode must be 'rewrite' or 'dv', "
+            f"got {tombstone_mode!r}"
         )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -248,7 +263,12 @@ def upsert_stream_run(
             )
             dead = F.coalesce(tombstone_predicate, F.lit(False))
             table.upsert(latest.filter(~dead))
-            table.delete(latest.filter(dead).select(*table.keys))
+            erase = (
+                table.delete_dv
+                if tombstone_mode == "dv"
+                else table.delete
+            )
+            erase(latest.filter(dead).select(*table.keys))
         else:
             table.upsert(good)
         # refresh BEFORE any compaction: a compaction moves EVERY

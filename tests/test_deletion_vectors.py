@@ -314,3 +314,21 @@ def test_dv_matches_model(spark, ops):
             assert got == model
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_clean_fragments_skip_the_anti_join(spark, root):
+    """The merge-on-read tax applies only to vectored fragments: a
+    pruned read that touches no vectored fragment plans NO anti-join,
+    and a full read anti-joins only the vectored side."""
+    t = _mk(spark, root, stats_cols=["k"])
+    _seed(spark, t)
+    t.delete_dv(_keys(spark, [(0, 2)]))  # vector on day=0 only
+    # k in [4, 5] lives in day=1 (clean): zone maps prune day=0 away
+    got, frags_kept, *_ = t.read_where_all([("k", 4, 5)])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    assert sorted(r.k for r in got.collect()) == [4, 5]
+    # the full read carries exactly one anti-join (the day=0 side)
+    full = t.read()
+    plan_full = full._jdf.queryExecution().executedPlan().toString()
+    assert plan_full.count("LeftAnti") == 1

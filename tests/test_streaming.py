@@ -606,3 +606,57 @@ def test_stream_tombstones_require_manifest_sink(spark, workdir):
             workdir=os.path.join(workdir, "run"),
             tombstone_predicate=F.col("op") == "d",
         )
+
+
+def test_stream_tombstones_dv_mode(spark, workdir):
+    """tombstone_mode='dv': tombstoned keys erase as deletion-vector
+    commits — positional sidecars, no data rewrite — with the same
+    observable CDC semantics as the rewrite mode, and the vector
+    visible in the manifest until something materializes it."""
+    src = os.path.join(workdir, "src")
+    _stage_tomb(spark, [
+        ("d1", 1, "a", 1, "u"),
+        ("d1", 2, "b", 1, "u"), ("d1", 2, None, 2, "d"),
+        ("d2", 3, "c", 1, "u"),
+    ], src, "b1.parquet", 1_000_000_000)
+    _stage_tomb(spark, [
+        ("d1", 1, None, 9, "d"),
+        ("d1", 2, "b2", 1, "u"),
+    ], src, "b2.parquet", 1_000_000_100)
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        ManifestSnapshotTable,
+    )
+
+    table = ManifestSnapshotTable(
+        spark,
+        os.path.join(workdir, "tbl"),
+        keys=["day", "k"],
+        order_cols=["seq"],
+        partition_by=["day"],
+    )
+    out = upsert_stream_run(
+        spark,
+        file_stream(spark, src, TOMB_SCHEMA, max_files_per_trigger=1),
+        table,
+        workdir=os.path.join(workdir, "run"),
+        tombstone_predicate=F.col("op") == "d",
+        tombstone_mode="dv",
+    )
+    got = {(r.day, r.k, r.v) for r in out.collect()}
+    assert got == {("d1", 2, "b2"), ("d2", 3, "c")}
+    # batch 2's upsert of (d1, 2) rewrote day=d1 AFTER batch 1's dv
+    # tombstone (materializing it); batch 2's dv tombstone of (d1, 1)
+    # then landed a fresh vector on d1 — visible in the manifest
+    dv = table._dv_map(table._manifest_doc())
+    assert set(dv) == {"day=d1"}
+    # rejects unknown modes up front
+    with pytest.raises(ValueError, match="tombstone_mode"):
+        upsert_stream_run(
+            spark,
+            file_stream(spark, src, TOMB_SCHEMA),
+            table,
+            workdir=os.path.join(workdir, "run2"),
+            tombstone_predicate=F.col("op") == "d",
+            tombstone_mode="vaporize",
+        )
