@@ -332,3 +332,53 @@ def test_clean_fragments_skip_the_anti_join(spark, root):
     full = t.read()
     plan_full = full._jdf.queryExecution().executedPlan().toString()
     assert plan_full.count("LeftAnti") == 1
+
+
+def test_read_as_of_timestamp(spark, root):
+    """TIMESTAMP AS OF time travel: commit timestamps ride the history
+    metadata; a timestamp between commits resolves to the snapshot
+    that was current then, across data, CoW-delete and dv commits."""
+    t = _mk(spark, root)
+    _seed(spark, t)
+    ts1 = t._manifest_doc(1)["commit"]["ts"]
+    t.delete_dv(_keys(spark, [(0, 2)]))
+    ts2 = t._manifest_doc(2)["commit"]["ts"]
+    t.upsert(spark.createDataFrame([(0, 9, "z", 2)], SCHEMA))
+    ts3 = t._manifest_doc(3)["commit"]["ts"]
+    assert t.version_as_of(ts1) == 1
+    assert t.version_as_of((ts1 + ts2) / 2) == 1
+    assert t.version_as_of(ts2 + 1e-4) == 2
+    assert t.version_as_of(ts3 + 60) == 3
+    assert sorted(r.k for r in t.read_as_of(ts2 + 1e-4).collect()) == [
+        1, 3, 4, 5,
+    ]
+    with pytest.raises(ValueError, match="no readable snapshot"):
+        t.version_as_of(ts1 - 60)
+
+
+def test_delete_auto_picks_by_fraction(spark, root):
+    """delete_auto routes on the metadata-estimated doomed fraction:
+    one key out of five live rows in the touched partitions -> dv;
+    most of a partition -> rewrite."""
+    t = _mk(spark, root, stats_cols=["k"])
+    _seed(spark, t)
+    v2 = t.delete_auto(_keys(spark, [(0, 2)]), dv_max_fraction=0.5)
+    assert t.history().filter(F.col("version") == v2).first().op == (
+        "delete_dv"
+    )
+    # 2 of the 2 remaining day=0 rows: fraction 1.0 -> rewrite
+    v3 = t.delete_auto(_keys(spark, [(0, 1), (0, 3)]), dv_max_fraction=0.5)
+    assert t.history().filter(F.col("version") == v3).first().op == (
+        "delete"
+    )
+    assert _rows(t) == [(1, 4, "d"), (1, 5, "e")]
+    # without recorded row counts the estimate is conservative: rewrite
+    t2 = ManifestSnapshotTable(
+        spark, os.path.join(root, "t2"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"],
+    )
+    _seed(spark, t2)
+    v = t2.delete_auto(_keys(spark, [(0, 2)]), dv_max_fraction=0.99)
+    assert t2.history().filter(F.col("version") == v).first().op == (
+        "delete"
+    )
