@@ -1966,7 +1966,10 @@ class ManifestSnapshotTable:
         last row of the last partition leaves an empty table
         (``read()`` → None).  Returns the committed version, or the
         current version unchanged when no key matched a live partition.
-        Replay-safe: deleting the same keys twice is a fixed point."""
+        Replay-safe: deleting the same keys twice is a fixed point.
+        `delete_dv` is the merge-on-read twin (sidecars, no rewrite —
+        the small-scattered-erasure shape); `delete_auto` picks
+        between them from manifest metadata."""
         missing = [c for c in self.keys if c not in keys.columns]
         if missing:
             raise ValueError(f"delete batch lacks key columns: {missing}")
@@ -2534,10 +2537,100 @@ class ManifestSnapshotTable:
         return self.changes(since_version, latest, where=where), latest
 
     # -- maintenance ----------------------------------------------------
+    # Z-order bucketing resolution: 8 bits (256 rank buckets) per
+    # cluster column.  With k columns the interleaved key is 8k bits —
+    # fine for the long arithmetic up to the 4-column cap below.
+    _Z_BITS = 8
+
+    def _metadata_bounds(
+        self, doc: dict, col: str
+    ) -> tuple[float, float] | None:
+        """[min, max] for ``col`` folded from the manifest's fragment
+        envelopes — None unless EVERY live fragment recorded one.  For
+        LAYOUT bounds a dv'd fragment's superset envelope is fine (it
+        only widens buckets, never misplaces a row), unlike the exact
+        `metadata_min_max` contract."""
+        m = doc.get("partitions", {})
+        st = doc.get("stats", {})
+        mn = mx = None
+        for frag in m:
+            env = (st.get(frag) or {}).get(col)
+            if env is None:
+                return None
+            lo, hi = env
+            if lo is not None and (mn is None or lo < mn):
+                mn = lo
+            if hi is not None and (mx is None or hi > mx):
+                mx = hi
+        if mn is None or mx is None:
+            return None
+        return float(mn), float(mx)
+
+    def _zorder_key(
+        self, src: DataFrame, cols: Sequence[str], doc: dict
+    ) -> Column:
+        """Engine-side Z-order (Morton) key over ``cols``: each column
+        is quantized to 2^8 uniform-width buckets between its min and
+        max (folded from the manifest's zone-map envelopes when every
+        live fragment recorded one — zero data scan — else one bounds
+        aggregate; arithmetic only, no window, no UDF), then the bucket
+        bits are interleaved so no column dominates the sort.  Both
+        halves are the SHARED layout primitives
+        (`sources.writers.scaled_bucket` / `morton_interleave` — the
+        same code `write_zordered` runs, so the paths cannot drift).
+        Sorting files by this key gives every cluster column locality
+        at once: a predicate on ANY of them skips files via the
+        per-file zone maps, where a linear (lexicographic) sort serves
+        only its leading column.  NULLs bucket to 0 (NULLS FIRST);
+        constant / all-NULL columns add no order.  Numeric columns
+        only — uniform buckets need an arithmetic domain;
+        `operators.layout.quantile_bounds` / `quantile_bucket` are the
+        skew-balanced drop-in for the bucketization step."""
+        from ..sources.writers import morton_interleave, scaled_bucket
+
+        if not 1 <= len(cols) <= 4:
+            raise ValueError("zorder takes 1-4 cluster columns")
+        dtypes = dict(src.dtypes)
+        numeric = ("tinyint", "smallint", "int", "bigint", "float",
+                   "double", "decimal")
+        for c in cols:
+            dt = dtypes.get(c)
+            if dt is None or not dt.startswith(numeric):
+                raise ValueError(
+                    f"zorder column {c!r} must be numeric, got {dt}"
+                )
+        bounds: dict[str, tuple] = {}
+        need_agg = []
+        for c in cols:
+            meta = self._metadata_bounds(doc, c)
+            if meta is not None:
+                bounds[c] = meta
+            else:
+                need_agg.append(c)
+        if need_agg:
+            r = src.agg(
+                *[
+                    F.min(c).cast("double").alias(f"mn_{c}")
+                    for c in need_agg
+                ],
+                *[
+                    F.max(c).cast("double").alias(f"mx_{c}")
+                    for c in need_agg
+                ],
+            ).first()
+            for c in need_agg:
+                bounds[c] = (r[f"mn_{c}"], r[f"mx_{c}"])
+        buckets = [
+            scaled_bucket(F.col(c), *bounds[c], self._Z_BITS)
+            for c in cols
+        ]
+        return morton_interleave(buckets, self._Z_BITS)
+
     def compact(
         self,
         cluster_by: Sequence[str] | None = None,
         cluster_files: int = 8,
+        cluster_method: str = "linear",
     ) -> int:
         """Checkpoint commit: rewrite EVERY live partition under one new
         version so the latest manifest references a single holder.
@@ -2546,6 +2639,12 @@ class ManifestSnapshotTable:
         per partition, range-partition the rewrite on (partition cols,
         cluster cols) across ``cluster_files`` tasks and sort within
         each, so a fragment's files own DISJOINT cluster-column ranges.
+        ``cluster_method="zorder"`` interleaves the cluster columns'
+        rank-bucket bits into one Morton key instead (Delta's OPTIMIZE
+        ZORDER BY): the lexicographic sort serves only its LEADING
+        column's predicates, the Z-order layout serves every cluster
+        column at once — multi-dimensional file skipping from the same
+        zone maps (see `_zorder_key`).
         Combined with the per-file zone maps every stats commit records,
         `read_where` then skips individual files inside a surviving
         fragment (Delta's OPTIMIZE ZORDER BY, for one key family), and
@@ -2576,6 +2675,13 @@ class ManifestSnapshotTable:
         """
         import json
 
+        if cluster_method not in ("linear", "zorder"):
+            raise ValueError(
+                "cluster_method must be 'linear' or 'zorder', "
+                f"got {cluster_method!r}"
+            )
+        if cluster_method == "zorder" and not cluster_by:
+            raise ValueError("zorder takes 1-4 cluster columns, got none")
         if not self.versions():
             return 0
         new_v, vdir = self._claim_version()
@@ -2598,7 +2704,24 @@ class ManifestSnapshotTable:
                 self._abandon_claim(vdir)
                 return cur
             src = self._read_fragments(prev, dv=dv)
-            if cluster_by:
+            if cluster_by and cluster_method == "zorder":
+                if "__zkey" in src.columns:
+                    raise ValueError(
+                        "'__zkey' is reserved by zorder compaction; "
+                        "rename the column"
+                    )
+                zkey = self._zorder_key(src, list(cluster_by), prev_doc)
+                lay = [
+                    *[F.col(c) for c in self.partition_by],
+                    F.col("__zkey"),
+                ]
+                out = (
+                    src.withColumn("__zkey", zkey)
+                    .repartitionByRange(cluster_files, *lay)
+                    .sortWithinPartitions(*lay)
+                    .drop("__zkey")
+                )
+            elif cluster_by:
                 lay_cols = [
                     F.col(c) for c in (*self.partition_by, *cluster_by)
                 ]

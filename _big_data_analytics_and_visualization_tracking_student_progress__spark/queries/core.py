@@ -3956,6 +3956,102 @@ def q_manifest_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER BY: Morton-interleaved clustering during compaction.
+# A lexicographic (linear) cluster sort serves only its LEADING
+# column's predicates — every file spans the other columns' whole
+# domains.  Z-order interleaves the cluster columns' rank-bucket bits,
+# so files own small multi-dimensional tiles and the SAME per-file
+# zone maps skip files for predicates on ANY cluster column.  Proved
+# in-plan: after zorder compaction, single-column range probes on BOTH
+# cluster columns skip files (counters), and the 2-D probe keeps no
+# more than either.  The oracle recomputes the range aggregate
+# declaratively — layout is invisible to results, by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_zorder_read",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), keyed AS (
+        SELECT user_id, event_type, event_id, MAX(tsn) AS tsn
+        FROM src GROUP BY user_id, event_type, event_id
+    ), b AS (
+        SELECT MAX(user_id) // 4 AS u4, MAX(event_id) // 4 AS e4
+        FROM keyed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user
+    FROM keyed
+    WHERE user_id <= (SELECT u4 FROM b)
+      AND event_id <= (SELECT e4 FROM b)
+    GROUP BY event_type
+    """,
+    doc="OPTIMIZE ZORDER BY (compact cluster_method='zorder'): Morton-"
+    "interleaved layout over (user_id, event_id) makes per-file zone "
+    "maps skip files for range probes on BOTH columns — proved "
+    "in-plan via skip counters (a linear sort serves only its leading "
+    "column); oracle recomputes the 2-D range aggregate declaratively",
+)
+def q_manifest_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "zorder",
+        keys=["user_id", "event_type", "event_id"],
+        order_cols=["ts_nanos"],
+        partition_by=["event_type"],
+        stats_cols=["user_id", "event_id"],
+    ) as table:
+        table.upsert(e)
+        table.compact(
+            cluster_by=["user_id", "event_id"],
+            cluster_files=32,
+            cluster_method="zorder",
+        )
+        # two-row control collect: the probe bounds (the oracle derives
+        # the same values declaratively)
+        mx = table.read().agg(
+            F.max("user_id").alias("u"), F.max("event_id").alias("e")
+        ).first()
+        u4, e4 = mx["u"] // 4, mx["e"] // 4
+        _dfu, _fk, _ft, fu_kept, fu_total = table.read_where_all(
+            [("user_id", 0, u4)]
+        )
+        _dfe, _fk, _ft, fe_kept, fe_total = table.read_where_all(
+            [("event_id", 0, e4)]
+        )
+        # the z-order claim: BOTH columns' probes skip files (a linear
+        # layout skips only on its leading column)
+        if not (fu_kept < fu_total and fe_kept < fe_total):
+            raise RuntimeError(
+                "zorder layout failed to skip on both cluster columns: "
+                f"user_id {fu_kept}/{fu_total}, "
+                f"event_id {fe_kept}/{fe_total}"
+            )
+        df2, _fk2, _ft2, f2_kept, _f2_total = table.read_where_all(
+            [("user_id", 0, u4), ("event_id", 0, e4)]
+        )
+        if f2_kept > min(fu_kept, fe_kept):
+            raise RuntimeError(
+                f"2-D probe kept {f2_kept} files, more than the "
+                f"single-column probes ({fu_kept}, {fe_kept})"
+            )
+        agg = df2.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("sum_user"),
+        )
+        return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
 # Change data feed between manifest snapshots: the incremental-consumer
 # read shape (Delta/Iceberg CDF) — one row per key whose state changed
 # between two versions, tagged insert / update_postimage / delete.

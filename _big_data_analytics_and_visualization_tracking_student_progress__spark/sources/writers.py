@@ -146,6 +146,26 @@ def morton_interleave(cols: Sequence[F.Column], bits: int) -> F.Column:
     return z
 
 
+def scaled_bucket(c: F.Column, lo, hi, bits: int) -> F.Column:
+    """NULL-safe uniform-width bucketization of ``c`` into
+    [0, 2^bits − 1] between the driver-side ``lo``/``hi`` bounds: the
+    quantization half of every Morton layout, shared by
+    `write_zordered` and `ManifestSnapshotTable.compact(zorder)` so the
+    two paths cannot drift.  NULLs bucket to 0 (NULLS FIRST — a NULL
+    fed raw into `morton_interleave` would poison the whole key to
+    NULL); unknown or degenerate bounds (constant / all-NULL column)
+    contribute a constant bucket, i.e. no order."""
+    top = (1 << bits) - 1
+    if lo is None or hi is None or hi <= lo:
+        return F.lit(0).cast("long")
+    scaled = F.floor(
+        (c.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(top))
+    ).cast("long")
+    return F.coalesce(
+        F.least(F.greatest(scaled, F.lit(0)), F.lit(top)), F.lit(0)
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -165,16 +185,12 @@ def write_zordered(
         *[F.min(c).cast("double").alias(f"lo_{c}") for c in cluster_by],
         *[F.max(c).cast("double").alias(f"hi_{c}") for c in cluster_by],
     ).head()
-    top = (1 << bits) - 1
-    scaled = []
-    for c in cluster_by:
-        lo, hi = lo_hi[f"lo_{c}"], lo_hi[f"hi_{c}"]
-        span = (hi - lo) if (hi is not None and hi > lo) else 1.0
-        scaled.append(
-            F.floor(
-                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(float(top))
-            ).cast("long")
+    scaled = [
+        scaled_bucket(
+            F.col(c), lo_hi[f"lo_{c}"], lo_hi[f"hi_{c}"], bits
         )
+        for c in cluster_by
+    ]
     out = (
         df.withColumn("__z", morton_interleave(scaled, bits))
         .repartitionByRange(num_files, F.col("__z"))

@@ -72,9 +72,11 @@ HEADLINE = [
     "manifest_bloom_point_read",
     "manifest_merge_into",
     "matview_delta_refresh",
-    # round-10 addition (ephemeral-table wall includes commit cost):
-    # merge-on-read DELETE via deletion vectors — sidecar-only erasure
+    # round-10 additions (ephemeral-table walls include commit cost):
+    # merge-on-read DELETE via deletion vectors, and OPTIMIZE ZORDER BY
+    # with its 2-D file-skip probes
     "manifest_dv_delete",
+    "manifest_zorder_read",
 ]
 
 

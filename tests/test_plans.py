@@ -465,15 +465,12 @@ def test_priority_window_resolved_and_oracle_checked():
     qs = all_queries()
     assert len(_PRIORITY_WINDOW) == 50
     assert list(qs)[:50] == list(_PRIORITY_WINDOW)
-    # r9 rotation: the only rows-only entries allowed are the two
-    # never-externally-checked names earning their one-time crash-gate
-    # row (VERDICT r8 item 3); every other windowed query is fully
-    # oracle-checked.  From round 10 this list must be empty again
-    # (tools/rotation.py excludes rows-only names once they hold a row).
+    # r9 rotated the two never-externally-checked rows-only names in
+    # for their one-time crash-gate row; from round 10 on the window is
+    # fully oracle-checked again (tools/rotation.py permanently
+    # excludes rows-only names once they hold a driver row).
     rows_only = [n for n in _PRIORITY_WINDOW if qs[n].oracle is None]
-    assert rows_only == ["dedup_simhash", "dedup_fuzzy_clusters_fast"], (
-        rows_only
-    )
+    assert rows_only == [], rows_only
 
 
 # ---------------------------------------------------------------------------
