@@ -207,8 +207,14 @@ def quantile_bounds(
         .limit(sample_size)
         .collect()
     )
-    vals = sorted(r["__v"] for r in rows)
+    # NULLs carry no order (they bucket to 0 downstream: a NULL probe
+    # in quantile_bucket's predicate filters every boundary out), and
+    # an empty/all-NULL column yields no boundaries — callers treat []
+    # as "constant bucket, no order contribution"
+    vals = sorted(r["__v"] for r in rows if r["__v"] is not None)
     n, k = len(vals), (1 << bits) - 1
+    if n == 0:
+        return []
     return [vals[min(n - 1, max(0, (n * q) // (k + 1)))] for q in range(1, k + 1)]
 
 

@@ -2567,7 +2567,11 @@ class ManifestSnapshotTable:
         return float(mn), float(mx)
 
     def _zorder_key(
-        self, src: DataFrame, cols: Sequence[str], doc: dict
+        self,
+        src: DataFrame,
+        cols: Sequence[str],
+        doc: dict,
+        bucketing: str = "uniform",
     ) -> Column:
         """Engine-side Z-order (Morton) key over ``cols``: each column
         is quantized to 2^8 uniform-width buckets between its min and
@@ -2583,11 +2587,24 @@ class ManifestSnapshotTable:
         per-file zone maps, where a linear (lexicographic) sort serves
         only its leading column.  NULLs bucket to 0 (NULLS FIRST);
         constant / all-NULL columns add no order.  Numeric columns
-        only — uniform buckets need an arithmetic domain;
-        `operators.layout.quantile_bounds` / `quantile_bucket` are the
-        skew-balanced drop-in for the bucketization step."""
+        only — uniform buckets need an arithmetic domain.
+
+        ``bucketing="quantile"`` swaps the uniform-width grid for
+        `operators.layout.quantile_bounds` / `quantile_bucket`
+        (~equal-POPULATION buckets from a deterministic sample): on a
+        skewed column the uniform grid collapses most rows into a few
+        buckets — the Morton key then carries almost no information
+        for that dimension and its file-skipping dies — while quantile
+        buckets keep every z-cell comparably full.  Costs one bounded
+        sample collect per column at layout time and a literal-array
+        scan per row in the rewrite."""
         from ..sources.writers import morton_interleave, scaled_bucket
 
+        if bucketing not in ("uniform", "quantile"):
+            raise ValueError(
+                "bucketing must be 'uniform' or 'quantile', "
+                f"got {bucketing!r}"
+            )
         if not 1 <= len(cols) <= 4:
             raise ValueError("zorder takes 1-4 cluster columns")
         dtypes = dict(src.dtypes)
@@ -2599,6 +2616,17 @@ class ManifestSnapshotTable:
                 raise ValueError(
                     f"zorder column {c!r} must be numeric, got {dt}"
                 )
+        if bucketing == "quantile":
+            from .layout import quantile_bounds, quantile_bucket
+
+            buckets = []
+            for c in cols:
+                qb = quantile_bounds(src, c, bits=self._Z_BITS)
+                if not qb:
+                    buckets.append(F.lit(0).cast("long"))
+                    continue
+                buckets.append(quantile_bucket(F.col(c), qb))
+            return morton_interleave(buckets, self._Z_BITS)
         bounds: dict[str, tuple] = {}
         need_agg = []
         for c in cols:
@@ -2631,6 +2659,7 @@ class ManifestSnapshotTable:
         cluster_by: Sequence[str] | None = None,
         cluster_files: int = 8,
         cluster_method: str = "linear",
+        cluster_bucketing: str = "uniform",
     ) -> int:
         """Checkpoint commit: rewrite EVERY live partition under one new
         version so the latest manifest references a single holder.
@@ -2644,7 +2673,9 @@ class ManifestSnapshotTable:
         ZORDER BY): the lexicographic sort serves only its LEADING
         column's predicates, the Z-order layout serves every cluster
         column at once — multi-dimensional file skipping from the same
-        zone maps (see `_zorder_key`).
+        zone maps (see `_zorder_key`; ``cluster_bucketing="quantile"``
+        swaps the uniform grid for sample-quantile buckets when a
+        cluster column is skewed).
         Combined with the per-file zone maps every stats commit records,
         `read_where` then skips individual files inside a surviving
         fragment (Delta's OPTIMIZE ZORDER BY, for one key family), and
@@ -2710,7 +2741,10 @@ class ManifestSnapshotTable:
                         "'__zkey' is reserved by zorder compaction; "
                         "rename the column"
                     )
-                zkey = self._zorder_key(src, list(cluster_by), prev_doc)
+                zkey = self._zorder_key(
+                    src, list(cluster_by), prev_doc,
+                    bucketing=cluster_bucketing,
+                )
                 lay = [
                     *[F.col(c) for c in self.partition_by],
                     F.col("__zkey"),

@@ -141,3 +141,56 @@ def test_zorder_handles_nulls_and_constants(spark, root):
     t.compact(cluster_by=["x", "c"], cluster_files=2,
               cluster_method="zorder")
     assert sorted((r.k, r.x) for r in t.read().collect()) == before
+
+
+def test_quantile_bucketing_survives_skew(spark, root):
+    """On a heavy-tailed column the uniform-width grid collapses
+    almost every row into bucket 0 — the Morton key then carries no
+    information for that dimension and its file envelopes all start at
+    the hot value — while quantile (equal-population) buckets keep the
+    skipping effective."""
+    def build(name):
+        t = ManifestSnapshotTable(
+            spark, os.path.join(root, name), keys=["day", "k"],
+            order_cols=["seq"], partition_by=["day"],
+            stats_cols=["x", "y"],
+        )
+        # x heavy-tailed: 98% of rows at 0..9, a thin tail to 1e9
+        rows = spark.range(4096).select(
+            F.lit(0).alias("day"),
+            F.col("id").cast("int").alias("k"),
+            F.when(F.col("id") % 50 < 49, (F.col("id") % 10))
+            .otherwise((F.col("id") % 100) * 10_000_000)
+            .cast("long").alias("x"),
+            (F.col("id") % 64).cast("int").alias("y"),
+            F.lit(1).cast("int").alias("seq"),
+        )
+        t.upsert(rows)
+        return t
+
+    uni = build("uni")
+    qua = build("qua")
+    before = sorted(tuple(r) for r in qua.read().collect())
+    uni.compact(cluster_by=["x", "y"], cluster_files=16,
+                cluster_method="zorder")
+    qua.compact(cluster_by=["x", "y"], cluster_files=16,
+                cluster_method="zorder", cluster_bucketing="quantile")
+    assert sorted(tuple(r) for r in qua.read().collect()) == before
+
+    # probe INSIDE the hot region (where ~all the rows live): uniform
+    # buckets put the whole region in one bucket, so every file's x
+    # envelope starts there and nothing skips; quantile buckets
+    # subdivide it
+    u_kept, u_total = _files_kept(uni, "x", 0, 4)
+    q_kept, q_total = _files_kept(qua, "x", 0, 4)
+    assert u_kept == u_total  # uniform grid blind inside the hot region
+    assert q_kept < q_total
+    # exactness under the pruned read
+    df, *_ = qua.read_where_all([("x", 0, 4)])
+    assert df.count() == qua.read().filter(
+        (F.col("x") >= 0) & (F.col("x") <= 4)
+    ).count()
+    # bad bucketing name is refused
+    with pytest.raises(ValueError, match="bucketing"):
+        uni.compact(cluster_by=["x"], cluster_method="zorder",
+                    cluster_bucketing="exotic")
