@@ -171,3 +171,24 @@ def test_relay_never_rebootstraps_over_vacuumed_diff_base(spark, root):
         (RuntimeError, StreamingQueryException), match="retention gap"
     ):
         changes_relay_run(spark, t, workdir=wd)
+
+
+def test_relay_carries_dv_only_commits(spark, root):
+    """A deletion-vector commit moves no data files but is a real
+    snapshot: the relay must pick it up (manifest.json is the stream
+    trigger) and emit its delete rows, exactly like a CoW delete."""
+    t = _mk(spark, root)
+    t.upsert(spark.createDataFrame([(0, 1, 1), (0, 2, 2), (1, 3, 3)],
+                                   "d int, k int, v int"))
+    t.delete_dv(spark.createDataFrame([(0, 2)], "d int, k int"))
+    feed = changes_relay_run(spark, t, workdir=os.path.join(root, "wd"))
+    assert _rows(feed) == [
+        (1, "insert", 0, 1, 1),
+        (1, "insert", 0, 2, 2),
+        (1, "insert", 1, 3, 3),
+        (2, "delete", 0, 2, 2),  # dv delete carries the pre-image too
+    ]
+    # a later dv commit on the OTHER fragment relays incrementally
+    t.delete_where_dv(F.col("d") == 1)
+    feed2 = changes_relay_run(spark, t, workdir=os.path.join(root, "wd"))
+    assert _rows(feed2)[-1] == (3, "delete", 1, 3, 3)
