@@ -382,3 +382,62 @@ def test_delete_auto_picks_by_fraction(spark, root):
     assert t2.history().filter(F.col("version") == v).first().op == (
         "delete"
     )
+
+
+def test_dv_and_upsert_writers_interleave_safely(spark, root):
+    """Optimistic concurrency over deletion-vector commits: a dv
+    eraser and an upserter race on the SAME table (overlapping
+    partitions, disjoint keys) through retry_commit; every commit must
+    land exactly once (dense versions), the vectors must survive
+    inheritance under contention, and the final state must equal the
+    sequential model."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+        retry_commit,
+    )
+
+    path = os.path.join(root, "t")
+    t0 = ManifestSnapshotTable(
+        spark, path, keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"],
+    )
+    # seed: keys 0..9 in each of 2 partitions
+    t0.upsert(spark.createDataFrame(
+        [(d, k, "seed", 1) for d in (0, 1) for k in range(10)], SCHEMA,
+    ))
+
+    def eraser():
+        t = ManifestSnapshotTable(
+            spark, path, keys=["day", "k"], order_cols=["seq"],
+            partition_by=["day"],
+        )
+        for k in range(0, 10, 2):  # dv-delete the even seed keys
+            df = _keys(spark, [(0, k), (1, k)])
+            retry_commit(lambda: t.delete_dv(df), attempts=50)
+
+    def upserter():
+        t = ManifestSnapshotTable(
+            spark, path, keys=["day", "k"], order_cols=["seq"],
+            partition_by=["day"],
+        )
+        for i in range(5):  # new keys 100..104, both partitions
+            df = spark.createDataFrame(
+                [(d, 100 + i, "new", 2) for d in (0, 1)], SCHEMA,
+            )
+            retry_commit(lambda: t.upsert(df), attempts=50)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(lambda f: f(), [eraser, upserter]))
+
+    t = ManifestSnapshotTable(
+        spark, path, keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"],
+    )
+    # dense version sequence: 1 seed + 5 dv + 5 upserts, none lost
+    assert t.versions() == list(range(1, 12))
+    want = {
+        (d, k): "seed" for d in (0, 1) for k in range(10) if k % 2
+    } | {(d, 100 + i): "new" for d in (0, 1) for i in range(5)}
+    got = {(r.day, r.k): r.v for r in t.read().collect()}
+    assert got == want
