@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 from .windows import latest_by_key
 
 
+class ConstraintViolationError(ValueError):
+    """A write batch violated a table CHECK constraint.  The commit was
+    abandoned whole — the already-written candidate files are removed
+    with the claim and the table stays readable at its current version,
+    the Delta `ALTER TABLE ADD CONSTRAINT CHECK` enforcement contract.
+    SQL CHECK semantics: a row violates only when the expression is
+    FALSE — NULL passes (unknown is not a violation)."""
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent writer holds (or already won) the next snapshot
     version of a `ManifestSnapshotTable`.  The loser's work is not
@@ -500,7 +509,8 @@ class ManifestSnapshotTable:
                  claim_ttl_seconds: float = 3600.0,
                  bloom_cols: Sequence[str] | None = None,
                  bloom_bits: int = 1 << 16,
-                 bloom_k: int = 5):
+                 bloom_k: int = 5,
+                 constraints: dict[str, Column] | None = None):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -531,6 +541,19 @@ class ManifestSnapshotTable:
         self.bloom_cols = list(bloom_cols) if bloom_cols else []
         self.bloom_bits = int(bloom_bits)
         self.bloom_k = int(bloom_k)
+        # CHECK constraints (Delta ADD CONSTRAINT CHECK): {name →
+        # boolean Column}, enforced on every row a WRITING commit
+        # produces (incoming rows AND the carried rows of rewritten
+        # partitions — so a constraint added later surfaces violations
+        # the next time old data is touched).  Checked in a SINGLE
+        # pass via df.observe riding the write job itself — zero extra
+        # scan at any table size; a violation abandons the whole
+        # commit (ConstraintViolationError).  SQL semantics: FALSE
+        # violates, NULL passes.  DELETE/compact paths don't check —
+        # removing or relocating rows cannot introduce a violation,
+        # and a GDPR erasure must never be blocked by an unrelated
+        # constraint on carried data.
+        self.constraints = dict(constraints) if constraints else {}
         if self.bloom_cols and (self.bloom_bits < 8 or self.bloom_k < 1):
             raise ValueError("need bloom_bits >= 8 and bloom_k >= 1")
         self._bloom_cache: dict[int, dict] = {}
@@ -1696,6 +1719,45 @@ class ManifestSnapshotTable:
 
         shutil.rmtree(vdir, ignore_errors=True)
 
+    def _observe_constraints(self, df: DataFrame):
+        """Attach the CHECK-constraint violation counters to a frame
+        about to be written: one `df.observe` aggregate per constraint
+        (rows where the expression is FALSE — NULL passes, SQL-style),
+        computed by the WRITE job itself, so enforcement costs zero
+        extra scans.  Returns ``(df, observation | None)``; call
+        `_raise_constraint_violations` after the write action."""
+        if not self.constraints:
+            return df, None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.coalesce(cond, F.lit(True)), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(name)
+            for name, cond in self.constraints.items()
+        ]
+        return df.observe(obs, *aggs), obs
+
+    def _raise_constraint_violations(self, obs) -> None:
+        if obs is None:
+            return
+        bad = {
+            name: int(n)
+            for name, n in obs.get.items()
+            if n is not None and int(n) > 0
+        }
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated: {bad} (count of rows "
+                "where the expression is FALSE; commit abandoned, "
+                "table unchanged)"
+            )
+
     def _publish(self, vdir: str) -> None:
         """Publish a fully-written version: commit marker LAST (a crash
         before this leaves the dir invisible to ``versions()`` — readers
@@ -1751,9 +1813,11 @@ class ManifestSnapshotTable:
                 target, batch, self.keys,
                 [F.col(c).desc() for c in self.order_cols],
             )
+            merged, checks = self._observe_constraints(merged)
             merged.write.partitionBy(*self.partition_by).parquet(
                 self._data_dir(new_v)
             )
+            self._raise_constraint_violations(checks)
             # the manifest is only sound if its fragments name the dirs
             # Spark ACTUALLY wrote — verify before committing, so a value
             # whose rendering diverges from _part_key fails loudly here
@@ -1902,9 +1966,11 @@ class ManifestSnapshotTable:
                     when_not_matched_by_source_delete
                 ),
             )
+            merged, checks = self._observe_constraints(merged)
             merged.write.partitionBy(*self.partition_by).parquet(
                 self._data_dir(new_v)
             )
+            self._raise_constraint_violations(checks)
             # delete/insert clauses may empty a touched partition or
             # skip it entirely, so (unlike upsert) written ⊆ touched —
             # but never outside it

@@ -3956,6 +3956,108 @@ def q_manifest_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT CHECK): declared
+# on the table, enforced on every row a writing commit produces — in a
+# SINGLE pass via df.observe riding the write job itself, so
+# enforcement costs zero extra scans at any table size.  A violating
+# batch abandons the whole commit (nothing partial is ever visible);
+# NULL passes, SQL-style.  Proved in-plan: the poisoned commit MUST
+# raise, the version chain and row counts must be unchanged after it,
+# and no claim debris may remain.  The oracle recomputes the surviving
+# (valid-commits-only) content declaratively.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_check_constraints",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 4 = 0
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM latest GROUP BY event_type
+    """,
+    doc="table CHECK constraints (Delta ADD CONSTRAINT CHECK shape): "
+    "enforced via df.observe in the write pass itself (zero extra "
+    "scans); a violating batch abandons the whole commit — proved "
+    "in-plan (poisoned commit raises, version chain and counts "
+    "unchanged, no claim debris); oracle recomputes the surviving "
+    "content declaratively",
+)
+def q_manifest_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.upsert import (
+        ConstraintViolationError,
+        ManifestSnapshotTable,
+    )
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "check",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+        constraints={
+            "event_id_nonneg": F.col("event_id") >= 0,
+            "known_type": F.col("event_type").isNotNull(),
+        },
+    ) as table:
+        v1 = table.upsert(e.filter(F.col("event_id") % 4 == 0))
+        n_before = table.read().count()
+        # poisoned batch: valid rows plus a few negated event_ids —
+        # the whole commit must abort, not just the bad rows
+        poisoned = e.filter(F.col("event_id") % 4 == 1).withColumn(
+            "event_id",
+            F.when(
+                F.col("event_id") % 3 == 0, -F.col("event_id")
+            ).otherwise(F.col("event_id")),
+        )
+        import os as _os
+
+        try:
+            table.upsert(poisoned)
+        except ConstraintViolationError:
+            pass
+        else:
+            raise RuntimeError(
+                "poisoned commit did not raise ConstraintViolationError"
+            )
+        if table.versions() != [v1]:
+            raise RuntimeError(
+                f"violating commit left versions {table.versions()}"
+            )
+        if table.read().count() != n_before:
+            raise RuntimeError("violating commit changed table content")
+        if sorted(_os.listdir(table.path)) != [f"v={v1:05d}"]:
+            raise RuntimeError(
+                f"claim debris left behind: {_os.listdir(table.path)}"
+            )
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+        )
+        return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
 # OPTIMIZE ZORDER BY: Morton-interleaved clustering during compaction.
 # A lexicographic (linear) cluster sort serves only its LEADING
 # column's predicates — every file spans the other columns' whole
