@@ -773,6 +773,14 @@ class ManifestSnapshotTable:
     def _dv_map(self, doc: dict) -> dict[str, int]:
         return {k: int(v) for k, v in (doc.get("dv") or {}).items()}
 
+    def _carry_meta(self, doc: dict, prev_doc: dict) -> None:
+        """Inherit version-independent table metadata (persisted CHECK
+        constraints) into a new commit's manifest — every commit path
+        calls this, so declared contracts survive any rewrite."""
+        cons = prev_doc.get("constraints")
+        if cons:
+            doc["constraints"] = dict(cons)
+
     def _carry_dv(
         self, doc: dict, prev_doc: dict, rewritten: set[str]
     ) -> None:
@@ -1719,14 +1727,29 @@ class ManifestSnapshotTable:
 
         shutil.rmtree(vdir, ignore_errors=True)
 
-    def _observe_constraints(self, df: DataFrame):
+    def _effective_constraints(self, doc: dict) -> dict[str, Column]:
+        """Constructor-handle constraints ∪ the TABLE-LEVEL constraints
+        persisted in the manifest (`add_constraint` — SQL strings, so
+        any writer handle resolves and enforces them; a handle-local
+        Column cannot be persisted and binds only its own handle).
+        Manifest-persisted definitions win name collisions: the table's
+        declared contract outranks one writer's local opinion."""
+        eff = dict(self.constraints)
+        for name, sql in (doc.get("constraints") or {}).items():
+            eff[name] = F.expr(sql)
+        return eff
+
+    def _observe_constraints(self, df: DataFrame, doc: dict):
         """Attach the CHECK-constraint violation counters to a frame
         about to be written: one `df.observe` aggregate per constraint
         (rows where the expression is FALSE — NULL passes, SQL-style),
         computed by the WRITE job itself, so enforcement costs zero
-        extra scans.  Returns ``(df, observation | None)``; call
-        `_raise_constraint_violations` after the write action."""
-        if not self.constraints:
+        extra scans.  ``doc`` is the pinned commit-basis manifest (its
+        persisted constraints bind every writer).  Returns ``(df,
+        observation | None)``; call `_raise_constraint_violations`
+        after the write action."""
+        constraints = self._effective_constraints(doc)
+        if not constraints:
             return df, None
         from pyspark.sql import Observation
 
@@ -1739,7 +1762,7 @@ class ManifestSnapshotTable:
             )
             .cast("long")
             .alias(name)
-            for name, cond in self.constraints.items()
+            for name, cond in constraints.items()
         ]
         return df.observe(obs, *aggs), obs
 
@@ -1757,6 +1780,103 @@ class ManifestSnapshotTable:
                 "where the expression is FALSE; commit abandoned, "
                 "table unchanged)"
             )
+
+    def table_constraints(self, version: int | None = None) -> dict:
+        """The PERSISTED constraints in force at a snapshot
+        ({name → SQL expression string}) — the ones every writer
+        handle enforces, unlike the constructor's handle-local
+        Columns."""
+        return dict(
+            self._manifest_doc(version).get("constraints") or {}
+        )
+
+    def add_constraint(self, name: str, sql: str) -> int:
+        """Persist a table-level CHECK constraint — Delta's ``ALTER
+        TABLE ADD CONSTRAINT <name> CHECK (<sql>)``: a metadata-only
+        commit (every fragment inherited by reference) that first
+        VALIDATES the current live content in one scan, exactly
+        Delta's semantics — a constraint never co-exists with data
+        violating it.  From this commit on, every writer handle
+        enforces it (the SQL string resolves anywhere), and it
+        survives every rewrite via `_carry_meta`.  Raises
+        `ConstraintViolationError` if existing rows violate, and
+        refuses to replace an existing name (drop it first)."""
+        cond = F.expr(sql)
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            existing = dict(prev_doc.get("constraints") or {})
+            if name in existing:
+                raise ValueError(
+                    f"constraint {name!r} already exists "
+                    f"({existing[name]!r}); drop it first"
+                )
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if prev:
+                live = self._read_fragments(
+                    prev, dv=self._dv_map(prev_doc)
+                )
+                n_bad = live.filter(
+                    ~F.coalesce(cond, F.lit(True))
+                ).count()
+                if n_bad:
+                    raise ConstraintViolationError(
+                        f"cannot add constraint {name!r}: {n_bad} "
+                        "existing row(s) violate it"
+                    )
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["commit"] = self._commit_info("add_constraint", set())
+            existing[name] = sql
+            doc["constraints"] = existing
+            import json
+
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def drop_constraint(self, name: str, if_exists: bool = False) -> int:
+        """Remove a persisted CHECK constraint (metadata-only commit).
+        Raises on an unknown name unless ``if_exists``."""
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            existing = dict(prev_doc.get("constraints") or {})
+            if name not in existing:
+                self._abandon_claim(vdir)
+                if if_exists:
+                    vs = self.versions()
+                    return vs[-1] if vs else 0
+                raise ValueError(
+                    f"no constraint named {name!r}; "
+                    f"in force: {sorted(existing)}"
+                )
+            existing.pop(name)
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["commit"] = self._commit_info("drop_constraint", set())
+            if existing:
+                doc["constraints"] = existing
+            else:
+                doc.pop("constraints", None)
+            import json
+
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
 
     def _publish(self, vdir: str) -> None:
         """Publish a fully-written version: commit marker LAST (a crash
@@ -1813,7 +1933,7 @@ class ManifestSnapshotTable:
                 target, batch, self.keys,
                 [F.col(c).desc() for c in self.order_cols],
             )
-            merged, checks = self._observe_constraints(merged)
+            merged, checks = self._observe_constraints(merged, prev_doc)
             merged.write.partitionBy(*self.partition_by).parquet(
                 self._data_dir(new_v)
             )
@@ -1836,6 +1956,7 @@ class ManifestSnapshotTable:
             manifest.update({frag: new_v for frag in frags})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("upsert", frags)
+            self._carry_meta(doc, prev_doc)
             self._carry_dv(doc, prev_doc, frags)
             if self.stats_cols:
                 # zone maps: fresh envelopes for rewritten fragments,
@@ -1966,7 +2087,7 @@ class ManifestSnapshotTable:
                     when_not_matched_by_source_delete
                 ),
             )
-            merged, checks = self._observe_constraints(merged)
+            merged, checks = self._observe_constraints(merged, prev_doc)
             merged.write.partitionBy(*self.partition_by).parquet(
                 self._data_dir(new_v)
             )
@@ -1987,6 +2108,7 @@ class ManifestSnapshotTable:
             manifest.update({frag: new_v for frag in written})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("merge", frags)
+            self._carry_meta(doc, prev_doc)
             self._carry_dv(doc, prev_doc, frags)
             if self.stats_cols:
                 new_fs, new_ffs = self._compute_stats_both(new_v)
@@ -2176,6 +2298,7 @@ class ManifestSnapshotTable:
         manifest.update({f: new_v for f in written})
         doc = {"partition_by": self.partition_by, "partitions": manifest}
         doc["commit"] = self._commit_info(op, frags)
+        self._carry_meta(doc, prev_doc)
         self._carry_dv(doc, prev_doc, frags)
         if self.stats_cols:
             new_fs, new_ffs = self._compute_stats_both(new_v)
@@ -2392,6 +2515,7 @@ class ManifestSnapshotTable:
         manifest = {f: v for f, v in prev.items() if f not in emptied}
         doc = {"partition_by": self.partition_by, "partitions": manifest}
         doc["commit"] = self._commit_info(op, frags)
+        self._carry_meta(doc, prev_doc)
         if self.stats_cols:
             doc["stats"] = {
                 f: s
@@ -2851,6 +2975,7 @@ class ManifestSnapshotTable:
                 "partitions": {frag: new_v for frag in prev},
             }
             doc["commit"] = self._commit_info("compact", set(prev))
+            self._carry_meta(doc, prev_doc)
             if self.stats_cols:
                 # full rewrite: recompute every envelope, which also
                 # backfills fragments committed before stats_cols was set

@@ -87,3 +87,62 @@ def test_merge_into_checks_and_deletes_do_not(spark, root):
     # carried rows and surfaces the violation
     with pytest.raises(ConstraintViolationError):
         strict.upsert(spark.createDataFrame([(1, 10, 1, 4)], SCHEMA))
+
+
+def test_persisted_constraints_bind_every_writer(spark, root):
+    """add_constraint persists the CHECK as SQL in the manifest:
+    a FRESH handle with no constructor constraints still enforces it
+    (the handle-local-only bypass is closed), it survives rewriting
+    commits, and drop_constraint lifts it."""
+    t = ManifestSnapshotTable(
+        spark, os.path.join(root, "t"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"],
+    )
+    t.upsert(spark.createDataFrame([(0, 1, 5, 1)], SCHEMA))
+    v = t.add_constraint("v_nonneg", "v >= 0")
+    ops = {r.version: r.op for r in t.history().collect()}
+    assert ops[v] == "add_constraint"
+    assert t.table_constraints() == {"v_nonneg": "v >= 0"}
+    fresh = ManifestSnapshotTable(
+        spark, t.path, keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"],
+    )
+    with pytest.raises(ConstraintViolationError, match="v_nonneg"):
+        fresh.upsert(spark.createDataFrame([(0, 2, -1, 2)], SCHEMA))
+    # survives rewriting and metadata-less commit paths
+    fresh.upsert(spark.createDataFrame([(0, 2, 2, 2)], SCHEMA))
+    fresh.delete_dv(spark.createDataFrame([(0, 2)], "day int, k int"))
+    fresh.compact()
+    assert fresh.table_constraints() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ConstraintViolationError):
+        fresh.upsert(spark.createDataFrame([(0, 3, -7, 3)], SCHEMA))
+    # drop lifts it for everyone
+    fresh.drop_constraint("v_nonneg")
+    t.upsert(spark.createDataFrame([(0, 3, -7, 3)], SCHEMA))
+    assert sorted(r.v for r in t.read().collect()) == [-7, 5]
+    # unknown name raises unless if_exists
+    with pytest.raises(ValueError, match="no constraint"):
+        fresh.drop_constraint("v_nonneg")
+    assert fresh.drop_constraint("v_nonneg", if_exists=True) == (
+        fresh.versions()[-1]
+    )
+
+
+def test_add_constraint_validates_existing_data(spark, root):
+    t = ManifestSnapshotTable(
+        spark, os.path.join(root, "t"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"],
+    )
+    t.upsert(spark.createDataFrame([(0, 1, -5, 1), (0, 2, 3, 1)], SCHEMA))
+    with pytest.raises(ConstraintViolationError, match="existing row"):
+        t.add_constraint("v_nonneg", "v >= 0")
+    assert t.table_constraints() == {}
+    # duplicate names refused
+    t.add_constraint("v_over_min", "v >= -10")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("v_over_min", "v >= 0")
+    # dv-deleting the violating row unblocks the stricter ADD (the
+    # validation scan reads LIVE content)
+    t.delete_dv(spark.createDataFrame([(0, 1)], "day int, k int"))
+    t.add_constraint("v_nonneg", "v >= 0")
+    assert set(t.table_constraints()) == {"v_over_min", "v_nonneg"}
