@@ -775,11 +775,109 @@ class ManifestSnapshotTable:
 
     def _carry_meta(self, doc: dict, prev_doc: dict) -> None:
         """Inherit version-independent table metadata (persisted CHECK
-        constraints) into a new commit's manifest — every commit path
-        calls this, so declared contracts survive any rewrite."""
+        constraints + the declared logical schema) into a new commit's
+        manifest — every commit path calls this, so declared contracts
+        survive any rewrite.  Writing paths overwrite the carried
+        schema afterwards with the schema of the frame they actually
+        wrote (which equals the carried one unless the commit evolved
+        it)."""
         cons = prev_doc.get("constraints")
         if cons:
             doc["constraints"] = dict(cons)
+        sch = prev_doc.get("schema")
+        if sch:
+            doc["schema"] = [list(e) for e in sch]
+
+    # -- logical schema (schema evolution) --------------------------------
+    # The manifest's `schema` entry is the table's DECLARED column list
+    # ([name, Spark DDL type] pairs, in order) — the Delta/Iceberg
+    # metadata-schema role: data files written before an `add_column` /
+    # `widen_column` / evolving-upsert commit simply lack the column (or
+    # carry the narrower type), and every read path aligns them — NULL
+    # for missing columns, a lossless cast for widened ones — so old
+    # files are NEVER rewritten for a schema change (metadata-only DDL,
+    # the only affordable shape at 100 TB).
+    _META_COLS = ("__rel", "__ri")
+    _INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+    @classmethod
+    def _frame_schema(cls, df: DataFrame) -> list[list[str]]:
+        return [
+            [f.name, f.dataType.simpleString()]
+            for f in df.schema.fields
+            if f.name not in cls._META_COLS
+        ]
+
+    def table_schema(
+        self, version: int | None = None
+    ) -> list[tuple[str, str]] | None:
+        """The declared logical schema at a snapshot as ordered
+        ``(name, DDL type)`` pairs — None for tables whose commits
+        predate schema recording (their reads stay purely physical)."""
+        sch = self._manifest_doc(version).get("schema")
+        return [tuple(e) for e in sch] if sch else None
+
+    @staticmethod
+    def _dec_params(t: str) -> tuple[int, int] | None:
+        import re
+
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+        return (int(m.group(1)), int(m.group(2))) if m else None
+
+    @classmethod
+    def _widens(cls, frm: str, to: str) -> bool:
+        """True when ``frm`` → ``to`` is a STRICT lossless widening —
+        the only type changes a metadata-only evolution can declare
+        (anything else would reinterpret bytes already on disk):
+        tinyint<smallint<int<bigint, float<double, and decimal growth
+        that shrinks neither scale nor integer digits."""
+        if frm == to:
+            return False
+        iw = cls._INT_WIDTH
+        if frm in iw and to in iw:
+            return iw[to] > iw[frm]
+        if frm == "float" and to == "double":
+            return True
+        d0, d1 = cls._dec_params(frm), cls._dec_params(to)
+        if d0 and d1:
+            (p0, s0), (p1, s1) = d0, d1
+            return s1 >= s0 and (p1 - s1) >= (p0 - s0)
+        return False
+
+    def _normalize_type(self, ddl: str) -> str:
+        """Parse a DDL type string through Spark and return its
+        canonical ``simpleString`` (also validates it)."""
+        probe = self.spark.range(0).select(F.lit(None).cast(ddl))
+        return probe.schema.fields[0].dataType.simpleString()
+
+    def _align_schema(
+        self, df: DataFrame | None, doc: dict | None
+    ) -> DataFrame | None:
+        """Align a physical scan to the manifest's declared schema:
+        columns a file predates read as typed NULLs, columns committed
+        narrower than a later widening are cast up, and column order
+        follows the declaration.  A no-op (the same frame, no extra
+        Project) when the physical schema already matches, so
+        pre-evolution tables and hot paths pay nothing."""
+        sch = (doc or {}).get("schema")
+        if df is None or not sch:
+            return df
+        have = dict(df.dtypes)
+        names = [c for c in df.columns if c not in self._META_COLS]
+        if names == [n for n, _t in sch] and all(
+            have[n] == t for n, t in sch
+        ):
+            return df
+        cols: list[Column] = []
+        for n, t in sch:
+            if n not in have:
+                cols.append(F.lit(None).cast(t).alias(n))
+            elif have[n] == t:
+                cols.append(F.col(n))
+            else:
+                cols.append(F.col(n).cast(t).alias(n))
+        cols += [F.col(h) for h in self._META_COLS if h in df.columns]
+        return df.select(*cols)
 
     def _carry_dv(
         self, doc: dict, prev_doc: dict, rewritten: set[str]
@@ -800,6 +898,32 @@ class ManifestSnapshotTable:
                 for f, n in (prev_doc.get("dv_rows") or {}).items()
                 if f not in rewritten
             }
+
+    def _inherit_stats(
+        self, doc: dict, prev_doc: dict, rewritten: set[str], new_v: int
+    ) -> None:
+        """Zone-map commit discipline shared by every writing path:
+        fresh fragment/file envelopes for the partitions this commit
+        rewrote, everything else inherited by reference from the basis
+        manifest — exactly like the data files.  No-op when the table
+        has no ``stats_cols``."""
+        if not self.stats_cols:
+            return
+        new_fs, new_ffs = self._compute_stats_both(new_v)
+        stats = {
+            f: s
+            for f, s in prev_doc.get("stats", {}).items()
+            if f not in rewritten
+        }
+        stats.update(new_fs)
+        doc["stats"] = stats
+        fstats = {
+            f: s
+            for f, s in prev_doc.get("file_stats", {}).items()
+            if f not in rewritten
+        }
+        fstats.update(new_ffs)
+        doc["file_stats"] = fstats
 
     def _read_dv(self, dv_map: dict[str, int]) -> DataFrame | None:
         """The doomed-row table for ``dv_map`` (fragment → dv holder
@@ -961,7 +1085,9 @@ class ManifestSnapshotTable:
         m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
         if not m:
             return None
-        return self._read_fragments(m, dv=self._dv_map(doc))
+        return self._align_schema(
+            self._read_fragments(m, dv=self._dv_map(doc)), doc
+        )
 
     def version_as_of(self, ts: float) -> int:
         """Resolve a wall-clock timestamp to the snapshot that was
@@ -1103,7 +1229,9 @@ class ManifestSnapshotTable:
         if frame is None:
             # everything pruned: an empty frame with the table schema
             return (
-                self._read_fragments(m).filter(F.lit(False)),
+                self._align_schema(self._read_fragments(m), doc).filter(
+                    F.lit(False)
+                ),
                 frags_kept,
                 len(m),
                 files_kept,
@@ -1162,7 +1290,7 @@ class ManifestSnapshotTable:
         if not entries:
             return None, len(keep), 0, files_total
         dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
-        out = self._scan_entries_dv(entries, dv)
+        out = self._align_schema(self._scan_entries_dv(entries, dv), doc)
         return out.filter(pred), len(keep), files_kept, files_total
 
     # Reserved key inside stats envelopes: exact per-file / per-fragment
@@ -1525,14 +1653,16 @@ class ManifestSnapshotTable:
                 )
         if not entries:
             return (
-                self._read_fragments(m).filter(F.lit(False)),
+                self._align_schema(self._read_fragments(m), doc).filter(
+                    F.lit(False)
+                ),
                 len(keep),
                 len(m),
                 0,
                 files_total,
             )
         dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
-        out = self._scan_entries_dv(entries, dv)
+        out = self._align_schema(self._scan_entries_dv(entries, dv), doc)
         return out.filter(pred), len(keep), len(m), files_kept, files_total
 
     # -- metadata-only aggregates -----------------------------------------
@@ -1609,9 +1739,12 @@ class ManifestSnapshotTable:
                 mx = hi
         if to_scan:
             r = (
-                self._read_fragments(
-                    to_scan,
-                    dv={f: v for f, v in dv.items() if f in to_scan},
+                self._align_schema(
+                    self._read_fragments(
+                        to_scan,
+                        dv={f: v for f, v in dv.items() if f in to_scan},
+                    ),
+                    doc,
                 )
                 .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
                 .first()
@@ -1816,8 +1949,11 @@ class ManifestSnapshotTable:
                 for k, v in prev_doc.get("partitions", {}).items()
             }
             if prev:
-                live = self._read_fragments(
-                    prev, dv=self._dv_map(prev_doc)
+                live = self._align_schema(
+                    self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc)
+                    ),
+                    prev_doc,
                 )
                 n_bad = live.filter(
                     ~F.coalesce(cond, F.lit(True))
@@ -1878,6 +2014,158 @@ class ManifestSnapshotTable:
         self._publish(vdir)
         return new_v
 
+    def add_column(self, name: str, ddl_type: str) -> int:
+        """``ALTER TABLE ADD COLUMN`` — a METADATA-ONLY commit (the
+        Delta/Iceberg shape: no data file is touched at any table
+        size): the declared schema gains ``(name, type)`` at the end,
+        every fragment is inherited by reference, and from this
+        snapshot on all read paths surface the column as a typed NULL
+        for rows whose files predate it, while the next write commit
+        that touches a partition materializes it physically.  Refuses
+        duplicate names and the reserved DV address columns; the type
+        is validated and canonicalized through Spark's DDL parser.
+        Requires a committed schema (the first write establishes it —
+        an empty table has nothing to evolve)."""
+        import json
+
+        if name in self._META_COLS:
+            raise ValueError(f"{name!r} is reserved for DV row addresses")
+        norm = self._normalize_type(ddl_type)
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            sch = prev_doc.get("schema")
+            if not sch:
+                raise ValueError(
+                    "table has no committed schema to evolve — the "
+                    "first write commit establishes it"
+                )
+            if name in {n for n, _t in sch}:
+                raise ValueError(f"column {name!r} already exists")
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["schema"] = [list(e) for e in sch] + [[name, norm]]
+            doc["commit"] = self._commit_info("add_column", set())
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def widen_column(self, name: str, ddl_type: str) -> int:
+        """``ALTER TABLE ALTER COLUMN TYPE`` restricted to the lossless
+        widenings `_widens` declares (int-chain, float→double, decimal
+        growth) — Delta's type-widening feature as a METADATA-ONLY
+        commit: files keep their narrower physical type and every read
+        casts up, so no data moves.  Partition columns are refused
+        (their values live in directory NAMES, not parquet — a type
+        change would re-render paths); key columns are fine (the merge
+        compares them post-alignment, and batch keys are conformed up
+        before the join)."""
+        import json
+
+        norm = self._normalize_type(ddl_type)
+        if name in self.partition_by:
+            raise ValueError(
+                f"cannot widen partition column {name!r}: partition "
+                "values are directory names, not parquet data"
+            )
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            sch = prev_doc.get("schema")
+            if not sch:
+                raise ValueError(
+                    "table has no committed schema to evolve — the "
+                    "first write commit establishes it"
+                )
+            cur = {n: t for n, t in sch}
+            if name not in cur:
+                raise ValueError(
+                    f"no column {name!r}; table columns: "
+                    f"{sorted(cur)}"
+                )
+            if not self._widens(cur[name], norm):
+                raise ValueError(
+                    f"{cur[name]} -> {norm} is not a lossless widening "
+                    f"for column {name!r} (allowed: tinyint<smallint<"
+                    "int<bigint, float<double, decimal growth that "
+                    "shrinks neither scale nor integer digits)"
+                )
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["schema"] = [
+                [n, norm if n == name else t] for n, t in sch
+            ]
+            doc["commit"] = self._commit_info("widen_column", set())
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def _conform_batch(
+        self, batch: DataFrame, prev_doc: dict, evolve: bool
+    ) -> DataFrame:
+        """Validate and align a write batch against the declared
+        schema.  A batch must carry EVERY declared column — an upsert
+        cannot partially specify a row (NULL-filling here would clobber
+        matched rows' values; only reads of pre-evolution FILES fill
+        NULL).  Extra columns require ``schema_evolution=True`` and
+        extend the schema additively; a batch column WIDER than the
+        declared type requires the flag too and widens the declaration
+        (the merge union coerces the carried rows up); a NARROWER batch
+        column is always cast up losslessly; anything else is
+        incompatible and refused."""
+        sch = prev_doc.get("schema")
+        if not sch:
+            return batch
+        declared = {n: t for n, t in sch}
+        have = dict(batch.dtypes)
+        missing = sorted(set(declared) - set(have))
+        if missing:
+            raise ValueError(
+                f"write batch lacks table columns {missing} — a batch "
+                "must carry every declared column (reads NULL-fill "
+                "only for files that predate an add_column)"
+            )
+        extra = [c for c in batch.columns if c not in declared]
+        if extra and not evolve:
+            raise ValueError(
+                f"write batch adds columns {extra} not in the table "
+                "schema; pass schema_evolution=True to extend it "
+                "additively"
+            )
+        cols: list[Column] = []
+        for n, t in sch:
+            bt = have[n]
+            if bt == t:
+                cols.append(F.col(n))
+            elif self._widens(bt, t):
+                cols.append(F.col(n).cast(t).alias(n))
+            elif self._widens(t, bt):
+                if not evolve:
+                    raise ValueError(
+                        f"batch column {n!r} is {bt}, wider than the "
+                        f"declared {t}; pass schema_evolution=True to "
+                        "widen the table type"
+                    )
+                cols.append(F.col(n))
+            else:
+                raise ValueError(
+                    f"batch column {n!r} type {bt} is incompatible "
+                    f"with the declared {t} (no lossless widening "
+                    "either way)"
+                )
+        cols += [F.col(c) for c in extra]
+        return batch.select(*cols)
+
     def _publish(self, vdir: str) -> None:
         """Publish a fully-written version: commit marker LAST (a crash
         before this leaves the dir invisible to ``versions()`` — readers
@@ -1893,10 +2181,19 @@ class ManifestSnapshotTable:
             self.vacuum()
 
     # -- write ----------------------------------------------------------
-    def upsert(self, batch: DataFrame) -> int:
+    def upsert(
+        self, batch: DataFrame, schema_evolution: bool = False
+    ) -> int:
         """Pruned MERGE commit: read ONLY the batch's partitions from
         their current holders, merge, write those partitions under the
-        new version, inherit everything else via the manifest."""
+        new version, inherit everything else via the manifest.
+
+        ``schema_evolution``: with the declared schema in force a batch
+        must carry exactly the declared columns (`_conform_batch`);
+        passing True lets a batch ADD columns (appended to the
+        declaration; pre-evolution files read NULL there) or carry a
+        losslessly WIDER type (the declaration widens) — Delta's
+        ``mergeSchema`` write option, as an explicit opt-in."""
         import json
         import shutil
 
@@ -1923,11 +2220,17 @@ class ManifestSnapshotTable:
                 k: int(v)
                 for k, v in prev_doc.get("partitions", {}).items()
             }
+            batch = self._conform_batch(batch, prev_doc, schema_evolution)
             # old holders of the touched partitions only, read LIVE
-            # (deletion vectors applied — the rewrite materializes them)
-            target = self._read_fragments(
-                {frag: prev[frag] for frag in frags & set(prev)},
-                dv=self._dv_map(prev_doc),
+            # (deletion vectors applied — the rewrite materializes
+            # them) and aligned to the declared schema, so the rewrite
+            # also materializes any pending column add/widening
+            target = self._align_schema(
+                self._read_fragments(
+                    {frag: prev[frag] for frag in frags & set(prev)},
+                    dv=self._dv_map(prev_doc),
+                ),
+                prev_doc,
             )
             merged = merge_by_key(
                 target, batch, self.keys,
@@ -1957,26 +2260,11 @@ class ManifestSnapshotTable:
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("upsert", frags)
             self._carry_meta(doc, prev_doc)
+            # the declared schema is what this commit actually wrote
+            # (== carried unless the batch evolved it)
+            doc["schema"] = self._frame_schema(merged)
             self._carry_dv(doc, prev_doc, frags)
-            if self.stats_cols:
-                # zone maps: fresh envelopes for rewritten fragments,
-                # untouched fragments inherit their envelope by reference
-                # — the same commit discipline as the data files
-                new_fs, new_ffs = self._compute_stats_both(new_v)
-                stats = {
-                    frag: s
-                    for frag, s in prev_doc.get("stats", {}).items()
-                    if frag not in frags
-                }
-                stats.update(new_fs)
-                doc["stats"] = stats
-                fstats = {
-                    frag: s
-                    for frag, s in prev_doc.get("file_stats", {}).items()
-                    if frag not in frags
-                }
-                fstats.update(new_ffs)
-                doc["file_stats"] = fstats
+            self._inherit_stats(doc, prev_doc, frags, new_v)
             self._write_blooms(new_v, vdir)
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
@@ -2056,7 +2344,12 @@ class ManifestSnapshotTable:
                     ]
                 )
                 located = (
-                    self._read_fragments(prev, dv=self._dv_map(prev_doc))
+                    self._align_schema(
+                        self._read_fragments(
+                            prev, dv=self._dv_map(prev_doc)
+                        ),
+                        prev_doc,
+                    )
                     .alias("t")
                     .crossJoin(F.broadcast(null_s.alias("s")))
                     .filter(hit)
@@ -2071,9 +2364,12 @@ class ManifestSnapshotTable:
                 self._abandon_claim(vdir)
                 vs = self.versions()
                 return vs[-1] if vs else 0
-            target = self._read_fragments(
-                {frag: prev[frag] for frag in frags & set(prev)},
-                dv=self._dv_map(prev_doc),
+            target = self._align_schema(
+                self._read_fragments(
+                    {frag: prev[frag] for frag in frags & set(prev)},
+                    dv=self._dv_map(prev_doc),
+                ),
+                prev_doc,
             )
             merged = merge_clauses(
                 target,
@@ -2109,23 +2405,9 @@ class ManifestSnapshotTable:
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("merge", frags)
             self._carry_meta(doc, prev_doc)
+            doc["schema"] = self._frame_schema(merged)
             self._carry_dv(doc, prev_doc, frags)
-            if self.stats_cols:
-                new_fs, new_ffs = self._compute_stats_both(new_v)
-                stats = {
-                    frag: s
-                    for frag, s in prev_doc.get("stats", {}).items()
-                    if frag not in frags
-                }
-                stats.update(new_fs)
-                doc["stats"] = stats
-                fstats = {
-                    frag: s
-                    for frag, s in prev_doc.get("file_stats", {}).items()
-                    if frag not in frags
-                }
-                fstats.update(new_ffs)
-                doc["file_stats"] = fstats
+            self._inherit_stats(doc, prev_doc, frags, new_v)
             self._write_blooms(new_v, vdir)
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
@@ -2230,8 +2512,11 @@ class ManifestSnapshotTable:
             hit = F.coalesce(condition, F.lit(False))
             touched = [
                 tuple(r)
-                for r in self._read_fragments(
-                    prev, dv=self._dv_map(prev_doc)
+                for r in self._align_schema(
+                    self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc)
+                    ),
+                    prev_doc,
                 )
                 .filter(hit)
                 .select(*self.partition_by)
@@ -2278,11 +2563,16 @@ class ManifestSnapshotTable:
         prev = {
             k: int(v) for k, v in prev_doc.get("partitions", {}).items()
         }
-        # read the doomed fragments LIVE: a row already dv-deleted must
-        # not be resurrected by the rewrite
+        # read the doomed fragments LIVE (a row already dv-deleted must
+        # not be resurrected by the rewrite), aligned to the declared
+        # schema so the rewrite materializes pending column evolution
         kept = keep_fn(
-            self._read_fragments(
-                {f: prev[f] for f in frags}, dv=self._dv_map(prev_doc)
+            self._align_schema(
+                self._read_fragments(
+                    {f: prev[f] for f in frags},
+                    dv=self._dv_map(prev_doc),
+                ),
+                prev_doc,
             )
         )
         kept.write.partitionBy(*self.partition_by).parquet(
@@ -2299,27 +2589,159 @@ class ManifestSnapshotTable:
         doc = {"partition_by": self.partition_by, "partitions": manifest}
         doc["commit"] = self._commit_info(op, frags)
         self._carry_meta(doc, prev_doc)
+        doc["schema"] = self._frame_schema(kept)
         self._carry_dv(doc, prev_doc, frags)
-        if self.stats_cols:
-            new_fs, new_ffs = self._compute_stats_both(new_v)
-            stats = {
-                f: s
-                for f, s in prev_doc.get("stats", {}).items()
-                if f not in frags
-            }
-            stats.update(new_fs)
-            doc["stats"] = stats
-            fstats = {
-                f: s
-                for f, s in prev_doc.get("file_stats", {}).items()
-                if f not in frags
-            }
-            fstats.update(new_ffs)
-            doc["file_stats"] = fstats
+        self._inherit_stats(doc, prev_doc, frags, new_v)
         self._write_blooms(new_v, vdir)
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
         return new_v, True
+
+    # -- update -----------------------------------------------------------
+    def update_where(
+        self,
+        condition: Column,
+        assignments: dict[str, Column | str],
+    ) -> int:
+        """Predicate UPDATE commit (SQL ``UPDATE t SET ... WHERE ...``)
+        — the remaining DML verb beside `upsert`/`merge_into`/`delete*`:
+        rows where ``condition`` is TRUE (NULL leaves the row unchanged,
+        SQL UPDATE semantics) get each assignment expression evaluated
+        against them, under the same partition-pruned copy-on-write
+        discipline as `delete_where` — one column-pruned locate scan
+        finds the partitions holding a matching row, only those are
+        rewritten, everything else is inherited by reference, so commit
+        cost tracks the updated data, not the table.
+
+        ``assignments`` maps column name → Column (or SQL expression
+        string), evaluated against the pre-update row — so a swap like
+        ``{"a": F.col("b"), "b": F.col("a")}`` behaves as in SQL.
+        Assignments may not touch KEY columns (rewriting identity is an
+        erase+insert — `delete` + `upsert` keeps that explicit) or
+        PARTITION columns (a moved row would leave its partition — the
+        same invariant the constructor demands of keys).  Each updated
+        column is cast back to its pre-update type, so an UPDATE can
+        never drift the table schema (type changes are `widen_column`'s
+        job).  CHECK constraints are enforced on every row of the
+        rewritten partitions — an UPDATE, unlike a DELETE, can
+        introduce a violation, and one abandons the whole commit.
+
+        Returns the committed version — current version unchanged when
+        no live row matches.  Updating through deletion vectors stays
+        copy-on-write by design: a fragment's files are mapped to ONE
+        holder version, so a merge-on-read update (DV + appended
+        post-image files) has no representable layout here; the rewrite
+        also materializes any live vectors on the touched partitions,
+        shrinking the table's read tax as a side effect.
+        """
+        import json
+
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        frozen = sorted(
+            c for c in exprs if c in self.keys or c in self.partition_by
+        )
+        if frozen:
+            raise ValueError(
+                f"update_where may not assign key/partition columns "
+                f"{frozen}: a key rewrite is an erase+insert (use "
+                "delete + upsert) and a partition move would leave the "
+                "row's fragment"
+            )
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            hit = F.coalesce(condition, F.lit(False))
+            located = (
+                self._align_schema(
+                    self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc)
+                    ),
+                    prev_doc,
+                )
+                .filter(hit)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            )
+            frags = {
+                self._part_key(tuple(r)) for r in located
+            } & set(prev)
+            if not frags:
+                self._abandon_claim(vdir)
+                return self.versions()[-1]
+            basis = self._align_schema(
+                self._read_fragments(
+                    {f: prev[f] for f in frags},
+                    dv=self._dv_map(prev_doc),
+                ),
+                prev_doc,
+            )
+            unknown = sorted(c for c in exprs if c not in basis.columns)
+            if unknown:
+                raise ValueError(
+                    f"update_where assigns unknown columns {unknown}; "
+                    f"table columns: {sorted(basis.columns)}"
+                )
+            types = {f.name: f.dataType for f in basis.schema.fields}
+            updated = basis.select(
+                *[
+                    (
+                        F.when(hit, exprs[c].cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in exprs
+                        else F.col(c)
+                    )
+                    for c in basis.columns
+                ]
+            )
+            updated, checks = self._observe_constraints(updated, prev_doc)
+            updated.write.partitionBy(*self.partition_by).parquet(
+                self._data_dir(new_v)
+            )
+            self._raise_constraint_violations(checks)
+            # an update never adds or empties a partition, so the
+            # soundness gate is exact equality, like upsert()
+            written = self._written_fragments(new_v)
+            if written != frags:
+                raise ValueError(
+                    "update rewrote fragments outside its locate set — "
+                    f"written {sorted(written)} vs located {sorted(frags)}"
+                )
+            manifest = {
+                f: v for f, v in prev.items() if f not in frags
+            }
+            manifest.update({f: new_v for f in written})
+            doc = {"partition_by": self.partition_by, "partitions": manifest}
+            doc["commit"] = self._commit_info("update_where", frags)
+            self._carry_meta(doc, prev_doc)
+            # an update never changes the schema (assignments cast
+            # back), but it does materialize pending evolution on the
+            # rewritten partitions
+            doc["schema"] = self._frame_schema(basis)
+            self._carry_dv(doc, prev_doc, frags)
+            self._inherit_stats(doc, prev_doc, frags, new_v)
+            self._write_blooms(new_v, vdir)
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
 
     # -- merge-on-read delete (deletion vectors) --------------------------
     def delete_dv(self, keys: DataFrame) -> int:
@@ -2405,8 +2827,11 @@ class ManifestSnapshotTable:
             hit = F.coalesce(condition, F.lit(False))
             touched = [
                 tuple(r)
-                for r in self._read_fragments(
-                    prev, dv=self._dv_map(prev_doc)
+                for r in self._align_schema(
+                    self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc)
+                    ),
+                    prev_doc,
                 )
                 .filter(hit)
                 .select(*self.partition_by)
@@ -2456,10 +2881,13 @@ class ManifestSnapshotTable:
         dvr_prev = {
             k: int(v) for k, v in (prev_doc.get("dv_rows") or {}).items()
         }
-        live = self._read_fragments(
-            {f: prev[f] for f in frags},
-            dv={f: v for f, v in dv_prev.items() if f in frags},
-            keep_pos=True,
+        live = self._align_schema(
+            self._read_fragments(
+                {f: prev[f] for f in frags},
+                dv={f: v for f, v in dv_prev.items() if f in frags},
+                keep_pos=True,
+            ),
+            prev_doc,
         )
         doomed = doom_fn(live).select(
             F.regexp_extract(F.col("__rel"), r"^(.*)/[^/]+$", 1).alias(
@@ -2613,11 +3041,17 @@ class ManifestSnapshotTable:
                 doc1, {f: m1[f] for f in frags & set(m1)}, where,
             )
         else:
-            old = self._read_fragments(
-                {f: m0[f] for f in frags & set(m0)}, dv=dv0
+            old = self._align_schema(
+                self._read_fragments(
+                    {f: m0[f] for f in frags & set(m0)}, dv=dv0
+                ),
+                doc0,
             )
-            new = self._read_fragments(
-                {f: m1[f] for f in frags & set(m1)}, dv=dv1
+            new = self._align_schema(
+                self._read_fragments(
+                    {f: m1[f] for f in frags & set(m1)}, dv=dv1
+                ),
+                doc1,
             )
         if old is None and new is None:
             # no fragment moved: an empty feed with the to-schema
@@ -2924,7 +3358,9 @@ class ManifestSnapshotTable:
                 # explicit materialize-everything path)
                 self._abandon_claim(vdir)
                 return cur
-            src = self._read_fragments(prev, dv=dv)
+            src = self._align_schema(
+                self._read_fragments(prev, dv=dv), prev_doc
+            )
             if cluster_by and cluster_method == "zorder":
                 if "__zkey" in src.columns:
                     raise ValueError(
@@ -2976,6 +3412,7 @@ class ManifestSnapshotTable:
             }
             doc["commit"] = self._commit_info("compact", set(prev))
             self._carry_meta(doc, prev_doc)
+            doc["schema"] = self._frame_schema(out)
             if self.stats_cols:
                 # full rewrite: recompute every envelope, which also
                 # backfills fragments committed before stats_cols was set

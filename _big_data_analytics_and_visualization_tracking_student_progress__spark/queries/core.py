@@ -5394,3 +5394,218 @@ def q_matview_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # one row per event type — bounded
         return materialize_bounded(spark, out)
+
+
+# ---------------------------------------------------------------------------
+# Predicate UPDATE (ManifestSnapshotTable.update_where — SQL
+# ``UPDATE t SET ... WHERE ...``): the remaining DML verb beside
+# upsert/merge/delete, under the same partition-pruned copy-on-write
+# commit discipline — assignments evaluate against the PRE-update row,
+# NULL-condition rows stay, updated columns keep their type, and only
+# partitions holding a matching row are rewritten (proved in-plan: the
+# first update's locate must move ONLY event_type=click).  The oracle
+# recomputes both updates declaratively as nested CASE stages.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_update_where",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    ), upd1 AS (
+        SELECT user_id, event_type,
+               CASE WHEN event_type = 'click' AND user_id % 4 = 0
+                    THEN event_id + 1000000 ELSE event_id END AS event_id
+        FROM latest
+    ), upd2 AS (
+        SELECT user_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN event_id * 2
+                    ELSE event_id END AS event_id
+        FROM upd1
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM upd2 GROUP BY event_type
+    """,
+    doc="predicate UPDATE commits (ManifestSnapshotTable.update_where): "
+    "SQL UPDATE ... SET ... WHERE under partition-pruned copy-on-write — "
+    "assignments see the pre-update row, only matching partitions are "
+    "rewritten (asserted in-plan), stacked updates compose; oracle "
+    "recomputes both updates as nested CASE stages",
+)
+def q_manifest_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "updw",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+        stats_cols=["event_id"],
+    ) as table:
+        v1 = table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        # partition-targeted update: the locate scan must rewrite ONLY
+        # the click fragment, everything else inherited by reference
+        v2 = table.update_where(
+            (F.col("event_type") == "click") & (F.col("user_id") % 4 == 0),
+            {"event_id": "event_id + 1000000"},
+        )
+        m2 = table.manifest()
+        moved = sorted(k for k, v in m2.items() if v == v2)
+        if moved != ["event_type=click"]:
+            raise RuntimeError(
+                f"update_where rewrote unexpected partitions: {m2}"
+            )
+        # cross-partition update stacked on the first one's result —
+        # assignments must see the POST-v2 rows (commit composition)
+        table.update_where(
+            F.col("event_id") % 7 == 0, {"event_id": "event_id * 2"}
+        )
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+        )
+        return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (ManifestSnapshotTable.add_column / widen_column /
+# upsert(schema_evolution=True) — Delta/Iceberg metadata-only DDL): the
+# declared schema rides the manifest; ADD COLUMN and type WIDENING are
+# metadata-only commits (proved in-plan: no data dir, holders
+# unchanged), old files read typed NULLs / cast up on alignment, and
+# rewriting commits materialize the evolution on the partitions they
+# touch.  The oracle models the three batches declaratively: a global
+# last-write-wins window with a batch-index tiebreak replicates the
+# sequential merges, pre-evolution rows carrying NULL for the late
+# columns.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_schema_evolution",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), b1 AS (
+        SELECT user_id, event_type, event_id, tsn,
+               CAST(NULL AS BIGINT) AS mark,
+               CAST(NULL AS VARCHAR) AS tag, 1 AS b
+        FROM src WHERE event_id % 3 = 0
+    ), b2 AS (
+        SELECT user_id, event_type, event_id, tsn,
+               CAST(user_id % 10 AS BIGINT) AS mark,
+               CAST(user_id % 3 AS VARCHAR) AS tag, 2 AS b
+        FROM src WHERE event_id % 5 = 0
+    ), b3 AS (
+        SELECT user_id, event_type, event_id, tsn,
+               CAST(user_id % 7 AS BIGINT) AS mark,
+               CAST(user_id % 2 AS VARCHAR) AS tag, 3 AS b
+        FROM src WHERE event_id % 7 = 0
+    ), unioned AS (
+        SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        UNION ALL SELECT * FROM b3
+    ), latest AS (
+        SELECT user_id, event_type, event_id, mark, tag FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                ORDER BY tsn DESC, event_id DESC, b DESC) AS rn
+            FROM unioned) WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(mark) AS BIGINT) AS n_marked,
+           CAST(COUNT(tag) AS BIGINT) AS n_tagged,
+           CAST(SUM(COALESCE(mark, -1)) AS BIGINT) AS sum_mark,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM latest GROUP BY event_type
+    """,
+    doc="metadata-only schema evolution (add_column, evolving upsert "
+    "with a second new column, widen_column int->bigint, narrow-batch "
+    "cast-up): DDL commits create no data dir and move no holder "
+    "(asserted in-plan); pre-evolution rows read typed NULLs; the "
+    "oracle replays the batches with a last-write-wins window",
+)
+def q_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "sevo",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    ) as table:
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        # ALTER TABLE ADD COLUMN: metadata-only — no data dir, no
+        # holder moves (asserted), old rows read typed NULL
+        holders = table.manifest()
+        v_add = table.add_column("mark", "int")
+        if _os.path.exists(table._data_dir(v_add)):
+            raise RuntimeError("add_column wrote data files")
+        if table.manifest() != holders:
+            raise RuntimeError("add_column moved data holders")
+        # evolving upsert: carries the declared column AND a second
+        # new one (tag) — refused without the flag, additive with it
+        b2 = e.filter(F.col("event_id") % 5 == 0).withColumns(
+            {
+                "mark": (F.col("user_id") % 10).cast("int"),
+                "tag": (F.col("user_id") % 3).cast("string"),
+            }
+        )
+        table.upsert(b2, schema_evolution=True)
+        if [c for c, _t in table.table_schema()][-2:] != ["mark", "tag"]:
+            raise RuntimeError(
+                f"unexpected evolved schema: {table.table_schema()}"
+            )
+        # type widening: metadata-only, reads cast up
+        v_w = table.widen_column("mark", "bigint")
+        if _os.path.exists(table._data_dir(v_w)):
+            raise RuntimeError("widen_column wrote data files")
+        # a batch still carrying the narrow int is cast up silently
+        b3 = e.filter(F.col("event_id") % 7 == 0).withColumns(
+            {
+                "mark": (F.col("user_id") % 7).cast("int"),
+                "tag": (F.col("user_id") % 2).cast("string"),
+            }
+        )
+        table.upsert(b3)
+        if dict(table.read().dtypes)["mark"] != "bigint":
+            raise RuntimeError("widened column did not read as bigint")
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.count("mark").alias("n_marked"),
+                F.count("tag").alias("n_tagged"),
+                F.sum(F.coalesce(F.col("mark"), F.lit(-1)))
+                .cast("bigint")
+                .alias("sum_mark"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+        )
+        return materialize_bounded(spark, agg)

@@ -1,0 +1,282 @@
+"""Schema evolution on `ManifestSnapshotTable` — metadata-only DDL
+(the Delta/Iceberg shape: no data file is rewritten at any table size).
+
+Pinned semantics: the manifest carries the DECLARED schema ([name,
+type] in order), established by the first write commit and carried by
+every later one; `add_column` / `widen_column` are metadata-only
+commits; every read path aligns physical scans — typed NULL for
+columns a file predates, a lossless cast for widened ones, declared
+order; an evolving upsert (schema_evolution=True) may add columns or
+widen types, and is refused without the flag; batches missing declared
+columns are always refused (NULL-filling would clobber matched rows);
+old snapshots keep their own schema (time travel is schema-accurate);
+rewriting commits (upsert/delete/update/compact) MATERIALIZE pending
+evolution on the partitions they touch; widening is whitelisted
+(int-chain, float->double, decimal growth) and anything else refused."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+    ManifestSnapshotTable,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="sev_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk(spark, root, **kw):
+    base = dict(
+        keys=["day", "k"], order_cols=["seq"], partition_by=["day"],
+    )
+    base.update(kw)
+    return ManifestSnapshotTable(spark, os.path.join(root, "t"), **base)
+
+
+def _seed(spark, t):
+    return t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1.0, 1), (0, 2, 2.0, 1), (1, 3, 3.0, 1)],
+            "day int, k int, v double, seq int",
+        )
+    )
+
+
+def test_first_write_establishes_schema(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    assert t.table_schema() == [
+        ("day", "int"), ("k", "int"), ("v", "double"), ("seq", "int"),
+    ]
+
+
+def test_add_column_is_metadata_only_and_reads_null(spark, root):
+    t = _mk(spark, root)
+    v1 = _seed(spark, t)
+    v2 = t.add_column("tag", "string")
+    # metadata-only: no data dir, every fragment still held by v1
+    assert not os.path.exists(t._data_dir(v2))
+    assert set(t.manifest().values()) == {v1}
+    df = t.read()
+    assert df.columns == ["day", "k", "v", "seq", "tag"]
+    assert {r.tag for r in df.collect()} == {None}
+    # time travel: the old snapshot keeps its own schema
+    assert t.read(version=v1).columns == ["day", "k", "v", "seq"]
+    h = {r.version: r.op for r in t.history().collect()}
+    assert h[v2] == "add_column"
+
+
+def test_add_column_validations(spark, root):
+    t = _mk(spark, root)
+    with pytest.raises(ValueError, match="no committed schema"):
+        t.add_column("x", "int")
+    _seed(spark, t)
+    vs = t.versions()
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("v", "int")
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_column("__rel", "string")
+    with pytest.raises(Exception):
+        t.add_column("x", "not_a_type")
+    assert t.versions() == vs  # every refusal abandoned its claim
+
+
+def test_evolving_upsert_adds_and_backfills_on_touch(spark, root):
+    t = _mk(spark, root)
+    v1 = _seed(spark, t)
+    batch = spark.createDataFrame(
+        [(0, 1, 9.0, 2, "hot")],
+        "day int, k int, v double, seq int, tag string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        t.upsert(batch)
+    v2 = t.upsert(batch, schema_evolution=True)
+    assert t.table_schema()[-1] == ("tag", "string")
+    got = sorted((r.day, r.k, r.v, r.tag) for r in t.read().collect())
+    # day=0 rewritten (tag materialized, carried row NULL); day=1
+    # inherited by reference and NULL-filled on read
+    assert got == [(0, 1, 9.0, "hot"), (0, 2, 2.0, None), (1, 3, 3.0, None)]
+    assert t.manifest() == {"day=0": v2, "day=1": v1}
+
+
+def test_batch_missing_declared_column_refused(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        t.upsert(
+            spark.createDataFrame([(0, 1, 5)], "day int, k int, seq int")
+        )
+
+
+def test_widen_column_and_narrow_batches_cast_up(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    t.add_column("n", "int")
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1.0, 2, 7)], "day int, k int, v double, seq int, n int"
+        )
+    )
+    # a WIDER batch (bigint vs declared int) is refused without the
+    # flag — and an INCOMPATIBLE one (double vs int) always
+    with pytest.raises(ValueError, match="wider than the declared"):
+        t.upsert(
+            spark.createDataFrame(
+                [(1, 3, 3.5, 3, 8)],
+                "day int, k int, v double, seq int, n bigint",
+            )
+        )
+    with pytest.raises(ValueError, match="incompatible"):
+        t.upsert(
+            spark.createDataFrame(
+                [(1, 3, 3.5, 3, 1.5)],
+                "day int, k int, v double, seq int, n double",
+            )
+        )
+    t.widen_column("n", "bigint")
+    assert dict(t.read().dtypes)["n"] == "bigint"
+    # a batch still carrying the NARROW type is cast up silently
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 3, 3.5, 2, 8)], "day int, k int, v double, seq int, n int"
+        )
+    )
+    assert dict(t.read().dtypes)["n"] == "bigint"
+    got = {(r.day, r.k): r.n for r in t.read().collect()}
+    assert got[(0, 1)] == 7 and got[(1, 3)] == 8
+
+
+def test_widen_whitelist(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        t.widen_column("v", "float")  # narrowing
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        t.widen_column("k", "string")  # reinterpretation
+    with pytest.raises(ValueError, match="partition column"):
+        t.widen_column("day", "bigint")
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column("nope", "bigint")
+    # decimal growth: scale and integer digits may only grow
+    W = ManifestSnapshotTable._widens
+    assert W("decimal(10,2)", "decimal(20,2)")
+    assert W("decimal(10,2)", "decimal(22,4)")
+    assert not W("decimal(10,2)", "decimal(10,4)")  # int digits shrink
+    assert not W("decimal(10,2)", "decimal(9,2)")
+    assert W("tinyint", "bigint") and not W("bigint", "int")
+    assert W("float", "double") and not W("double", "float")
+    assert not W("int", "int")
+
+
+def test_delete_and_update_materialize_pending_evolution(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    t.add_column("tag", "string")
+    # predicate delete on the evolved table: condition may reference
+    # the new column (NULL -> kept), rewrite materializes it
+    t.delete_where((F.col("tag") == "x") | (F.col("k") == 2))
+    got = sorted((r.day, r.k, r.tag) for r in t.read().collect())
+    assert got == [(0, 1, None), (1, 3, None)]
+    # update assigning the evolved column
+    t.update_where(F.col("day") == 1, {"tag": F.lit("seen")})
+    got = sorted((r.day, r.k, r.tag) for r in t.read().collect())
+    assert got == [(0, 1, None), (1, 3, "seen")]
+    # physical check: the rewritten day=1 fragment now CONTAINS tag
+    m = t.manifest()
+    raw = spark.read.parquet(
+        os.path.join(t._data_dir(m["day=1"]), "day=1")
+    )
+    assert "tag" in raw.columns
+
+
+def test_compact_materializes_everywhere(spark, root):
+    t = _mk(spark, root, stats_cols=["v"])
+    _seed(spark, t)
+    t.add_column("score", "bigint")
+    v = t.compact()
+    for frag, hv in t.manifest().items():
+        assert hv == v
+        raw = spark.read.parquet(
+            os.path.join(t._data_dir(hv), frag)
+        )
+        assert dict(raw.dtypes)["score"] == "bigint"
+    # post-compact reads need no alignment projection; schema intact
+    assert t.table_schema()[-1] == ("score", "bigint")
+
+
+def test_changes_across_schema_evolution(spark, root):
+    t = _mk(spark, root)
+    v1 = _seed(spark, t)
+    t.add_column("tag", "string")
+    v3 = t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1.0, 2, "hot")],
+            "day int, k int, v double, seq int, tag string",
+        )
+    )
+    feed = t.changes(v1, v3)
+    rows = sorted(
+        (r._change_type, r.day, r.k, r.tag) for r in feed.collect()
+    )
+    # only the rewritten fragment enters the diff; the changed row
+    # carries the evolved column
+    assert rows == [("update_postimage", 0, 1, "hot")]
+
+
+def test_constraint_on_evolved_column(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    t.add_column("score", "int")
+    # existing rows read NULL there -> CHECK passes (SQL semantics)
+    t.add_constraint("score_pos", "score >= 0")
+    with pytest.raises(Exception, match="score_pos"):
+        t.upsert(
+            spark.createDataFrame(
+                [(0, 9, 1.0, 3, -5)],
+                "day int, k int, v double, seq int, score int",
+            )
+        )
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 9, 1.0, 3, 5)],
+            "day int, k int, v double, seq int, score int",
+        )
+    )
+    assert {r.score for r in t.read().collect()} == {None, 5}
+
+
+def test_dv_delete_after_add_column(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    t.add_column("tag", "string")
+    # predicate DV delete whose condition touches the evolved column
+    t.delete_where_dv(F.col("tag").isNull() & (F.col("k") == 2))
+    got = sorted((r.day, r.k) for r in t.read().collect())
+    assert got == [(0, 1), (1, 3)]
+
+
+def test_metadata_min_max_on_evolved_column(spark, root):
+    t = _mk(spark, root, stats_cols=["v"])
+    _seed(spark, t)
+    t.add_column("score", "int")
+    # no envelope recorded for score anywhere -> full scan, exact NULLs
+    mn, mx, meta, scanned = t.metadata_min_max("score")
+    assert (mn, mx) == (None, None) and scanned == 2
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1.0, 2, 42)],
+            "day int, k int, v double, seq int, score int",
+        )
+    )
+    mn, mx, *_ = t.metadata_min_max("score")
+    assert (mn, mx) == (42, 42)
