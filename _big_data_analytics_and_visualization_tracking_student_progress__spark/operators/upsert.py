@@ -570,13 +570,45 @@ class ManifestSnapshotTable:
         # claim (same-host claims are judged by liveness of the
         # recorded pid, not age) — see `_claim_is_stale`.
         self.claim_ttl_seconds = claim_ttl_seconds
+        # Shallow-clone base map (version → origin table root), loaded
+        # lazily from any committed manifest — see `_base_map`.
+        self._base_cache: dict[int, str] | None = None
 
     # -- layout helpers -------------------------------------------------
     def _vdir(self, v: int) -> str:
         return os.path.join(self.path, f"v={v:05d}")
 
+    def _base_map(self) -> dict[int, str]:
+        """version → ORIGIN table root for versions this table
+        references but does not own (`clone_to` shallow clones); {}
+        for ordinary tables.  Static for a given table path — only
+        clone creation writes it, every later commit carries it
+        verbatim, and no new version number can re-enter it (the
+        clone's local sequence starts above every mapped version) —
+        so it is loaded once per handle, from any committed
+        manifest."""
+        if self._base_cache is None:
+            vs = self.versions()
+            if not vs:
+                return {}
+            doc = self._manifest_doc(vs[-1])
+            self._base_cache = {
+                int(k): v for k, v in (doc.get("base") or {}).items()
+            }
+        return self._base_cache
+
+    def _vdir_of(self, v: int) -> str:
+        """Version dir with shallow-clone resolution: a version in the
+        base map lives under its origin table's root, everything else
+        is local.  Claim/write paths keep using the local `_vdir` —
+        a new commit can never collide with an external version
+        number because clone creation seeds the local sequence above
+        them all."""
+        base = self._base_map().get(v)
+        return os.path.join(base, f"v={v:05d}") if base else self._vdir(v)
+
     def _data_dir(self, v: int) -> str:
-        return os.path.join(self._vdir(v), "data")
+        return os.path.join(self._vdir_of(v), "data")
 
     # Hive's escapePathName character set (FileUtils.charToEscape):
     # control chars plus the dir-syntax/glob/uri-special set.  Manifest
@@ -768,25 +800,50 @@ class ManifestSnapshotTable:
     _DV_REL = r"/v=\d{5}/data/(.*)$"
 
     def _dv_dir(self, v: int) -> str:
-        return os.path.join(self._vdir(v), "dv")
+        return os.path.join(self._vdir_of(v), "dv")
 
     def _dv_map(self, doc: dict) -> dict[str, int]:
         return {k: int(v) for k, v in (doc.get("dv") or {}).items()}
 
-    def _carry_meta(self, doc: dict, prev_doc: dict) -> None:
+    def _carry_meta(
+        self, doc: dict, prev_doc: dict, rewritten: set[str] | None = None
+    ) -> None:
         """Inherit version-independent table metadata (persisted CHECK
-        constraints + the declared logical schema) into a new commit's
-        manifest — every commit path calls this, so declared contracts
-        survive any rewrite.  Writing paths overwrite the carried
-        schema afterwards with the schema of the frame they actually
-        wrote (which equals the carried one unless the commit evolved
-        it)."""
+        constraints + the declared logical schema + initial defaults +
+        the shallow-clone base map) into a new commit's manifest —
+        every commit path calls this, so declared contracts survive
+        any rewrite.  Writing paths overwrite the carried schema
+        afterwards with the schema of the frame they actually wrote
+        (which equals the carried one unless the commit evolved it).
+
+        ``rewritten``: the fragments this commit rewrote — base-map
+        entries are pruned to versions the NEW manifest can still
+        reference (its partition holders plus the deletion vectors
+        that survive the rewrite), so a clone that has rewritten every
+        borrowed fragment (e.g. via ``compact``) sheds its last source
+        reference and stops depending on the source's retention."""
         cons = prev_doc.get("constraints")
         if cons:
             doc["constraints"] = dict(cons)
         sch = prev_doc.get("schema")
         if sch:
             doc["schema"] = [list(e) for e in sch]
+        dfl = prev_doc.get("defaults")
+        if dfl:
+            doc["defaults"] = dict(dfl)
+        base = prev_doc.get("base")
+        if base:
+            rw = rewritten or set()
+            keep = {
+                int(h) for h in doc.get("partitions", {}).values()
+            } | {
+                v
+                for f, v in self._dv_map(prev_doc).items()
+                if f not in rw
+            }
+            kept = {k: v for k, v in base.items() if int(k) in keep}
+            if kept:
+                doc["base"] = kept
 
     # -- logical schema (schema evolution) --------------------------------
     # The manifest's `schema` entry is the table's DECLARED column list
@@ -854,7 +911,8 @@ class ManifestSnapshotTable:
         self, df: DataFrame | None, doc: dict | None
     ) -> DataFrame | None:
         """Align a physical scan to the manifest's declared schema:
-        columns a file predates read as typed NULLs, columns committed
+        columns a file predates read as typed NULLs (or the column's
+        declared INITIAL DEFAULT, Iceberg-style), columns committed
         narrower than a later widening are cast up, and column order
         follows the declaration.  A no-op (the same frame, no extra
         Project) when the physical schema already matches, so
@@ -868,10 +926,12 @@ class ManifestSnapshotTable:
             have[n] == t for n, t in sch
         ):
             return df
+        defaults = (doc or {}).get("defaults") or {}
         cols: list[Column] = []
         for n, t in sch:
             if n not in have:
-                cols.append(F.lit(None).cast(t).alias(n))
+                fill = defaults.get(n)
+                cols.append(F.lit(fill).cast(t).alias(n))
             elif have[n] == t:
                 cols.append(F.col(n))
             else:
@@ -968,12 +1028,18 @@ class ManifestSnapshotTable:
         self,
         entries: list[tuple[str, int, str]],
         dv: dict[str, int],
+        align: dict | None = None,
     ) -> DataFrame | None:
         """Scan ``entries`` = [(fragment, holder version, path)] with
         the merge-on-read tax applied ONLY to vectored fragments'
         paths: clean fragments scan without address columns and never
         enter the anti-join, so the tax tracks the vectored data, not
-        the read.  Shared by the pruned read paths."""
+        the read.  Shared by the pruned read paths.
+
+        ``align``: manifest doc whose declared schema each PER-VERSION
+        scan is aligned to BEFORE any union — alignment must happen at
+        this level because the union's own missing-column handling
+        NULL-fills, which would override a declared initial default."""
         clean: dict[int, list[str]] = {}
         vectored: dict[int, list[str]] = {}
         for frag, v, path in entries:
@@ -983,7 +1049,9 @@ class ManifestSnapshotTable:
         def _union(by_version, with_pos):
             out = None
             for v, paths in sorted(by_version.items()):
-                df = self._scan_version(v, paths, with_pos)
+                df = self._align_schema(
+                    self._scan_version(v, paths, with_pos), align
+                )
                 out = (
                     df
                     if out is None
@@ -1027,6 +1095,7 @@ class ManifestSnapshotTable:
         frag_to_version: dict[str, int],
         dv: dict[str, int] | None = None,
         keep_pos: bool = False,
+        align: dict | None = None,
     ) -> DataFrame | None:
         """Resolve fragment→holder-version mappings into one DataFrame:
         one scan per holding version (basePath keeps hive partition
@@ -1037,7 +1106,12 @@ class ManifestSnapshotTable:
         the SAME pinned manifest doc as ``frag_to_version`` — doomed
         rows are anti-joined out, so callers see live content.
         ``keep_pos``: retain the ``__rel``/``__ri`` address columns on
-        the result (the DV build path needs them)."""
+        the result (the DV build path needs them).
+        ``align``: manifest doc whose declared schema each PER-VERSION
+        scan is aligned to BEFORE the cross-version union — it must
+        happen per scan, not after, because the union's own
+        missing-column handling NULL-fills, which would override a
+        declared initial default."""
         dv = {
             f: v for f, v in (dv or {}).items() if f in frag_to_version
         }
@@ -1056,7 +1130,9 @@ class ManifestSnapshotTable:
         def _union(by_version, with_pos):
             out = None
             for v, paths in sorted(by_version.items()):
-                df = self._scan_version(v, paths, with_pos)
+                df = self._align_schema(
+                    self._scan_version(v, paths, with_pos), align
+                )
                 out = (
                     df
                     if out is None
@@ -1085,9 +1161,7 @@ class ManifestSnapshotTable:
         m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
         if not m:
             return None
-        return self._align_schema(
-            self._read_fragments(m, dv=self._dv_map(doc)), doc
-        )
+        return self._read_fragments(m, dv=self._dv_map(doc), align=doc)
 
     def version_as_of(self, ts: float) -> int:
         """Resolve a wall-clock timestamp to the snapshot that was
@@ -1229,7 +1303,7 @@ class ManifestSnapshotTable:
         if frame is None:
             # everything pruned: an empty frame with the table schema
             return (
-                self._align_schema(self._read_fragments(m), doc).filter(
+                self._read_fragments(m, align=doc).filter(
                     F.lit(False)
                 ),
                 frags_kept,
@@ -1290,7 +1364,7 @@ class ManifestSnapshotTable:
         if not entries:
             return None, len(keep), 0, files_total
         dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
-        out = self._align_schema(self._scan_entries_dv(entries, dv), doc)
+        out = self._scan_entries_dv(entries, dv, align=doc)
         return out.filter(pred), len(keep), files_kept, files_total
 
     # Reserved key inside stats envelopes: exact per-file / per-fragment
@@ -1327,6 +1401,13 @@ class ManifestSnapshotTable:
         if not has_files:
             return {}, {}
         df = self.spark.read.option("basePath", data_dir).parquet(data_dir)
+        return self._stats_over(df)
+
+    def _stats_over(self, df: DataFrame) -> tuple[dict, dict]:
+        """One stats-column pass over a file scan → both zone-map
+        tiers (shared by the write-path `_compute_stats_both` and the
+        no-rewrite `backfill_stats`).  One aggregate row per data file
+        — bounded control data."""
         present = [c for c in self.stats_cols if c in df.columns]
         aggs = [F.count(F.lit(1)).alias("__nr")]
         for c in present:
@@ -1509,7 +1590,7 @@ class ManifestSnapshotTable:
         if v not in self._bloom_cache:
             try:
                 with open(
-                    os.path.join(self._vdir(v), self._BLOOM_DOC)
+                    os.path.join(self._vdir_of(v), self._BLOOM_DOC)
                 ) as fh:
                     self._bloom_cache[v] = json.load(fh)
             except FileNotFoundError:
@@ -1653,7 +1734,7 @@ class ManifestSnapshotTable:
                 )
         if not entries:
             return (
-                self._align_schema(self._read_fragments(m), doc).filter(
+                self._read_fragments(m, align=doc).filter(
                     F.lit(False)
                 ),
                 len(keep),
@@ -1662,7 +1743,7 @@ class ManifestSnapshotTable:
                 files_total,
             )
         dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
-        out = self._align_schema(self._scan_entries_dv(entries, dv), doc)
+        out = self._scan_entries_dv(entries, dv, align=doc)
         return out.filter(pred), len(keep), len(m), files_kept, files_total
 
     # -- metadata-only aggregates -----------------------------------------
@@ -1739,13 +1820,9 @@ class ManifestSnapshotTable:
                 mx = hi
         if to_scan:
             r = (
-                self._align_schema(
-                    self._read_fragments(
+                self._read_fragments(
                         to_scan,
-                        dv={f: v for f, v in dv.items() if f in to_scan},
-                    ),
-                    doc,
-                )
+                        dv={f: v for f, v in dv.items() if f in to_scan}, align=doc,)
                 .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
                 .first()
             )
@@ -1949,12 +2026,8 @@ class ManifestSnapshotTable:
                 for k, v in prev_doc.get("partitions", {}).items()
             }
             if prev:
-                live = self._align_schema(
-                    self._read_fragments(
-                        prev, dv=self._dv_map(prev_doc)
-                    ),
-                    prev_doc,
-                )
+                live = self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc), align=prev_doc)
                 n_bad = live.filter(
                     ~F.coalesce(cond, F.lit(True))
                 ).count()
@@ -2014,23 +2087,46 @@ class ManifestSnapshotTable:
         self._publish(vdir)
         return new_v
 
-    def add_column(self, name: str, ddl_type: str) -> int:
+    def add_column(
+        self, name: str, ddl_type: str, initial_default=None
+    ) -> int:
         """``ALTER TABLE ADD COLUMN`` — a METADATA-ONLY commit (the
         Delta/Iceberg shape: no data file is touched at any table
         size): the declared schema gains ``(name, type)`` at the end,
         every fragment is inherited by reference, and from this
-        snapshot on all read paths surface the column as a typed NULL
-        for rows whose files predate it, while the next write commit
-        that touches a partition materializes it physically.  Refuses
+        snapshot on all read paths surface the column for rows whose
+        files predate it — as a typed NULL, or as ``initial_default``
+        when given (Iceberg v3 initial-default semantics: the fill is
+        part of the declaration, so every reader sees it and every
+        rewrite materializes it; new write batches must still supply
+        the column explicitly).  The next write commit that touches a
+        partition materializes the column physically.  Refuses
         duplicate names and the reserved DV address columns; the type
-        is validated and canonicalized through Spark's DDL parser.
-        Requires a committed schema (the first write establishes it —
-        an empty table has nothing to evolve)."""
+        is validated and canonicalized through Spark's DDL parser, and
+        a default must survive the cast to it losslessly (a JSON
+        scalar, so any writer handle resolves it).  Requires a
+        committed schema (the first write establishes it — an empty
+        table has nothing to evolve)."""
         import json
 
         if name in self._META_COLS:
             raise ValueError(f"{name!r} is reserved for DV row addresses")
         norm = self._normalize_type(ddl_type)
+        if initial_default is not None:
+            if not isinstance(initial_default, (int, float, str, bool)):
+                raise ValueError(
+                    "initial_default must be a JSON scalar "
+                    f"(int/float/str/bool), got "
+                    f"{type(initial_default).__name__}"
+                )
+            probe = self.spark.range(1).select(
+                F.lit(initial_default).cast(norm)
+            ).first()[0]
+            if probe is None:
+                raise ValueError(
+                    f"initial_default {initial_default!r} does not "
+                    f"cast to {norm}"
+                )
         new_v, vdir = self._claim_version()
         try:
             prev_doc = self._manifest_doc()
@@ -2046,6 +2142,10 @@ class ManifestSnapshotTable:
             doc.setdefault("partition_by", self.partition_by)
             doc.setdefault("partitions", {})
             doc["schema"] = [list(e) for e in sch] + [[name, norm]]
+            if initial_default is not None:
+                defaults = dict(prev_doc.get("defaults") or {})
+                defaults[name] = initial_default
+                doc["defaults"] = defaults
             doc["commit"] = self._commit_info("add_column", set())
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
@@ -2054,6 +2154,12 @@ class ManifestSnapshotTable:
             raise
         self._publish(vdir)
         return new_v
+
+    def table_defaults(self, version: int | None = None) -> dict:
+        """The initial-default fills in force at a snapshot
+        ({column → JSON scalar}) — applied by read alignment to rows
+        whose files predate the column's add."""
+        return dict(self._manifest_doc(version).get("defaults") or {})
 
     def widen_column(self, name: str, ddl_type: str) -> int:
         """``ALTER TABLE ALTER COLUMN TYPE`` restricted to the lossless
@@ -2225,13 +2331,9 @@ class ManifestSnapshotTable:
             # (deletion vectors applied — the rewrite materializes
             # them) and aligned to the declared schema, so the rewrite
             # also materializes any pending column add/widening
-            target = self._align_schema(
-                self._read_fragments(
+            target = self._read_fragments(
                     {frag: prev[frag] for frag in frags & set(prev)},
-                    dv=self._dv_map(prev_doc),
-                ),
-                prev_doc,
-            )
+                    dv=self._dv_map(prev_doc), align=prev_doc,)
             merged = merge_by_key(
                 target, batch, self.keys,
                 [F.col(c).desc() for c in self.order_cols],
@@ -2259,7 +2361,7 @@ class ManifestSnapshotTable:
             manifest.update({frag: new_v for frag in frags})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("upsert", frags)
-            self._carry_meta(doc, prev_doc)
+            self._carry_meta(doc, prev_doc, frags)
             # the declared schema is what this commit actually wrote
             # (== carried unless the batch evolved it)
             doc["schema"] = self._frame_schema(merged)
@@ -2344,12 +2446,8 @@ class ManifestSnapshotTable:
                     ]
                 )
                 located = (
-                    self._align_schema(
-                        self._read_fragments(
-                            prev, dv=self._dv_map(prev_doc)
-                        ),
-                        prev_doc,
-                    )
+                    self._read_fragments(
+                            prev, dv=self._dv_map(prev_doc), align=prev_doc)
                     .alias("t")
                     .crossJoin(F.broadcast(null_s.alias("s")))
                     .filter(hit)
@@ -2364,13 +2462,9 @@ class ManifestSnapshotTable:
                 self._abandon_claim(vdir)
                 vs = self.versions()
                 return vs[-1] if vs else 0
-            target = self._align_schema(
-                self._read_fragments(
+            target = self._read_fragments(
                     {frag: prev[frag] for frag in frags & set(prev)},
-                    dv=self._dv_map(prev_doc),
-                ),
-                prev_doc,
-            )
+                    dv=self._dv_map(prev_doc), align=prev_doc,)
             merged = merge_clauses(
                 target,
                 source,
@@ -2404,7 +2498,7 @@ class ManifestSnapshotTable:
             manifest.update({frag: new_v for frag in written})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("merge", frags)
-            self._carry_meta(doc, prev_doc)
+            self._carry_meta(doc, prev_doc, frags)
             doc["schema"] = self._frame_schema(merged)
             self._carry_dv(doc, prev_doc, frags)
             self._inherit_stats(doc, prev_doc, frags, new_v)
@@ -2512,12 +2606,8 @@ class ManifestSnapshotTable:
             hit = F.coalesce(condition, F.lit(False))
             touched = [
                 tuple(r)
-                for r in self._align_schema(
-                    self._read_fragments(
-                        prev, dv=self._dv_map(prev_doc)
-                    ),
-                    prev_doc,
-                )
+                for r in self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc), align=prev_doc)
                 .filter(hit)
                 .select(*self.partition_by)
                 .distinct()
@@ -2567,13 +2657,9 @@ class ManifestSnapshotTable:
         # not be resurrected by the rewrite), aligned to the declared
         # schema so the rewrite materializes pending column evolution
         kept = keep_fn(
-            self._align_schema(
-                self._read_fragments(
+            self._read_fragments(
                     {f: prev[f] for f in frags},
-                    dv=self._dv_map(prev_doc),
-                ),
-                prev_doc,
-            )
+                    dv=self._dv_map(prev_doc), align=prev_doc,)
         )
         kept.write.partitionBy(*self.partition_by).parquet(
             self._data_dir(new_v)
@@ -2588,7 +2674,7 @@ class ManifestSnapshotTable:
         manifest.update({f: new_v for f in written})
         doc = {"partition_by": self.partition_by, "partitions": manifest}
         doc["commit"] = self._commit_info(op, frags)
-        self._carry_meta(doc, prev_doc)
+        self._carry_meta(doc, prev_doc, frags)
         doc["schema"] = self._frame_schema(kept)
         self._carry_dv(doc, prev_doc, frags)
         self._inherit_stats(doc, prev_doc, frags, new_v)
@@ -2665,12 +2751,8 @@ class ManifestSnapshotTable:
                 return vs[-1] if vs else 0
             hit = F.coalesce(condition, F.lit(False))
             located = (
-                self._align_schema(
-                    self._read_fragments(
-                        prev, dv=self._dv_map(prev_doc)
-                    ),
-                    prev_doc,
-                )
+                self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc), align=prev_doc)
                 .filter(hit)
                 .select(*self.partition_by)
                 .distinct()
@@ -2682,13 +2764,9 @@ class ManifestSnapshotTable:
             if not frags:
                 self._abandon_claim(vdir)
                 return self.versions()[-1]
-            basis = self._align_schema(
-                self._read_fragments(
+            basis = self._read_fragments(
                     {f: prev[f] for f in frags},
-                    dv=self._dv_map(prev_doc),
-                ),
-                prev_doc,
-            )
+                    dv=self._dv_map(prev_doc), align=prev_doc,)
             unknown = sorted(c for c in exprs if c not in basis.columns)
             if unknown:
                 raise ValueError(
@@ -2727,7 +2805,7 @@ class ManifestSnapshotTable:
             manifest.update({f: new_v for f in written})
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("update_where", frags)
-            self._carry_meta(doc, prev_doc)
+            self._carry_meta(doc, prev_doc, frags)
             # an update never changes the schema (assignments cast
             # back), but it does materialize pending evolution on the
             # rewritten partitions
@@ -2827,12 +2905,8 @@ class ManifestSnapshotTable:
             hit = F.coalesce(condition, F.lit(False))
             touched = [
                 tuple(r)
-                for r in self._align_schema(
-                    self._read_fragments(
-                        prev, dv=self._dv_map(prev_doc)
-                    ),
-                    prev_doc,
-                )
+                for r in self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc), align=prev_doc)
                 .filter(hit)
                 .select(*self.partition_by)
                 .distinct()
@@ -2881,14 +2955,10 @@ class ManifestSnapshotTable:
         dvr_prev = {
             k: int(v) for k, v in (prev_doc.get("dv_rows") or {}).items()
         }
-        live = self._align_schema(
-            self._read_fragments(
+        live = self._read_fragments(
                 {f: prev[f] for f in frags},
                 dv={f: v for f, v in dv_prev.items() if f in frags},
-                keep_pos=True,
-            ),
-            prev_doc,
-        )
+                keep_pos=True, align=prev_doc,)
         doomed = doom_fn(live).select(
             F.regexp_extract(F.col("__rel"), r"^(.*)/[^/]+$", 1).alias(
                 "frag"
@@ -2943,7 +3013,7 @@ class ManifestSnapshotTable:
         manifest = {f: v for f, v in prev.items() if f not in emptied}
         doc = {"partition_by": self.partition_by, "partitions": manifest}
         doc["commit"] = self._commit_info(op, frags)
-        self._carry_meta(doc, prev_doc)
+        self._carry_meta(doc, prev_doc, set())
         if self.stats_cols:
             doc["stats"] = {
                 f: s
@@ -3041,18 +3111,10 @@ class ManifestSnapshotTable:
                 doc1, {f: m1[f] for f in frags & set(m1)}, where,
             )
         else:
-            old = self._align_schema(
-                self._read_fragments(
-                    {f: m0[f] for f in frags & set(m0)}, dv=dv0
-                ),
-                doc0,
-            )
-            new = self._align_schema(
-                self._read_fragments(
-                    {f: m1[f] for f in frags & set(m1)}, dv=dv1
-                ),
-                doc1,
-            )
+            old = self._read_fragments(
+                    {f: m0[f] for f in frags & set(m0)}, dv=dv0, align=doc0)
+            new = self._read_fragments(
+                    {f: m1[f] for f in frags & set(m1)}, dv=dv1, align=doc1)
         if old is None and new is None:
             # no fragment moved: an empty feed with the to-schema
             base = self.read(to_version) or self.read(from_version)
@@ -3358,9 +3420,7 @@ class ManifestSnapshotTable:
                 # explicit materialize-everything path)
                 self._abandon_claim(vdir)
                 return cur
-            src = self._align_schema(
-                self._read_fragments(prev, dv=dv), prev_doc
-            )
+            src = self._read_fragments(prev, dv=dv, align=prev_doc)
             if cluster_by and cluster_method == "zorder":
                 if "__zkey" in src.columns:
                     raise ValueError(
@@ -3411,7 +3471,7 @@ class ManifestSnapshotTable:
                 "partitions": {frag: new_v for frag in prev},
             }
             doc["commit"] = self._commit_info("compact", set(prev))
-            self._carry_meta(doc, prev_doc)
+            self._carry_meta(doc, prev_doc, set(prev))
             doc["schema"] = self._frame_schema(out)
             if self.stats_cols:
                 # full rewrite: recompute every envelope, which also
@@ -3472,7 +3532,9 @@ class ManifestSnapshotTable:
         missing = {
             v
             for v in needed
-            if not os.path.exists(os.path.join(self._vdir(v), "_SUCCESS"))
+            if not os.path.exists(
+                os.path.join(self._vdir_of(v), "_SUCCESS")
+            )
         }
         if missing:
             raise ValueError(
@@ -3483,6 +3545,266 @@ class ManifestSnapshotTable:
             if v > version:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)
         self._sweep_unreferenced_holders()
+
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... VERSION AS OF`` — the
+        history-PRESERVING undo: make ``version``'s state current
+        again as a NEW commit whose manifest references the target
+        snapshot's holders (and deletion vectors, schema, defaults,
+        constraints) by reference — one metadata write, nothing
+        deleted, nothing rewritten, so the bad commits stay auditable
+        in `history()` and a later restore can even undo the undo.
+        `rollback` is the destructive variant (drops the newer
+        version dirs).  Refuses holder-only targets like
+        `read(version=...)`, and any target whose referenced dirs a
+        vacuum already removed.  Returns the committed version."""
+        import json
+
+        new_v, vdir = self._claim_version()
+        try:
+            tdoc = self._manifest_doc(version)  # validates readability
+            needed = {
+                int(h) for h in tdoc.get("partitions", {}).values()
+            } | set(self._dv_map(tdoc).values())
+            missing = {
+                v
+                for v in needed
+                if not os.path.exists(
+                    os.path.join(self._vdir_of(v), "_SUCCESS")
+                )
+            }
+            if missing:
+                raise ValueError(
+                    f"cannot restore version {version}: it references "
+                    f"vacuumed version dirs {sorted(missing)}"
+                )
+            doc = dict(tdoc)
+            doc["commit"] = self._commit_info("restore", set())
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def backfill_stats(self) -> int:
+        """ANALYZE-style zone-map backfill: record fragment + file
+        envelopes (and exact row counts) for every fragment that lacks
+        them — typically fragments committed before ``stats_cols`` was
+        configured — WITHOUT rewriting any data file: one
+        column-pruned scan of the uncovered fragments and a
+        metadata-only commit (every fragment inherited by reference).
+        This is the cheap alternative to paying a full ``compact()``
+        rewrite just to earn data skipping and metadata-only
+        COUNT/MIN/MAX on old data.  A stats column absent from a
+        fragment's files is recorded as an all-NULL envelope
+        ([None, None]) — exactly what schema alignment makes those
+        values read as — so coverage converges instead of re-scanning
+        forever.  Counts are raw file counts (deletion vectors are
+        subtracted downstream, same as write-path stats).  Returns the
+        committed version — unchanged when nothing lacks coverage."""
+        import json
+
+        if not self.stats_cols:
+            raise ValueError(
+                "backfill_stats needs stats_cols configured on this "
+                "handle (the columns to record envelopes for)"
+            )
+        rk = self._ROWS_KEY
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            st = prev_doc.get("stats", {})
+            fst = prev_doc.get("file_stats", {})
+            need = {
+                f: v
+                for f, v in prev.items()
+                if f not in st
+                or f not in fst
+                or rk not in st[f]
+                or any(c not in st[f] for c in self.stats_cols)
+            }
+            if not need:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            new_fs: dict = {}
+            new_ffs: dict = {}
+            by_v: dict[int, list[str]] = {}
+            for f, v in need.items():
+                by_v.setdefault(v, []).append(f)
+            for v, frags in sorted(by_v.items()):
+                df = self.spark.read.option(
+                    "basePath", self._data_dir(v)
+                ).parquet(
+                    *sorted(
+                        os.path.join(self._data_dir(v), f) for f in frags
+                    )
+                )
+                fs, ffs = self._stats_over(df)
+                new_fs.update(fs)
+                new_ffs.update(ffs)
+            # mark configured columns absent from the files as all-NULL
+            # envelopes so coverage converges
+            for f in need:
+                for c in self.stats_cols:
+                    new_fs.setdefault(f, {rk: 0}).setdefault(
+                        c, [None, None]
+                    )
+                    for envs in new_ffs.get(f, {}).values():
+                        envs.setdefault(c, [None, None])
+            doc = dict(prev_doc)
+            doc["stats"] = {**st, **new_fs}
+            doc["file_stats"] = {**fst, **new_ffs}
+            doc["commit"] = self._commit_info(
+                "backfill_stats", set(need)
+            )
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def describe_detail(self) -> DataFrame:
+        """Delta ``DESCRIBE DETAIL``: one metadata-only row describing
+        the table — no data file is read (sizes come from filesystem
+        listings of the current holders)."""
+        import json
+
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        vs = self.versions()
+        doc = self._manifest_doc() if vs else {}
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
+        num_files = 0
+        size_bytes = 0
+        for frag, v in m.items():
+            frag_dir = os.path.join(self._data_dir(v), frag)
+            for name in os.listdir(frag_dir):
+                if name.endswith(".parquet"):
+                    num_files += 1
+                    size_bytes += os.path.getsize(
+                        os.path.join(frag_dir, name)
+                    )
+        dv_rows = sum(
+            int(n) for n in (doc.get("dv_rows") or {}).values()
+        )
+        schema = StructType(
+            [
+                StructField("format", StringType(), False),
+                StructField("location", StringType(), False),
+                StructField("partition_columns", StringType(), False),
+                StructField("current_version", IntegerType(), True),
+                StructField("num_versions", IntegerType(), False),
+                StructField("num_fragments", IntegerType(), False),
+                StructField("num_files", IntegerType(), False),
+                StructField("size_bytes", LongType(), False),
+                StructField("dv_rows", LongType(), False),
+                StructField("schema_json", StringType(), True),
+                StructField("cloned_from", StringType(), True),
+            ]
+        )
+        base = doc.get("base") or {}
+        row = (
+            "parquet+manifest",
+            self.path,
+            ",".join(self.partition_by),
+            vs[-1] if vs else None,
+            len(vs),
+            len(m),
+            num_files,
+            size_bytes,
+            dv_rows,
+            json.dumps(doc.get("schema")) if doc.get("schema") else None,
+            ",".join(sorted(set(base.values()))) or None,
+        )
+        return self.spark.createDataFrame([row], schema)
+
+    def clone_to(self, dest_path: str) -> "ManifestSnapshotTable":
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): a
+        new, independently writable table whose first snapshot
+        references this table's CURRENT data files by path — zero data
+        copied at any table size, so a 100 TB dev/test sandbox costs
+        one manifest write.  The clone's manifest carries a ``base``
+        map (version → origin table root); reads resolve inherited
+        fragments (and their deletion vectors and bloom sidecars)
+        through it, while every NEW commit writes locally and detaches
+        the fragments it rewrites.  ``compact()`` on the clone rewrites
+        everything locally — the explicit deep-copy materialization
+        that severs the last base reference.
+
+        The clone inherits the declared schema, defaults, persisted
+        CHECK constraints, zone maps, and dv/bloom metadata of the
+        source's current snapshot, and this handle's table
+        configuration (keys/order/partitioning/stats/bloom/retention).
+        Its local version sequence starts ABOVE every referenced
+        source version, so local commits never collide with base
+        entries.
+
+        Caveat (exactly Delta's): the clone borrows the source's
+        files — a source-side ``vacuum``/``rollback`` that deletes a
+        referenced version breaks the clone.  Clones are sandboxes;
+        sever with ``compact()`` before relying on one past the
+        source's retention window."""
+        import json
+
+        src_doc = self._manifest_doc()
+        if not src_doc:
+            raise ValueError("cannot clone an empty table")
+        if os.path.isdir(dest_path) and os.listdir(dest_path):
+            raise ValueError(f"clone destination {dest_path!r} is not empty")
+        referenced = {
+            int(h) for h in src_doc.get("partitions", {}).values()
+        } | set(self._dv_map(src_doc).values())
+        src_base = {
+            int(k): v for k, v in (src_doc.get("base") or {}).items()
+        }
+        src_root = os.path.abspath(self.path)
+        # chained clones resolve transitively: a version the source
+        # itself borrowed keeps pointing at ITS origin
+        base = {
+            str(v): src_base.get(v, src_root) for v in referenced
+        }
+        dest = ManifestSnapshotTable(
+            self.spark,
+            dest_path,
+            keys=self.keys,
+            order_cols=self.order_cols,
+            partition_by=self.partition_by,
+            stable_partitions=not (
+                set(self.partition_by) <= set(self.keys)
+            ),
+            keep_versions=self.keep_versions,
+            stats_cols=self.stats_cols or None,
+            claim_ttl_seconds=self.claim_ttl_seconds,
+            bloom_cols=self.bloom_cols or None,
+            bloom_bits=self.bloom_bits,
+            bloom_k=self.bloom_k,
+        )
+        clone_v = max(referenced, default=0) + 1
+        vdir = dest._vdir(clone_v)
+        os.makedirs(vdir)
+        doc = dict(src_doc)
+        doc["base"] = base
+        doc["commit"] = self._commit_info("clone", set())
+        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+            json.dump(doc, fh, sort_keys=True)
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        return dest
 
     def _sweep_unreferenced_holders(self) -> None:
         """Delete holder-only dirs no remaining complete snapshot's

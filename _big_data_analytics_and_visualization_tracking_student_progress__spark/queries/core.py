@@ -5609,3 +5609,280 @@ def q_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone (ManifestSnapshotTable.clone_to — Delta CREATE TABLE
+# SHALLOW CLONE): a zero-copy writable sandbox whose first snapshot
+# references the source's files by path.  Proved in-plan: the clone
+# dir holds ONE manifest version and no data dir; clone writes detach
+# only the fragments they rewrite (the source's holders never move);
+# the source never sees clone writes.  The result unions both tables'
+# end states so the oracle checks independence declaratively: the
+# source aggregate reflects only its own data, the clone aggregate the
+# cloned state plus its local commits.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_shallow_clone",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    ), clone_state AS (
+        SELECT user_id, event_type,
+               CASE WHEN event_type = 'click'
+                    THEN event_id + 5000000 ELSE event_id END AS event_id
+        FROM latest
+        WHERE NOT (event_type = 'view' AND user_id % 6 = 0)
+    ), both_tables AS (
+        SELECT 'source' AS side, event_type, event_id FROM latest
+        UNION ALL
+        SELECT 'clone' AS side, event_type, event_id FROM clone_state
+    )
+    SELECT side, event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM both_tables GROUP BY side, event_type
+    """,
+    doc="shallow clone (clone_to, the Delta SHALLOW CLONE shape): "
+    "zero-copy sandbox — one manifest version, no data dirs (asserted "
+    "in-plan); clone-side UPDATE and DELETE detach only touched "
+    "fragments while the source holders never move; oracle checks "
+    "both end states' independence declaratively",
+)
+def q_manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "clsrc",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    ) as table:
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        src_holders = table.manifest()
+        cdir = _tempfile.mkdtemp(prefix="sparkgraft_clone_")
+        try:
+            clone = table.clone_to(_os.path.join(cdir, "t"))
+            # zero-copy proof: one manifest version, no data dirs
+            vdirs = _os.listdir(clone.path)
+            if len(vdirs) != 1 or _os.path.exists(
+                _os.path.join(clone.path, vdirs[0], "data")
+            ):
+                raise RuntimeError(
+                    f"clone is not zero-copy: {vdirs}"
+                )
+            # clone-side DML: UPDATE one partition, DELETE from another
+            clone.update_where(
+                F.col("event_type") == "click",
+                {"event_id": "event_id + 5000000"},
+            )
+            clone.delete_where(
+                (F.col("event_type") == "view")
+                & (F.col("user_id") % 6 == 0)
+            )
+            # independence proof: the source's holders never moved
+            if table.manifest() != src_holders:
+                raise RuntimeError(
+                    "clone writes moved source holders: "
+                    f"{src_holders} -> {table.manifest()}"
+                )
+            agg = lambda df, side: (  # noqa: E731
+                df.groupBy("event_type").agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.sum("event_id").cast("bigint").alias("sum_event_id"),
+                ).select(F.lit(side).alias("side"), "*")
+            )
+            out = agg(table.read(), "source").unionByName(
+                agg(clone.read(), "clone")
+            )
+            return materialize_bounded(spark, out)
+        finally:
+            _shutil.rmtree(cdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (ManifestSnapshotTable.restore — Delta RESTORE TABLE ...
+# VERSION AS OF): the history-preserving undo — a bad commit is
+# reverted by a NEW metadata-only commit referencing the old holders;
+# nothing is deleted (asserted in-plan: the bad version stays readable
+# and the restore created no data dir).  The oracle is simply the
+# pre-bad-commit state, computed declaratively.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_restore",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM latest GROUP BY event_type
+    """,
+    doc="RESTORE VERSION AS OF (restore): history-preserving undo of a "
+    "bad UPDATE via a metadata-only commit — the bad version stays "
+    "readable, no data dir is created (asserted in-plan); oracle is "
+    "the pre-bad state computed declaratively",
+)
+def q_manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "rest",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    ) as table:
+        v1 = table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        v2 = table.update_where(  # the bad commit
+            F.col("event_type") == "click",
+            {"event_id": "event_id + 1000000"},
+        )
+        v3 = table.restore(v1)
+        if _os.path.exists(table._data_dir(v3)):
+            raise RuntimeError("restore wrote data files")
+        if table.versions() != [v1, v2, v3]:
+            raise RuntimeError(
+                f"restore dropped history: {table.versions()}"
+            )
+        # the undone commit is still auditable
+        bad = (
+            table.read(version=v2)
+            .filter(F.col("event_id") > 1000000)
+            .count()
+        )
+        if bad == 0:
+            raise RuntimeError("bad version no longer readable")
+        agg = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+        )
+        return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style stats backfill (ManifestSnapshotTable.backfill_stats):
+# a table loaded BEFORE stats_cols was configured earns both zone-map
+# tiers in one scan + one metadata-only commit — no data file moves
+# (asserted in-plan) — after which COUNT(*) is answered from metadata
+# alone (scanned == 0, asserted) and range reads prune.  The oracle
+# recomputes the pruned range aggregate declaratively.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_analyze_backfill",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), staged AS (
+        SELECT * FROM src WHERE event_id % 3 = 0
+    ), latest AS (
+        SELECT user_id, event_type, event_id FROM (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    ), lo_hi AS (
+        SELECT MIN(event_id) AS lo,
+               MIN(event_id) + (MAX(event_id) - MIN(event_id)) // 4 AS hi
+        FROM latest
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM latest, lo_hi
+    WHERE event_id BETWEEN lo AND hi
+    GROUP BY event_type
+    """,
+    doc="ANALYZE zone-map backfill (backfill_stats): a pre-stats table "
+    "earns fragment+file envelopes in one scan + a metadata-only "
+    "commit (no file moves, asserted); COUNT(*) then comes from "
+    "metadata alone and the range read prunes; oracle recomputes the "
+    "range aggregate declaratively",
+)
+def q_manifest_analyze_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "anlz",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+    ) as loader:
+        # loaded WITHOUT stats_cols: no envelopes anywhere
+        loader.upsert(e.filter(F.col("event_id") % 3 == 0))
+        holders = loader.manifest()
+        table = ManifestSnapshotTable(
+            spark,
+            loader.path,
+            keys=["user_id", "event_type"],
+            order_cols=["ts_nanos", "event_id"],
+            partition_by=["event_type"],
+            stats_cols=["event_id"],
+        )
+        v = table.backfill_stats()
+        if _os.path.exists(table._data_dir(v)):
+            raise RuntimeError("backfill_stats wrote data files")
+        if table.manifest() != holders:
+            raise RuntimeError("backfill_stats moved data holders")
+        n, meta, scanned = table.count_rows()
+        if scanned != 0:
+            raise RuntimeError(
+                f"COUNT(*) still scans {scanned} fragments after "
+                "backfill"
+            )
+        lo, hi_all, *_ = table.metadata_min_max("event_id")
+        hi = lo + (hi_all - lo) // 4
+        df, _fk, _ft, _flk, _flt = table.read_where("event_id", lo, hi)
+        agg = df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+        return materialize_bounded(spark, agg)

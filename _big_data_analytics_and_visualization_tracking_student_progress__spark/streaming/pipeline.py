@@ -173,6 +173,7 @@ def upsert_stream_run(
     view: "IncrementalAggView | None" = None,
     tombstone_predicate: Column | None = None,
     tombstone_mode: str = "rewrite",
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Stream → keyed MERGE sink (S5/T2; reference con.py:55-63).  Each
     micro-batch upserts into the keyed table inside foreachBatch;
@@ -224,7 +225,15 @@ def upsert_stream_run(
     shape when tombstones are sparse relative to partition size).
     Replay stays a fixed point either way (re-deleting applied keys is
     a dv no-op), and `max_scatter` auto-compaction doubles as the
-    vector-materialization schedule."""
+    vector-materialization schedule.
+
+    `schema_evolution` (ManifestSnapshotTable sinks only): passed
+    through to each micro-batch's `upsert` — when the stream's schema
+    gains columns (or widens types losslessly) mid-flight, the sink
+    extends the table's declared schema instead of refusing the batch
+    (the Delta mergeSchema streaming-sink option).  Off by default:
+    an unexpected schema change in a pipeline should fail loudly
+    unless evolution was opted into."""
     wd = workdir or _workdir("upsert")
     ckpt = os.path.join(wd, "ckpt")
     quarantine_dir = os.path.join(wd, "quarantine")
@@ -245,6 +254,12 @@ def upsert_stream_run(
             f"got {tombstone_mode!r}"
         )
 
+    def _upsert(df: DataFrame) -> None:
+        if schema_evolution and isinstance(table, ManifestSnapshotTable):
+            table.upsert(df, schema_evolution=True)
+        else:
+            table.upsert(df)
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         good = batch_df
         if quarantine_predicate is not None:
@@ -262,7 +277,7 @@ def upsert_stream_run(
                 [F.col(c).desc() for c in table.order_cols],
             )
             dead = F.coalesce(tombstone_predicate, F.lit(False))
-            table.upsert(latest.filter(~dead))
+            _upsert(latest.filter(~dead))
             erase = (
                 table.delete_dv
                 if tombstone_mode == "dv"
@@ -270,7 +285,7 @@ def upsert_stream_run(
             )
             erase(latest.filter(dead).select(*table.keys))
         else:
-            table.upsert(good)
+            _upsert(good)
         # refresh BEFORE any compaction: a compaction moves EVERY
         # fragment's holder version, so a refresh that followed it
         # would recompute every partial — O(table) instead of the

@@ -73,10 +73,14 @@ HEADLINE = [
     "manifest_merge_into",
     "matview_delta_refresh",
     # round-10 additions (ephemeral-table walls include commit cost):
-    # merge-on-read DELETE via deletion vectors, and OPTIMIZE ZORDER BY
-    # with its 2-D file-skip probes
+    # merge-on-read DELETE via deletion vectors, OPTIMIZE ZORDER BY
+    # with its 2-D file-skip probes, predicate UPDATE, and
+    # metadata-only schema evolution
     "manifest_dv_delete",
     "manifest_zorder_read",
+    "manifest_update_where",
+    "manifest_schema_evolution",
+    "manifest_shallow_clone",
 ]
 
 

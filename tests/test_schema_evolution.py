@@ -280,3 +280,97 @@ def test_metadata_min_max_on_evolved_column(spark, root):
     )
     mn, mx, *_ = t.metadata_min_max("score")
     assert (mn, mx) == (42, 42)
+
+
+def test_add_column_initial_default(spark, root):
+    t = _mk(spark, root)
+    v1 = _seed(spark, t)
+    v2 = t.add_column("status", "string", initial_default="active")
+    assert not os.path.exists(t._data_dir(v2))  # still metadata-only
+    assert t.table_defaults() == {"status": "active"}
+    # pre-evolution rows read the declared default, not NULL
+    assert {r.status for r in t.read().collect()} == {"active"}
+    # the default is part of the declaration: time travel before the
+    # add has no column; the add snapshot fills everywhere
+    assert "status" not in t.read(version=v1).columns
+    # new batches must still carry the column explicitly
+    with pytest.raises(ValueError, match="lacks table columns"):
+        t.upsert(
+            spark.createDataFrame(
+                [(0, 9, 9.0, 2)], "day int, k int, v double, seq int"
+            )
+        )
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 9, 9.0, 2, "new")],
+            "day int, k int, v double, seq int, status string",
+        )
+    )
+    got = {(r.k): r.status for r in t.read().collect()}
+    # rewritten partition materialized the default for carried rows;
+    # inherited partition still fills it on read
+    assert got == {1: "active", 2: "active", 3: "active", 9: "new"}
+    # defaults survive rewrites (carried metadata)
+    assert t.table_defaults() == {"status": "active"}
+
+
+def test_add_column_default_validations(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    with pytest.raises(ValueError, match="does not cast"):
+        t.add_column("n", "int", initial_default="abc")
+    with pytest.raises(ValueError, match="JSON scalar"):
+        t.add_column("n", "int", initial_default=[1, 2])
+    # int default on a bigint column is fine
+    t.add_column("n", "bigint", initial_default=7)
+    assert {r.n for r in t.read().collect()} == {7}
+    # and constraints see the default, not NULL
+    t.add_constraint("n_pos", "n > 0")
+
+
+def test_streaming_sink_schema_evolution(spark, root, tmp_path):
+    from pyspark.sql.utils import StreamingQueryException
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.sources.readers import (  # noqa: E501
+        file_stream,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.streaming.pipeline import (  # noqa: E501
+        upsert_stream_run,
+    )
+
+    t = _mk(spark, root)
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame(
+        [(0, 1, 1.0, 1), (1, 2, 2.0, 1)],
+        "day int, k int, v double, seq int",
+    ).coalesce(1).write.mode("append").parquet(src1)
+    upsert_stream_run(
+        spark,
+        file_stream(spark, src1, "day int, k int, v double, seq int"),
+        t,
+        workdir=str(tmp_path / "run1"),
+    )
+    # mid-flight schema gain: a second source carries a new column —
+    # refused without the sink flag, additive with it
+    src2 = str(tmp_path / "src2")
+    sch2 = "day int, k int, v double, seq int, tag string"
+    spark.createDataFrame(
+        [(0, 1, 9.0, 2, "hot")], sch2
+    ).coalesce(1).write.mode("append").parquet(src2)
+    with pytest.raises(StreamingQueryException, match="schema_evolution"):
+        upsert_stream_run(
+            spark,
+            file_stream(spark, src2, sch2),
+            t,
+            workdir=str(tmp_path / "run2"),
+        )
+    out = upsert_stream_run(
+        spark,
+        file_stream(spark, src2, sch2),
+        t,
+        workdir=str(tmp_path / "run3"),
+        schema_evolution=True,
+    )
+    got = sorted((r.day, r.k, r.v, r.tag) for r in out.collect())
+    assert got == [(0, 1, 9.0, "hot"), (1, 2, 2.0, None)]
+    assert t.table_schema()[-1] == ("tag", "string")

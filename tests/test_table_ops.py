@@ -1,0 +1,187 @@
+"""Operational surface of `ManifestSnapshotTable`: RESTORE (the
+history-preserving undo), ANALYZE-style zone-map backfill without
+rewrite, and DESCRIBE DETAIL.
+
+Pinned semantics: `restore(v)` is a NEW metadata-only commit that
+makes v's state (data, dv, schema, defaults, constraints) current —
+nothing deleted, the undone commits stay in history, restore is
+itself restorable; `backfill_stats()` records both zone-map tiers for
+uncovered fragments in one scan + metadata commit (no file moves),
+after which pruned reads and metadata-only aggregates cover the whole
+table, and a second call is a no-op; `describe_detail()` is one
+metadata-only row."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+    ManifestSnapshotTable,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="tops_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk(spark, root, **kw):
+    base = dict(
+        keys=["day", "k"], order_cols=["seq"], partition_by=["day"],
+    )
+    base.update(kw)
+    return ManifestSnapshotTable(spark, os.path.join(root, "t"), **base)
+
+
+def _seed(spark, t):
+    return t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1.0, 1), (0, 2, 2.0, 1), (1, 3, 3.0, 1)],
+            "day int, k int, v double, seq int",
+        )
+    )
+
+
+def _state(t):
+    df = t.read()
+    if df is None:
+        return []
+    return sorted((r.day, r.k, r.v) for r in df.collect())
+
+
+def test_restore_is_a_new_commit_preserving_history(spark, root):
+    t = _mk(spark, root)
+    v1 = _seed(spark, t)
+    good = _state(t)
+    v2 = t.update_where(F.lit(True), {"v": "v * 100"})  # the bad commit
+    v3 = t.restore(v1)
+    assert _state(t) == good
+    # nothing was deleted: the bad commit is still readable history
+    assert t.versions() == [v1, v2, v3]
+    assert sorted(r.v for r in t.read(version=v2).collect()) == [
+        100.0, 200.0, 300.0,
+    ]
+    ops = {r.version: r.op for r in t.history().collect()}
+    assert ops[v3] == "restore"
+    # restore of the restore (undo the undo) also works
+    v4 = t.restore(v2)
+    assert sorted(r.v for r in t.read().collect()) == [100.0, 200.0, 300.0]
+    assert t.versions() == [v1, v2, v3, v4]
+
+
+def test_restore_carries_table_metadata(spark, root):
+    t = _mk(spark, root)
+    v1 = _seed(spark, t)
+    t.add_column("tag", "string", initial_default="x")
+    t.add_constraint("v_pos", "v > 0")
+    v3 = t.versions()[-1]
+    t.update_where(F.lit(True), {"v": "v + 1"})
+    t.restore(v3)
+    # schema + default + constraint all restored with the state
+    assert t.table_schema()[-1] == ("tag", "string")
+    assert t.table_defaults() == {"tag": "x"}
+    assert t.table_constraints() == {"v_pos": "v > 0"}
+    assert _state(t) == [(0, 1, 1.0), (0, 2, 2.0), (1, 3, 3.0)]
+    # restoring PAST a schema change reverts the schema too
+    t.restore(v1)
+    assert t.table_schema() == [
+        ("day", "int"), ("k", "int"), ("v", "double"), ("seq", "int"),
+    ]
+    assert t.table_constraints() == {}
+
+
+def test_restore_refusals(spark, root):
+    t = _mk(spark, root, keep_versions=2)
+    v1 = _seed(spark, t)
+    with pytest.raises(ValueError):
+        t.restore(99)
+    t.update_where(F.lit(True), {"v": "v + 1"})
+    t.update_where(F.lit(True), {"v": "v + 1"})
+    # v1 was demoted to a holder by retention — not restorable
+    assert v1 not in t.versions()
+    with pytest.raises(ValueError):
+        t.restore(v1)
+
+
+def test_restore_keeps_dv_state(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    t.delete_dv(spark.createDataFrame([(0, 1)], "day int, k int"))
+    v_dv = t.versions()[-1]
+    t.update_where(F.lit(True), {"v": "v * 10"})  # materializes the dv
+    t.restore(v_dv)
+    # the restored snapshot applies the vector again
+    assert _state(t) == [(0, 2, 2.0), (1, 3, 3.0)]
+    assert "day=0" in t._dv_map(t._manifest_doc())
+
+
+def test_backfill_stats_without_rewrite(spark, root):
+    # table loaded WITHOUT stats_cols: no envelopes anywhere
+    plain = _mk(spark, root)
+    _seed(spark, plain)
+    v1 = plain.versions()[-1]
+    assert plain.fragment_stats() == {}
+    # a stats-configured handle on the same path backfills
+    t = _mk(spark, root, stats_cols=["v"])
+    v2 = t.backfill_stats()
+    # metadata-only: no data dir, no holder moves
+    assert not os.path.exists(t._data_dir(v2))
+    assert set(t.manifest().values()) == {v1}
+    # both tiers recorded; metadata aggregates now cover everything
+    assert t.fragment_stats()["day=0"]["v"] == [1.0, 2.0]
+    n, meta, scanned = t.count_rows()
+    assert (n, meta, scanned) == (3, 2, 0)
+    mn, mx, meta2, scanned2 = t.metadata_min_max("v")
+    assert (mn, mx, scanned2) == (1.0, 3.0, 0)
+    # pruned read engages
+    df, fk, ft, _, _ = t.read_where("v", 3.0, 9.0)
+    assert (fk, ft) == (1, 2)
+    assert [r.k for r in df.collect()] == [3]
+    # convergence: a second call is a no-op (no new version)
+    assert t.backfill_stats() == v2
+    h = {r.version: r.op for r in t.history().collect()}
+    assert h[v2] == "backfill_stats"
+
+
+def test_backfill_stats_handles_absent_columns(spark, root):
+    plain = _mk(spark, root)
+    _seed(spark, plain)
+    plain.add_column("score", "int")
+    t = _mk(spark, root, stats_cols=["v", "score"])
+    v = t.backfill_stats()
+    # absent column recorded as an all-NULL envelope (what alignment
+    # makes those values read as) -> coverage converges
+    assert t.fragment_stats()["day=0"]["score"] == [None, None]
+    assert t.backfill_stats() == v
+    # and metadata_min_max stays exact: all-NULL contributes nothing
+    mn, mx, meta, scanned = t.metadata_min_max("score")
+    assert (mn, mx, scanned) == (None, None, 0)
+
+
+def test_describe_detail(spark, root):
+    t = _mk(spark, root, stats_cols=["v"])
+    _seed(spark, t)
+    t.delete_dv(spark.createDataFrame([(0, 1)], "day int, k int"))
+    d = t.describe_detail().first()
+    assert d.format == "parquet+manifest"
+    assert d.partition_columns == "day"
+    assert d.num_fragments == 2
+    assert d.num_files >= 2 and d.size_bytes > 0
+    assert d.dv_rows == 1
+    assert d.current_version == t.versions()[-1]
+    assert d.cloned_from is None
+    assert '"v", "double"' in d.schema_json.replace("[", "(").replace(
+        "]", ")"
+    ).replace("(", "").replace(")", "") or "v" in d.schema_json
+    # a clone reports its origin
+    cl = t.clone_to(os.path.join(root, "cl"))
+    dc = cl.describe_detail().first()
+    assert dc.cloned_from == os.path.abspath(t.path)
+    assert dc.num_fragments == 2

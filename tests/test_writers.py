@@ -1048,7 +1048,13 @@ class TestManifestChangeFeed:
             [("d1", 1, "a2", 2, 7.5)],
             "day string, k int, v string, seq int, extra double",
         )
-        t.upsert(widened)
+        # additive widening is an explicit opt-in since the declared
+        # schema landed (r10): refused without the flag
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="schema_evolution=True"):
+            t.upsert(widened)
+        t.upsert(widened, schema_evolution=True)
         got = {
             (r._change_type, r.day, r.k, r.v, r.extra)
             for r in t.changes(1, 2).collect()
