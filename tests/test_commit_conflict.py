@@ -54,6 +54,14 @@ class TestVersionClaim:
             t.delete_where(F.col("k") == 1)
         with pytest.raises(CommitConflict):
             t.compact()
+        with pytest.raises(CommitConflict):
+            from pyspark.sql import functions as F
+
+            t.update_where(F.col("k") == 1, {"v": "'z'"})
+        with pytest.raises(CommitConflict):
+            t.restore(1)
+        with pytest.raises(CommitConflict):
+            t.add_column("extra", "int")
         # the losers left no partial state: v1 still the only snapshot
         assert t.versions() == [1]
         assert [(r.k, r.v) for r in t.read().collect()] == [(1, "a")]

@@ -185,3 +185,127 @@ def test_describe_detail(spark, root):
     dc = cl.describe_detail().first()
     assert dc.cloned_from == os.path.abspath(t.path)
     assert dc.num_fragments == 2
+
+
+# ---------------------------------------------------------------------------
+# Property: any interleaving of upserts, predicate updates, metadata-only
+# column adds (with and without initial defaults), keyed deletes, and
+# restores leaves read() equal to a plain dict model replaying the same
+# ops — including restores to any earlier snapshot (model state stacks).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_COL_POOL = ["c1", "c2", "c3"]
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 3),
+                      st.integers(0, 9)),
+            min_size=1, max_size=3)),
+        st.tuples(st.just("update"), st.tuples(
+            st.integers(2, 3), st.integers(0, 1))),
+        st.tuples(st.just("addcol"), st.tuples(
+            st.sampled_from(_COL_POOL),
+            st.one_of(st.none(), st.integers(0, 5)))),
+        st.tuples(st.just("delete"), st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 3)),
+            min_size=1, max_size=2)),
+        st.tuples(st.just("restore"), st.integers(0, 10)),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@given(ops=_OPS)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dml_ddl_interleavings_match_model(spark, ops):
+    import copy
+
+    root = tempfile.mkdtemp(prefix="tops_prop_")
+    try:
+        t = ManifestSnapshotTable(
+            spark, os.path.join(root, "t"), keys=["day", "k"],
+            order_cols=["seq"], partition_by=["day"],
+        )
+        # model: (day, k) -> {col: value}; cols: name -> default fill
+        model: dict[tuple, dict] = {}
+        cols: dict[str, int | None] = {}
+        snaps: list[tuple] = []  # (version, model copy, cols copy)
+
+        def snap():
+            vs = t.versions()
+            if vs and (not snaps or snaps[-1][0] != vs[-1]):
+                snaps.append(
+                    (vs[-1], copy.deepcopy(model), dict(cols))
+                )
+
+        seq = 0
+        for kind, payload in ops:
+            seq += 1
+            if kind == "upsert":
+                dedup = {(d, k): v for d, k, v in payload}
+                schema = "day int, k int, v int, seq int" + "".join(
+                    f", {c} int" for c in cols
+                )
+                rows = [
+                    (d, k, v, seq, *[(k + v) % 7 for _c in cols])
+                    for (d, k), v in dedup.items()
+                ]
+                t.upsert(spark.createDataFrame(rows, schema))
+                for (d, k), v in dedup.items():
+                    model[(d, k)] = {"v": v} | {
+                        c: (k + v) % 7 for c in cols
+                    }
+            elif kind == "update":
+                m, r = payload
+                t.update_where(
+                    F.col("k") % m == r, {"v": "v + 10"}
+                )
+                for (d, k), row in model.items():
+                    if k % m == r:
+                        row["v"] += 10
+            elif kind == "addcol":
+                name, default = payload
+                if name in cols or not t.versions():
+                    continue  # dup, or nothing committed to evolve
+                t.add_column(name, "int", initial_default=default)
+                cols[name] = default
+                for row in model.values():
+                    row[name] = default
+            elif kind == "delete":
+                batch = list({(d, k) for d, k in payload})
+                t.delete(spark.createDataFrame(batch, "day int, k int"))
+                for dk in batch:
+                    model.pop(dk, None)
+            else:  # restore
+                if not snaps:
+                    continue
+                v, m_snap, c_snap = snaps[payload % len(snaps)]
+                if v not in t.versions():
+                    continue
+                t.restore(v)
+                model = copy.deepcopy(m_snap)
+                cols = dict(c_snap)
+            snap()
+            df = t.read()
+            got = {}
+            if df is not None:
+                assert df.columns == ["day", "k", "v", "seq"] + list(
+                    cols
+                )
+                for r in df.collect():
+                    d = r.asDict()
+                    got[(d["day"], d["k"])] = {
+                        c: d[c] for c in ("v", *cols)
+                    }
+            want = {
+                dk: {c: row.get(c) for c in ("v", *cols)}
+                for dk, row in model.items()
+            }
+            assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
