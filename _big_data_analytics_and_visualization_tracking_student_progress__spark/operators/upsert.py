@@ -2217,25 +2217,32 @@ class ManifestSnapshotTable:
         return new_v
 
     def _conform_batch(
-        self, batch: DataFrame, prev_doc: dict, evolve: bool
+        self,
+        batch: DataFrame,
+        prev_doc: dict,
+        evolve: bool,
+        allow_missing: bool = False,
     ) -> DataFrame:
         """Validate and align a write batch against the declared
         schema.  A batch must carry EVERY declared column — an upsert
         cannot partially specify a row (NULL-filling here would clobber
         matched rows' values; only reads of pre-evolution FILES fill
-        NULL).  Extra columns require ``schema_evolution=True`` and
-        extend the schema additively; a batch column WIDER than the
-        declared type requires the flag too and widens the declaration
-        (the merge union coerces the carried rows up); a NARROWER batch
-        column is always cast up losslessly; anything else is
-        incompatible and refused."""
+        NULL) — unless ``allow_missing`` (merge_into: `merge_clauses`
+        documents slim sources, e.g. keys + condition fields for a
+        delete-only merge, with source-side NULL fill).  Extra columns
+        require ``schema_evolution=True`` and extend the schema
+        additively; a batch column WIDER than the declared type
+        requires the flag too and widens the declaration (the merge
+        union coerces the carried rows up); a NARROWER batch column is
+        always cast up losslessly; anything else is incompatible and
+        refused."""
         sch = prev_doc.get("schema")
         if not sch:
             return batch
         declared = {n: t for n, t in sch}
         have = dict(batch.dtypes)
         missing = sorted(set(declared) - set(have))
-        if missing:
+        if missing and not allow_missing:
             raise ValueError(
                 f"write batch lacks table columns {missing} — a batch "
                 "must carry every declared column (reads NULL-fill "
@@ -2250,6 +2257,8 @@ class ManifestSnapshotTable:
             )
         cols: list[Column] = []
         for n, t in sch:
+            if n not in have:
+                continue  # allow_missing: merge_clauses NULL-fills
             bt = have[n]
             if bt == t:
                 cols.append(F.col(n))
@@ -2386,6 +2395,7 @@ class ManifestSnapshotTable:
         when_not_matched_insert: Column | None = None,
         when_matched_delete: Column | None = None,
         when_not_matched_by_source_delete: Column | None = None,
+        schema_evolution: bool = False,
     ) -> int:
         """Conditional MERGE commit — `merge_clauses` semantics
         (``t.<col>`` / ``s.<col>`` condition references; see its
@@ -2399,6 +2409,13 @@ class ManifestSnapshotTable:
         names every partition the merge can touch.  A partition the
         delete clause empties leaves the manifest (like `delete`); an
         insert into a brand-new partition creates its fragment.
+
+        ``schema_evolution``: with the declared schema in force the
+        source may omit declared columns (`merge_clauses`' slim-source
+        contract — they read NULL on the source side), but ADDING
+        columns or carrying a losslessly wider type requires the flag,
+        exactly like `upsert` — a merge must not mutate the declared
+        schema silently.
 
         ``when_not_matched_by_source_delete`` widens the touch set:
         the clause can reap target rows in partitions the source never
@@ -2420,6 +2437,9 @@ class ManifestSnapshotTable:
                 k: int(v)
                 for k, v in prev_doc.get("partitions", {}).items()
             }
+            source = self._conform_batch(
+                source, prev_doc, schema_evolution, allow_missing=True
+            )
             touched = [
                 tuple(r)
                 for r in source.select(*self.partition_by)

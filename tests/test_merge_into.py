@@ -170,7 +170,11 @@ def test_merge_schema_evolution_additive(spark, root):
         [(0, 1, 11, 2, "tag"), (0, 2, 22, 2, None)],
         SCHEMA + ", label string",
     )
-    t.merge_into(src)
+    # additive widening is an explicit opt-in since the declared
+    # schema landed (r10): refused without the flag
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        t.merge_into(src)
+    t.merge_into(src, schema_evolution=True)
     got = {(r.day, r.k): (r.v, r.label) for r in t.read().collect()}
     assert got == {(0, 1): (11, "tag"), (0, 2): (22, None)}
 

@@ -374,3 +374,32 @@ def test_streaming_sink_schema_evolution(spark, root, tmp_path):
     got = sorted((r.day, r.k, r.v, r.tag) for r in out.collect())
     assert got == [(0, 1, 9.0, "hot"), (1, 2, 2.0, None)]
     assert t.table_schema()[-1] == ("tag", "string")
+
+
+def test_merge_into_respects_declared_schema(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    # slim source (keys + condition field only) stays legal: a
+    # delete-only merge never needs the full row
+    t.merge_into(
+        spark.createDataFrame([(0, 2, 99, 99.0)],
+                              "day int, k int, seq int, v double")
+        .select("day", "k", "seq"),
+        when_matched_update=F.lit(False),
+        when_not_matched_insert=F.lit(False),
+        when_matched_delete=F.lit(True),
+    )
+    assert sorted((r.day, r.k) for r in t.read().collect()) == [
+        (0, 1), (1, 3),
+    ]
+    # but ADDING a column through a merge requires the flag
+    wide = spark.createDataFrame(
+        [(0, 1, 9.0, 5, "hot")],
+        "day int, k int, v double, seq int, tag string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        t.merge_into(wide)
+    t.merge_into(wide, schema_evolution=True)
+    assert t.table_schema()[-1] == ("tag", "string")
+    got = sorted((r.day, r.k, r.tag) for r in t.read().collect())
+    assert got == [(0, 1, "hot"), (1, 3, None)]
