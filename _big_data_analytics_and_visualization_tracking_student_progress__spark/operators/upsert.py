@@ -505,6 +505,7 @@ class ManifestSnapshotTable:
                  partition_by: Sequence[str],
                  stable_partitions: bool = False,
                  keep_versions: int | None = None,
+                 keep_seconds: float | None = None,
                  stats_cols: Sequence[str] | None = None,
                  claim_ttl_seconds: float = 3600.0,
                  bloom_cols: Sequence[str] | None = None,
@@ -566,6 +567,12 @@ class ManifestSnapshotTable:
                 "would leave its stale row behind in the old partition)"
             )
         self.keep_versions = keep_versions
+        # Time-based retention (Delta's VACUUM ... RETAIN N HOURS):
+        # snapshots whose commit timestamp is younger than this stay
+        # readable regardless of count.  Composable with
+        # keep_versions — vacuum retains the UNION of both policies
+        # (and always the latest snapshot).
+        self.keep_seconds = keep_seconds
         # Cross-host fallback for reclaiming a crashed writer's version
         # claim (same-host claims are judged by liveness of the
         # recorded pid, not age) — see `_claim_is_stale`.
@@ -750,15 +757,37 @@ class ManifestSnapshotTable:
             StructType,
         )
 
+        from pyspark.sql.types import LongType
+
+        rk = self._ROWS_KEY
         rows = []
         for v in self.versions():
-            info = self._manifest_doc(v).get("commit") or {}
+            doc = self._manifest_doc(v)
+            info = doc.get("commit") or {}
             touched = info.get("touched")
+            # live row count straight from the snapshot's stats
+            # metadata (file counts minus its dv cardinalities) —
+            # None when any fragment lacks recorded counts
+            m = doc.get("partitions", {})
+            fst = doc.get("file_stats", {})
+            dvr = {
+                k: int(n) for k, n in (doc.get("dv_rows") or {}).items()
+            }
+            n_rows: int | None = 0
+            for frag in m:
+                fdoc = fst.get(frag)
+                if not fdoc or not all(rk in e for e in fdoc.values()):
+                    n_rows = None
+                    break
+                n_rows += sum(
+                    int(e[rk]) for e in fdoc.values()
+                ) - dvr.get(frag, 0)
             rows.append(
                 (
                     v,
                     info.get("op"),
                     len(touched) if touched is not None else None,
+                    n_rows,
                     float(info["ts"]) if "ts" in info else None,
                 )
             )
@@ -767,6 +796,7 @@ class ManifestSnapshotTable:
                 StructField("version", IntegerType(), False),
                 StructField("op", StringType(), True),
                 StructField("n_touched", IntegerType(), True),
+                StructField("n_rows", LongType(), True),
                 StructField("ts", DoubleType(), True),
             ]
         )
@@ -2292,7 +2322,7 @@ class ManifestSnapshotTable:
         ``versions()`` empty — an unreadable table)."""
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
             pass
-        if self.keep_versions is not None:
+        if self.keep_versions is not None or self.keep_seconds is not None:
             self.vacuum()
 
     # -- write ----------------------------------------------------------
@@ -3808,6 +3838,7 @@ class ManifestSnapshotTable:
                 set(self.partition_by) <= set(self.keys)
             ),
             keep_versions=self.keep_versions,
+            keep_seconds=self.keep_seconds,
             stats_cols=self.stats_cols or None,
             claim_ttl_seconds=self.claim_ttl_seconds,
             bloom_cols=self.bloom_cols or None,
@@ -3843,20 +3874,37 @@ class ManifestSnapshotTable:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)
 
     def vacuum(self) -> None:
-        """Retain the newest `keep_versions` complete snapshots; every
-        older version dir still referenced by a retained manifest is
-        DEMOTED to a data holder (`_HOLDER_ONLY` tombstone — its files
-        survive for the manifests that inherit them, but it is no longer
-        offered as a readable snapshot, because its own manifest may
-        reference versions this vacuum deletes); everything else —
-        including holders that have since become unreferenced — is
-        deleted."""
+        """Retain the UNION of both retention policies — the newest
+        `keep_versions` complete snapshots, and (Delta's ``VACUUM ...
+        RETAIN N HOURS``) every snapshot whose commit timestamp is
+        younger than `keep_seconds` — always including the latest.
+        Every older version dir still referenced by a retained
+        manifest is DEMOTED to a data holder (`_HOLDER_ONLY` tombstone
+        — its files survive for the manifests that inherit them, but
+        it is no longer offered as a readable snapshot, because its
+        own manifest may reference versions this vacuum deletes);
+        everything else — including holders that have since become
+        unreferenced — is deleted.  A snapshot without a recorded
+        commit timestamp is kept under the time policy
+        (conservative)."""
         import shutil
+        import time
 
-        if self.keep_versions is None:
+        if self.keep_versions is None and self.keep_seconds is None:
             return
         vs = self.versions()
-        retained = set(vs[-self.keep_versions:])
+        if not vs:
+            return
+        retained: set[int] = {vs[-1]}
+        if self.keep_versions is not None:
+            retained |= set(vs[-self.keep_versions:])
+        if self.keep_seconds is not None:
+            cut = time.time() - self.keep_seconds
+            for v in vs:
+                info = self._manifest_doc(v).get("commit") or {}
+                ts = info.get("ts")
+                if ts is None or float(ts) >= cut:
+                    retained.add(v)
         referenced = set()
         for v in retained:
             doc = self._manifest_doc(v)

@@ -309,3 +309,52 @@ def test_dml_ddl_interleavings_match_model(spark, ops):
             assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_history_reports_live_row_counts(spark, root):
+    t = _mk(spark, root, stats_cols=["v"])
+    v1 = _seed(spark, t)  # 3 rows
+    t.delete_dv(spark.createDataFrame([(0, 1)], "day int, k int"))
+    v2 = t.versions()[-1]
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 9, 9.0, 2)], "day int, k int, v double, seq int"
+        )
+    )
+    v3 = t.versions()[-1]
+    h = {r.version: r.n_rows for r in t.history().collect()}
+    assert h == {v1: 3, v2: 2, v3: 3}
+    # a stats-free table reports None instead of a wrong number
+    p = ManifestSnapshotTable(
+        spark, os.path.join(root, "p"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"],
+    )
+    _seed(spark, p)
+    assert [r.n_rows for r in p.history().collect()] == [None]
+
+
+def test_time_based_retention(spark, root):
+    import time as _time
+
+    # keep_seconds huge: nothing is vacuumed regardless of count
+    t = _mk(spark, root, keep_seconds=3600.0)
+    v1 = _seed(spark, t)
+    for i in range(3):
+        t.update_where(F.col("k") == 1, {"v": f"v + {i + 1}"})
+    assert t.versions()[0] == v1  # all four snapshots retained
+    # keep_seconds tiny: only the latest survives the next publish
+    t2 = ManifestSnapshotTable(
+        spark, t.path, keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"], keep_seconds=0.001,
+    )
+    _time.sleep(0.05)
+    v_new = t2.update_where(F.col("k") == 1, {"v": "v + 100"})
+    assert t2.versions() == [v_new]
+    # union policy: count OR age retains
+    t3 = ManifestSnapshotTable(
+        spark, t.path, keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"], keep_versions=2, keep_seconds=0.001,
+    )
+    _time.sleep(0.05)
+    t3.update_where(F.col("k") == 1, {"v": "v + 1"})
+    assert len(t3.versions()) == 2  # count policy floor holds
