@@ -511,7 +511,8 @@ class ManifestSnapshotTable:
                  bloom_cols: Sequence[str] | None = None,
                  bloom_bits: int = 1 << 16,
                  bloom_k: int = 5,
-                 constraints: dict[str, Column] | None = None):
+                 constraints: dict[str, Column] | None = None,
+                 generated_partitions: dict[str, str] | None = None):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
@@ -555,6 +556,25 @@ class ManifestSnapshotTable:
         # and a GDPR erasure must never be blocked by an unrelated
         # constraint on carried data.
         self.constraints = dict(constraints) if constraints else {}
+        # Generated partition columns (Delta generated columns, the
+        # date-bucketed fact-table shape): {partition col → SQL expr
+        # over the other columns}.  Write batches may OMIT the column
+        # (it is derived) or carry it (one observe counter riding the
+        # batch's first job proves every provided value equals the
+        # derivation — zero extra scans, like CHECK constraints).
+        # Persisted in the manifest on first write so every writer
+        # handle derives identically.
+        self.generated_partitions = (
+            dict(generated_partitions) if generated_partitions else {}
+        )
+        bad_gen = sorted(
+            set(self.generated_partitions) - set(partition_by)
+        )
+        if bad_gen:
+            raise ValueError(
+                f"generated_partitions must target partition columns; "
+                f"{bad_gen} are not in partition_by"
+            )
         if self.bloom_cols and (self.bloom_bits < 8 or self.bloom_k < 1):
             raise ValueError("need bloom_bits >= 8 and bloom_k >= 1")
         self._bloom_cache: dict[int, dict] = {}
@@ -861,6 +881,9 @@ class ManifestSnapshotTable:
         dfl = prev_doc.get("defaults")
         if dfl:
             doc["defaults"] = dict(dfl)
+        gen = prev_doc.get("generated")
+        if gen:
+            doc["generated"] = dict(gen)
         base = prev_doc.get("base")
         if base:
             rw = rewritten or set()
@@ -2246,6 +2269,62 @@ class ManifestSnapshotTable:
         self._publish(vdir)
         return new_v
 
+    def _effective_generated(self, doc: dict) -> dict[str, str]:
+        """Constructor-handle generation exprs ∪ the manifest-persisted
+        ones (persisted wins collisions — the table's declared
+        derivation outranks one writer's local opinion), mirroring
+        `_effective_constraints`."""
+        eff = dict(self.generated_partitions)
+        eff.update(doc.get("generated") or {})
+        return eff
+
+    def _apply_generated(self, batch: DataFrame, doc: dict):
+        """Derive generated partition columns the batch omits; for
+        columns the batch DOES carry, attach one observe counter per
+        column (mismatches between the provided value and the
+        derivation, NULL-safe) riding the batch's first job — zero
+        extra scans.  Returns ``(batch, observation | None)``; call
+        `_raise_generated_violations` after the first action."""
+        gen = self._effective_generated(doc)
+        if not gen:
+            return batch, None
+        checks: list = []
+        for c, sql in sorted(gen.items()):
+            if c not in batch.columns:
+                batch = batch.withColumn(c, F.expr(sql))
+            else:
+                checks.append(
+                    F.sum(
+                        F.when(
+                            ~F.col(c).eqNullSafe(F.expr(sql)), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    )
+                    .cast("long")
+                    .alias(c)
+                )
+        if not checks:
+            return batch, None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return batch.observe(obs, *checks), obs
+
+    @staticmethod
+    def _raise_generated_violations(obs) -> None:
+        if obs is None:
+            return
+        bad = {
+            c: int(n)
+            for c, n in obs.get.items()
+            if n is not None and int(n) > 0
+        }
+        if bad:
+            raise ValueError(
+                "generated partition column(s) carry values that do "
+                f"not match their declared derivation: {bad} (count "
+                "of mismatching rows; commit refused, table unchanged)"
+            )
+
     def _conform_batch(
         self,
         batch: DataFrame,
@@ -2342,10 +2421,14 @@ class ManifestSnapshotTable:
         import json
         import shutil
 
+        # generation defs are static table metadata (declared by the
+        # first write, carried forever), so the unpinned read is safe
+        batch, gen_obs = self._apply_generated(batch, self._manifest_doc())
         touched = [
             tuple(r)
             for r in batch.select(*self.partition_by).distinct().collect()
         ]
+        self._raise_generated_violations(gen_obs)
         if not touched:
             vs = self.versions()
             return vs[-1] if vs else 0
@@ -2401,6 +2484,9 @@ class ManifestSnapshotTable:
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("upsert", frags)
             self._carry_meta(doc, prev_doc, frags)
+            gen_eff = self._effective_generated(prev_doc)
+            if gen_eff:
+                doc["generated"] = gen_eff
             # the declared schema is what this commit actually wrote
             # (== carried unless the batch evolved it)
             doc["schema"] = self._frame_schema(merged)
@@ -2467,6 +2553,7 @@ class ManifestSnapshotTable:
                 k: int(v)
                 for k, v in prev_doc.get("partitions", {}).items()
             }
+            source, gen_obs = self._apply_generated(source, prev_doc)
             source = self._conform_batch(
                 source, prev_doc, schema_evolution, allow_missing=True
             )
@@ -2476,6 +2563,7 @@ class ManifestSnapshotTable:
                 .distinct()
                 .collect()
             ]
+            self._raise_generated_violations(gen_obs)
             frags = {self._part_key(c) for c in touched}
             if when_not_matched_by_source_delete is not None and prev:
                 hit = F.coalesce(
@@ -2549,6 +2637,9 @@ class ManifestSnapshotTable:
             doc = {"partition_by": self.partition_by, "partitions": manifest}
             doc["commit"] = self._commit_info("merge", frags)
             self._carry_meta(doc, prev_doc, frags)
+            gen_eff = self._effective_generated(prev_doc)
+            if gen_eff:
+                doc["generated"] = gen_eff
             doc["schema"] = self._frame_schema(merged)
             self._carry_dv(doc, prev_doc, frags)
             self._inherit_stats(doc, prev_doc, frags, new_v)

@@ -5886,3 +5886,93 @@ def q_manifest_analyze_backfill(
             F.sum("event_id").cast("bigint").alias("sum_event_id"),
         )
         return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# Generated partition columns (ManifestSnapshotTable
+# generated_partitions — Delta generated columns, the date-bucketed
+# fact-table shape): write batches OMIT the partition column entirely;
+# the table derives it from the declared expression, persists the
+# derivation in the manifest (every writer handle derives
+# identically), and proves in-plan that a batch carrying a
+# non-matching value is refused via the single-pass observe check.
+# The oracle applies the same derivation declaratively.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_generated_partitions",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), mn AS (
+        SELECT MIN(tsn) AS m FROM src
+    ), staged AS (
+        SELECT *, CAST((tsn - (SELECT m FROM mn)) // 86400000000000
+                       AS INT) AS day
+        FROM src WHERE event_id % 3 = 0
+    ), latest AS (
+        SELECT day, user_id, event_type, event_id FROM (
+            SELECT day, user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY day, user_id, event_type
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM staged) WHERE rn = 1
+    )
+    SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM latest GROUP BY day, event_type
+    """,
+    doc="generated partition columns (generated_partitions, the Delta "
+    "generated-columns shape): batches omit the day bucket — derived "
+    "from the declared expression, persisted in the manifest, and "
+    "enforced by a single-pass observe when a batch carries a value "
+    "(mismatch refused, asserted in-plan); oracle derives identically",
+)
+def q_manifest_generated_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    day_ns = 86_400_000_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    dmin = int(e.agg(F.min("ts_nanos")).first()[0])
+    expr = f"CAST((ts_nanos - {dmin}) DIV {day_ns} AS INT)"
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "genp",
+        keys=["day", "user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["day"],
+        generated_partitions={"day": expr},
+    ) as table:
+        # the batch has NO day column — the table derives it
+        table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        if not all(f.startswith("day=") for f in table.manifest()):
+            raise RuntimeError(
+                f"unexpected fragments: {sorted(table.manifest())}"
+            )
+        # a batch carrying a WRONG day must be refused (observe check)
+        try:
+            table.upsert(
+                e.filter(F.col("event_id") % 3 == 0)
+                .limit(5)
+                .withColumn("day", F.lit(999))
+            )
+            raise RuntimeError(
+                "mismatching generated value was not refused"
+            )
+        except ValueError:
+            pass
+        agg = (
+            table.read()
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+        )
+        return materialize_bounded(spark, agg)

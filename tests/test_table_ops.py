@@ -358,3 +358,67 @@ def test_time_based_retention(spark, root):
     _time.sleep(0.05)
     t3.update_where(F.col("k") == 1, {"v": "v + 1"})
     assert len(t3.versions()) == 2  # count policy floor holds
+
+
+def test_generated_partition_columns(spark, root):
+    day_expr = "CAST(ts DIV 10 AS INT)"
+    t = ManifestSnapshotTable(
+        spark, os.path.join(root, "g"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"],
+        generated_partitions={"day": day_expr},
+    )
+    # batches may OMIT the partition column entirely — it is derived
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 5, 1.0, 1), (2, 25, 2.0, 1)],
+            "k int, ts long, v double, seq int",
+        )
+    )
+    assert sorted((r.day, r.k) for r in t.read().collect()) == [
+        (0, 1), (2, 2),
+    ]
+    assert set(t.manifest()) == {"day=0", "day=2"}
+    # a batch CARRYING the column must match the derivation
+    with pytest.raises(ValueError, match="declared derivation"):
+        t.upsert(
+            spark.createDataFrame(
+                [(9, 3, 55, 3.0, 1)],
+                "day int, k int, ts long, v double, seq int",
+            )
+        )
+    t.upsert(
+        spark.createDataFrame(
+            [(5, 3, 55, 3.0, 1)],
+            "day int, k int, ts long, v double, seq int",
+        )
+    )
+    # the derivation persisted: a FRESH handle without the constructor
+    # arg still derives (manifest-declared, like constraints)
+    t2 = ManifestSnapshotTable(
+        spark, t.path, keys=["day", "k"], order_cols=["seq"],
+        partition_by=["day"],
+    )
+    assert t2._effective_generated(t2._manifest_doc()) == {
+        "day": day_expr
+    }
+    t2.upsert(
+        spark.createDataFrame(
+            [(4, 41, 4.0, 1)], "k int, ts long, v double, seq int"
+        )
+    )
+    got = sorted((r.day, r.k) for r in t2.read().collect())
+    assert got == [(0, 1), (2, 2), (4, 4), (5, 3)]
+    # merge path derives too
+    t2.merge_into(
+        spark.createDataFrame(
+            [(6, 61, 6.0, 2)], "k int, ts long, v double, seq int"
+        )
+    )
+    assert (6, 6) in {(r.day, r.k) for r in t2.read().collect()}
+    # constructor validation: generation must target partition columns
+    with pytest.raises(ValueError, match="not in partition_by"):
+        ManifestSnapshotTable(
+            spark, os.path.join(root, "bad"), keys=["day", "k"],
+            order_cols=["seq"], partition_by=["day"],
+            generated_partitions={"v": "1"},
+        )
