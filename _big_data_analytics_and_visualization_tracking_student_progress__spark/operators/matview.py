@@ -306,8 +306,15 @@ class IncrementalAggView(_SnapshotDirStore):
         self,
         frag_to_ver: dict[str, int],
         dv: dict[str, int] | None = None,
+        base_doc: dict | None = None,
     ) -> DataFrame:
-        df = self.base._read_fragments(frag_to_ver, dv=dv)
+        # align to the base's declared schema (``base_doc`` is the
+        # refresh's pinned manifest) so a measure/prepare over an
+        # evolved column sees it — typed NULL or initial default for
+        # pre-evolution files, exactly like base.read()
+        df = self.base._read_fragments(
+            frag_to_ver, dv=dv, align=base_doc
+        )
         if self.prepare is not None:
             df = self.prepare(df)
         self._validate_exact_sources(df)
@@ -428,6 +435,7 @@ class IncrementalAggView(_SnapshotDirStore):
             self._partials_for(
                 changed,
                 dv={f: base_dv[f] for f in changed if f in base_dv},
+                base_doc=base_doc,
             )
             if changed
             else None

@@ -604,3 +604,45 @@ class TestExactSourceValidation:
         view.refresh()
         got = {(r.day, str(r.sum_dec), r.avg_v) for r in view.read().collect()}
         assert got == {("d1", "30.00", 15.0)}
+
+
+def test_view_converges_across_base_schema_evolution(spark, tmp_path):
+    """Schema evolution on the BASE interacts correctly with the view:
+    an add_column commit moves no fragments (refresh is a no-op), and
+    a later upsert carrying the new column recomputes only its touched
+    fragments — the view's contract (read == direct aggregate of the
+    base) holds throughout, with a measure over the evolved column
+    contributing NULL-as-absent for pre-evolution rows."""
+    base = _mk_base(spark, tmp_path)
+    base.upsert(_rows(spark, [
+        ("d1", 1, 10, 1), ("d2", 3, 30, 1),
+    ]))
+    # a measure over a column the base lacks is refused until the
+    # base evolves — evolve FIRST, then declare the view
+    base.add_column("w", "int", initial_default=5)
+    view = IncrementalAggView(
+        spark,
+        str(tmp_path / "mv2"),
+        base,
+        group_cols=["grp"],
+        measures=[("n", None, "count"), ("sum_w", "w", "sum")],
+        prepare=lambda df: df.withColumn("grp", F.col("k") % 2),
+    )
+    info = view.refresh()
+    assert (info["recomputed"], info["inherited"]) == (2, 0)
+    got = {(r.grp): (r.n, r.sum_w) for r in view.read().collect()}
+    assert got == {1: (2, 10)}  # both rows read the default 5
+    # a metadata-only evolution moves no fragments: refresh no-ops
+    base.add_column("z", "string")
+    assert view.refresh()["version"] == -1
+    # an upsert carrying the evolved columns recomputes only d2
+    base.upsert(
+        spark.createDataFrame(
+            [("d2", 5, 50, 2, 7, "x")],
+            "day string, k int, v int, seq int, w int, z string",
+        )
+    )
+    info = view.refresh()
+    assert (info["recomputed"], info["inherited"]) == (1, 1)
+    got = {(r.grp): (r.n, r.sum_w) for r in view.read().collect()}
+    assert got == {1: (3, 17)}  # 5 + 5 + 7
