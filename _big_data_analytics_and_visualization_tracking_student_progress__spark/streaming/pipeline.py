@@ -445,7 +445,12 @@ def read_change_feed(
     spark: SparkSession, workdir: str
 ) -> DataFrame | None:
     """The accumulated relay feed: all per-commit change rows with
-    their ``commit_version`` partition column (hive-inferred)."""
+    their ``commit_version`` partition column (hive-inferred).
+    ``mergeSchema``: commits relayed after a base `add_column` /
+    evolving upsert carry the new column while older feed files lack
+    it — the union schema surfaces it everywhere (NULL for
+    pre-evolution rows), so a consumer spanning the evolution never
+    loses the column to parquet's sample-one-footer default."""
     feed = os.path.join(workdir, "feed")
     if not os.path.isdir(feed):
         return None
@@ -456,7 +461,11 @@ def read_change_feed(
     )
     if not has_files:
         return None
-    return spark.read.option("basePath", feed).parquet(feed)
+    return (
+        spark.read.option("basePath", feed)
+        .option("mergeSchema", "true")
+        .parquet(feed)
+    )
 
 
 def interval_stream_join(

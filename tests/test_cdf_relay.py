@@ -192,3 +192,35 @@ def test_relay_carries_dv_only_commits(spark, root):
     t.delete_where_dv(F.col("d") == 1)
     feed2 = changes_relay_run(spark, t, workdir=os.path.join(root, "wd"))
     assert _rows(feed2)[-1] == (3, "delete", 1, 3, 3)
+
+
+def test_relay_spans_schema_evolution(spark, root):
+    """A feed accumulated across a base add_column must surface the
+    new column for EVERY row (NULL before the evolution) — the merged
+    union schema, not whichever footer parquet samples first."""
+    t = _mk(spark, root)
+    t.upsert(spark.createDataFrame([(0, 1, 1)], "d int, k int, v int"))
+    wd = os.path.join(root, "wd")
+    changes_relay_run(spark, t, workdir=wd)
+    t.add_column("tag", "string", initial_default="x")
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 2, 2, "hot")], "d int, k int, v int, tag string"
+        )
+    )
+    feed = changes_relay_run(spark, t, workdir=wd)
+    assert "tag" in feed.columns
+    got = sorted(
+        (r.commit_version, r._change_type, r.k, r.tag)
+        for r in feed.collect()
+    )
+    # the bootstrap insert predates the column (NULL in the feed —
+    # feed files are immutable history); the post-evolution commit
+    # emits ONLY the true insert: the carried row k=1 produces no
+    # update event because alignment makes its pre-image read the
+    # default ('x') that the rewrite then materialized — identical
+    # images, so the evolution itself never floods the feed
+    assert got == [
+        (1, "insert", 1, None),
+        (3, "insert", 2, "hot"),
+    ]
