@@ -221,3 +221,34 @@ def test_clone_bloom_sidecars_resolve_through_base(spark, root):
     assert [r.day for r in df.collect()] == [1]
     # bloom skipping engaged on the clone (fewer files than total)
     assert flk < flt
+
+
+def test_clone_inherits_generated_partitions(spark, root):
+    src = ManifestSnapshotTable(
+        spark, os.path.join(root, "gsrc"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"],
+        generated_partitions={"day": "CAST(ts DIV 10 AS INT)"},
+    )
+    src.upsert(
+        spark.createDataFrame(
+            [(1, 5, 1.0, 1)], "k int, ts long, v double, seq int"
+        )
+    )
+    cl = src.clone_to(os.path.join(root, "gcl"))
+    # the derivation rides the cloned manifest: a clone batch may omit
+    # the partition column too, and a wrong value is refused
+    cl.upsert(
+        spark.createDataFrame(
+            [(2, 25, 2.0, 1)], "k int, ts long, v double, seq int"
+        )
+    )
+    assert sorted((r.day, r.k) for r in cl.read().collect()) == [
+        (0, 1), (2, 2),
+    ]
+    with pytest.raises(ValueError, match="declared derivation"):
+        cl.upsert(
+            spark.createDataFrame(
+                [(9, 3, 55, 3.0, 1)],
+                "day int, k int, ts long, v double, seq int",
+            )
+        )
