@@ -884,6 +884,9 @@ class ManifestSnapshotTable:
         gen = prev_doc.get("generated")
         if gen:
             doc["generated"] = dict(gen)
+        dropped = prev_doc.get("dropped_columns")
+        if dropped:
+            doc["dropped_columns"] = list(dropped)
         base = prev_doc.get("base")
         if base:
             rw = rewritten or set()
@@ -2191,6 +2194,13 @@ class ManifestSnapshotTable:
                 )
             if name in {n for n, _t in sch}:
                 raise ValueError(f"column {name!r} already exists")
+            if name in (prev_doc.get("dropped_columns") or []):
+                raise ValueError(
+                    f"column name {name!r} was dropped and pre-drop "
+                    "files still hold its bytes (name-based parquet "
+                    "resolution would resurrect them); use a fresh "
+                    "name, or compact() first to shed the old bytes"
+                )
             doc = dict(prev_doc)
             doc.setdefault("partition_by", self.partition_by)
             doc.setdefault("partitions", {})
@@ -2213,6 +2223,83 @@ class ManifestSnapshotTable:
         ({column → JSON scalar}) — applied by read alignment to rows
         whose files predate the column's add."""
         return dict(self._manifest_doc(version).get("defaults") or {})
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` — a METADATA-ONLY commit, the
+        third leg of the evolution triad: the declared schema loses
+        the column, every read path projects it away (alignment is
+        schema-driven), old files keep their bytes untouched, and the
+        next rewrite of a partition physically sheds them there.
+
+        Name-based parquet resolution means RE-ADDING the same name
+        would resurrect stale bytes from pre-drop files (the format
+        has no Iceberg-style field ids), so the drop leaves a
+        tombstone in the manifest: `add_column` (and an evolving
+        upsert) refuses tombstoned names until a ``compact()`` —
+        which physically rewrites everything — clears them.
+
+        Refuses key and partition columns (identity/layout), a column
+        any persisted CHECK constraint or generated-partition
+        expression references (they would fail analysis on every
+        later commit), and unknown names.  A declared initial default
+        for the column is dropped with it."""
+        import json
+        import re
+
+        if name in self.keys or name in self.partition_by:
+            raise ValueError(
+                f"cannot drop key/partition column {name!r}"
+            )
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            sch = prev_doc.get("schema")
+            if not sch:
+                raise ValueError(
+                    "table has no committed schema to evolve — the "
+                    "first write commit establishes it"
+                )
+            if name not in {n for n, _t in sch}:
+                raise ValueError(
+                    f"no column {name!r}; table columns: "
+                    f"{sorted(n for n, _t in sch)}"
+                )
+            token = re.compile(rf"\b{re.escape(name)}\b")
+            for cn, sql in (prev_doc.get("constraints") or {}).items():
+                if token.search(sql):
+                    raise ValueError(
+                        f"cannot drop {name!r}: CHECK constraint "
+                        f"{cn!r} references it ({sql!r}); drop the "
+                        "constraint first"
+                    )
+            for pc, expr in (prev_doc.get("generated") or {}).items():
+                if token.search(expr):
+                    raise ValueError(
+                        f"cannot drop {name!r}: generated partition "
+                        f"column {pc!r} derives from it ({expr!r})"
+                    )
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["schema"] = [list(e) for e in sch if e[0] != name]
+            defaults = dict(prev_doc.get("defaults") or {})
+            defaults.pop(name, None)
+            if defaults:
+                doc["defaults"] = defaults
+            else:
+                doc.pop("defaults", None)
+            dropped = list(prev_doc.get("dropped_columns") or [])
+            if name not in dropped:
+                dropped.append(name)
+            doc["dropped_columns"] = dropped
+            doc["commit"] = self._commit_info("drop_column", set())
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
 
     def widen_column(self, name: str, ddl_type: str) -> int:
         """``ALTER TABLE ALTER COLUMN TYPE`` restricted to the lossless
@@ -2363,6 +2450,15 @@ class ManifestSnapshotTable:
                 f"write batch adds columns {extra} not in the table "
                 "schema; pass schema_evolution=True to extend it "
                 "additively"
+            )
+        tombstoned = sorted(
+            set(extra) & set(prev_doc.get("dropped_columns") or [])
+        )
+        if tombstoned:
+            raise ValueError(
+                f"columns {tombstoned} were dropped and pre-drop files "
+                "still hold their bytes (re-adding would resurrect "
+                "them); use fresh names, or compact() first"
             )
         cols: list[Column] = []
         for n, t in sch:
@@ -3613,6 +3709,9 @@ class ManifestSnapshotTable:
             }
             doc["commit"] = self._commit_info("compact", set(prev))
             self._carry_meta(doc, prev_doc, set(prev))
+            # the full rewrite physically shed every dropped column's
+            # bytes — names become safe to reuse
+            doc.pop("dropped_columns", None)
             doc["schema"] = self._frame_schema(out)
             if self.stats_cols:
                 # full rewrite: recompute every envelope, which also

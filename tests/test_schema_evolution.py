@@ -403,3 +403,88 @@ def test_merge_into_respects_declared_schema(spark, root):
     assert t.table_schema()[-1] == ("tag", "string")
     got = sorted((r.day, r.k, r.tag) for r in t.read().collect())
     assert got == [(0, 1, "hot"), (1, 3, None)]
+
+
+def test_drop_column_metadata_only(spark, root):
+    t = _mk(spark, root)
+    v1 = _seed(spark, t)
+    t.add_column("tag", "string", initial_default="x")
+    v_drop = t.drop_column("tag")
+    # metadata-only: no data dir, no holder moves
+    assert not os.path.exists(t._data_dir(v_drop))
+    assert set(t.manifest().values()) == {v1}
+    # the column vanished from reads (old files keep their bytes)
+    assert t.read().columns == ["day", "k", "v", "seq"]
+    assert t.table_defaults() == {}
+    # a rewrite sheds the bytes physically on the touched partition
+    t.update_where(F.col("day") == 0, {"v": "v + 1"})
+    raw = spark.read.parquet(
+        os.path.join(t._data_dir(t.manifest()["day=0"]), "day=0")
+    )
+    assert "tag" not in raw.columns
+    h = {r.version: r.op for r in t.history().collect()}
+    assert h[v_drop] == "drop_column"
+    # time travel before the drop still shows the column
+    assert "tag" in t.read(version=v_drop - 1).columns
+
+
+def test_drop_column_refusals(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    with pytest.raises(ValueError, match="key/partition"):
+        t.drop_column("k")
+    with pytest.raises(ValueError, match="key/partition"):
+        t.drop_column("day")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+    t.add_constraint("v_pos", "v > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.drop_column("v")
+    t.drop_constraint("v_pos")
+    t.drop_column("v")
+    assert t.read().columns == ["day", "k", "seq"]
+
+
+def test_drop_column_generated_reference_refused(spark, root):
+    t = ManifestSnapshotTable(
+        spark, os.path.join(root, "g"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"],
+        generated_partitions={"day": "CAST(ts DIV 10 AS INT)"},
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 5, 1)], "k int, ts long, seq int"
+        )
+    )
+    with pytest.raises(ValueError, match="derives from it"):
+        t.drop_column("ts")
+
+
+def test_dropped_name_reuse_blocked_until_compact(spark, root):
+    t = _mk(spark, root)
+    _seed(spark, t)
+    t.add_column("tag", "string")
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1.0, 2, "old-bytes")],
+            "day int, k int, v double, seq int, tag string",
+        )
+    )
+    t.drop_column("tag")
+    # re-adding the name would resurrect 'old-bytes' from the files
+    with pytest.raises(ValueError, match="resurrect"):
+        t.add_column("tag", "string")
+    with pytest.raises(ValueError, match="compact"):
+        t.upsert(
+            spark.createDataFrame(
+                [(1, 3, 3.0, 2, "new")],
+                "day int, k int, v double, seq int, tag string",
+            ),
+            schema_evolution=True,
+        )
+    # a fresh name is always fine
+    t.add_column("tag2", "string")
+    # compact physically sheds the bytes -> the name frees up
+    t.compact()
+    t.add_column("tag", "string")
+    assert {r.tag for r in t.read().collect()} == {None}  # no ghosts
