@@ -600,6 +600,12 @@ class ManifestSnapshotTable:
         # Shallow-clone base map (version → origin table root), loaded
         # lazily from any committed manifest — see `_base_map`.
         self._base_cache: dict[int, str] | None = None
+        # version → commit timestamp, immutable once committed.  With
+        # time-based retention, vacuum runs on every _publish and
+        # needs every readable version's commit ts — without this
+        # cache that is O(history) manifest-JSON parses PER COMMIT,
+        # unbounded for long-lived time-retained tables.
+        self._ts_cache: dict[int, float] = {}
 
     # -- layout helpers -------------------------------------------------
     def _vdir(self, v: int) -> str:
@@ -608,17 +614,23 @@ class ManifestSnapshotTable:
     def _base_map(self) -> dict[int, str]:
         """version → ORIGIN table root for versions this table
         references but does not own (`clone_to` shallow clones); {}
-        for ordinary tables.  Static for a given table path — only
-        clone creation writes it, every later commit carries it
-        verbatim, and no new version number can re-enter it (the
-        clone's local sequence starts above every mapped version) —
-        so it is loaded once per handle, from any committed
-        manifest."""
+        for ordinary tables.  Loaded from the EARLIEST readable
+        manifest: external versions only enter the map at clone
+        creation, and `_carry_meta` prunes entries monotonically as
+        borrowed fragments are rewritten (a rewritten fragment's
+        holder is local and can never point back outside), so the
+        oldest retained manifest's map is a superset of every later
+        one — resolving THROUGH it keeps `read(version=…)`,
+        `changes()`, and `restore()` correct for earlier clone
+        snapshots whose borrowed fragments the latest manifest has
+        already shed.  No new version number can re-enter the map
+        (the clone's local sequence starts above every mapped
+        version), so the superset is safe to cache per handle."""
         if self._base_cache is None:
             vs = self.versions()
             if not vs:
                 return {}
-            doc = self._manifest_doc(vs[-1])
+            doc = self._manifest_doc(vs[0])
             self._base_cache = {
                 int(k): v for k, v in (doc.get("base") or {}).items()
             }
@@ -2250,6 +2262,13 @@ class ManifestSnapshotTable:
             raise ValueError(
                 f"cannot drop key/partition column {name!r}"
             )
+        if name in self.order_cols:
+            raise ValueError(
+                f"cannot drop order column {name!r}: every later "
+                "upsert/merge orders winners by it, so the table "
+                "would become unwritable (and the drop tombstone "
+                "would block re-adding the name without a compact)"
+            )
         new_v, vdir = self._claim_version()
         try:
             prev_doc = self._manifest_doc()
@@ -2445,6 +2464,14 @@ class ManifestSnapshotTable:
                 "only for files that predate an add_column)"
             )
         extra = [c for c in batch.columns if c not in declared]
+        reserved = sorted(set(extra) & set(self._META_COLS))
+        if reserved:
+            raise ValueError(
+                f"batch columns {reserved} are reserved for DV row "
+                "addresses (mirrors add_column's reserved-name check; "
+                "a physical __rel/__ri column would collide with the "
+                "keep_pos address columns deletion-vector builds use)"
+            )
         if extra and not evolve:
             raise ValueError(
                 f"write batch adds columns {extra} not in the table "
@@ -4091,9 +4118,17 @@ class ManifestSnapshotTable:
         if self.keep_seconds is not None:
             cut = time.time() - self.keep_seconds
             for v in vs:
-                info = self._manifest_doc(v).get("commit") or {}
-                ts = info.get("ts")
-                if ts is None or float(ts) >= cut:
+                if v not in self._ts_cache:
+                    info = self._manifest_doc(v).get("commit") or {}
+                    raw = info.get("ts")
+                    # sentinel keeps ts-less legacy commits from
+                    # re-parsing their manifest every vacuum
+                    self._ts_cache[v] = (
+                        float(raw) if raw is not None else float("inf")
+                    )
+                if self._ts_cache[v] == float("inf") or (
+                    self._ts_cache[v] >= cut
+                ):
                     retained.add(v)
         referenced = set()
         for v in retained:

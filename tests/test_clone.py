@@ -252,3 +252,77 @@ def test_clone_inherits_generated_partitions(spark, root):
                 "day int, k int, ts long, v double, seq int",
             )
         )
+
+
+def test_time_travel_after_detach_resolves_pruned_base_entries(spark, root):
+    """Regression (ADVICE r10): `_base_map` used to load from the
+    LATEST manifest, but `_carry_meta` prunes base entries as borrowed
+    fragments are rewritten — so after a clone detached a fragment,
+    a FRESH handle's `read(version=…)` / `changes()` / `restore()`
+    targeting the earlier clone snapshot resolved the still-borrowed
+    external version to a nonexistent local v-dir.  The earliest
+    readable manifest's base map is a superset of every later one
+    (entries never re-enter), so resolution now goes through it."""
+    src = _mk(spark, root)
+    # two source versions so holders reference DIFFERENT versions:
+    # v1 holds day=0/1, v2 holds day=2
+    src.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1.0, 1), (1, 3, 3.0, 1)],
+            "day int, k int, v double, seq int",
+        )
+    )
+    src.upsert(
+        spark.createDataFrame(
+            [(2, 4, 4.0, 1)], "day int, k int, v double, seq int"
+        )
+    )
+    cl = src.clone_to(os.path.join(root, "cl"))
+    clone_v = cl.versions()[0]
+    before = _state(cl)
+    # rewrite day=2 on the clone: the new manifest's holders no longer
+    # reference src v2, so _carry_meta prunes its base entry
+    cl.upsert(
+        spark.createDataFrame(
+            [(2, 4, 44.0, 2)], "day int, k int, v double, seq int"
+        )
+    )
+    latest_base = cl._manifest_doc().get("base") or {}
+    assert "2" not in latest_base  # pruning actually happened
+    # a FRESH handle (cold base cache) must still time-travel to the
+    # clone-creation snapshot, diff across it, and restore it
+    fresh = _mk(spark, root, name="cl")
+    assert _state_at(fresh, clone_v) == before
+    feed = fresh.changes(clone_v, fresh.versions()[-1])
+    assert sorted(
+        (r.k, r._change_type) for r in feed.collect()
+    ) == [(4, "update_postimage")]
+    fresh.restore(clone_v)
+    assert _state(fresh) == before
+
+
+def _state_at(t, v):
+    return sorted((r.day, r.k, r.v) for r in t.read(version=v).collect())
+
+
+def test_vacuum_keep_seconds_caches_commit_timestamps(spark, root):
+    """Regression (ADVICE r10): with keep_seconds set, vacuum runs on
+    every publish and used to re-parse EVERY readable version's
+    manifest.json for its commit ts — O(history) JSON reads per
+    commit.  Timestamps are immutable once committed, so they are
+    cached on the handle after the first look."""
+    t = _mk(spark, root, name="ts", keep_seconds=3600.0)
+    _seed(spark, t)
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 5.0, 2)], "day int, k int, v double, seq int"
+        )
+    )
+    assert set(t._ts_cache) >= set(t.versions()[:-1])
+    # cached entries are trusted: poison the cache for the oldest
+    # version and observe vacuum act on it (no re-parse happened)
+    t._ts_cache[t.versions()[0]] = 0.0  # far past the cutoff
+    t.keep_versions = 1
+    t.keep_seconds = 1e-9
+    t.vacuum()
+    assert len(t.versions()) == 1

@@ -488,3 +488,44 @@ def test_dropped_name_reuse_blocked_until_compact(spark, root):
     t.compact()
     t.add_column("tag", "string")
     assert {r.tag for r in t.read().collect()} == {None}  # no ghosts
+
+
+def test_drop_order_column_refused(spark, root):
+    """Regression (ADVICE r10): dropping an order column made every
+    later upsert/merge fail at analysis time (winners are ordered by
+    it) while the drop tombstone blocked re-adding the name — an
+    unwritable table.  Refused up front, like keys and partitions."""
+    t = _mk(spark, root)
+    _seed(spark, t)
+    with pytest.raises(ValueError, match="order column"):
+        t.drop_column("seq")
+    # table still fully writable afterwards
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 9.0, 2)], "day int, k int, v double, seq int"
+        )
+    )
+    assert {r.k: r.v for r in t.read().collect()}[1] == 9.0
+
+
+def test_evolving_write_refuses_reserved_dv_names(spark, root):
+    """Regression (ADVICE r10): schema_evolution=True used to accept
+    __rel/__ri as 'extra' columns — written physically but silently
+    dropped from the declared schema, then colliding with the DV
+    address columns `_align_schema` appends for keep_pos reads."""
+    t = _mk(spark, root)
+    _seed(spark, t)
+    bad = _seed_frame_with(spark, "__rel", "string")
+    with pytest.raises(ValueError, match="reserved for DV"):
+        t.upsert(bad, schema_evolution=True)
+    bad = _seed_frame_with(spark, "__ri", "bigint")
+    with pytest.raises(ValueError, match="reserved for DV"):
+        t.upsert(bad, schema_evolution=True)
+
+
+def _seed_frame_with(spark, name, ddl):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(0, 1, 1.0, 2)], "day int, k int, v double, seq int"
+    ).withColumn(name, F.lit(None).cast(ddl))
