@@ -136,6 +136,16 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
+    # Subtotals keep the 2x-vs-baseline signal legible as storage demos
+    # accumulate: storage-lifecycle headliners deliberately include
+    # ephemeral table-build + multi-commit cost in their wall (the
+    # metric is the end-to-end story), which is a different workload
+    # class than pure engine queries.
+    storage = sum(
+        t
+        for n, t in timings.items()
+        if n.startswith(("manifest_", "matview_"))
+    )
     print(
         json.dumps(
             {
@@ -143,6 +153,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "engine_queries_wall": round(total - storage, 3),
+                "storage_lifecycle_wall": round(storage, 3),
                 "sf": sf,
             }
         )

@@ -174,6 +174,19 @@ def propose_window(window_size: int = 50, repo: str = REPO) -> dict:
     ]
 
     core = [n for n in FIXED_CORE if n in eligible]
+    # One round-robin CRASH-GATE slot for rows-only names (VERDICT r10
+    # item 4): their `no_oracle` rows are the only external execution
+    # evidence these queries can earn, and leaving them out forever
+    # left dedup_minhash_lsh's crash gate 7 rounds stale.  Each round
+    # the slot goes to the rows-only name with the OLDEST driver row.
+    checked_rows_only = [n for n in ROWS_ONLY if status[n]["checked_rounds"]]
+    if checked_rows_only:
+        core.append(
+            min(
+                checked_rows_only,
+                key=lambda n: (max(status[n]["checked_rounds"]), n),
+            )
+        )
     pool_never = [
         n for n in eligible if status[n]["status"] == "never_checked" and n not in core
     ]
