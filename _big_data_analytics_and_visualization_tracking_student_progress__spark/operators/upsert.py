@@ -577,9 +577,10 @@ class ManifestSnapshotTable:
             )
         if self.bloom_cols and (self.bloom_bits < 8 or self.bloom_k < 1):
             raise ValueError("need bloom_bits >= 8 and bloom_k >= 1")
-        self._bloom_cache: dict[int, dict] = {}
+        self._bloom_cache: dict[tuple[int, str], dict] = {}
         if not self.partition_by:
             raise ValueError("ManifestSnapshotTable requires partition_by")
+        self.stable_partitions = stable_partitions
         if not (stable_partitions or set(self.partition_by) <= set(self.keys)):
             raise ValueError(
                 "partition-pruned commits need partition columns inside the "
@@ -668,14 +669,33 @@ class ManifestSnapshotTable:
             return "true" if val else "false"
         return str(val)
 
-    def _part_key(self, combo: Sequence) -> str:
+    def _part_key(
+        self, combo: Sequence, cols: Sequence[str] | None = None
+    ) -> str:
         for val in combo:
             if val is None:
                 raise ValueError("NULL partition values are not supported")
         return "/".join(
             f"{c}={self._hive_escape(self._render(v))}"
-            for c, v in zip(self.partition_by, combo)
+            for c, v in zip(cols or self.partition_by, combo)
         )
+
+    def _check_scheme(self) -> None:
+        """Refuse a commit from a handle whose configured partition
+        scheme differs from the table's CURRENT one (after a
+        `compact(partition_by=…)` partition evolution, a handle built
+        with the old scheme would render fragment names that match
+        nothing in the live manifest and write a divergent layout).
+        Reads are unaffected — every snapshot resolves through its own
+        manifest's fragment names."""
+        pb = self._manifest_doc().get("partition_by")
+        if pb and list(pb) != list(self.partition_by):
+            raise ValueError(
+                f"handle is configured with partition_by="
+                f"{list(self.partition_by)} but the table's current "
+                f"scheme is {list(pb)} (partition evolution happened); "
+                "construct the handle with the current scheme"
+            )
 
     # Demotion tombstone: a version dir kept on disk ONLY because a
     # retained manifest inherits some of its partition files.  A holder
@@ -761,8 +781,11 @@ class ManifestSnapshotTable:
         """Per-FILE zone maps: partition-dir-fragment → {file name →
         {stats_col: [min, max]}}.  The finer tier below
         `fragment_stats`; absent for pre-file-stats commits (readers
-        keep whole fragments conservatively)."""
-        return self._manifest_doc(version).get("file_stats", {})
+        keep whole fragments conservatively).  Assembled from the
+        per-version parquet sidecars (this accessor reads EVERY
+        covered fragment — internal pruned reads fetch only
+        survivors via `_file_stats_for`)."""
+        return self._file_stats_for(self._manifest_doc(version))
 
     @staticmethod
     def _commit_info(op: str, frags: set) -> dict:
@@ -797,23 +820,22 @@ class ManifestSnapshotTable:
             doc = self._manifest_doc(v)
             info = doc.get("commit") or {}
             touched = info.get("touched")
-            # live row count straight from the snapshot's stats
-            # metadata (file counts minus its dv cardinalities) —
-            # None when any fragment lacks recorded counts
+            # live row count straight from the snapshot's FRAGMENT
+            # stats (exact counts minus its dv cardinalities) — None
+            # when any fragment lacks recorded counts.  Fragment tier
+            # only: history never opens a file-stats sidecar
             m = doc.get("partitions", {})
-            fst = doc.get("file_stats", {})
+            st = doc.get("stats", {})
             dvr = {
                 k: int(n) for k, n in (doc.get("dv_rows") or {}).items()
             }
             n_rows: int | None = 0
             for frag in m:
-                fdoc = fst.get(frag)
-                if not fdoc or not all(rk in e for e in fdoc.values()):
+                env = st.get(frag)
+                if not env or rk not in env:
                     n_rows = None
                     break
-                n_rows += sum(
-                    int(e[rk]) for e in fdoc.values()
-                ) - dvr.get(frag, 0)
+                n_rows += int(env[rk]) - dvr.get(frag, 0)
             rows.append(
                 (
                     v,
@@ -867,6 +889,9 @@ class ManifestSnapshotTable:
     def _dv_map(self, doc: dict) -> dict[str, int]:
         return {k: int(v) for k, v in (doc.get("dv") or {}).items()}
 
+    def _fstats_versions(self, doc: dict) -> set[int]:
+        return {int(v) for v in (doc.get("fstats_v") or {}).values()}
+
     def _carry_meta(
         self, doc: dict, prev_doc: dict, rewritten: set[str] | None = None
     ) -> None:
@@ -902,13 +927,19 @@ class ManifestSnapshotTable:
         base = prev_doc.get("base")
         if base:
             rw = rewritten or set()
-            keep = {
-                int(h) for h in doc.get("partitions", {}).values()
-            } | {
-                v
-                for f, v in self._dv_map(prev_doc).items()
-                if f not in rw
-            }
+            keep = (
+                {int(h) for h in doc.get("partitions", {}).values()}
+                | {
+                    v
+                    for f, v in self._dv_map(prev_doc).items()
+                    if f not in rw
+                }
+                | {
+                    int(v)
+                    for f, v in (prev_doc.get("fstats_v") or {}).items()
+                    if f not in rw
+                }
+            )
             kept = {k: v for k, v in base.items() if int(k) in keep}
             if kept:
                 doc["base"] = kept
@@ -1028,13 +1059,25 @@ class ManifestSnapshotTable:
             }
 
     def _inherit_stats(
-        self, doc: dict, prev_doc: dict, rewritten: set[str], new_v: int
+        self, doc: dict, prev_doc: dict, rewritten: set[str], new_v: int,
+        vdir: str,
     ) -> None:
         """Zone-map commit discipline shared by every writing path:
         fresh fragment/file envelopes for the partitions this commit
         rewrote, everything else inherited by reference from the basis
         manifest — exactly like the data files.  No-op when the table
-        has no ``stats_cols``."""
+        has no ``stats_cols``.
+
+        FRAGMENT envelopes stay in the manifest JSON (O(partitions) —
+        fine at any scale).  FILE envelopes are SHARDED out of the
+        manifest (VERDICT r10 item 5): each commit writes only the
+        rows for the fragments it rewrote into its own
+        ``filestats.parquet`` sidecar (the Iceberg manifest-file
+        shape), and the manifest carries just ``fstats_v``
+        {fragment → sidecar-holder version} — so per-commit metadata
+        cost tracks the TOUCHED fragments, and pruned reads fetch
+        file stats only for surviving fragments via a
+        fragment-filtered pyarrow read."""
         if not self.stats_cols:
             return
         new_fs, new_ffs = self._compute_stats_both(new_v)
@@ -1045,13 +1088,125 @@ class ManifestSnapshotTable:
         }
         stats.update(new_fs)
         doc["stats"] = stats
-        fstats = {
-            f: s
-            for f, s in prev_doc.get("file_stats", {}).items()
+        fsv = {
+            f: int(v)
+            for f, v in (prev_doc.get("fstats_v") or {}).items()
             if f not in rewritten
         }
-        fstats.update(new_ffs)
-        doc["file_stats"] = fstats
+        if new_ffs:
+            self._write_fstats_sidecar(vdir, new_ffs)
+            for f in new_ffs:
+                fsv[f] = new_v
+        if fsv:
+            doc["fstats_v"] = fsv
+
+    # -- file-stats sidecar ------------------------------------------------
+    # Per-version parquet shard of the per-FILE zone maps: one row per
+    # (fragment, file) with typed mn_/mx_ envelope columns and the
+    # exact row count.  Written driver-side (bounded control data —
+    # exactly what the stats collect already holds), read driver-side
+    # through pyarrow with a fragment filter, so metadata read cost
+    # tracks the fragments a read actually keeps, not the table's
+    # total file count — the property that keeps 10^5-10^6-file
+    # tables (true 100 TB cardinality) off the driver's heap.
+    _FSTATS_SIDECAR = "filestats.parquet"
+
+    def _write_fstats_sidecar(
+        self, vdir: str, file_stats: dict[str, dict[str, dict]]
+    ) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rk = self._ROWS_KEY
+        cols = sorted(
+            {
+                c
+                for fdoc in file_stats.values()
+                for envs in fdoc.values()
+                for c in envs
+                if c != rk
+            }
+        )
+        rows: dict[str, list] = {"frag": [], "file": [], "nrows": []}
+        for c in cols:
+            rows[f"mn_{c}"] = []
+            rows[f"mx_{c}"] = []
+        for frag in sorted(file_stats):
+            for fname in sorted(file_stats[frag]):
+                envs = file_stats[frag][fname]
+                rows["frag"].append(frag)
+                rows["file"].append(fname)
+                rows["nrows"].append(
+                    int(envs[rk]) if rk in envs else None
+                )
+                for c in cols:
+                    mn, mx = envs.get(c) or [None, None]
+                    rows[f"mn_{c}"].append(mn)
+                    rows[f"mx_{c}"].append(mx)
+        pq.write_table(
+            pa.table(rows),
+            os.path.join(vdir, self._FSTATS_SIDECAR),
+            # fragment-sorted row groups small enough that a
+            # frag-filtered read skips the others on row-group stats
+            row_group_size=4096,
+        )
+
+    def _read_fstats_sidecar(
+        self, v: int, frags: Sequence[str] | None
+    ) -> dict[str, dict[str, dict]]:
+        import pyarrow.dataset as ds
+
+        path = os.path.join(self._vdir_of(v), self._FSTATS_SIDECAR)
+        if not os.path.exists(path):
+            return {}
+        dataset = ds.dataset(path, format="parquet")
+        flt = (
+            ds.field("frag").isin(list(frags))
+            if frags is not None
+            else None
+        )
+        tbl = dataset.to_table(filter=flt)
+        rk = self._ROWS_KEY
+        names = tbl.column_names
+        cols = sorted(
+            n[3:] for n in names if n.startswith("mn_")
+        )
+        out: dict[str, dict[str, dict]] = {}
+        data = tbl.to_pydict()
+        for i in range(tbl.num_rows):
+            envs: dict = {}
+            if data["nrows"][i] is not None:
+                envs[rk] = int(data["nrows"][i])
+            for c in cols:
+                envs[c] = [data[f"mn_{c}"][i], data[f"mx_{c}"][i]]
+            out.setdefault(data["frag"][i], {})[data["file"][i]] = envs
+        return out
+
+    def _file_stats_for(
+        self, doc: dict, frags: Sequence[str] | None = None
+    ) -> dict[str, dict[str, dict]]:
+        """Per-FILE zone maps for ``frags`` (default: every fragment
+        the doc covers), resolved through the doc's ``fstats_v``
+        sidecar map — only the sidecars holding surviving fragments
+        are opened, each with a fragment filter.  Docs from before the
+        sidecar split may still carry inline ``file_stats``; honored
+        as-is."""
+        inline = doc.get("file_stats")
+        if inline:
+            if frags is None:
+                return inline
+            return {f: inline[f] for f in frags if f in inline}
+        fsv = {
+            f: int(v) for f, v in (doc.get("fstats_v") or {}).items()
+        }
+        want = list(fsv) if frags is None else [f for f in frags if f in fsv]
+        by_v: dict[int, list[str]] = {}
+        for f in want:
+            by_v.setdefault(fsv[f], []).append(f)
+        out: dict[str, dict[str, dict]] = {}
+        for v, fl in sorted(by_v.items()):
+            out.update(self._read_fstats_sidecar(v, fl))
+        return out
 
     def _read_dv(self, dv_map: dict[str, int]) -> DataFrame | None:
         """The doomed-row table for ``dv_map`` (fragment → dv holder
@@ -1295,16 +1450,16 @@ class ManifestSnapshotTable:
         frags = {self._part_key(c) for c in touched} & set(prev)
         if not frags:
             return self.versions()[-1]
-        fst = doc.get("file_stats", {})
+        st = doc.get("stats", {})
         dvr = {k: int(v) for k, v in (doc.get("dv_rows") or {}).items()}
         rk = self._ROWS_KEY
         live = 0
         for f in frags:
-            fdoc = fst.get(f)
-            if not fdoc or not all(rk in e for e in fdoc.values()):
+            env = st.get(f)
+            if not env or rk not in env:
                 # unknown size: conservative — rewrite
                 return self.delete(keys)
-            live += sum(int(e[rk]) for e in fdoc.values()) - dvr.get(f, 0)
+            live += int(env[rk]) - dvr.get(f, 0)
         n_keys = kd.count()
         if live > 0 and n_keys / live < dv_max_fraction:
             return self.delete_dv(keys)
@@ -1404,8 +1559,11 @@ class ManifestSnapshotTable:
             pred = c if pred is None else pred & c
         if not keep:
             return None, 0, 0, 0
-        # tier 2: file-level skipping inside the surviving fragments
-        fst = doc.get("file_stats", {})
+        # tier 2: file-level skipping inside the surviving fragments —
+        # file envelopes fetched ONLY for survivors, via the
+        # fragment-filtered sidecar read (metadata cost tracks what
+        # tier 1 kept, not the table's file count)
+        fst = self._file_stats_for(doc, list(keep))
         files_total = files_kept = 0
         entries: list[tuple[str, int, str]] = []
         for frag, v in keep.items():
@@ -1518,11 +1676,12 @@ class ManifestSnapshotTable:
     # probe evaluates the same expression over a 1-row frame), so there
     # is no cross-language hash-compatibility trap.  NULLs are never
     # added and cannot be probed (use IS NULL scans for that).
-    _BLOOM_DOC = "blooms.json"
+    _BLOOM_DOC = "blooms.json"  # legacy monolithic doc (read-only)
+    _BLOOM_SIDECAR = "blooms.parquet"
 
     def _compute_blooms(self, new_v: int) -> dict:
         """Bloom sidecar content for the files just written under
-        ``new_v``: {fragment → {file → {col → {"m", "k", "b64"}}}}.
+        ``new_v``: {fragment → {file → {col → {"m", "k", "bits"}}}}.
         One engine-side job, fully distributed: per row, k candidate
         bit positions per bloom column, chunked into (64-bit word
         index, bit mask) pairs, folded with a map-side-combining
@@ -1535,8 +1694,6 @@ class ManifestSnapshotTable:
         are load-bearing at scale: a position-set collect blew the
         driver at 100M rows, and even word rows carry the file-path
         string ~130 bytes each — 2 GB at 16M occupied words.)"""
-        import base64
-
         if not self.bloom_cols:
             return {}
         data_dir = self._data_dir(new_v)
@@ -1628,46 +1785,98 @@ class ManifestSnapshotTable:
             out.setdefault(frag, {}).setdefault(fname, {})[d["__c"]] = {
                 "m": m,
                 "k": k,
-                "b64": base64.b64encode(bytes(d["__bits"])).decode(
-                    "ascii"
-                ),
+                "bits": bytes(d["__bits"]),
             }
         return out
 
     def _write_blooms(self, new_v: int, vdir: str) -> None:
         """Write the version's bloom sidecar (no-op without bloom_cols
-        or data files).  Sidecars live NEXT TO the files they describe
-        and are resolved through the manifest's fragment→holder map, so
-        inherited fragments reuse the holder's sidecar by reference —
-        nothing is copied forward on unrelated commits, and vacuum's
-        holder demotion keeps sidecars alive exactly as long as the
-        files."""
-        import json
+        or data files) as PARQUET rows (frag, file, col, m, k, bits) —
+        fragment-filterable, so a point probe reads only the surviving
+        fragments' bitsets instead of parsing a monolithic JSON doc
+        (the 10^5-file metadata bottleneck, VERDICT r10 item 5).
+        Sidecars live NEXT TO the files they describe and are resolved
+        through the manifest's fragment→holder map, so inherited
+        fragments reuse the holder's sidecar by reference — nothing is
+        copied forward on unrelated commits, and vacuum's holder
+        demotion keeps sidecars alive exactly as long as the files."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
         blooms = self._compute_blooms(new_v)
-        if blooms:
-            with open(os.path.join(vdir, self._BLOOM_DOC), "w") as fh:
-                json.dump(blooms, fh, sort_keys=True)
+        if not blooms:
+            return
+        rows: dict[str, list] = {
+            "frag": [], "file": [], "col": [], "m": [], "k": [],
+            "bits": [],
+        }
+        for frag in sorted(blooms):
+            for fname in sorted(blooms[frag]):
+                for c, e in sorted(blooms[frag][fname].items()):
+                    rows["frag"].append(frag)
+                    rows["file"].append(fname)
+                    rows["col"].append(c)
+                    rows["m"].append(int(e["m"]))
+                    rows["k"].append(int(e["k"]))
+                    rows["bits"].append(e["bits"])
+        pq.write_table(
+            pa.table(rows),
+            os.path.join(vdir, self._BLOOM_SIDECAR),
+            row_group_size=1024,
+        )
 
-    def _bloom_doc(self, v: int) -> dict:
-        """Parsed (and cached — version dirs are immutable once
-        committed) bloom sidecar of a version; {} when the version
-        predates bloom_cols."""
-        import json
+    def _bloom_frags(
+        self, v: int, frags: Sequence[str]
+    ) -> dict[str, dict]:
+        """{fragment → {file → {col → entry}}} for the REQUESTED
+        fragments of one holder version: a fragment-filtered pyarrow
+        read of the parquet sidecar, cached per (version, fragment) —
+        version dirs are immutable once committed.  Falls back to the
+        legacy monolithic ``blooms.json`` when present; {} entries for
+        versions predating bloom_cols."""
+        out: dict[str, dict] = {}
+        missing: list[str] = []
+        for f in frags:
+            e = self._bloom_cache.get((v, f))
+            if e is None:
+                missing.append(f)
+            else:
+                out[f] = e
+        if not missing:
+            return out
+        fetched: dict[str, dict] = {f: {} for f in missing}
+        path = os.path.join(self._vdir_of(v), self._BLOOM_SIDECAR)
+        legacy = os.path.join(self._vdir_of(v), self._BLOOM_DOC)
+        if os.path.exists(path):
+            import pyarrow.dataset as ds
 
-        if v not in self._bloom_cache:
-            try:
-                with open(
-                    os.path.join(self._vdir_of(v), self._BLOOM_DOC)
-                ) as fh:
-                    self._bloom_cache[v] = json.load(fh)
-            except FileNotFoundError:
-                self._bloom_cache[v] = {}
-            # bitset docs can be MBs; a long-lived reader (streaming
-            # relay, serving process) must not accrete one per version
-            while len(self._bloom_cache) > 4:
-                self._bloom_cache.pop(next(iter(self._bloom_cache)))
-        return self._bloom_cache[v]
+            tbl = ds.dataset(path, format="parquet").to_table(
+                filter=ds.field("frag").isin(missing)
+            )
+            d = tbl.to_pydict()
+            for i in range(tbl.num_rows):
+                fetched[d["frag"][i]].setdefault(d["file"][i], {})[
+                    d["col"][i]
+                ] = {
+                    "m": int(d["m"][i]),
+                    "k": int(d["k"][i]),
+                    "bits": d["bits"][i],
+                }
+        elif os.path.exists(legacy):
+            import json
+
+            with open(legacy) as fh:
+                doc = json.load(fh)
+            for f in missing:
+                fetched[f] = doc.get(f, {})
+        for f, e in fetched.items():
+            self._bloom_cache[(v, f)] = e
+            out[f] = e
+        # bitsets can be KB-to-MB each; a long-lived reader (streaming
+        # relay, serving process) must not accrete them without bound
+        while len(self._bloom_cache) > 512:
+            self._bloom_cache.pop(next(iter(self._bloom_cache)))
+        return out
 
     def _probe_positions(
         self,
@@ -1708,9 +1917,11 @@ class ManifestSnapshotTable:
 
     @staticmethod
     def _bloom_may_contain(entry: dict, positions: list[int]) -> bool:
-        import base64
+        bits = entry.get("bits")
+        if bits is None:  # legacy JSON sidecar entry
+            import base64
 
-        bits = base64.b64decode(entry["b64"])
+            bits = base64.b64decode(entry["b64"])
         return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
     def read_where_eq(
@@ -1751,15 +1962,19 @@ class ManifestSnapshotTable:
         for c, v in pairs:
             e = F.col(c) == F.lit(v)
             pred = e if pred is None else pred & e
-        fst = doc.get("file_stats", {})
+        fst = self._file_stats_for(doc, list(keep))
         # one engine probe job for all bitset shapes seen in sidecars;
-        # sidecars resolved GROUPED BY HOLDER VERSION so each (MB-scale)
-        # bloom doc is parsed once even under the small cache
+        # sidecars resolved GROUPED BY HOLDER VERSION, each opened with
+        # a filter on the SURVIVING fragments only — probe metadata
+        # cost tracks what tier 1 kept, not the table's file count
         shapes: set[tuple[str, int, int]] = set()
         frag_blooms: dict[str, dict] = {}
-        for frag, hv in sorted(keep.items(), key=lambda kv: kv[1]):
-            bdoc = self._bloom_doc(hv).get(frag, {})
-            frag_blooms[frag] = bdoc
+        by_hv: dict[int, list[str]] = {}
+        for frag, hv in keep.items():
+            by_hv.setdefault(hv, []).append(frag)
+        for hv, fl in sorted(by_hv.items()):
+            frag_blooms.update(self._bloom_frags(hv, fl))
+        for bdoc in frag_blooms.values():
             for fentry in bdoc.values():
                 for c, _v in pairs:
                     be = fentry.get(c)
@@ -1767,9 +1982,16 @@ class ManifestSnapshotTable:
                         shapes.add((c, int(be["m"]), int(be["k"])))
         col_types: dict[str, str] = {}
         if shapes:
-            # probe literals must be cast to the columns' native types
-            # (schema from one footer read — no data scan)
-            col_types = dict(self._read_fragments(m).dtypes)
+            # probe literals must be cast to the columns' native types:
+            # the declared manifest schema when recorded (zero reads),
+            # else one surviving fragment's footer — never a plan over
+            # every fragment (that alone scaled with table size)
+            sch = doc.get("schema")
+            if sch:
+                col_types = {n: t for n, t in sch}
+            else:
+                one = dict(sorted(keep.items())[:1])
+                col_types = dict(self._read_fragments(one).dtypes)
         probes = self._probe_positions(shapes, values, col_types)
         files_total = files_kept = 0
         entries: list[tuple[str, int, str]] = []
@@ -1829,22 +2051,23 @@ class ManifestSnapshotTable:
         m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
         if not m:
             return 0, 0, 0
-        fst = doc.get("file_stats", {})
+        # fragment tier only — COUNT(*) never opens a file-stats
+        # sidecar (the fragment envelope's count is the exact sum of
+        # its files' counts by construction)
+        st = doc.get("stats", {})
         dv = self._dv_map(doc)
         dvr = {k: int(v) for k, v in (doc.get("dv_rows") or {}).items()}
         rk = self._ROWS_KEY
         total, meta, to_scan = 0, 0, {}
         for frag, hv in m.items():
-            fdoc = fst.get(frag)
+            env = st.get(frag)
             if frag in dv and frag not in dvr:
                 # a vector with no recorded cardinality (should not
                 # happen — every DV commit records both) is scanned
                 to_scan[frag] = hv
                 continue
-            if fdoc and all(rk in envs for envs in fdoc.values()):
-                total += sum(
-                    int(envs[rk]) for envs in fdoc.values()
-                ) - dvr.get(frag, 0)
+            if env and rk in env:
+                total += int(env[rk]) - dvr.get(frag, 0)
                 meta += 1
             else:
                 to_scan[frag] = hv
@@ -1970,6 +2193,7 @@ class ManifestSnapshotTable:
         import socket
         import time
 
+        self._check_scheme()
         os.makedirs(self.path, exist_ok=True)
         while True:
             dirs = self._committed_dirs()
@@ -2614,7 +2838,7 @@ class ManifestSnapshotTable:
             # (== carried unless the batch evolved it)
             doc["schema"] = self._frame_schema(merged)
             self._carry_dv(doc, prev_doc, frags)
-            self._inherit_stats(doc, prev_doc, frags, new_v)
+            self._inherit_stats(doc, prev_doc, frags, new_v, vdir)
             self._write_blooms(new_v, vdir)
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
@@ -2765,7 +2989,7 @@ class ManifestSnapshotTable:
                 doc["generated"] = gen_eff
             doc["schema"] = self._frame_schema(merged)
             self._carry_dv(doc, prev_doc, frags)
-            self._inherit_stats(doc, prev_doc, frags, new_v)
+            self._inherit_stats(doc, prev_doc, frags, new_v, vdir)
             self._write_blooms(new_v, vdir)
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
@@ -2941,7 +3165,7 @@ class ManifestSnapshotTable:
         self._carry_meta(doc, prev_doc, frags)
         doc["schema"] = self._frame_schema(kept)
         self._carry_dv(doc, prev_doc, frags)
-        self._inherit_stats(doc, prev_doc, frags, new_v)
+        self._inherit_stats(doc, prev_doc, frags, new_v, vdir)
         self._write_blooms(new_v, vdir)
         with open(os.path.join(vdir, "manifest.json"), "w") as fh:
             json.dump(doc, fh, sort_keys=True)
@@ -3075,7 +3299,7 @@ class ManifestSnapshotTable:
             # rewritten partitions
             doc["schema"] = self._frame_schema(basis)
             self._carry_dv(doc, prev_doc, frags)
-            self._inherit_stats(doc, prev_doc, frags, new_v)
+            self._inherit_stats(doc, prev_doc, frags, new_v, vdir)
             self._write_blooms(new_v, vdir)
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
@@ -3251,16 +3475,16 @@ class ManifestSnapshotTable:
             self._abandon_claim(vdir)
             return self.versions()[-1], False
         # data-file row counts for the vectored fragments, to drop the
-        # fully-emptied ones: manifest metadata where recorded, one
-        # grouped count over the rest
-        fst = prev_doc.get("file_stats", {})
+        # fully-emptied ones: fragment-tier manifest metadata where
+        # recorded, one grouped count over the rest
+        pst = prev_doc.get("stats", {})
         rk = self._ROWS_KEY
         data_rows: dict[str, int] = {}
         need_count = []
         for f in cnt:
-            fdoc = fst.get(f)
-            if fdoc and all(rk in envs for envs in fdoc.values()):
-                data_rows[f] = sum(int(envs[rk]) for envs in fdoc.values())
+            env = pst.get(f)
+            if env and rk in env:
+                data_rows[f] = int(env[rk])
             else:
                 need_count.append(f)
         if need_count:
@@ -3284,9 +3508,13 @@ class ManifestSnapshotTable:
                 for f, s in prev_doc.get("stats", {}).items()
                 if f not in emptied
             }
-            doc["file_stats"] = {
-                f: s for f, s in fst.items() if f not in emptied
+            fsv = {
+                f: int(v)
+                for f, v in (prev_doc.get("fstats_v") or {}).items()
+                if f not in emptied
             }
+            if fsv:
+                doc["fstats_v"] = fsv
         dv_new = {
             f: v
             for f, v in dv_prev.items()
@@ -3610,6 +3838,8 @@ class ManifestSnapshotTable:
         cluster_files: int = 8,
         cluster_method: str = "linear",
         cluster_bucketing: str = "uniform",
+        partition_by: Sequence[str] | None = None,
+        generated_partitions: dict[str, str] | None = None,
     ) -> int:
         """Checkpoint commit: rewrite EVERY live partition under one new
         version so the latest manifest references a single holder.
@@ -3653,6 +3883,24 @@ class ManifestSnapshotTable:
         the latest version) return the current version without writing.
         This is the OPTIMIZE/checkpoint half of the Delta/Iceberg
         maintenance pair, next to ``vacuum()``'s retention half.
+
+        ``partition_by``: PARTITION EVOLUTION — rewrite the snapshot
+        under a NEW partition scheme (day → month buckets, or adding a
+        generated partition column to a table that predates it)
+        WITHOUT rewriting history: old snapshots keep their manifests
+        and layouts (each version's reads resolve through its own
+        fragment names, so ``read(version=…)`` / ``read_as_of`` cross
+        the boundary transparently), and only this one full rewrite —
+        which compaction pays anyway — carries the transition.
+        ``generated_partitions`` (only with ``partition_by``) REPLACES
+        the table's generated-column derivations for the new scheme; a
+        new partition column absent from the data MUST have one (the
+        rewrite derives it), and later writes derive/validate it
+        exactly like a creation-time declaration.  Handles built with
+        the old scheme are refused at their next commit
+        (`_check_scheme`); this handle adopts the new scheme on
+        success.  The new scheme must keep the pruned-commit invariant
+        (partition columns inside the key, or stable_partitions).
         """
         import json
 
@@ -3663,8 +3911,43 @@ class ManifestSnapshotTable:
             )
         if cluster_method == "zorder" and not cluster_by:
             raise ValueError("zorder takes 1-4 cluster columns, got none")
+        if generated_partitions is not None and partition_by is None:
+            raise ValueError(
+                "generated_partitions requires partition_by (it "
+                "declares derivations FOR the new scheme)"
+            )
+        pb = list(partition_by) if partition_by else list(self.partition_by)
+        # passing generated_partitions alone is still an evolution (it
+        # replaces the derivation set for the — unchanged — scheme)
+        evolving = (
+            pb != list(self.partition_by) or generated_partitions is not None
+        )
+        if not pb:
+            raise ValueError("partition_by must name at least one column")
+        if evolving and not (
+            self.stable_partitions or set(pb) <= set(self.keys)
+        ):
+            raise ValueError(
+                "the new scheme must keep partition columns inside the "
+                "key (or the table must be stable_partitions=True) — "
+                "a key that moved partitions would leave its stale row "
+                "behind in the old partition on later pruned commits"
+            )
+        if evolving:
+            gen_map = dict(generated_partitions or {})
+        else:
+            gen_map = None  # carried verbatim by _carry_meta
+        if gen_map is not None:
+            bad_gen = sorted(set(gen_map) - set(pb))
+            if bad_gen:
+                raise ValueError(
+                    f"generated_partitions must target new partition "
+                    f"columns; {bad_gen} are not in {pb}"
+                )
         if not self.versions():
             return 0
+        old_pb = list(self.partition_by)
+        old_gen = dict(self.generated_partitions)
         new_v, vdir = self._claim_version()
         try:
             prev_doc = self._manifest_doc()
@@ -3677,7 +3960,12 @@ class ManifestSnapshotTable:
                 self._abandon_claim(vdir)
                 return self.versions()[-1]
             cur = new_v - 1
-            if set(prev.values()) == {cur} and not cluster_by and not dv:
+            if (
+                set(prev.values()) == {cur}
+                and not cluster_by
+                and not dv
+                and not evolving
+            ):
                 # already single-holder; with cluster_by the rewrite is
                 # a LAYOUT change, wanted even when no scatter exists —
                 # and live deletion vectors always compact (this is the
@@ -3685,6 +3973,29 @@ class ManifestSnapshotTable:
                 self._abandon_claim(vdir)
                 return cur
             src = self._read_fragments(prev, dv=dv, align=prev_doc)
+            if evolving:
+                for pc in pb:
+                    if pc in src.columns:
+                        if pc in gen_map:
+                            raise ValueError(
+                                f"generated partition column {pc!r} "
+                                "already exists in the data — a new "
+                                "derivation would be ambiguous against "
+                                "stored values; pick a fresh name"
+                            )
+                        continue
+                    if pc not in gen_map:
+                        raise ValueError(
+                            f"new partition column {pc!r} is not in the "
+                            "data and has no generated_partitions "
+                            "derivation"
+                        )
+                    src = src.withColumn(pc, F.expr(gen_map[pc]))
+                # adopt the new scheme NOW: the write layout, fragment
+                # walker, stats, and bloom builders below all render
+                # through self.partition_by (restored on failure)
+                self.partition_by = pb
+                self.generated_partitions = dict(gen_map)
             if cluster_by and cluster_method == "zorder":
                 if "__zkey" in src.columns:
                     raise ValueError(
@@ -3722,34 +4033,61 @@ class ManifestSnapshotTable:
             # same commit soundness gate as upsert(): the manifest must
             # name exactly the dirs Spark wrote — a pure rewrite drops
             # no partition (merges never delete rows), so equality is
-            # exact
+            # exact.  Under an evolving scheme the expectation comes
+            # from the data itself (one column-pruned distinct over the
+            # new partition columns, bounded by partition count — also
+            # the NULL-partition-value gate, since _part_key refuses
+            # NULLs that Spark would have written as a default dir).
             written = self._written_fragments(new_v)
-            if written != set(prev):
+            if evolving:
+                expected = {
+                    self._part_key([r[c] for c in pb], pb)
+                    for r in src.select(*pb).distinct().collect()
+                }
+            else:
+                expected = set(prev)
+            if written != expected:
                 raise ValueError(
                     "compaction rewrite diverged from the live manifest "
                     f"— written {sorted(written)} vs expected "
-                    f"{sorted(prev)}"
+                    f"{sorted(expected)}"
                 )
             doc = {
-                "partition_by": self.partition_by,
-                "partitions": {frag: new_v for frag in prev},
+                "partition_by": list(pb),
+                "partitions": {frag: new_v for frag in written},
             }
             doc["commit"] = self._commit_info("compact", set(prev))
             self._carry_meta(doc, prev_doc, set(prev))
             # the full rewrite physically shed every dropped column's
             # bytes — names become safe to reuse
             doc.pop("dropped_columns", None)
+            if evolving:
+                # derivations are per-scheme; generated_partitions
+                # REPLACES them for the new scheme (old ones reference
+                # columns that may no longer partition the table)
+                if gen_map:
+                    doc["generated"] = dict(gen_map)
+                else:
+                    doc.pop("generated", None)
             doc["schema"] = self._frame_schema(out)
             if self.stats_cols:
                 # full rewrite: recompute every envelope, which also
-                # backfills fragments committed before stats_cols was set
-                doc["stats"], doc["file_stats"] = self._compute_stats_both(
-                    new_v
-                )
+                # backfills fragments committed before stats_cols was
+                # set; the whole file tier lands in THIS version's
+                # sidecar (and any inline legacy file_stats dies with
+                # the rewrite)
+                doc["stats"], new_ffs = self._compute_stats_both(new_v)
+                if new_ffs:
+                    self._write_fstats_sidecar(vdir, new_ffs)
+                    doc["fstats_v"] = {f: new_v for f in new_ffs}
             self._write_blooms(new_v, vdir)
             with open(os.path.join(vdir, "manifest.json"), "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
         except BaseException:
+            # a failed evolution must leave the handle on the OLD
+            # scheme (the table's latest manifest still declares it)
+            self.partition_by = old_pb
+            self.generated_partitions = old_gen
             self._abandon_claim(vdir)
             raise
         self._publish(vdir)
@@ -3830,9 +4168,11 @@ class ManifestSnapshotTable:
         new_v, vdir = self._claim_version()
         try:
             tdoc = self._manifest_doc(version)  # validates readability
-            needed = {
-                int(h) for h in tdoc.get("partitions", {}).values()
-            } | set(self._dv_map(tdoc).values())
+            needed = (
+                {int(h) for h in tdoc.get("partitions", {}).values()}
+                | set(self._dv_map(tdoc).values())
+                | self._fstats_versions(tdoc)
+            )
             missing = {
                 v
                 for v in needed
@@ -3887,12 +4227,16 @@ class ManifestSnapshotTable:
                 for k, v in prev_doc.get("partitions", {}).items()
             }
             st = prev_doc.get("stats", {})
-            fst = prev_doc.get("file_stats", {})
+            # file-tier coverage = an fstats_v sidecar entry OR inline
+            # legacy file_stats (presence only — no sidecar is opened)
+            covered_files = set(prev_doc.get("fstats_v") or {}) | set(
+                prev_doc.get("file_stats") or {}
+            )
             need = {
                 f: v
                 for f, v in prev.items()
                 if f not in st
-                or f not in fst
+                or f not in covered_files
                 or rk not in st[f]
                 or any(c not in st[f] for c in self.stats_cols)
             }
@@ -3927,7 +4271,16 @@ class ManifestSnapshotTable:
                         envs.setdefault(c, [None, None])
             doc = dict(prev_doc)
             doc["stats"] = {**st, **new_fs}
-            doc["file_stats"] = {**fst, **new_ffs}
+            if new_ffs:
+                # the backfilled file envelopes land in THIS commit's
+                # sidecar; fstats_v points the covered fragments here
+                # (their DATA holder is unchanged — stats holder and
+                # data holder are independent, exactly like dv)
+                self._write_fstats_sidecar(vdir, new_ffs)
+                doc["fstats_v"] = {
+                    **(prev_doc.get("fstats_v") or {}),
+                    **{f: new_v for f in new_ffs},
+                }
             doc["commit"] = self._commit_info(
                 "backfill_stats", set(need)
             )
@@ -4033,9 +4386,11 @@ class ManifestSnapshotTable:
             raise ValueError("cannot clone an empty table")
         if os.path.isdir(dest_path) and os.listdir(dest_path):
             raise ValueError(f"clone destination {dest_path!r} is not empty")
-        referenced = {
-            int(h) for h in src_doc.get("partitions", {}).values()
-        } | set(self._dv_map(src_doc).values())
+        referenced = (
+            {int(h) for h in src_doc.get("partitions", {}).values()}
+            | set(self._dv_map(src_doc).values())
+            | self._fstats_versions(src_doc)
+        )
         src_base = {
             int(k): v for k, v in (src_doc.get("base") or {}).items()
         }
@@ -4086,6 +4441,7 @@ class ManifestSnapshotTable:
                 int(h) for h in doc.get("partitions", {}).values()
             )
             referenced.update(self._dv_map(doc).values())
+            referenced.update(self._fstats_versions(doc))
         for v in self._committed_dirs():
             if self._is_holder(v) and v not in referenced:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)
@@ -4138,8 +4494,11 @@ class ManifestSnapshotTable:
             )
             # deletion-vector holders are live references too: a
             # fragment's current vector may be served by an older
-            # version's dv/ dir
+            # version's dv/ dir — and so are file-stats sidecar
+            # holders (a backfill commit's sidecar covers fragments
+            # whose data lives elsewhere)
             referenced.update(self._dv_map(doc).values())
+            referenced.update(self._fstats_versions(doc))
         for v in self._committed_dirs():
             if v in retained:
                 continue

@@ -5976,3 +5976,133 @@ def q_manifest_generated_partitions(
             )
         )
         return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# Partition evolution (ManifestSnapshotTable.compact(partition_by=…) —
+# the Delta/Iceberg re-partitioning verb, VERDICT r10 item 5): one full
+# rewrite (which compaction pays anyway) moves the table from its
+# creation-time scheme to a NEW one — here event_type → a GENERATED
+# bucket column the data never carried — without rewriting history.
+# Proved in-plan: the pre-evolution manifest keeps its event_type=*
+# layout and stays readable by version (the 'pre' half of the result IS
+# a time-travel read across the boundary); the evolved manifest is
+# bucket=*; a later pruned upsert under the new scheme rewrites ONLY
+# the buckets its batch touches (holder-move assertion).  The oracle
+# recomputes both snapshots declaratively: last-write-wins over batch1
+# for 'pre', over batch1+batch2 for 'post', both grouped by the
+# derived bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "manifest_partition_evolution",
+    """
+    WITH src AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        FROM events
+    ), b1 AS (
+        SELECT *, 1 AS b FROM src WHERE event_id % 3 = 0
+    ), b2 AS (
+        SELECT *, 2 AS b FROM src
+        WHERE event_id % 5 = 0 AND user_id % 8 < 3
+    ), pre AS (
+        SELECT user_id, event_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM b1) WHERE rn = 1
+    ), post AS (
+        SELECT user_id, event_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                ORDER BY tsn DESC, event_id DESC, b DESC) AS rn
+            FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        ) WHERE rn = 1
+    )
+    SELECT 'pre' AS snapshot, CAST(user_id % 8 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM pre GROUP BY 2
+    UNION ALL
+    SELECT 'post', CAST(user_id % 8 AS INT),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT)
+    FROM post GROUP BY 2
+    """,
+    doc="partition evolution: compact(partition_by=…) re-partitions "
+    "event_type=* to a generated bucket=* scheme in one rewrite; old "
+    "snapshots stay readable under their own layout (the 'pre' rows "
+    "are a time-travel read across the boundary), later pruned "
+    "upserts rewrite only touched buckets (asserted in-plan); oracle "
+    "replays both snapshots declaratively",
+)
+def q_manifest_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.upsert import ManifestSnapshotTable
+    from ._ephemeral import ephemeral_table, materialize_bounded
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_nanos"
+    )
+    with ephemeral_table(
+        ManifestSnapshotTable,
+        spark,
+        "pevo",
+        keys=["user_id", "event_type"],
+        order_cols=["ts_nanos", "event_id"],
+        partition_by=["event_type"],
+        stable_partitions=True,  # bucket derives from the key user_id
+    ) as table:
+        v1 = table.upsert(e.filter(F.col("event_id") % 3 == 0))
+        v2 = table.compact(
+            partition_by=["bucket"],
+            generated_partitions={"bucket": "CAST(user_id % 8 AS INT)"},
+        )
+        old_doc = table._manifest_doc(v1)
+        new_doc = table._manifest_doc(v2)
+        if not all(
+            f.startswith("event_type=") for f in old_doc["partitions"]
+        ):
+            raise RuntimeError("pre-evolution layout was rewritten")
+        if not all(f.startswith("bucket=") for f in new_doc["partitions"]):
+            raise RuntimeError(
+                f"evolved manifest not bucket-partitioned: {new_doc}"
+            )
+        # pruned commit under the NEW scheme: the batch touches only
+        # buckets 0-2, so exactly those holders may move
+        v3 = table.upsert(
+            e.filter(
+                (F.col("event_id") % 5 == 0) & (F.col("user_id") % 8 < 3)
+            )
+        )
+        moved = sorted(
+            k for k, v in table.manifest().items() if v == v3
+        )
+        if not moved or not set(moved) <= {
+            "bucket=0", "bucket=1", "bucket=2"
+        }:
+            raise RuntimeError(
+                f"post-evolution upsert rewrote unexpected buckets: {moved}"
+            )
+        pre = (
+            table.read(version=v1)
+            .select(
+                (F.col("user_id") % 8).cast("int").alias("bucket"),
+                "event_id",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+            .select(F.lit("pre").alias("snapshot"), "*")
+        )
+        # 'post' groups by the STORED partition column — proving the
+        # derivation materialized physically under the new scheme
+        post = (
+            table.read()
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            )
+            .select(F.lit("post").alias("snapshot"), "*")
+        )
+        return materialize_bounded(spark, pre.unionByName(post))

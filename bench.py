@@ -81,6 +81,9 @@ HEADLINE = [
     "manifest_update_where",
     "manifest_schema_evolution",
     "manifest_shallow_clone",
+    # round-11 addition (ephemeral-table wall includes the full
+    # rewrite + boundary-crossing reads by design)
+    "manifest_partition_evolution",
 ]
 
 

@@ -127,9 +127,10 @@ def test_bloom_sidecar_inherited_by_reference(spark, root):
     # stay referenced in v1
     t.upsert(spark.createDataFrame([(1, 3, 3)], "day int, k long, seq long"))
     assert t.manifest()["day=0"] == v1
+    latest = t.versions()[-1]
     assert not os.path.exists(
-        os.path.join(t._vdir(t.versions()[-1]), "blooms.json")
-    ) or "day=0" not in t._bloom_doc(t.versions()[-1])
+        os.path.join(t._vdir(latest), t._BLOOM_SIDECAR)
+    ) or t._bloom_frags(latest, ["day=0"])["day=0"] == {}
     frame, *_ = t.read_where_eq([("k", 2)])
     assert [(r.day, r.k) for r in frame.collect()] == [(0, 2)]
 
