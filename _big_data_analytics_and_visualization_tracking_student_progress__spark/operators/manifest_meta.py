@@ -1,0 +1,1143 @@
+"""Manifest/version layout, shallow-clone base map, commit history, metadata carry rules, the logical (evolvable) schema, the optimistic-concurrency commit protocol, CHECK constraints, generated partition columns, and the ALTER TABLE DDL verbs.
+
+Mixin module of `ManifestSnapshotTable` — split out of operators/upsert.py
+(VERDICT r10 item 6) purely for maintainability: every method still runs
+as part of the one table class, composed in upsert.py, and the public
+import path (`operators.upsert.ManifestSnapshotTable`) is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .windows import latest_by_key
+from .manifest_base import CommitConflictError, ConstraintViolationError
+
+__all__ = ["_ManifestMetaMixin"]
+
+
+class _ManifestMetaMixin:
+    # -- layout helpers -------------------------------------------------
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v={v:05d}")
+
+    def _base_map(self) -> dict[int, str]:
+        """version → ORIGIN table root for versions this table
+        references but does not own (`clone_to` shallow clones); {}
+        for ordinary tables.  Loaded from the EARLIEST readable
+        manifest: external versions only enter the map at clone
+        creation, and `_carry_meta` prunes entries monotonically as
+        borrowed fragments are rewritten (a rewritten fragment's
+        holder is local and can never point back outside), so the
+        oldest retained manifest's map is a superset of every later
+        one — resolving THROUGH it keeps `read(version=…)`,
+        `changes()`, and `restore()` correct for earlier clone
+        snapshots whose borrowed fragments the latest manifest has
+        already shed.  No new version number can re-enter the map
+        (the clone's local sequence starts above every mapped
+        version), so the superset is safe to cache per handle."""
+        if self._base_cache is None:
+            vs = self.versions()
+            if not vs:
+                return {}
+            doc = self._manifest_doc(vs[0])
+            self._base_cache = {
+                int(k): v for k, v in (doc.get("base") or {}).items()
+            }
+        return self._base_cache
+
+    def _vdir_of(self, v: int) -> str:
+        """Version dir with shallow-clone resolution: a version in the
+        base map lives under its origin table's root, everything else
+        is local.  Claim/write paths keep using the local `_vdir` —
+        a new commit can never collide with an external version
+        number because clone creation seeds the local sequence above
+        them all."""
+        base = self._base_map().get(v)
+        return os.path.join(base, f"v={v:05d}") if base else self._vdir(v)
+
+    def _data_dir(self, v: int) -> str:
+        return os.path.join(self._vdir_of(v), "data")
+
+    # Hive's escapePathName character set (FileUtils.charToEscape):
+    # control chars plus the dir-syntax/glob/uri-special set.  Manifest
+    # fragments must match the dir names Spark ACTUALLY writes, or a
+    # value like '10:30' would commit fine and then wedge every read
+    # with PATH_NOT_FOUND.
+    _ESCAPE = {chr(i) for i in range(32)} | set('"#%\'*/:=?\\\x7f{[]^')
+
+    @classmethod
+    def _hive_escape(cls, s: str) -> str:
+        return "".join(
+            f"%{ord(ch):02X}" if ch in cls._ESCAPE else ch for ch in s
+        )
+
+    @staticmethod
+    def _render(val) -> str:
+        if isinstance(val, bool):  # Spark renders booleans lowercase
+            return "true" if val else "false"
+        return str(val)
+
+    def _part_key(
+        self, combo: Sequence, cols: Sequence[str] | None = None
+    ) -> str:
+        for val in combo:
+            if val is None:
+                raise ValueError("NULL partition values are not supported")
+        return "/".join(
+            f"{c}={self._hive_escape(self._render(v))}"
+            for c, v in zip(cols or self.partition_by, combo)
+        )
+
+    def _check_scheme(self) -> None:
+        """Refuse a commit from a handle whose configured partition
+        scheme differs from the table's CURRENT one (after a
+        `compact(partition_by=…)` partition evolution, a handle built
+        with the old scheme would render fragment names that match
+        nothing in the live manifest and write a divergent layout).
+        Reads are unaffected — every snapshot resolves through its own
+        manifest's fragment names."""
+        pb = self._manifest_doc().get("partition_by")
+        if pb and list(pb) != list(self.partition_by):
+            raise ValueError(
+                f"handle is configured with partition_by="
+                f"{list(self.partition_by)} but the table's current "
+                f"scheme is {list(pb)} (partition evolution happened); "
+                "construct the handle with the current scheme"
+            )
+
+    # Demotion tombstone: a version dir kept on disk ONLY because a
+    # retained manifest inherits some of its partition files.  A holder
+    # is not a complete snapshot — its own manifest may reference
+    # versions vacuum already deleted — so versions()/read()/rollback()
+    # must not offer it as a readable point-in-time state.
+    _HOLDER_MARKER = "_HOLDER_ONLY"
+
+    def _is_holder(self, v: int) -> bool:
+        return os.path.exists(os.path.join(self._vdir(v), self._HOLDER_MARKER))
+
+    def _committed_dirs(self) -> list[int]:
+        """Every committed version dir on disk — complete snapshots AND
+        demoted holders (vacuum's sweep domain)."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(name[2:])
+            for name in os.listdir(self.path)
+            if name.startswith("v=")
+            and os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
+        )
+
+    def versions(self) -> list[int]:
+        """Complete, readable snapshots (holder-only dirs excluded)."""
+        return [v for v in self._committed_dirs() if not self._is_holder(v)]
+
+    def _written_fragments(self, v: int) -> set[str]:
+        """The partition-dir fragments actually present under a
+        version's data dir (nested one level per partition column)."""
+        level = [""]
+        root = self._data_dir(v)
+        for _ in self.partition_by:
+            nxt = []
+            for rel in level:
+                base = os.path.join(root, rel) if rel else root
+                for name in os.listdir(base):
+                    if "=" in name and os.path.isdir(
+                        os.path.join(base, name)
+                    ):
+                        nxt.append(f"{rel}/{name}" if rel else name)
+            level = nxt
+        return set(level)
+
+    def _manifest_doc(self, version: int | None = None) -> dict:
+        """Parsed manifest.json of a readable snapshot ({} when the
+        table has no committed versions)."""
+        import json
+
+        vs = self.versions()
+        if not vs:
+            return {}
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            if self._is_holder(version):
+                raise ValueError(
+                    f"version {version} is retained only as a data holder "
+                    "for newer manifests (its own manifest may reference "
+                    f"vacuumed versions); readable snapshots: {vs}"
+                )
+            raise ValueError(f"version {version} not in {vs}")
+        with open(os.path.join(self._vdir(version), "manifest.json")) as fh:
+            return json.load(fh)
+
+    def manifest(self, version: int | None = None) -> dict[str, int]:
+        """partition-dir-fragment → version holding its current files."""
+        doc = self._manifest_doc(version)
+        return {k: int(v) for k, v in doc.get("partitions", {}).items()}
+
+    def fragment_stats(
+        self, version: int | None = None
+    ) -> dict[str, dict[str, list]]:
+        """Zone maps: partition-dir-fragment → {stats_col: [min, max]}.
+        Fragments committed before ``stats_cols`` was configured (or
+        whose commit lacked the column) have no entry — readers must
+        treat a missing envelope as unprunable."""
+        return self._manifest_doc(version).get("stats", {})
+
+    def file_stats(
+        self, version: int | None = None
+    ) -> dict[str, dict[str, dict[str, list]]]:
+        """Per-FILE zone maps: partition-dir-fragment → {file name →
+        {stats_col: [min, max]}}.  The finer tier below
+        `fragment_stats`; absent for pre-file-stats commits (readers
+        keep whole fragments conservatively).  Assembled from the
+        per-version parquet sidecars (this accessor reads EVERY
+        covered fragment — internal pruned reads fetch only
+        survivors via `_file_stats_for`)."""
+        return self._file_stats_for(self._manifest_doc(version))
+
+    @staticmethod
+    def _commit_info(op: str, frags: set) -> dict:
+        """Per-commit operation metadata recorded in the manifest —
+        the DESCRIBE HISTORY payload.  `touched` names the fragments
+        this commit rewrote (or dropped); wall-clock `ts` is audit
+        color, never part of any oracle-checked output."""
+        import time
+
+        return {"op": op, "touched": sorted(frags), "ts": time.time()}
+
+    def history(self) -> DataFrame:
+        """The commit log as a DataFrame — Delta's DESCRIBE HISTORY:
+        one row per READABLE snapshot with its operation, touched-
+        fragment count, and timestamp.  Pure manifest metadata (no
+        data reads); versions committed before operation recording (or
+        retained only as data holders) surface op=NULL / are absent,
+        respectively, mirroring `versions()`."""
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from pyspark.sql.types import LongType
+
+        rk = self._ROWS_KEY
+        rows = []
+        for v in self.versions():
+            doc = self._manifest_doc(v)
+            info = doc.get("commit") or {}
+            touched = info.get("touched")
+            # live row count straight from the snapshot's FRAGMENT
+            # stats (exact counts minus its dv cardinalities) — None
+            # when any fragment lacks recorded counts.  Fragment tier
+            # only: history never opens a file-stats sidecar
+            m = doc.get("partitions", {})
+            st = doc.get("stats", {})
+            dvr = {
+                k: int(n) for k, n in (doc.get("dv_rows") or {}).items()
+            }
+            n_rows: int | None = 0
+            for frag in m:
+                env = st.get(frag)
+                if not env or rk not in env:
+                    n_rows = None
+                    break
+                n_rows += int(env[rk]) - dvr.get(frag, 0)
+            rows.append(
+                (
+                    v,
+                    info.get("op"),
+                    len(touched) if touched is not None else None,
+                    n_rows,
+                    float(info["ts"]) if "ts" in info else None,
+                )
+            )
+        schema = StructType(
+            [
+                StructField("version", IntegerType(), False),
+                StructField("op", StringType(), True),
+                StructField("n_touched", IntegerType(), True),
+                StructField("n_rows", LongType(), True),
+                StructField("ts", DoubleType(), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    # -- deletion vectors -------------------------------------------------
+    # Merge-on-read DELETE (Delta deletion vectors / Iceberg v3
+    # position deletes): instead of rewriting a whole partition to drop
+    # a few rows, a DV commit writes a tiny positional sidecar — one
+    # (file, row_index) pair per doomed row — and the read path
+    # anti-joins it out.  At 100 TB this is the difference between a
+    # GDPR erasure costing O(deleted rows) and O(touched partitions).
+    # The manifest carries ``dv`` (fragment → version holding its
+    # CURRENT vector, inherited by reference exactly like data
+    # fragments) and ``dv_rows`` (fragment → deleted-row count, which
+    # keeps `count_rows` metadata-only).  Any commit that REWRITES a
+    # fragment reads it live (vector applied) and drops its dv entry —
+    # the rewrite materializes the deletes, so vectors never outlive
+    # their files; `compact()` is the explicit materialize-everything
+    # path.  Zone-map/bloom pruning stays sound (deletion only shrinks
+    # a file's content, so recorded envelopes remain supersets), but
+    # exact metadata MIN/MAX falls back to scanning dv'd fragments.
+    #
+    # Row addressing is (path-relative file name, parquet row index):
+    # ``rel`` = the file path after its version's ``data/`` root (e.g.
+    # ``day=3/part-0-xyz.parquet`` — partition values cannot fake the
+    # ``/v=NNNNN/data/`` boundary because hive-escaping encodes ``/``),
+    # and ``row_index`` = Spark's ``_metadata.row_index``, stable for
+    # an immutable parquet file.  Addressing is version-root-relative,
+    # so a relocated table keeps its vectors.
+    _DV_REL = r"/v=\d{5}/data/(.*)$"
+
+    def _dv_dir(self, v: int) -> str:
+        return os.path.join(self._vdir_of(v), "dv")
+
+    def _dv_map(self, doc: dict) -> dict[str, int]:
+        return {k: int(v) for k, v in (doc.get("dv") or {}).items()}
+
+    def _fstats_versions(self, doc: dict) -> set[int]:
+        return {int(v) for v in (doc.get("fstats_v") or {}).values()}
+
+    def _carry_meta(
+        self, doc: dict, prev_doc: dict, rewritten: set[str] | None = None
+    ) -> None:
+        """Inherit version-independent table metadata (persisted CHECK
+        constraints + the declared logical schema + initial defaults +
+        the shallow-clone base map) into a new commit's manifest —
+        every commit path calls this, so declared contracts survive
+        any rewrite.  Writing paths overwrite the carried schema
+        afterwards with the schema of the frame they actually wrote
+        (which equals the carried one unless the commit evolved it).
+
+        ``rewritten``: the fragments this commit rewrote — base-map
+        entries are pruned to versions the NEW manifest can still
+        reference (its partition holders plus the deletion vectors
+        that survive the rewrite), so a clone that has rewritten every
+        borrowed fragment (e.g. via ``compact``) sheds its last source
+        reference and stops depending on the source's retention."""
+        cons = prev_doc.get("constraints")
+        if cons:
+            doc["constraints"] = dict(cons)
+        sch = prev_doc.get("schema")
+        if sch:
+            doc["schema"] = [list(e) for e in sch]
+        dfl = prev_doc.get("defaults")
+        if dfl:
+            doc["defaults"] = dict(dfl)
+        gen = prev_doc.get("generated")
+        if gen:
+            doc["generated"] = dict(gen)
+        dropped = prev_doc.get("dropped_columns")
+        if dropped:
+            doc["dropped_columns"] = list(dropped)
+        base = prev_doc.get("base")
+        if base:
+            rw = rewritten or set()
+            keep = (
+                {int(h) for h in doc.get("partitions", {}).values()}
+                | {
+                    v
+                    for f, v in self._dv_map(prev_doc).items()
+                    if f not in rw
+                }
+                | {
+                    int(v)
+                    for f, v in (prev_doc.get("fstats_v") or {}).items()
+                    if f not in rw
+                }
+            )
+            kept = {k: v for k, v in base.items() if int(k) in keep}
+            if kept:
+                doc["base"] = kept
+
+    # -- logical schema (schema evolution) --------------------------------
+    # The manifest's `schema` entry is the table's DECLARED column list
+    # ([name, Spark DDL type] pairs, in order) — the Delta/Iceberg
+    # metadata-schema role: data files written before an `add_column` /
+    # `widen_column` / evolving-upsert commit simply lack the column (or
+    # carry the narrower type), and every read path aligns them — NULL
+    # for missing columns, a lossless cast for widened ones — so old
+    # files are NEVER rewritten for a schema change (metadata-only DDL,
+    # the only affordable shape at 100 TB).
+    _META_COLS = ("__rel", "__ri")
+    _INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+    @classmethod
+    def _frame_schema(cls, df: DataFrame) -> list[list[str]]:
+        return [
+            [f.name, f.dataType.simpleString()]
+            for f in df.schema.fields
+            if f.name not in cls._META_COLS
+        ]
+
+    def table_schema(
+        self, version: int | None = None
+    ) -> list[tuple[str, str]] | None:
+        """The declared logical schema at a snapshot as ordered
+        ``(name, DDL type)`` pairs — None for tables whose commits
+        predate schema recording (their reads stay purely physical)."""
+        sch = self._manifest_doc(version).get("schema")
+        return [tuple(e) for e in sch] if sch else None
+
+    @staticmethod
+    def _dec_params(t: str) -> tuple[int, int] | None:
+        import re
+
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+        return (int(m.group(1)), int(m.group(2))) if m else None
+
+    @classmethod
+    def _widens(cls, frm: str, to: str) -> bool:
+        """True when ``frm`` → ``to`` is a STRICT lossless widening —
+        the only type changes a metadata-only evolution can declare
+        (anything else would reinterpret bytes already on disk):
+        tinyint<smallint<int<bigint, float<double, and decimal growth
+        that shrinks neither scale nor integer digits."""
+        if frm == to:
+            return False
+        iw = cls._INT_WIDTH
+        if frm in iw and to in iw:
+            return iw[to] > iw[frm]
+        if frm == "float" and to == "double":
+            return True
+        d0, d1 = cls._dec_params(frm), cls._dec_params(to)
+        if d0 and d1:
+            (p0, s0), (p1, s1) = d0, d1
+            return s1 >= s0 and (p1 - s1) >= (p0 - s0)
+        return False
+
+    def _normalize_type(self, ddl: str) -> str:
+        """Parse a DDL type string through Spark and return its
+        canonical ``simpleString`` (also validates it)."""
+        probe = self.spark.range(0).select(F.lit(None).cast(ddl))
+        return probe.schema.fields[0].dataType.simpleString()
+
+    def _align_schema(
+        self, df: DataFrame | None, doc: dict | None
+    ) -> DataFrame | None:
+        """Align a physical scan to the manifest's declared schema:
+        columns a file predates read as typed NULLs (or the column's
+        declared INITIAL DEFAULT, Iceberg-style), columns committed
+        narrower than a later widening are cast up, and column order
+        follows the declaration.  A no-op (the same frame, no extra
+        Project) when the physical schema already matches, so
+        pre-evolution tables and hot paths pay nothing."""
+        sch = (doc or {}).get("schema")
+        if df is None or not sch:
+            return df
+        have = dict(df.dtypes)
+        names = [c for c in df.columns if c not in self._META_COLS]
+        if names == [n for n, _t in sch] and all(
+            have[n] == t for n, t in sch
+        ):
+            return df
+        defaults = (doc or {}).get("defaults") or {}
+        cols: list[Column] = []
+        for n, t in sch:
+            if n not in have:
+                fill = defaults.get(n)
+                cols.append(F.lit(fill).cast(t).alias(n))
+            elif have[n] == t:
+                cols.append(F.col(n))
+            else:
+                cols.append(F.col(n).cast(t).alias(n))
+        cols += [F.col(h) for h in self._META_COLS if h in df.columns]
+        return df.select(*cols)
+
+    def _carry_dv(
+        self, doc: dict, prev_doc: dict, rewritten: set[str]
+    ) -> None:
+        """Inherit deletion vectors for fragments this commit did NOT
+        rewrite.  A rewritten fragment was read LIVE (vector applied),
+        so its deletes are materialized into the new files — its vector
+        is dropped with the old files, never carried forward."""
+        dv = {
+            f: v
+            for f, v in self._dv_map(prev_doc).items()
+            if f not in rewritten
+        }
+        if dv:
+            doc["dv"] = dv
+            doc["dv_rows"] = {
+                f: int(n)
+                for f, n in (prev_doc.get("dv_rows") or {}).items()
+                if f not in rewritten
+            }
+
+    def _inherit_stats(
+        self, doc: dict, prev_doc: dict, rewritten: set[str], new_v: int,
+        vdir: str,
+    ) -> None:
+        """Zone-map commit discipline shared by every writing path:
+        fresh fragment/file envelopes for the partitions this commit
+        rewrote, everything else inherited by reference from the basis
+        manifest — exactly like the data files.  No-op when the table
+        has no ``stats_cols``.
+
+        FRAGMENT envelopes stay in the manifest JSON (O(partitions) —
+        fine at any scale).  FILE envelopes are SHARDED out of the
+        manifest (VERDICT r10 item 5): each commit writes only the
+        rows for the fragments it rewrote into its own
+        ``filestats.parquet`` sidecar (the Iceberg manifest-file
+        shape), and the manifest carries just ``fstats_v``
+        {fragment → sidecar-holder version} — so per-commit metadata
+        cost tracks the TOUCHED fragments, and pruned reads fetch
+        file stats only for surviving fragments via a
+        fragment-filtered pyarrow read."""
+        if not self.stats_cols:
+            return
+        new_fs, new_ffs = self._compute_stats_both(new_v)
+        stats = {
+            f: s
+            for f, s in prev_doc.get("stats", {}).items()
+            if f not in rewritten
+        }
+        stats.update(new_fs)
+        doc["stats"] = stats
+        fsv = {
+            f: int(v)
+            for f, v in (prev_doc.get("fstats_v") or {}).items()
+            if f not in rewritten
+        }
+        if new_ffs:
+            self._write_fstats_sidecar(vdir, new_ffs)
+            for f in new_ffs:
+                fsv[f] = new_v
+        if fsv:
+            doc["fstats_v"] = fsv
+
+    # -- commit protocol ------------------------------------------------
+    # Optimistic concurrency (the Delta/Iceberg baseline): every commit
+    # path first CLAIMS the next version number by atomically creating
+    # its directory (os.mkdir — EEXIST means someone else owns it), so
+    # two writers can never both commit the same version, and the
+    # commit basis (the previous manifest) is always read UNDER the
+    # claim — a peer cannot slip a commit between basis-read and
+    # publish, which is what makes pruned copy-on-write sound under
+    # concurrency (no lost updates).  A claim directory carries a
+    # `_CLAIM` marker naming its writer (pid/host/ts) and becomes a
+    # snapshot only when `_SUCCESS` lands; until then readers cannot
+    # see it.  On EEXIST the would-be writer distinguishes:
+    #   - `_SUCCESS` present → a peer committed this number between our
+    #     dir listing and mkdir; take the next number (safe: the basis
+    #     has not been read yet);
+    #   - live claim → raise `CommitConflictError` (caller re-runs the
+    #     commit against the new basis once the peer publishes);
+    #   - crash debris (same-host claim whose pid is gone, or any claim
+    #     older than `claim_ttl_seconds`) → reclaim: remove and retry.
+    # On a real object store the mkdir would be a conditional PUT of
+    # the claim marker (If-None-Match) or a transaction-log service;
+    # the protocol shape is identical.
+    _CLAIM_MARKER = "_CLAIM"
+
+    def _claim_is_stale(self, vdir: str) -> bool:
+        """True when an unfinished version dir is a crashed writer's
+        debris (reclaimable), False when it may be a live writer."""
+        import json
+        import socket
+        import time
+
+        cpath = os.path.join(vdir, self._CLAIM_MARKER)
+        try:
+            with open(cpath) as fh:
+                claim = json.load(fh)
+        except (FileNotFoundError, ValueError):
+            # mkdir happened but the marker never (fully) landed: either
+            # a writer inside the sub-second mkdir→marker window or a
+            # crash in it — only age can tell
+            try:
+                age = time.time() - os.path.getmtime(vdir)
+            except OSError:
+                return False  # dir vanished: someone else handled it
+            return age > self.claim_ttl_seconds
+        if claim.get("host") == socket.gethostname():
+            pid = claim.get("pid")
+            if isinstance(pid, int) and pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    return False  # writer process still alive
+                except ProcessLookupError:
+                    return True  # same host, writer gone: crash debris
+                except PermissionError:
+                    return False  # alive under another uid
+        # cross-host claim (or unreadable identity): TTL decides —
+        # pid liveness means nothing across machines
+        return time.time() - float(claim.get("ts") or 0) > self.claim_ttl_seconds
+
+    def _claim_version(self) -> tuple[int, str]:
+        """Atomically claim the next version; returns (version, dir).
+
+        Loops past versions a peer managed to commit first (safe —
+        the caller reads its commit basis after this returns) and past
+        reclaimed crash debris; raises `CommitConflictError` on a live
+        concurrent claim."""
+        import json
+        import shutil
+        import socket
+        import time
+
+        self._check_scheme()
+        os.makedirs(self.path, exist_ok=True)
+        while True:
+            dirs = self._committed_dirs()
+            new_v = (dirs[-1] + 1) if dirs else 1
+            vdir = self._vdir(new_v)
+            try:
+                os.mkdir(vdir)
+            except FileExistsError:
+                if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                    continue  # peer committed this number: next one
+                if self._claim_is_stale(vdir):
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    continue  # crashed attempt's debris: reclaim
+                raise CommitConflictError(
+                    f"version {new_v} of {self.path} is claimed by a "
+                    "concurrent writer; re-run this commit after it "
+                    "publishes (or reclaim via claim_ttl_seconds if it "
+                    "crashed on another host)"
+                )
+            with open(os.path.join(vdir, self._CLAIM_MARKER), "w") as fh:
+                json.dump(
+                    {
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "ts": time.time(),
+                    },
+                    fh,
+                )
+            return new_v, vdir
+
+    def _abandon_claim(self, vdir: str) -> None:
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
+
+    def _effective_constraints(self, doc: dict) -> dict[str, Column]:
+        """Constructor-handle constraints ∪ the TABLE-LEVEL constraints
+        persisted in the manifest (`add_constraint` — SQL strings, so
+        any writer handle resolves and enforces them; a handle-local
+        Column cannot be persisted and binds only its own handle).
+        Manifest-persisted definitions win name collisions: the table's
+        declared contract outranks one writer's local opinion."""
+        eff = dict(self.constraints)
+        for name, sql in (doc.get("constraints") or {}).items():
+            eff[name] = F.expr(sql)
+        return eff
+
+    def _observe_constraints(self, df: DataFrame, doc: dict):
+        """Attach the CHECK-constraint violation counters to a frame
+        about to be written: one `df.observe` aggregate per constraint
+        (rows where the expression is FALSE — NULL passes, SQL-style),
+        computed by the WRITE job itself, so enforcement costs zero
+        extra scans.  ``doc`` is the pinned commit-basis manifest (its
+        persisted constraints bind every writer).  Returns ``(df,
+        observation | None)``; call `_raise_constraint_violations`
+        after the write action."""
+        constraints = self._effective_constraints(doc)
+        if not constraints:
+            return df, None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.coalesce(cond, F.lit(True)), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias(name)
+            for name, cond in constraints.items()
+        ]
+        return df.observe(obs, *aggs), obs
+
+    def _raise_constraint_violations(self, obs) -> None:
+        if obs is None:
+            return
+        bad = {
+            name: int(n)
+            for name, n in obs.get.items()
+            if n is not None and int(n) > 0
+        }
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint(s) violated: {bad} (count of rows "
+                "where the expression is FALSE; commit abandoned, "
+                "table unchanged)"
+            )
+
+    def table_constraints(self, version: int | None = None) -> dict:
+        """The PERSISTED constraints in force at a snapshot
+        ({name → SQL expression string}) — the ones every writer
+        handle enforces, unlike the constructor's handle-local
+        Columns."""
+        return dict(
+            self._manifest_doc(version).get("constraints") or {}
+        )
+
+    def add_constraint(self, name: str, sql: str) -> int:
+        """Persist a table-level CHECK constraint — Delta's ``ALTER
+        TABLE ADD CONSTRAINT <name> CHECK (<sql>)``: a metadata-only
+        commit (every fragment inherited by reference) that first
+        VALIDATES the current live content in one scan, exactly
+        Delta's semantics — a constraint never co-exists with data
+        violating it.  From this commit on, every writer handle
+        enforces it (the SQL string resolves anywhere), and it
+        survives every rewrite via `_carry_meta`.  Raises
+        `ConstraintViolationError` if existing rows violate, and
+        refuses to replace an existing name (drop it first)."""
+        cond = F.expr(sql)
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            existing = dict(prev_doc.get("constraints") or {})
+            if name in existing:
+                raise ValueError(
+                    f"constraint {name!r} already exists "
+                    f"({existing[name]!r}); drop it first"
+                )
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if prev:
+                live = self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc), align=prev_doc)
+                n_bad = live.filter(
+                    ~F.coalesce(cond, F.lit(True))
+                ).count()
+                if n_bad:
+                    raise ConstraintViolationError(
+                        f"cannot add constraint {name!r}: {n_bad} "
+                        "existing row(s) violate it"
+                    )
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["commit"] = self._commit_info("add_constraint", set())
+            existing[name] = sql
+            doc["constraints"] = existing
+            import json
+
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def drop_constraint(self, name: str, if_exists: bool = False) -> int:
+        """Remove a persisted CHECK constraint (metadata-only commit).
+        Raises on an unknown name unless ``if_exists``."""
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            existing = dict(prev_doc.get("constraints") or {})
+            if name not in existing:
+                self._abandon_claim(vdir)
+                if if_exists:
+                    vs = self.versions()
+                    return vs[-1] if vs else 0
+                raise ValueError(
+                    f"no constraint named {name!r}; "
+                    f"in force: {sorted(existing)}"
+                )
+            existing.pop(name)
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["commit"] = self._commit_info("drop_constraint", set())
+            if existing:
+                doc["constraints"] = existing
+            else:
+                doc.pop("constraints", None)
+            import json
+
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def add_column(
+        self, name: str, ddl_type: str, initial_default=None
+    ) -> int:
+        """``ALTER TABLE ADD COLUMN`` — a METADATA-ONLY commit (the
+        Delta/Iceberg shape: no data file is touched at any table
+        size): the declared schema gains ``(name, type)`` at the end,
+        every fragment is inherited by reference, and from this
+        snapshot on all read paths surface the column for rows whose
+        files predate it — as a typed NULL, or as ``initial_default``
+        when given (Iceberg v3 initial-default semantics: the fill is
+        part of the declaration, so every reader sees it and every
+        rewrite materializes it; new write batches must still supply
+        the column explicitly).  The next write commit that touches a
+        partition materializes the column physically.  Refuses
+        duplicate names and the reserved DV address columns; the type
+        is validated and canonicalized through Spark's DDL parser, and
+        a default must survive the cast to it losslessly (a JSON
+        scalar, so any writer handle resolves it).  Requires a
+        committed schema (the first write establishes it — an empty
+        table has nothing to evolve)."""
+        import json
+
+        if name in self._META_COLS:
+            raise ValueError(f"{name!r} is reserved for DV row addresses")
+        norm = self._normalize_type(ddl_type)
+        if initial_default is not None:
+            if not isinstance(initial_default, (int, float, str, bool)):
+                raise ValueError(
+                    "initial_default must be a JSON scalar "
+                    f"(int/float/str/bool), got "
+                    f"{type(initial_default).__name__}"
+                )
+            probe = self.spark.range(1).select(
+                F.lit(initial_default).cast(norm)
+            ).first()[0]
+            if probe is None:
+                raise ValueError(
+                    f"initial_default {initial_default!r} does not "
+                    f"cast to {norm}"
+                )
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            sch = prev_doc.get("schema")
+            if not sch:
+                raise ValueError(
+                    "table has no committed schema to evolve — the "
+                    "first write commit establishes it"
+                )
+            if name in {n for n, _t in sch}:
+                raise ValueError(f"column {name!r} already exists")
+            if name in (prev_doc.get("dropped_columns") or []):
+                raise ValueError(
+                    f"column name {name!r} was dropped and pre-drop "
+                    "files still hold its bytes (name-based parquet "
+                    "resolution would resurrect them); use a fresh "
+                    "name, or compact() first to shed the old bytes"
+                )
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["schema"] = [list(e) for e in sch] + [[name, norm]]
+            if initial_default is not None:
+                defaults = dict(prev_doc.get("defaults") or {})
+                defaults[name] = initial_default
+                doc["defaults"] = defaults
+            doc["commit"] = self._commit_info("add_column", set())
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def table_defaults(self, version: int | None = None) -> dict:
+        """The initial-default fills in force at a snapshot
+        ({column → JSON scalar}) — applied by read alignment to rows
+        whose files predate the column's add."""
+        return dict(self._manifest_doc(version).get("defaults") or {})
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` — a METADATA-ONLY commit, the
+        third leg of the evolution triad: the declared schema loses
+        the column, every read path projects it away (alignment is
+        schema-driven), old files keep their bytes untouched, and the
+        next rewrite of a partition physically sheds them there.
+
+        Name-based parquet resolution means RE-ADDING the same name
+        would resurrect stale bytes from pre-drop files (the format
+        has no Iceberg-style field ids), so the drop leaves a
+        tombstone in the manifest: `add_column` (and an evolving
+        upsert) refuses tombstoned names until a ``compact()`` —
+        which physically rewrites everything — clears them.
+
+        Refuses key and partition columns (identity/layout), a column
+        any persisted CHECK constraint or generated-partition
+        expression references (they would fail analysis on every
+        later commit), and unknown names.  A declared initial default
+        for the column is dropped with it."""
+        import json
+        import re
+
+        if name in self.keys or name in self.partition_by:
+            raise ValueError(
+                f"cannot drop key/partition column {name!r}"
+            )
+        if name in self.order_cols:
+            raise ValueError(
+                f"cannot drop order column {name!r}: every later "
+                "upsert/merge orders winners by it, so the table "
+                "would become unwritable (and the drop tombstone "
+                "would block re-adding the name without a compact)"
+            )
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            sch = prev_doc.get("schema")
+            if not sch:
+                raise ValueError(
+                    "table has no committed schema to evolve — the "
+                    "first write commit establishes it"
+                )
+            if name not in {n for n, _t in sch}:
+                raise ValueError(
+                    f"no column {name!r}; table columns: "
+                    f"{sorted(n for n, _t in sch)}"
+                )
+            token = re.compile(rf"\b{re.escape(name)}\b")
+            for cn, sql in (prev_doc.get("constraints") or {}).items():
+                if token.search(sql):
+                    raise ValueError(
+                        f"cannot drop {name!r}: CHECK constraint "
+                        f"{cn!r} references it ({sql!r}); drop the "
+                        "constraint first"
+                    )
+            for pc, expr in (prev_doc.get("generated") or {}).items():
+                if token.search(expr):
+                    raise ValueError(
+                        f"cannot drop {name!r}: generated partition "
+                        f"column {pc!r} derives from it ({expr!r})"
+                    )
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["schema"] = [list(e) for e in sch if e[0] != name]
+            defaults = dict(prev_doc.get("defaults") or {})
+            defaults.pop(name, None)
+            if defaults:
+                doc["defaults"] = defaults
+            else:
+                doc.pop("defaults", None)
+            dropped = list(prev_doc.get("dropped_columns") or [])
+            if name not in dropped:
+                dropped.append(name)
+            doc["dropped_columns"] = dropped
+            doc["commit"] = self._commit_info("drop_column", set())
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def widen_column(self, name: str, ddl_type: str) -> int:
+        """``ALTER TABLE ALTER COLUMN TYPE`` restricted to the lossless
+        widenings `_widens` declares (int-chain, float→double, decimal
+        growth) — Delta's type-widening feature as a METADATA-ONLY
+        commit: files keep their narrower physical type and every read
+        casts up, so no data moves.  Partition columns are refused
+        (their values live in directory NAMES, not parquet — a type
+        change would re-render paths); key columns are fine (the merge
+        compares them post-alignment, and batch keys are conformed up
+        before the join)."""
+        import json
+
+        norm = self._normalize_type(ddl_type)
+        if name in self.partition_by:
+            raise ValueError(
+                f"cannot widen partition column {name!r}: partition "
+                "values are directory names, not parquet data"
+            )
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            sch = prev_doc.get("schema")
+            if not sch:
+                raise ValueError(
+                    "table has no committed schema to evolve — the "
+                    "first write commit establishes it"
+                )
+            cur = {n: t for n, t in sch}
+            if name not in cur:
+                raise ValueError(
+                    f"no column {name!r}; table columns: "
+                    f"{sorted(cur)}"
+                )
+            if not self._widens(cur[name], norm):
+                raise ValueError(
+                    f"{cur[name]} -> {norm} is not a lossless widening "
+                    f"for column {name!r} (allowed: tinyint<smallint<"
+                    "int<bigint, float<double, decimal growth that "
+                    "shrinks neither scale nor integer digits)"
+                )
+            doc = dict(prev_doc)
+            doc.setdefault("partition_by", self.partition_by)
+            doc.setdefault("partitions", {})
+            doc["schema"] = [
+                [n, norm if n == name else t] for n, t in sch
+            ]
+            doc["commit"] = self._commit_info("widen_column", set())
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def _effective_generated(self, doc: dict) -> dict[str, str]:
+        """Constructor-handle generation exprs ∪ the manifest-persisted
+        ones (persisted wins collisions — the table's declared
+        derivation outranks one writer's local opinion), mirroring
+        `_effective_constraints`."""
+        eff = dict(self.generated_partitions)
+        eff.update(doc.get("generated") or {})
+        return eff
+
+    def _apply_generated(self, batch: DataFrame, doc: dict):
+        """Derive generated partition columns the batch omits; for
+        columns the batch DOES carry, attach one observe counter per
+        column (mismatches between the provided value and the
+        derivation, NULL-safe) riding the batch's first job — zero
+        extra scans.  Returns ``(batch, observation | None)``; call
+        `_raise_generated_violations` after the first action."""
+        gen = self._effective_generated(doc)
+        if not gen:
+            return batch, None
+        checks: list = []
+        for c, sql in sorted(gen.items()):
+            if c not in batch.columns:
+                batch = batch.withColumn(c, F.expr(sql))
+            else:
+                checks.append(
+                    F.sum(
+                        F.when(
+                            ~F.col(c).eqNullSafe(F.expr(sql)), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    )
+                    .cast("long")
+                    .alias(c)
+                )
+        if not checks:
+            return batch, None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return batch.observe(obs, *checks), obs
+
+    @staticmethod
+    def _raise_generated_violations(obs) -> None:
+        if obs is None:
+            return
+        bad = {
+            c: int(n)
+            for c, n in obs.get.items()
+            if n is not None and int(n) > 0
+        }
+        if bad:
+            raise ValueError(
+                "generated partition column(s) carry values that do "
+                f"not match their declared derivation: {bad} (count "
+                "of mismatching rows; commit refused, table unchanged)"
+            )
+
+    def _conform_batch(
+        self,
+        batch: DataFrame,
+        prev_doc: dict,
+        evolve: bool,
+        allow_missing: bool = False,
+    ) -> DataFrame:
+        """Validate and align a write batch against the declared
+        schema.  A batch must carry EVERY declared column — an upsert
+        cannot partially specify a row (NULL-filling here would clobber
+        matched rows' values; only reads of pre-evolution FILES fill
+        NULL) — unless ``allow_missing`` (merge_into: `merge_clauses`
+        documents slim sources, e.g. keys + condition fields for a
+        delete-only merge, with source-side NULL fill).  Extra columns
+        require ``schema_evolution=True`` and extend the schema
+        additively; a batch column WIDER than the declared type
+        requires the flag too and widens the declaration (the merge
+        union coerces the carried rows up); a NARROWER batch column is
+        always cast up losslessly; anything else is incompatible and
+        refused."""
+        sch = prev_doc.get("schema")
+        if not sch:
+            return batch
+        declared = {n: t for n, t in sch}
+        have = dict(batch.dtypes)
+        missing = sorted(set(declared) - set(have))
+        if missing and not allow_missing:
+            raise ValueError(
+                f"write batch lacks table columns {missing} — a batch "
+                "must carry every declared column (reads NULL-fill "
+                "only for files that predate an add_column)"
+            )
+        extra = [c for c in batch.columns if c not in declared]
+        reserved = sorted(set(extra) & set(self._META_COLS))
+        if reserved:
+            raise ValueError(
+                f"batch columns {reserved} are reserved for DV row "
+                "addresses (mirrors add_column's reserved-name check; "
+                "a physical __rel/__ri column would collide with the "
+                "keep_pos address columns deletion-vector builds use)"
+            )
+        if extra and not evolve:
+            raise ValueError(
+                f"write batch adds columns {extra} not in the table "
+                "schema; pass schema_evolution=True to extend it "
+                "additively"
+            )
+        tombstoned = sorted(
+            set(extra) & set(prev_doc.get("dropped_columns") or [])
+        )
+        if tombstoned:
+            raise ValueError(
+                f"columns {tombstoned} were dropped and pre-drop files "
+                "still hold their bytes (re-adding would resurrect "
+                "them); use fresh names, or compact() first"
+            )
+        cols: list[Column] = []
+        for n, t in sch:
+            if n not in have:
+                continue  # allow_missing: merge_clauses NULL-fills
+            bt = have[n]
+            if bt == t:
+                cols.append(F.col(n))
+            elif self._widens(bt, t):
+                cols.append(F.col(n).cast(t).alias(n))
+            elif self._widens(t, bt):
+                if not evolve:
+                    raise ValueError(
+                        f"batch column {n!r} is {bt}, wider than the "
+                        f"declared {t}; pass schema_evolution=True to "
+                        "widen the table type"
+                    )
+                cols.append(F.col(n))
+            else:
+                raise ValueError(
+                    f"batch column {n!r} type {bt} is incompatible "
+                    f"with the declared {t} (no lossless widening "
+                    "either way)"
+                )
+        cols += [F.col(c) for c in extra]
+        return batch.select(*cols)
+
+    def _publish(self, vdir: str) -> None:
+        """Publish a fully-written version: commit marker LAST (a crash
+        before this leaves the dir invisible to ``versions()`` — readers
+        still resolve the previous snapshot), then retention vacuum.
+        MUST be called outside any try-block whose handler abandons the
+        claim: once ``_SUCCESS`` lands the version is live, and a
+        failure in vacuum must never trigger an abandon that rmtree's a
+        published snapshot (with ``keep_versions=1`` that could leave
+        ``versions()`` empty — an unreadable table)."""
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        if self.keep_versions is not None or self.keep_seconds is not None:
+            self.vacuum()
+

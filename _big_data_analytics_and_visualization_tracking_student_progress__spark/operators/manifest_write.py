@@ -1,0 +1,986 @@
+"""Writing commits: pruned MERGE upsert, conditional MERGE INTO, copy-on-write DELETE/UPDATE, merge-on-read DELETE via deletion vectors, and the change-data feed.
+
+Mixin module of `ManifestSnapshotTable` — split out of operators/upsert.py
+(VERDICT r10 item 6) purely for maintainability: every method still runs
+as part of the one table class, composed in upsert.py, and the public
+import path (`operators.upsert.ManifestSnapshotTable`) is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .windows import latest_by_key
+from .manifest_base import merge_by_key, merge_clauses
+
+__all__ = ["_ManifestWriteMixin"]
+
+
+class _ManifestWriteMixin:
+    # -- write ----------------------------------------------------------
+    def upsert(
+        self, batch: DataFrame, schema_evolution: bool = False
+    ) -> int:
+        """Pruned MERGE commit: read ONLY the batch's partitions from
+        their current holders, merge, write those partitions under the
+        new version, inherit everything else via the manifest.
+
+        ``schema_evolution``: with the declared schema in force a batch
+        must carry exactly the declared columns (`_conform_batch`);
+        passing True lets a batch ADD columns (appended to the
+        declaration; pre-evolution files read NULL there) or carry a
+        losslessly WIDER type (the declaration widens) — Delta's
+        ``mergeSchema`` write option, as an explicit opt-in."""
+        import json
+        import shutil
+
+        # generation defs are static table metadata (declared by the
+        # first write, carried forever), so the unpinned read is safe
+        batch, gen_obs = self._apply_generated(batch, self._manifest_doc())
+        touched = [
+            tuple(r)
+            for r in batch.select(*self.partition_by).distinct().collect()
+        ]
+        self._raise_generated_violations(gen_obs)
+        if not touched:
+            vs = self.versions()
+            return vs[-1] if vs else 0
+        frags = {self._part_key(c) for c in touched}
+        # claim the next version BEFORE reading the commit basis: the
+        # claim freezes the version sequence (no peer can publish while
+        # we hold it), so the manifest read below cannot go stale —
+        # two writers can neither commit the same number nor lose each
+        # other's updates (the loser of the claim gets
+        # CommitConflictError inside _claim_version)
+        new_v, vdir = self._claim_version()
+        try:
+            # one pinned manifest read: partitions + both stats tiers
+            # come from the SAME doc (no torn basis)
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            batch = self._conform_batch(batch, prev_doc, schema_evolution)
+            # old holders of the touched partitions only, read LIVE
+            # (deletion vectors applied — the rewrite materializes
+            # them) and aligned to the declared schema, so the rewrite
+            # also materializes any pending column add/widening
+            target = self._read_fragments(
+                    {frag: prev[frag] for frag in frags & set(prev)},
+                    dv=self._dv_map(prev_doc), align=prev_doc,)
+            merged = merge_by_key(
+                target, batch, self.keys,
+                [F.col(c).desc() for c in self.order_cols],
+            )
+            merged, checks = self._observe_constraints(merged, prev_doc)
+            merged.write.partitionBy(*self.partition_by).parquet(
+                self._data_dir(new_v)
+            )
+            self._raise_constraint_violations(checks)
+            # the manifest is only sound if its fragments name the dirs
+            # Spark ACTUALLY wrote — verify before committing, so a value
+            # whose rendering diverges from _part_key fails loudly here
+            # instead of wedging every later read with PATH_NOT_FOUND
+            written = self._written_fragments(new_v)
+            if written != frags:
+                raise ValueError(
+                    "partition dir names diverged from manifest fragments "
+                    f"— written {sorted(written)} vs expected "
+                    f"{sorted(frags)}; this partition value type/rendering "
+                    "is unsupported"
+                )
+            manifest = {
+                frag: v for frag, v in prev.items() if frag not in frags
+            }
+            manifest.update({frag: new_v for frag in frags})
+            doc = {"partition_by": self.partition_by, "partitions": manifest}
+            doc["commit"] = self._commit_info("upsert", frags)
+            self._carry_meta(doc, prev_doc, frags)
+            gen_eff = self._effective_generated(prev_doc)
+            if gen_eff:
+                doc["generated"] = gen_eff
+            # the declared schema is what this commit actually wrote
+            # (== carried unless the batch evolved it)
+            doc["schema"] = self._frame_schema(merged)
+            self._carry_dv(doc, prev_doc, frags)
+            self._inherit_stats(doc, prev_doc, frags, new_v, vdir)
+            self._write_blooms(new_v, vdir)
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            # abandon the claim: the table stays readable at its
+            # current version, nothing partial is visible
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: Column | None = None,
+        when_not_matched_insert: Column | None = None,
+        when_matched_delete: Column | None = None,
+        when_not_matched_by_source_delete: Column | None = None,
+        schema_evolution: bool = False,
+    ) -> int:
+        """Conditional MERGE commit — `merge_clauses` semantics
+        (``t.<col>`` / ``s.<col>`` condition references; see its
+        docstring for the clause table) under the same pruned
+        copy-on-write discipline as `upsert`: only the source batch's
+        partitions are read, merged, and rewritten; everything else is
+        inherited by reference.  Soundness rides the constructor's
+        invariant (partition columns ⊆ keys, or the
+        ``stable_partitions`` promise): a matched target row's
+        partition values equal its source row's, so the source batch
+        names every partition the merge can touch.  A partition the
+        delete clause empties leaves the manifest (like `delete`); an
+        insert into a brand-new partition creates its fragment.
+
+        ``schema_evolution``: with the declared schema in force the
+        source may omit declared columns (`merge_clauses`' slim-source
+        contract — they read NULL on the source side), but ADDING
+        columns or carrying a losslessly wider type requires the flag,
+        exactly like `upsert` — a merge must not mutate the declared
+        schema silently.
+
+        ``when_not_matched_by_source_delete`` widens the touch set:
+        the clause can reap target rows in partitions the source never
+        names, so one column-pruned locate scan of the condition (a
+        SUPERSET is sound — located-but-unmatched-and-false rows are
+        kept verbatim by the clause logic) adds those partitions to
+        the rewrite, exactly like `delete_where`'s locate.  Full-table
+        WHEN NOT MATCHED BY SOURCE semantics, partition-pruned.
+
+        Returns the committed version (current version unchanged on a
+        no-op: empty source and nothing for the by-source clause to
+        reap)."""
+        import json
+
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            source, gen_obs = self._apply_generated(source, prev_doc)
+            source = self._conform_batch(
+                source, prev_doc, schema_evolution, allow_missing=True
+            )
+            touched = [
+                tuple(r)
+                for r in source.select(*self.partition_by)
+                .distinct()
+                .collect()
+            ]
+            self._raise_generated_violations(gen_obs)
+            frags = {self._part_key(c) for c in touched}
+            if when_not_matched_by_source_delete is not None and prev:
+                hit = F.coalesce(
+                    when_not_matched_by_source_delete, F.lit(False)
+                )
+                # evaluate the condition exactly as merge_clauses does
+                # on a by-source-unmatched row: the source side is
+                # all-NULL there, so cross-join ONE all-NULL row with
+                # the source's schema aliased "s" — s.<col> references
+                # (legal per merge_clauses' docstring, NULL → false,
+                # and s.<col> IS NULL → true) resolve instead of
+                # failing analysis, and the located set stays a sound
+                # superset of the rows the clause can reap
+                null_s = self.spark.range(1).select(
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in source.schema.fields
+                    ]
+                )
+                located = (
+                    self._read_fragments(
+                            prev, dv=self._dv_map(prev_doc), align=prev_doc)
+                    .alias("t")
+                    .crossJoin(F.broadcast(null_s.alias("s")))
+                    .filter(hit)
+                    .select(*[F.col(f"t.{c}") for c in self.partition_by])
+                    .distinct()
+                    .collect()
+                )
+                frags |= {
+                    self._part_key(tuple(r)) for r in located
+                } & set(prev)
+            if not frags:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            target = self._read_fragments(
+                    {frag: prev[frag] for frag in frags & set(prev)},
+                    dv=self._dv_map(prev_doc), align=prev_doc,)
+            merged = merge_clauses(
+                target,
+                source,
+                self.keys,
+                [F.col(c).desc() for c in self.order_cols],
+                when_matched_update=when_matched_update,
+                when_not_matched_insert=when_not_matched_insert,
+                when_matched_delete=when_matched_delete,
+                when_not_matched_by_source_delete=(
+                    when_not_matched_by_source_delete
+                ),
+            )
+            merged, checks = self._observe_constraints(merged, prev_doc)
+            merged.write.partitionBy(*self.partition_by).parquet(
+                self._data_dir(new_v)
+            )
+            self._raise_constraint_violations(checks)
+            # delete/insert clauses may empty a touched partition or
+            # skip it entirely, so (unlike upsert) written ⊆ touched —
+            # but never outside it
+            written = self._written_fragments(new_v)
+            if not written <= frags:
+                raise ValueError(
+                    "merge rewrote fragments outside its source's "
+                    f"partitions — written {sorted(written)} vs touched "
+                    f"{sorted(frags)}"
+                )
+            manifest = {
+                frag: v for frag, v in prev.items() if frag not in frags
+            }
+            manifest.update({frag: new_v for frag in written})
+            doc = {"partition_by": self.partition_by, "partitions": manifest}
+            doc["commit"] = self._commit_info("merge", frags)
+            self._carry_meta(doc, prev_doc, frags)
+            gen_eff = self._effective_generated(prev_doc)
+            if gen_eff:
+                doc["generated"] = gen_eff
+            doc["schema"] = self._frame_schema(merged)
+            self._carry_dv(doc, prev_doc, frags)
+            self._inherit_stats(doc, prev_doc, frags, new_v, vdir)
+            self._write_blooms(new_v, vdir)
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    # -- delete ---------------------------------------------------------
+    def delete(self, keys: DataFrame) -> int:
+        """Keyed DELETE commit (the GDPR / right-to-erasure / retention
+        shape a 100 TB fact table must support): remove every row whose
+        key appears in ``keys``, rewriting ONLY the partitions those
+        keys live in — the same copy-on-write pruning as `upsert`, so
+        the cost tracks the delete batch, not the table.
+
+        When partition columns ⊆ keys (the constructor's default
+        soundness regime) the touched partitions come straight from the
+        delete batch — no table scan at all.  Under
+        ``stable_partitions=True`` the keys don't name their partitions,
+        so one column-pruned semi-join scan locates them first.
+
+        A partition whose rows are ALL deleted leaves the manifest
+        entirely (readers never see an empty fragment); deleting the
+        last row of the last partition leaves an empty table
+        (``read()`` → None).  Returns the committed version, or the
+        current version unchanged when no key matched a live partition.
+        Replay-safe: deleting the same keys twice is a fixed point.
+        `delete_dv` is the merge-on-read twin (sidecars, no rewrite —
+        the small-scattered-erasure shape); `delete_auto` picks
+        between them from manifest metadata."""
+        missing = [c for c in self.keys if c not in keys.columns]
+        if missing:
+            raise ValueError(f"delete batch lacks key columns: {missing}")
+        # claim before reading the basis (see upsert): a peer commit
+        # between locate and rewrite would otherwise be silently undone
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            keys = keys.select(*self.keys).distinct()
+            if set(self.partition_by) <= set(self.keys):
+                touched = [
+                    tuple(r)
+                    for r in keys.select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                ]
+                frags = {self._part_key(c) for c in touched} & set(prev)
+            else:
+                scan_cols = sorted(set(self.keys) | set(self.partition_by))
+                located = (
+                    self._read_fragments(prev, dv=self._dv_map(prev_doc))
+                    .select(*scan_cols)
+                    .join(keys, on=self.keys, how="left_semi")
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                )
+                frags = {self._part_key(tuple(r)) for r in located}
+            v, committed = self._commit_delete(
+                new_v,
+                vdir,
+                prev_doc,
+                frags,
+                lambda df: df.join(keys, on=self.keys, how="left_anti"),
+            )
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        # publish outside the abandon scope (see _publish), mirroring
+        # upsert()/merge_into()/compact()
+        if committed:
+            self._publish(vdir)
+        return v
+
+    def delete_where(self, condition: Column) -> int:
+        """Predicate DELETE commit: remove rows where ``condition`` is
+        TRUE (NULL keeps the row, matching SQL DELETE semantics),
+        rewriting only the partitions that contain a matching row —
+        located by a filter-pushdown scan of the partition columns.
+        Same manifest/commit discipline as `delete`."""
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            hit = F.coalesce(condition, F.lit(False))
+            touched = [
+                tuple(r)
+                for r in self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc), align=prev_doc)
+                .filter(hit)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            ]
+            frags = {self._part_key(c) for c in touched} & set(prev)
+            v, committed = self._commit_delete(
+                new_v,
+                vdir,
+                prev_doc,
+                frags,
+                lambda df: df.filter(~hit),
+                op="delete_where",
+            )
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        if committed:
+            self._publish(vdir)
+        return v
+
+    def _commit_delete(
+        self, new_v, vdir, prev_doc, frags, keep_fn, op: str = "delete"
+    ) -> tuple[int, bool]:
+        """Shared delete commit: rewrite the touched fragments through
+        ``keep_fn`` (which drops the doomed rows), drop fully-emptied
+        fragments from the manifest, inherit everything else.  Runs
+        under an already-held version claim (``new_v``/``vdir``) with
+        ``prev_doc`` the basis manifest read under that claim; the
+        callers' except-blocks abandon the claim on any failure.
+
+        Stops BEFORE the commit marker — returns ``(version,
+        committed)`` and the caller publishes via `_publish` outside
+        its abandon scope, so an abandon can only ever hit an
+        unpublished claim (a vacuum failure after ``_SUCCESS`` must
+        not rmtree a live snapshot)."""
+        import json
+
+        if not frags:
+            # nothing to delete: no-op, no new commit
+            self._abandon_claim(vdir)
+            return self.versions()[-1], False
+        prev = {
+            k: int(v) for k, v in prev_doc.get("partitions", {}).items()
+        }
+        # read the doomed fragments LIVE (a row already dv-deleted must
+        # not be resurrected by the rewrite), aligned to the declared
+        # schema so the rewrite materializes pending column evolution
+        kept = keep_fn(
+            self._read_fragments(
+                    {f: prev[f] for f in frags},
+                    dv=self._dv_map(prev_doc), align=prev_doc,)
+        )
+        kept.write.partitionBy(*self.partition_by).parquet(
+            self._data_dir(new_v)
+        )
+        written = self._written_fragments(new_v)
+        if not written <= frags:
+            raise ValueError(
+                "delete rewrote fragments outside its pruning set — "
+                f"written {sorted(written)} vs touched {sorted(frags)}"
+            )
+        manifest = {f: v for f, v in prev.items() if f not in frags}
+        manifest.update({f: new_v for f in written})
+        doc = {"partition_by": self.partition_by, "partitions": manifest}
+        doc["commit"] = self._commit_info(op, frags)
+        self._carry_meta(doc, prev_doc, frags)
+        doc["schema"] = self._frame_schema(kept)
+        self._carry_dv(doc, prev_doc, frags)
+        self._inherit_stats(doc, prev_doc, frags, new_v, vdir)
+        self._write_blooms(new_v, vdir)
+        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+            json.dump(doc, fh, sort_keys=True)
+        return new_v, True
+
+    # -- update -----------------------------------------------------------
+    def update_where(
+        self,
+        condition: Column,
+        assignments: dict[str, Column | str],
+    ) -> int:
+        """Predicate UPDATE commit (SQL ``UPDATE t SET ... WHERE ...``)
+        — the remaining DML verb beside `upsert`/`merge_into`/`delete*`:
+        rows where ``condition`` is TRUE (NULL leaves the row unchanged,
+        SQL UPDATE semantics) get each assignment expression evaluated
+        against them, under the same partition-pruned copy-on-write
+        discipline as `delete_where` — one column-pruned locate scan
+        finds the partitions holding a matching row, only those are
+        rewritten, everything else is inherited by reference, so commit
+        cost tracks the updated data, not the table.
+
+        ``assignments`` maps column name → Column (or SQL expression
+        string), evaluated against the pre-update row — so a swap like
+        ``{"a": F.col("b"), "b": F.col("a")}`` behaves as in SQL.
+        Assignments may not touch KEY columns (rewriting identity is an
+        erase+insert — `delete` + `upsert` keeps that explicit) or
+        PARTITION columns (a moved row would leave its partition — the
+        same invariant the constructor demands of keys).  Each updated
+        column is cast back to its pre-update type, so an UPDATE can
+        never drift the table schema (type changes are `widen_column`'s
+        job).  CHECK constraints are enforced on every row of the
+        rewritten partitions — an UPDATE, unlike a DELETE, can
+        introduce a violation, and one abandons the whole commit.
+
+        Returns the committed version — current version unchanged when
+        no live row matches.  Updating through deletion vectors stays
+        copy-on-write by design: a fragment's files are mapped to ONE
+        holder version, so a merge-on-read update (DV + appended
+        post-image files) has no representable layout here; the rewrite
+        also materializes any live vectors on the touched partitions,
+        shrinking the table's read tax as a side effect.
+        """
+        import json
+
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        frozen = sorted(
+            c for c in exprs if c in self.keys or c in self.partition_by
+        )
+        if frozen:
+            raise ValueError(
+                f"update_where may not assign key/partition columns "
+                f"{frozen}: a key rewrite is an erase+insert (use "
+                "delete + upsert) and a partition move would leave the "
+                "row's fragment"
+            )
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            hit = F.coalesce(condition, F.lit(False))
+            located = (
+                self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc), align=prev_doc)
+                .filter(hit)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            )
+            frags = {
+                self._part_key(tuple(r)) for r in located
+            } & set(prev)
+            if not frags:
+                self._abandon_claim(vdir)
+                return self.versions()[-1]
+            basis = self._read_fragments(
+                    {f: prev[f] for f in frags},
+                    dv=self._dv_map(prev_doc), align=prev_doc,)
+            unknown = sorted(c for c in exprs if c not in basis.columns)
+            if unknown:
+                raise ValueError(
+                    f"update_where assigns unknown columns {unknown}; "
+                    f"table columns: {sorted(basis.columns)}"
+                )
+            types = {f.name: f.dataType for f in basis.schema.fields}
+            updated = basis.select(
+                *[
+                    (
+                        F.when(hit, exprs[c].cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in exprs
+                        else F.col(c)
+                    )
+                    for c in basis.columns
+                ]
+            )
+            updated, checks = self._observe_constraints(updated, prev_doc)
+            updated.write.partitionBy(*self.partition_by).parquet(
+                self._data_dir(new_v)
+            )
+            self._raise_constraint_violations(checks)
+            # an update never adds or empties a partition, so the
+            # soundness gate is exact equality, like upsert()
+            written = self._written_fragments(new_v)
+            if written != frags:
+                raise ValueError(
+                    "update rewrote fragments outside its locate set — "
+                    f"written {sorted(written)} vs located {sorted(frags)}"
+                )
+            manifest = {
+                f: v for f, v in prev.items() if f not in frags
+            }
+            manifest.update({f: new_v for f in written})
+            doc = {"partition_by": self.partition_by, "partitions": manifest}
+            doc["commit"] = self._commit_info("update_where", frags)
+            self._carry_meta(doc, prev_doc, frags)
+            # an update never changes the schema (assignments cast
+            # back), but it does materialize pending evolution on the
+            # rewritten partitions
+            doc["schema"] = self._frame_schema(basis)
+            self._carry_dv(doc, prev_doc, frags)
+            self._inherit_stats(doc, prev_doc, frags, new_v, vdir)
+            self._write_blooms(new_v, vdir)
+            with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+                json.dump(doc, fh, sort_keys=True)
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        self._publish(vdir)
+        return new_v
+
+    # -- merge-on-read delete (deletion vectors) --------------------------
+    def delete_dv(self, keys: DataFrame) -> int:
+        """Keyed DELETE as a deletion-vector commit (Delta deletion
+        vectors / Iceberg v3 position deletes) — `delete`'s
+        merge-on-read twin.  No data file is rewritten: the commit
+        writes one (file, row_index) sidecar row per doomed row and the
+        read path anti-joins them out, so erasing 100 scattered keys
+        from a 100 TB table costs O(100 rows located + written), not
+        O(their partitions rewritten).  The trade is a per-read
+        anti-join on the affected fragments until some later commit
+        rewrites them (any upsert/merge/delete touching the fragment
+        materializes its vector) or `compact()` materializes
+        everything.  Same pruning, claim and publish discipline as
+        `delete`; a fragment whose every live row is deleted leaves the
+        manifest.  Replay-safe: deleting the same keys twice is a
+        no-op second time (returns the current version unchanged)."""
+        missing = [c for c in self.keys if c not in keys.columns]
+        if missing:
+            raise ValueError(f"delete batch lacks key columns: {missing}")
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            keys = keys.select(*self.keys).distinct()
+            if set(self.partition_by) <= set(self.keys):
+                touched = [
+                    tuple(r)
+                    for r in keys.select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                ]
+                frags = {self._part_key(c) for c in touched} & set(prev)
+            else:
+                scan_cols = sorted(set(self.keys) | set(self.partition_by))
+                located = (
+                    self._read_fragments(prev, dv=self._dv_map(prev_doc))
+                    .select(*scan_cols)
+                    .join(keys, on=self.keys, how="left_semi")
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                )
+                frags = {self._part_key(tuple(r)) for r in located}
+            v, committed = self._commit_dv(
+                new_v,
+                vdir,
+                prev_doc,
+                frags,
+                lambda df: df.join(keys, on=self.keys, how="left_semi"),
+                op="delete_dv",
+            )
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        if committed:
+            self._publish(vdir)
+        return v
+
+    def delete_where_dv(self, condition: Column) -> int:
+        """Predicate DELETE as a deletion-vector commit — see
+        `delete_dv`.  SQL DELETE NULL semantics (NULL keeps the row),
+        partitions located by a filter-pushdown scan like
+        `delete_where`, but only sidecar rows are written."""
+        new_v, vdir = self._claim_version()
+        try:
+            prev_doc = self._manifest_doc()
+            prev = {
+                k: int(v)
+                for k, v in prev_doc.get("partitions", {}).items()
+            }
+            if not prev:
+                self._abandon_claim(vdir)
+                vs = self.versions()
+                return vs[-1] if vs else 0
+            hit = F.coalesce(condition, F.lit(False))
+            touched = [
+                tuple(r)
+                for r in self._read_fragments(
+                        prev, dv=self._dv_map(prev_doc), align=prev_doc)
+                .filter(hit)
+                .select(*self.partition_by)
+                .distinct()
+                .collect()
+            ]
+            frags = {self._part_key(c) for c in touched} & set(prev)
+            v, committed = self._commit_dv(
+                new_v,
+                vdir,
+                prev_doc,
+                frags,
+                lambda df: df.filter(hit),
+                op="delete_where_dv",
+            )
+        except BaseException:
+            self._abandon_claim(vdir)
+            raise
+        if committed:
+            self._publish(vdir)
+        return v
+
+    def _commit_dv(
+        self, new_v, vdir, prev_doc, frags, doom_fn, op: str
+    ) -> tuple[int, bool]:
+        """Shared deletion-vector commit: scan the touched fragments
+        LIVE (existing vectors applied — a row cannot be doomed twice)
+        with their (rel, row_index) addresses, select the doomed rows
+        through ``doom_fn``, and write `old vector ∪ newly doomed` as
+        the new sidecar.  Data files, zone maps and bloom sidecars are
+        all inherited untouched (deletion only shrinks a file, so every
+        recorded envelope/bitset stays a sound superset for pruning);
+        `dv_rows` keeps `count_rows` metadata-only.  A fragment whose
+        live rows all die leaves the manifest.  Runs under an
+        already-held claim; stops before the commit marker like
+        `_commit_delete` (caller publishes outside its abandon scope).
+        Returns ``(version, committed)``."""
+        import json
+
+        if not frags:
+            self._abandon_claim(vdir)
+            return self.versions()[-1], False
+        prev = {
+            k: int(v) for k, v in prev_doc.get("partitions", {}).items()
+        }
+        dv_prev = self._dv_map(prev_doc)
+        dvr_prev = {
+            k: int(v) for k, v in (prev_doc.get("dv_rows") or {}).items()
+        }
+        live = self._read_fragments(
+                {f: prev[f] for f in frags},
+                dv={f: v for f, v in dv_prev.items() if f in frags},
+                keep_pos=True, align=prev_doc,)
+        doomed = doom_fn(live).select(
+            F.regexp_extract(F.col("__rel"), r"^(.*)/[^/]+$", 1).alias(
+                "frag"
+            ),
+            F.col("__rel").alias("rel"),
+            F.col("__ri").alias("row_index"),
+        )
+        carried = self._read_dv(
+            {f: v for f, v in dv_prev.items() if f in frags}
+        )
+        if carried is not None:
+            doomed = doomed.unionByName(carried)
+        doomed.write.parquet(self._dv_dir(new_v))
+        # bounded control data: one (fragment, count) row per touched
+        # fragment that has a vector
+        cnt = {
+            r["frag"]: int(r["n"])
+            for r in self.spark.read.parquet(self._dv_dir(new_v))
+            .groupBy("frag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if sum(cnt.values()) == sum(dvr_prev.get(f, 0) for f in frags):
+            # nothing newly doomed (e.g. a replay of an applied
+            # delete): no-op, no new commit
+            self._abandon_claim(vdir)
+            return self.versions()[-1], False
+        # data-file row counts for the vectored fragments, to drop the
+        # fully-emptied ones: fragment-tier manifest metadata where
+        # recorded, one grouped count over the rest
+        pst = prev_doc.get("stats", {})
+        rk = self._ROWS_KEY
+        data_rows: dict[str, int] = {}
+        need_count = []
+        for f in cnt:
+            env = pst.get(f)
+            if env and rk in env:
+                data_rows[f] = int(env[rk])
+            else:
+                need_count.append(f)
+        if need_count:
+            grouped = (
+                self._read_fragments({f: prev[f] for f in need_count})
+                .groupBy(*self.partition_by)
+                .count()
+                .collect()
+            )
+            for r in grouped:
+                f = self._part_key([r[c] for c in self.partition_by])
+                data_rows[f] = int(r["count"])
+        emptied = {f for f in cnt if data_rows[f] - cnt[f] <= 0}
+        manifest = {f: v for f, v in prev.items() if f not in emptied}
+        doc = {"partition_by": self.partition_by, "partitions": manifest}
+        doc["commit"] = self._commit_info(op, frags)
+        self._carry_meta(doc, prev_doc, set())
+        if self.stats_cols:
+            doc["stats"] = {
+                f: s
+                for f, s in prev_doc.get("stats", {}).items()
+                if f not in emptied
+            }
+            fsv = {
+                f: int(v)
+                for f, v in (prev_doc.get("fstats_v") or {}).items()
+                if f not in emptied
+            }
+            if fsv:
+                doc["fstats_v"] = fsv
+        dv_new = {
+            f: v
+            for f, v in dv_prev.items()
+            if f not in frags and f not in emptied
+        }
+        dvr_new = {
+            f: n
+            for f, n in dvr_prev.items()
+            if f not in frags and f not in emptied
+        }
+        for f, n in cnt.items():
+            if f not in emptied:
+                dv_new[f] = new_v
+                dvr_new[f] = n
+        if dv_new:
+            doc["dv"] = dv_new
+            doc["dv_rows"] = dvr_new
+        with open(os.path.join(vdir, "manifest.json"), "w") as fh:
+            json.dump(doc, fh, sort_keys=True)
+        return new_v, True
+
+    # -- change feed ------------------------------------------------------
+    def changes(
+        self,
+        from_version: int,
+        to_version: int,
+        where: Sequence[tuple] | None = None,
+        emit_update_preimages: bool = False,
+    ) -> DataFrame | None:
+        """Change data feed between two readable snapshots: one row per
+        key whose state differs, tagged ``_change_type`` ∈ {'insert',
+        'update_postimage', 'delete'} (deletes carry the pre-image, the
+        others the post-image).  This is the Delta/Iceberg CDF read
+        shape — the feed a downstream incremental consumer tails
+        instead of re-diffing whole snapshots.
+
+        Cost tracks the COMMITS, not the table: only fragments whose
+        manifest entry differs between the versions are read (an
+        unchanged partition is inherited by reference on both sides, so
+        it provably holds no change); the keyed diff then joins just
+        those fragments' rows.  Columns follow the to-version schema
+        (rows from before an additive widening read NULL there, same as
+        `read()`); change detection compares every non-key column
+        null-safely.  Both endpoints must be readable snapshots —
+        vacuum-demoted holders are refused, like `read(version=...)`.
+        Returns None when both snapshots are empty.
+
+        ``where`` (optional): a conjunction of inclusive ranges
+        ``[(col, lo, hi), ...]`` — the feed of the RANGE-FILTERED
+        table: both snapshot states are restricted to rows satisfying
+        every range before diffing, so a consumer maintaining a
+        filtered replica sees a row leave its range as a ``delete``
+        and enter it as an ``insert`` (subset-CDF semantics).  The
+        filter rides the same two-tier zone maps as `read_where_all`:
+        inside the moved fragments, files whose recorded envelopes
+        miss the range are skipped on manifest metadata alone (each
+        side pinned to its own version's stats doc) — completing the
+        "every read path prunes on metadata" story for the feed."""
+        if to_version <= from_version:
+            raise ValueError(
+                f"need from_version < to_version, got "
+                f"{from_version} >= {to_version}"
+            )
+        doc0 = self._manifest_doc(from_version)
+        doc1 = self._manifest_doc(to_version)
+        m0 = {k: int(v) for k, v in doc0.get("partitions", {}).items()}
+        m1 = {k: int(v) for k, v in doc1.get("partitions", {}).items()}
+        dv0 = self._dv_map(doc0)
+        dv1 = self._dv_map(doc1)
+        # a fragment's effective state is (data holder, dv holder):
+        # a dv-only commit moves no data files but still changes what
+        # the fragment's readers see, so it must enter the diff
+        frags = {
+            f
+            for f in set(m0) | set(m1)
+            if (m0.get(f), dv0.get(f)) != (m1.get(f), dv1.get(f))
+        }
+        if not m0 and not m1:
+            return None
+        if where:
+            where = [tuple(c) for c in where]
+            old, *_ = self._pruned_fragment_read(
+                doc0, {f: m0[f] for f in frags & set(m0)}, where,
+            )
+            new, *_ = self._pruned_fragment_read(
+                doc1, {f: m1[f] for f in frags & set(m1)}, where,
+            )
+        else:
+            old = self._read_fragments(
+                    {f: m0[f] for f in frags & set(m0)}, dv=dv0, align=doc0)
+            new = self._read_fragments(
+                    {f: m1[f] for f in frags & set(m1)}, dv=dv1, align=doc1)
+        if old is None and new is None:
+            # no fragment moved: an empty feed with the to-schema
+            base = self.read(to_version) or self.read(from_version)
+            return base.filter(F.lit(False)).withColumn(
+                "_change_type", F.lit("")
+            ).select("_change_type", *base.columns)
+        # align both sides to the union schema (additive evolution)
+        if old is None:
+            old = new.filter(F.lit(False))
+        if new is None:
+            new = old.filter(F.lit(False))
+        old = old.unionByName(new.limit(0), allowMissingColumns=True)
+        new = new.unionByName(old.limit(0), allowMissingColumns=True)
+        cols = new.columns
+        data_cols = [c for c in cols if c not in self.keys]
+        # explicit presence markers + null-safe key equality: a row
+        # whose key carries a NULL (legal in non-partition key columns)
+        # must pair its old and new copies instead of emitting a
+        # phantom delete+insert on every fragment rewrite
+        o = old.select(*cols).withColumn("__o", F.lit(1)).alias("o")
+        n = new.select(*cols).withColumn("__n", F.lit(1)).alias("n")
+        cond = None
+        for k in self.keys:
+            eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+            cond = eq if cond is None else cond & eq
+        j = o.join(n, cond, "full_outer")
+        o_here = F.col("o.__o").isNotNull()
+        n_here = F.col("n.__n").isNotNull()
+        differs = F.lit(False)
+        for c in data_cols:
+            differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        ct = (
+            F.when(~o_here, F.lit("insert"))
+            .when(~n_here, F.lit("delete"))
+            .when(differs, F.lit("update_postimage"))
+        )
+        out_cols = [
+            F.when(ct == "delete", F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+        feed = (
+            j.withColumn("_change_type", ct)
+            .filter(F.col("_change_type").isNotNull())
+            .select("_change_type", *out_cols)
+        )
+        if emit_update_preimages:
+            # Delta CDF's full update shape: each update additionally
+            # emits its OLD row tagged 'update_preimage' — what a
+            # retraction-based consumer (incremental view maintenance)
+            # needs to subtract the old contribution.  Opt-in so the
+            # default feed keeps its one-row-per-changed-key contract.
+            pre = (
+                j.withColumn("_change_type", ct)
+                .filter(F.col("_change_type") == "update_postimage")
+                .select(
+                    F.lit("update_preimage").alias("_change_type"),
+                    *[F.col(f"o.{c}").alias(c) for c in cols],
+                )
+            )
+            feed = feed.unionByName(pre)
+        return feed
+
+    def tail_changes(
+        self,
+        since_version: int | None,
+        where: Sequence[tuple] | None = None,
+    ) -> tuple[DataFrame | None, int]:
+        """Incremental-consumer cursor over the change feed: returns
+        ``(feed, cursor)`` where ``feed`` is everything that changed
+        since the caller's last cursor and ``cursor`` is the version to
+        pass next time.  ``since_version=None`` is the initial load —
+        the full current snapshot tagged ``'insert'``.  When nothing new
+        committed, feed is None and the cursor is unchanged.  This is
+        the polling half of a CDF subscription (the availableNow
+        trigger's shape): consumers checkpoint the cursor, not offsets,
+        and each poll costs the commits since the last one.
+
+        ``where``: subscribe to the RANGE-FILTERED table (see
+        `changes`); the initial load is then a zone-map-pruned
+        `read_where_all` and every later poll prunes files inside the
+        moved fragments — a subscriber to one key range never pays for
+        the rest of the table."""
+        vs = self.versions()
+        if not vs:
+            return None, 0
+        latest = vs[-1]
+        if since_version is None or since_version == 0:
+            # 0 is the cursor this method itself hands out for an
+            # empty table — the next poll is an initial load
+            if where:
+                snap = self.read_where_all(where, version=latest)[0]
+            else:
+                snap = self.read(latest)
+            if snap is None:
+                return None, latest
+            return (
+                snap.withColumn("_change_type", F.lit("insert")).select(
+                    "_change_type", *snap.columns
+                ),
+                latest,
+            )
+        if since_version >= latest:
+            return None, since_version
+        return self.changes(since_version, latest, where=where), latest
+

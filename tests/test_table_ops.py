@@ -422,3 +422,67 @@ def test_generated_partition_columns(spark, root):
             order_cols=["seq"], partition_by=["day"],
             generated_partitions={"v": "1"},
         )
+
+
+def test_fstats_sidecar_shape_and_backfill_holder_retention(spark, root):
+    """The file-metadata sidecar split (VERDICT r10 item 3): per-file
+    envelopes never ride the manifest JSON — each commit writes a
+    parquet sidecar covering ONLY its rewritten fragments, the doc
+    carries {fragment → sidecar-holder} in ``fstats_v``, and vacuum
+    treats a backfill commit's sidecar as a live reference (its
+    covered fragments' DATA may live elsewhere)."""
+    t = _mk(spark, root, stats_cols=["v"])
+    v1 = _seed(spark, t)
+    doc = t._manifest_doc()
+    assert "file_stats" not in doc
+    assert set(doc["fstats_v"]) == {"day=0", "day=1"}
+    # second commit touches day=1 only: its sidecar covers just day=1
+    v2 = t.upsert(
+        spark.createDataFrame(
+            [(1, 9, 9.0, 2)], "day int, k int, v double, seq int"
+        )
+    )
+    assert t._read_fstats_sidecar(v2, None).keys() == {"day=1"}
+    assert t._manifest_doc()["fstats_v"] == {"day=0": v1, "day=1": v2}
+    # the public accessor assembles both sidecars transparently
+    fs = t.file_stats()
+    assert set(fs) == {"day=0", "day=1"}
+    assert all("#rows" in e for fdoc in fs.values() for e in fdoc.values())
+
+    # backfill on a stats-less sibling table: the backfill version's
+    # ONLY content is its sidecar — retention must keep it alive as a
+    # holder while its covered fragments' data versions survive
+    plain = ManifestSnapshotTable(
+        spark, os.path.join(root, "p"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"],
+    )
+    plain.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1.0, 1), (1, 2, 2.0, 1)],
+            "day int, k int, v double, seq int",
+        )
+    )
+    s = ManifestSnapshotTable(
+        spark, os.path.join(root, "p"), keys=["day", "k"],
+        order_cols=["seq"], partition_by=["day"], stats_cols=["v"],
+        keep_versions=1,
+    )
+    bv = s.backfill_stats()
+    # churn day=1 twice so retention (keep_versions=1) sweeps
+    for seq in (2, 3):
+        s.upsert(
+            spark.createDataFrame(
+                [(1, 2, float(seq), seq)],
+                "day int, k int, v double, seq int",
+            )
+        )
+    # the backfill version is no longer a readable snapshot, but its
+    # sidecar still serves day=0's file envelopes
+    assert bv not in s.versions()
+    assert os.path.exists(
+        os.path.join(s._vdir(bv), s._FSTATS_SIDECAR)
+    )
+    assert s._manifest_doc()["fstats_v"]["day=0"] == bv
+    assert "day=0" in s.file_stats()
+    n, meta, scanned = s.count_rows()
+    assert (n, scanned) == (2, 0)
