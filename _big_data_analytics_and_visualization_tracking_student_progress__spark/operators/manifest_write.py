@@ -11,10 +11,9 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .windows import latest_by_key
 from .manifest_base import merge_by_key, merge_clauses
 
 __all__ = ["_ManifestWriteMixin"]
