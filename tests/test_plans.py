@@ -465,12 +465,14 @@ def test_priority_window_resolved_and_oracle_checked():
     qs = all_queries()
     assert len(_PRIORITY_WINDOW) == 50
     assert list(qs)[:50] == list(_PRIORITY_WINDOW)
-    # r9 rotated the two never-externally-checked rows-only names in
-    # for their one-time crash-gate row; from round 10 on the window is
-    # fully oracle-checked again (tools/rotation.py permanently
-    # excludes rows-only names once they hold a driver row).
+    # From round 11 the window carries EXACTLY ONE rows-only name: the
+    # round-robin crash-gate slot (VERDICT r10 item 4 — a `no_oracle`
+    # driver row is the only external execution evidence a rows-only
+    # query can earn, and rotating one per round keeps the oldest one
+    # from going permanently stale).  tools/rotation.py picks it by
+    # oldest recorded driver row.
     rows_only = [n for n in _PRIORITY_WINDOW if qs[n].oracle is None]
-    assert rows_only == [], rows_only
+    assert len(rows_only) == 1, rows_only
 
 
 # ---------------------------------------------------------------------------
