@@ -526,6 +526,11 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
     )
+    # materialize the edge set ONCE: `edges` is typically the whole
+    # LSH candidate pipeline, and without this every iteration's eager
+    # checkpoint re-executed that plan from scratch — the loop cost was
+    # O(iterations x LSH) instead of O(LSH + iterations x tiny-join)
+    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
