@@ -903,3 +903,23 @@ class TestArtifactCache:
         finally:
             northstar._ARTIFACTS.pop(("unit_test_kind", key_dir), None)
             northstar._ARTIFACTS.pop(("unit_test_kind", key_dir + "2"), None)
+
+
+def test_registered_indexed_ivf_twin(spark):
+    """`ann_ivf_indexed_topk` (materialized hive-partitioned index,
+    probed by partition pruning) returns exactly `ann_ivf_topk`'s rows
+    (same quantizer, same assignment), and its registered plan carries
+    the `__c` partition filter — per-query I/O is nprobe/n_cells of
+    the FILES, the production IVF shape."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
+        all_queries,
+    )
+
+    reg = all_queries()
+    idx = reg["ann_ivf_indexed_topk"].fn(spark, SF_SMALL)
+    inline = reg["ann_ivf_topk"].fn(spark, SF_SMALL)
+    assert [tuple(r) for r in idx.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__c" in plan
