@@ -375,6 +375,23 @@ class _ManifestMaintMixin:
                 else:
                     doc.pop("generated", None)
             doc["schema"] = self._frame_schema(out)
+            # persist the clustering spec (Delta's table clustering
+            # metadata): `maybe_compact` re-applies it so a streaming
+            # sink's auto-OPTIMIZE keeps the Z-order/linear layout —
+            # and the file skipping it pays for — instead of silently
+            # bin-packing it away.  An explicit compact() call always
+            # states its own layout: cluster_by=[...] replaces the
+            # spec, a bare compact() clears it (the caller asked for
+            # plain bin-packing).
+            if cluster_by:
+                doc["cluster"] = {
+                    "by": list(cluster_by),
+                    "files": int(cluster_files),
+                    "method": cluster_method,
+                    "bucketing": cluster_bucketing,
+                }
+            else:
+                doc.pop("cluster", None)
             if self.stats_cols:
                 # full rewrite: recompute every envelope, which also
                 # backfills fragments committed before stats_cols was
@@ -406,12 +423,23 @@ class _ManifestMaintMixin:
         can afford it after every micro-batch commit; the compaction it
         occasionally triggers bounds read fan-out (scans per read ≤
         max_scatter + 1) and holder accumulation at any commit count.
-        Returns the new version when it compacted, else None."""
+        Re-applies the table's persisted clustering spec (recorded by
+        the last ``compact(cluster_by=…)``), so auto-OPTIMIZE preserves
+        the Z-order/linear layout — and the file skipping it pays for —
+        instead of silently bin-packing it away.  Returns the new
+        version when it compacted, else None."""
         if max_scatter < 1:
             raise ValueError("max_scatter must be >= 1")
-        m = self.manifest()
+        doc = self._manifest_doc()
+        m = doc.get("partitions", {})
         if len(set(m.values())) > max_scatter:
-            return self.compact()
+            spec = doc.get("cluster") or {}
+            return self.compact(
+                cluster_by=spec.get("by"),
+                cluster_files=int(spec.get("files", 8)),
+                cluster_method=spec.get("method", "linear"),
+                cluster_bucketing=spec.get("bucketing", "uniform"),
+            )
         return None
 
     def rollback(self, version: int) -> None:

@@ -336,6 +336,9 @@ class _ManifestMetaMixin:
         dropped = prev_doc.get("dropped_columns")
         if dropped:
             doc["dropped_columns"] = list(dropped)
+        clus = prev_doc.get("cluster")
+        if clus:
+            doc["cluster"] = dict(clus)
         base = prev_doc.get("base")
         if base:
             rw = rewritten or set()
@@ -910,6 +913,13 @@ class _ManifestMetaMixin:
                         f"cannot drop {name!r}: generated partition "
                         f"column {pc!r} derives from it ({expr!r})"
                     )
+            clus = (prev_doc.get("cluster") or {}).get("by") or []
+            if name in clus:
+                raise ValueError(
+                    f"cannot drop {name!r}: it is a clustering column "
+                    f"of the persisted layout spec {clus}; re-cluster "
+                    "with compact(cluster_by=…) without it first"
+                )
             doc = dict(prev_doc)
             doc.setdefault("partition_by", self.partition_by)
             doc.setdefault("partitions", {})

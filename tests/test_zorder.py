@@ -194,3 +194,56 @@ def test_quantile_bucketing_survives_skew(spark, root):
     with pytest.raises(ValueError, match="bucketing"):
         uni.compact(cluster_by=["x"], cluster_method="zorder",
                     cluster_bucketing="exotic")
+
+
+def test_cluster_spec_persists_and_auto_compact_reapplies(spark, root):
+    """The clustering spec is table metadata (Delta's clustered-table
+    shape): `compact(cluster_by=…)` persists it in the manifest, every
+    later commit carries it, and `maybe_compact` — the streaming
+    sink's auto-OPTIMIZE — re-applies it, so the Z-order layout (and
+    its file skipping) survives auto-compaction instead of being
+    silently bin-packed away.  A bare explicit `compact()` clears it
+    (the caller asked for plain bin-packing); dropping a clustering
+    column is refused while the spec names it."""
+    t = _build(spark, root, "spec")
+    # a second fragment so single-day commits can scatter the manifest
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 1, 1, 1, 1)], "day int, k int, x int, y int, seq int"
+        )
+    )
+    t.compact(
+        cluster_by=["x", "y"], cluster_files=16, cluster_method="zorder"
+    )
+    spec = t._manifest_doc()["cluster"]
+    assert spec == {
+        "by": ["x", "y"], "files": 16, "method": "zorder",
+        "bucketing": "uniform",
+    }
+    # carried over ordinary commits (scatter the manifest too)
+    for s in (2, 3):
+        t.upsert(
+            spark.createDataFrame(
+                [(0, 1, 1, 1, s)], "day int, k int, x int, y int, seq int"
+            )
+        )
+    assert t._manifest_doc()["cluster"] == spec
+    # auto-OPTIMIZE fires (scatter > 1 holder) and re-applies the spec:
+    # the rewrite is clustered (multiple files per fragment, file
+    # skipping engages on the TRAILING cluster column), not bin-packed
+    v = t.maybe_compact(1)
+    assert v is not None
+    assert t._manifest_doc()["cluster"] == spec
+    kept, total = _files_kept(t, "y", 0, 7)
+    assert total > 1 and kept < total
+    with pytest.raises(ValueError, match="clustering column"):
+        t.drop_column("y")
+    # explicit bare compact = plain bin-packing, spec cleared
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 1, 1, 9)], "day int, k int, x int, y int, seq int"
+        )
+    )
+    t.compact()
+    assert "cluster" not in t._manifest_doc()
+    t.drop_column("y")  # no spec left to protect it
