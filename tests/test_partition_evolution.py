@@ -226,3 +226,32 @@ def test_evolution_refusals(spark, root):
             [(3, 9, 9.0, 1)], "day int, k int, v double, seq int"
         )
     )
+
+
+def test_retention_sweeps_across_the_boundary(spark, root):
+    """Vacuum interplay: after an evolution, the old-scheme version
+    dirs are ordinary holders — retention demotes them while any
+    retained manifest still references their files and sweeps them
+    once nothing does, exactly like same-scheme history.  Reads stay
+    correct throughout."""
+    t = _mk(spark, root, keep_versions=1)
+    _seed(spark, t)
+    t.compact(
+        partition_by=["month"],
+        generated_partitions={"month": "CAST(day DIV 10 AS INT)"},
+    )
+    before = _state(t)
+    # the evolution rewrote everything, so retention (keep_versions=1)
+    # already swept the old-scheme dirs — nothing dangles
+    assert len(t.versions()) == 1
+    assert _state(t) == before
+    # churn one bucket: the untouched buckets' holder (the evolution
+    # version) must survive as a holder, and reads stay exact
+    t.upsert(
+        spark.createDataFrame(
+            [(0, 1, 99.0, 9)], "day int, k int, v double, seq int"
+        )
+    )
+    assert len(t.versions()) == 1  # keep_versions=1
+    got = dict(((r[0], r[1]), r[2]) for r in _state(t))
+    assert got[(0, 1)] == 99.0 and got[(15, 4)] == 4.0
