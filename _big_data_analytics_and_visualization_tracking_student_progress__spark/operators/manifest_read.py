@@ -93,6 +93,39 @@ class _ManifestReadMixin:
             return None
         return self._read_fragments(m, dv=self._dv_map(doc), align=doc)
 
+    def read_partitions(
+        self, combos: Sequence[Sequence], version: int | None = None
+    ) -> tuple[DataFrame | None, int, int]:
+        """Partition-pruned snapshot read: resolve ONLY the fragments
+        whose partition values appear in ``combos`` (each a tuple of
+        values aligned to the snapshot's ``partition_by``), the
+        manifest-table twin of a hive IN-list partition filter — the
+        scan lists the selected fragments' directories and never opens
+        the rest.  This is the probe path of partition-keyed indexes
+        (the IVF ANN index probes its nprobe cells through it), where
+        per-query I/O must track the selected cells, not the table.
+
+        Returns ``(frame, fragments_kept, fragments_total)``; frame is
+        None when no requested fragment exists in the snapshot.
+        Combos naming no live fragment are ignored (not an error) so a
+        probe set may span values the table has not seen yet."""
+        doc = self._manifest_doc(version)
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
+        pcols = list(doc.get("partition_by") or self.partition_by)
+        want = {
+            self._part_key(
+                c if isinstance(c, (list, tuple)) else (c,), pcols
+            )
+            for c in combos
+        }
+        kept = {f: v for f, v in m.items() if f in want}
+        if not kept:
+            return None, 0, len(m)
+        frame = self._read_fragments(
+            kept, dv=self._dv_map(doc), align=doc
+        )
+        return frame, len(kept), len(m)
+
     def version_as_of(self, ts: float) -> int:
         """Resolve a wall-clock timestamp to the snapshot that was
         current then — Delta's ``TIMESTAMP AS OF``: the newest readable
