@@ -103,12 +103,21 @@ def main() -> None:
     hi = lo + DAY_NS // 4 - 1  # quarter-day slice inside one fragment
     counters: dict[str, int] = {}
 
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.plans.inspect import (  # noqa: E501
+        scan_rows_read,
+    )
+
     def pruned() -> None:
         df, fk, ftot, filek, filet = table.read_where("ts_nanos", lo, hi)
+        # count through an aggregate over the SAME frame so the scan's
+        # executed metrics expose the row-group tier: rows the parquet
+        # reader MATERIALIZED (surviving row groups) vs rows kept
+        agg = df.agg(F.count(F.lit(1)).alias("n"))
         counters.update(
             frags_kept=fk, frags_total=ftot,
             files_kept=filek, files_total=filet,
-            rows=df.count(),
+            rows=agg.collect()[0][0],
+            rows_read=scan_rows_read(agg),
         )
 
     phase("pruned_range_read", pruned)
@@ -116,13 +125,15 @@ def main() -> None:
     full: dict[str, int] = {}
 
     def full_scan() -> None:
-        full["rows"] = (
+        agg = (
             table.read()
             .filter(
                 (F.col("ts_nanos") >= lo) & (F.col("ts_nanos") <= hi)
             )
-            .count()
+            .agg(F.count(F.lit(1)).alias("n"))
         )
+        full["rows"] = agg.collect()[0][0]
+        full["rows_read"] = scan_rows_read(agg)
 
     phase("full_scan_filter", full_scan)
     if counters["rows"] != full["rows"]:
@@ -133,6 +144,17 @@ def main() -> None:
         raise RuntimeError(f"fragment tier did not prune: {counters}")
     if not (0 < counters["files_kept"] < counters["files_total"]):
         raise RuntimeError(f"file tier did not prune: {counters}")
+    # row-group tier: inside the kept files, the scan must materialize
+    # a small multiple of the rows actually kept — the clustered
+    # layout's in-file sort makes row-group min/max selective for the
+    # pushed-down residual predicate
+    frag_rows = max(n_events // max(counters["frags_total"], 1), 1)
+    if not (
+        counters["rows"]
+        <= counters["rows_read"]
+        < frag_rows // 2
+    ):
+        raise RuntimeError(f"row-group tier did not prune: {counters}")
 
     def _fmt_rss(s: dict[str, float]) -> str:
         return (
@@ -152,7 +174,15 @@ def main() -> None:
         f"fragments and {counters['files_kept']}/"
         f"{counters['files_total']} files on manifest metadata alone "
         f"({counters['rows']:,} rows returned, exactly equal to the "
-        "full-scan filter).",
+        "full-scan filter).  Inside the kept files the parquet reader "
+        f"then row-group-pruned: the scan materialized "
+        f"{counters['rows_read']:,} rows for {counters['rows']:,} kept "
+        f"(vs {full['rows_read']:,} materialized by the full-scan "
+        "filter's pushed predicate over every file) — the third "
+        "skipping tier, engaged because `read_where`'s residual "
+        "predicate reaches the scan as PushedFilters and the clustered "
+        "rewrite's in-file sort tightens row-group min/max "
+        "(pinned in tests/test_rowgroup_skip.py).",
         "",
         "| Phase | wall (s) | driver RSS after |",
         "|---|---|---|",
