@@ -1492,3 +1492,158 @@ def q_stream_change_feed_relay(
         )
         # ≤ versions x change kinds x event types rows — bounded
         return materialize_bounded(spark, agg)
+
+
+# ---------------------------------------------------------------------------
+# The reference's FULL loop, end-to-end (VERDICT r11 item 5): spreadsheet
+# drop folder (pro.py:94-108 watchdog) → row-hash CDC with modified-file
+# re-ingest (pro.py:18,46-55) → changed-rows log (the Kafka stand-in,
+# pro.py:13-24) → Structured Streaming keyed MERGE into the manifest
+# fact table with a continuous aggregate (con.py:55-63 + app.py:58's
+# per-load re-aggregation replaced by an incremental matview) → static
+# dashboard rendered FROM the view (README.md:26-27 Kibana parity).
+# Every piece is individually verified elsewhere; this query proves the
+# COMPOSITION, end to end, against one batch-SQL oracle.
+# ---------------------------------------------------------------------------
+_E2E_ART: dict[str, dict] = {}
+
+
+def _e2e_dashboard_artifact(spark: SparkSession, sf_dir: str) -> dict:
+    """Build the whole loop once per fixture dir.
+
+    Drop 1 is the even-event_id half of `events` as an .xlsx upload;
+    drop 2 OVERWRITES the same file with the full dataset — the
+    modified-file shape Spark's file source cannot see but the
+    reference's watcher handles (on_modified) — and the row-hash CDC
+    must log ONLY the odd half.  The streaming leg then replays the
+    log through the manifest sink; the view refreshes per micro-batch
+    commit; the dashboard renders from the VIEW alone (never the base
+    table)."""
+    if sf_dir in _E2E_ART:
+        return _E2E_ART[sf_dir]
+    from ..datasets import load_table
+    from ..operators.matview import IncrementalAggView
+    from ..operators.upsert import KeyedParquetTable, ManifestSnapshotTable
+    from ..serving.report import _page, _table, column_chart, write_report
+    from ..sources import file_stream
+    from ..sources.watcher import SEQ_COL, DropIngestor
+    from ..sources.xlsx import write_minimal_xlsx
+
+    wd = _workdir("e2e_dash")
+    drop = os.path.join(wd, "drop")
+    os.makedirs(drop)
+
+    header = ["event_id", "user_id", "event_type", "value"]
+    data = [
+        [r["event_id"], r["user_id"], r["event_type"], r["value"]]
+        for r in load_table(spark, sf_dir, "events")
+        .select(*header)
+        .collect()
+    ]
+    upload = os.path.join(drop, "events_upload.xlsx")
+
+    # -- watcher leg: drop, then modify-in-place ------------------------
+    staging = KeyedParquetTable(
+        spark,
+        os.path.join(wd, "staging"),
+        keys=["event_id"],
+        order_cols=[SEQ_COL],
+    )
+    ingestor = DropIngestor(
+        spark, drop, os.path.join(wd, "state"), staging, cdc_cols=header
+    )
+    write_minimal_xlsx(
+        upload, header, [d for d in data if d[0] % 2 == 0]
+    )
+    ingestor.process_once()
+    write_minimal_xlsx(upload, header, data)  # re-upload, full file
+    ingestor.process_once()  # row-hash CDC logs only the odd half
+
+    # -- streaming leg: log → manifest sink + continuous aggregate ------
+    log_schema = spark.read.parquet(ingestor.log_path).schema
+    sdf = file_stream(spark, ingestor.log_path, log_schema)
+    typed = sdf.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+        F.col(SEQ_COL).cast("long").alias(SEQ_COL),
+    )
+    sink = ManifestSnapshotTable(
+        spark,
+        os.path.join(wd, "fact"),
+        keys=["event_type", "event_id"],
+        order_cols=[SEQ_COL],
+        partition_by=["event_type"],
+    )
+    view = IncrementalAggView(
+        spark,
+        os.path.join(wd, "view"),
+        sink,
+        group_cols=["event_type"],
+        measures=[
+            ("n_events", None, "count"),
+            ("sum_value", "value_dec", "sum"),
+        ],
+        prepare=lambda df: df.withColumn(
+            "value_dec", F.col("value").cast("decimal(22,4)")
+        ),
+    )
+    upsert_stream_run(
+        spark, typed, sink, workdir=os.path.join(wd, "run"), view=view
+    )
+
+    # -- serving leg: dashboard rendered from the VIEW ------------------
+    rows = sorted(
+        (
+            (r["event_type"], int(r["n_events"]), float(r["sum_value"]))
+            for r in view.read().collect()
+        ),
+        key=lambda t: t[0],
+    )
+    body = (
+        "<h1>Drop-folder analytics</h1>"
+        "<p class='sub'>continuous aggregate over the streamed "
+        "drop-folder ingest</p>"
+        "<h2>Events by type</h2>"
+        + column_chart(
+            [t[0] for t in rows], [float(t[1]) for t in rows], "events"
+        )
+        + _table(
+            ["event type", "events", "sum value"],
+            rows,
+            "table view",
+            collapsed=False,
+        )
+    )
+    html_path = os.path.join(wd, "dashboard.html")
+    write_report(html_path, _page("Drop-folder analytics", body))
+    art = {"view": view, "sink": sink, "rows": rows, "html": html_path}
+    _E2E_ART[sf_dir] = art
+    return art
+
+
+@register(
+    "e2e_drop_to_dashboard",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="the reference's full loop as ONE verified composition: xlsx "
+    "drop + modified-file re-upload → watcher row-hash CDC (only the "
+    "changed half re-logs) → changed-rows log streamed through the "
+    "manifest keyed-MERGE sink with a per-commit continuous aggregate "
+    "→ dashboard HTML rendered from the view alone; the oracle is the "
+    "same rollup computed batch-SQL from the raw events table",
+)
+def q_e2e_drop_to_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    art = _e2e_dashboard_artifact(spark, sf_dir)
+    out = art["view"].read()
+    assert out is not None
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
