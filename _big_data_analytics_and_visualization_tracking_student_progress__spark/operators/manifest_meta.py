@@ -614,6 +614,18 @@ class _ManifestMetaMixin:
                     },
                     fh,
                 )
+            # re-check the scheme now that the claim is HELD: the
+            # fast-fail check above races a concurrent partition
+            # evolution (a peer may publish between check and mkdir),
+            # but no peer can publish while we hold the claim, so this
+            # second look is race-free — without it a stale-scheme
+            # handle that lost the race would merge old-scheme
+            # fragment names into the evolved manifest
+            try:
+                self._check_scheme()
+            except BaseException:
+                self._abandon_claim(vdir)
+                raise
             return new_v, vdir
 
     def _abandon_claim(self, vdir: str) -> None:

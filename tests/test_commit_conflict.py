@@ -364,3 +364,142 @@ def test_delete_publish_survives_vacuum_failure(spark, tmp_path):
         )
         assert fresh.versions()[-1] == 2
         assert [(r.day, r.k) for r in fresh.read().collect()] == [(0, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Partition evolution × concurrent writers (VERDICT r11 item 6).  The
+# claim-conflict matrix above predates `compact(partition_by=…)`; these
+# pin the interleavings evolution adds: a live claim blocks the
+# evolution itself, a stale-scheme handle is refused on every commit
+# path after a peer evolves, the refusal holds even when the evolution
+# lands BETWEEN the handle's fast-fail scheme check and its claim (the
+# post-claim re-check — race-free because no peer can publish while
+# the claim is held), and the refused writer re-locates under the new
+# scheme with a fresh handle, pruning to the touched new-scheme
+# buckets only.
+# ---------------------------------------------------------------------------
+class TestEvolutionRaces:
+    @staticmethod
+    def _mk(spark, tmp_path, **kw):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.upsert import (
+            ManifestSnapshotTable,
+        )
+
+        base = dict(
+            keys=["day", "k"],
+            order_cols=["seq"],
+            partition_by=["day"],
+            stable_partitions=True,
+        )
+        base.update(kw)
+        return ManifestSnapshotTable(spark, str(tmp_path / "t"), **base)
+
+    @staticmethod
+    def _rows(spark, data):
+        return spark.createDataFrame(data, "day int, k int, v double, seq int")
+
+    def _seed(self, spark, t):
+        return t.upsert(
+            self._rows(
+                spark,
+                [(0, 1, 1.0, 1), (5, 2, 2.0, 1), (10, 3, 3.0, 1), (15, 4, 4.0, 1)],
+            )
+        )
+
+    _EVOLVE = dict(
+        partition_by=["month"],
+        generated_partitions={"month": "CAST(day DIV 10 AS INT)"},
+    )
+
+    def test_live_claim_blocks_evolution(self, spark, tmp_path):
+        CommitConflict = _conflict_cls()
+        a = self._mk(spark, tmp_path)
+        self._seed(spark, a)
+        _, vdir = a._claim_version()  # a peer writer mid-commit
+        b = self._mk(spark, tmp_path)
+        with pytest.raises(CommitConflict):
+            b.compact(**self._EVOLVE)
+        a._abandon_claim(vdir)
+        assert b.compact(**self._EVOLVE) == 2  # unblocked, same number
+
+    def test_stale_scheme_handle_refused_on_every_commit_path(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        a = self._mk(spark, tmp_path)
+        self._seed(spark, a)
+        b = self._mk(spark, tmp_path)  # configured pre-evolution
+        a.compact(**self._EVOLVE)
+        batch = self._rows(spark, [(0, 1, 9.0, 2)])
+        with pytest.raises(ValueError, match="partition evolution"):
+            b.upsert(batch)
+        with pytest.raises(ValueError, match="partition evolution"):
+            b.delete(batch.select("day", "k"))
+        with pytest.raises(ValueError, match="partition evolution"):
+            b.delete_where(F.col("k") == 1)
+        with pytest.raises(ValueError, match="partition evolution"):
+            b.compact()
+        with pytest.raises(ValueError, match="partition evolution"):
+            b.update_where(F.col("k") == 1, {"v": "0.0"})
+        # reads are scheme-independent: every snapshot resolves through
+        # its own manifest
+        assert b.read().count() == 4
+
+    def test_evolution_landing_after_fastfail_check_is_still_refused(
+        self, spark, tmp_path
+    ):
+        """The TOCTOU interleaving: B's fast-fail scheme check passes
+        (the evolution has not published yet), THEN the evolution
+        lands, then B claims.  The post-claim re-check must refuse the
+        commit and abandon the claim — never merge old-scheme fragment
+        dirs into the evolved manifest."""
+        import types
+
+        a = self._mk(spark, tmp_path)
+        self._seed(spark, a)
+        b = self._mk(spark, tmp_path)
+
+        calls = {"n": 0}
+        real = type(b)._check_scheme
+
+        def first_free(self):
+            # simulate "checked before the peer published": the first
+            # (pre-claim) check sees the old manifest and passes
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return None
+            return real(self)
+
+        b._check_scheme = types.MethodType(first_free, b)
+        a.compact(**self._EVOLVE)  # peer publishes between check & claim
+        doc_before = a._manifest_doc()
+        with pytest.raises(ValueError, match="partition evolution"):
+            b.upsert(self._rows(spark, [(0, 1, 9.0, 2)]))
+        assert calls["n"] >= 2  # the post-claim re-check actually ran
+        # nothing corrupted, nothing left behind: manifest unchanged,
+        # no claim debris (every committed dir has _SUCCESS)
+        assert a._manifest_doc() == doc_before
+        root = str(tmp_path / "t")
+        for d in os.listdir(root):
+            if d.startswith("v="):
+                assert os.path.exists(os.path.join(root, d, "_SUCCESS")), d
+        assert set(a.manifest()) == {"month=0", "month=1"}
+
+    def test_refused_writer_relocates_under_new_scheme(self, spark, tmp_path):
+        a = self._mk(spark, tmp_path)
+        self._seed(spark, a)
+        b = self._mk(spark, tmp_path)
+        v2 = a.compact(**self._EVOLVE)
+        with pytest.raises(ValueError, match="partition evolution"):
+            b.upsert(self._rows(spark, [(0, 1, 9.0, 2)]))
+        # the sanctioned recovery: rebuild the handle under the CURRENT
+        # scheme (generated derivations come from the manifest) and
+        # re-run — the commit prunes to the touched new-scheme bucket
+        c = self._mk(spark, tmp_path, partition_by=["month"])
+        v3 = c.upsert(self._rows(spark, [(0, 1, 9.0, 2)]))
+        assert v3 == v2 + 1
+        m = c.manifest()
+        assert m["month=0"] == v3 and m["month=1"] == v2
+        got = sorted((r.day, r.k, r.v) for r in c.read().collect())
+        assert got == [(0, 1, 9.0), (5, 2, 2.0), (10, 3, 3.0), (15, 4, 4.0)]
