@@ -67,6 +67,7 @@ class ManagedIvfIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         keep_versions: int | None = None,
+        bloom_ids: bool = True,
     ) -> None:
         self.centroids = [[float(x) for x in c] for c in centroids]
         self.vec_col = vec_col
@@ -75,6 +76,10 @@ class ManagedIvfIndex:
         # only moves cells if its VECTOR changes, which the reassign
         # path handles as delete+insert.  __seq (commit sequence) is
         # the order column: the latest write of an id wins the merge.
+        # bloom_ids: per-file bloom bitsets over the id, so delete()'s
+        # key location (stable_partitions = keys don't name their cell)
+        # is metadata-only for erasure-sized batches instead of a scan
+        # of every cell (`_locate_key_fragments` bloom fast path).
         self.table = ManifestSnapshotTable(
             spark,
             path,
@@ -83,6 +88,7 @@ class ManagedIvfIndex:
             partition_by=["__c"],
             stable_partitions=True,
             keep_versions=keep_versions,
+            bloom_cols=[id_col] if bloom_ids else None,
         )
 
     # -- write path -----------------------------------------------------

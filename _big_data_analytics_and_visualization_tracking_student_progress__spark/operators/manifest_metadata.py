@@ -293,31 +293,49 @@ class _ManifestMetadataMixin:
                         ") END".format(qc=qc, c=c, pos=pos)
                     )
                 )
+        # staging column names must not collide with the table's OWN
+        # partition columns (a `__c`-partitioned table — the managed
+        # ANN index — met a `__c` staging alias here and every bloomed
+        # commit died AMBIGUOUS_REFERENCE)
+        taken = set(self.partition_by)
+
+        def _stage(base: str) -> str:
+            name = base
+            while name in taken:
+                name += "_"
+            taken.add(name)
+            return name
+
+        s_fp = _stage("__bf_fp")
+        s_col = _stage("__bf_col")
+        s_w = _stage("__bf_w")
+        s_b = _stage("__bf_b")
+        s_bits = _stage("__bf_bits")
         words = (
             df.select(
-                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.file_path").alias(s_fp),
                 *self.partition_by,
                 F.explode(F.array(*entries)).alias("e"),
             )
             .filter(F.col("e.c").isNotNull())
             .groupBy(
-                "__fp",
+                s_fp,
                 *self.partition_by,
-                F.col("e.c").alias("__c"),
-                F.col("e.w").alias("__w"),
+                F.col("e.c").alias(s_col),
+                F.col("e.w").alias(s_w),
             )
-            .agg(F.bit_or(F.col("e.b")).alias("__b"))
+            .agg(F.bit_or(F.col("e.b")).alias(s_b))
         )
         from pyspark.sql.types import BinaryType, StructField, StructType
 
         key_fields = [
             f
             for f in words.schema.fields
-            if f.name not in ("__w", "__b")
+            if f.name not in (s_w, s_b)
         ]
         key_names = [f.name for f in key_fields]
         out_schema = StructType(
-            list(key_fields) + [StructField("__bits", BinaryType())]
+            list(key_fields) + [StructField(s_bits, BinaryType())]
         )
         nbytes = (m + 7) // 8
         nw = nwords
@@ -329,17 +347,17 @@ class _ManifestMetadataMixin:
             import numpy as np
 
             arr = np.zeros(nw, dtype=np.uint64)
-            idx = pdf["__w"].to_numpy()
+            idx = pdf[s_w].to_numpy()
             # per-word rows are already bit_or-folded: indices unique,
             # fancy-indexed |= is safe
             arr[idx] |= (
-                pdf["__b"].to_numpy().astype(np.int64).view(np.uint64)
+                pdf[s_b].to_numpy().astype(np.int64).view(np.uint64)
             )
             head = pdf.iloc[[0]][key_names].copy()
-            head["__bits"] = [arr.astype("<u8").tobytes()[:nbytes]]
+            head[s_bits] = [arr.astype("<u8").tobytes()[:nbytes]]
             return head
 
-        bits_df = words.groupBy("__fp", *self.partition_by, "__c").applyInPandas(
+        bits_df = words.groupBy(s_fp, *self.partition_by, s_col).applyInPandas(
             _assemble, out_schema
         )
         out: dict[str, dict[str, dict[str, dict]]] = {}
@@ -348,11 +366,11 @@ class _ManifestMetadataMixin:
         for r in bits_df.collect():
             d = r.asDict()
             frag = self._part_key([d[c] for c in self.partition_by])
-            fname = os.path.basename(d["__fp"])
-            out.setdefault(frag, {}).setdefault(fname, {})[d["__c"]] = {
+            fname = os.path.basename(d[s_fp])
+            out.setdefault(frag, {}).setdefault(fname, {})[d[s_col]] = {
                 "m": m,
                 "k": k,
-                "bits": bytes(d["__bits"]),
+                "bits": bytes(d[s_bits]),
             }
         return out
 
@@ -602,6 +620,137 @@ class _ManifestMetadataMixin:
         dv = {f: v for f, v in self._dv_map(doc).items() if f in keep}
         out = self._scan_entries_dv(entries, dv, align=doc)
         return out.filter(pred), len(keep), len(m), files_kept, files_total
+
+    # -- bloom-bounded key location (delete under stable_partitions) ------
+    # A keyed DELETE on a table whose partitions are NOT derivable from
+    # the key (stable_partitions=True — the ANN index shape, partition
+    # = quantizer cell) must first LOCATE the keys.  The generic path
+    # is a column-pruned semi-join scan of every fragment; when the
+    # erasure batch is small and a key column carries bloom sidecars,
+    # the candidate set comes from metadata alone: probe every file's
+    # bitset for every key value (numpy over the collected bitsets) and
+    # keep the fragments with a possible hit.  False positives cost a
+    # needless fragment rewrite, never a wrong row; anything without
+    # bloom metadata is kept conservatively.
+    _BLOOM_LOCATE_MAX_KEYS = 1024
+
+    def _bloom_locate_fragments(
+        self, keys: DataFrame, prev_doc: dict, prev: dict[str, int]
+    ) -> set[str] | None:
+        """Fragments that MAY hold any key of ``keys``, from bloom
+        sidecars alone — or None when the fast path does not apply
+        (no bloomed key column, batch too large, no bloom metadata
+        anywhere) and the caller should fall back to the locate scan.
+        ``keys`` must already be projected to ``self.keys``."""
+        import numpy as np
+
+        cols = [c for c in self.keys if c in self.bloom_cols]
+        if not cols:
+            return None
+        c = cols[0]  # one probed column bounds the candidate set
+        head = (
+            keys.select(c)
+            .distinct()
+            .limit(self._BLOOM_LOCATE_MAX_KEYS + 1)
+            .collect()
+        )
+        if len(head) > self._BLOOM_LOCATE_MAX_KEYS or any(
+            r[0] is None for r in head
+        ):
+            return None  # big batch (scan amortizes better) or NULL key
+        by_hv: dict[int, list[str]] = {}
+        for frag, hv in prev.items():
+            by_hv.setdefault(hv, []).append(frag)
+        frag_blooms: dict[str, dict] = {}
+        for hv, fl in sorted(by_hv.items()):
+            frag_blooms.update(self._bloom_frags(hv, fl))
+        shapes: set[tuple[int, int]] = set()
+        for bdoc in frag_blooms.values():
+            for fentry in bdoc.values():
+                be = fentry.get(c)
+                if be:
+                    shapes.add((int(be["m"]), int(be["k"])))
+        if not shapes:
+            return None  # no bloom metadata: pruning would keep all
+        # engine-side candidate positions for every (value, shape) in
+        # ONE tiny job over the distinct values — the same cast + hash
+        # expression as the build side (see _probe_positions)
+        col_type = dict(prev_doc.get("schema") or []).get(c)
+        lit = F.col("__v")
+        if col_type:
+            lit = lit.cast(col_type)
+        s = lit.cast("string")
+        shape_list = sorted(shapes)
+        rows = (
+            keys.select(F.col(c).alias("__v"))
+            .distinct()
+            .select(
+                *(
+                    F.array(
+                        *(
+                            F.pmod(F.xxhash64(s, F.lit(i)), F.lit(m))
+                            for i in range(k)
+                        )
+                    ).alias(f"p_{si}")
+                    for si, (m, k) in enumerate(shape_list)
+                )
+            )
+            .collect()
+        )
+        pos = {
+            shape: np.asarray(
+                [[int(p) for p in r[f"p_{si}"]] for r in rows],
+                dtype=np.int64,
+            )
+            for si, shape in enumerate(shape_list)
+        }
+        fst = self._file_stats_for(prev_doc, list(prev))
+        out: set[str] = set()
+        for frag in prev:
+            bdoc = frag_blooms.get(frag) or {}
+            fdoc = fst.get(frag)
+            names = set(fdoc or ()) | set(bdoc)
+            if not names:
+                out.add(frag)  # no metadata at all: conservative
+                continue
+            for fname in names:
+                be = (bdoc.get(fname) or {}).get(c)
+                if be is None:
+                    out.add(frag)  # un-bloomed file: conservative
+                    break
+                bits = be.get("bits")
+                if bits is None:  # legacy JSON sidecar entry
+                    import base64
+
+                    bits = base64.b64decode(be["b64"])
+                arr = np.frombuffer(bytes(bits), dtype=np.uint8)
+                p = pos[(int(be["m"]), int(be["k"]))]
+                hit = (arr[p >> 3] >> (p & 7)) & 1
+                if bool(hit.all(axis=1).any()):
+                    out.add(frag)
+                    break
+        return out
+
+    def _locate_key_fragments(
+        self, keys: DataFrame, prev_doc: dict, prev: dict[str, int]
+    ) -> set[str]:
+        """Where do these keys live?  Bloom fast path when available
+        (metadata-only — the 100 TB erasure shape), else one
+        column-pruned semi-join scan.  ``keys`` must already be
+        projected to ``self.keys`` and deduplicated."""
+        frags = self._bloom_locate_fragments(keys, prev_doc, prev)
+        if frags is not None:
+            return frags
+        scan_cols = sorted(set(self.keys) | set(self.partition_by))
+        located = (
+            self._read_fragments(prev, dv=self._dv_map(prev_doc))
+            .select(*scan_cols)
+            .join(keys, on=self.keys, how="left_semi")
+            .select(*self.partition_by)
+            .distinct()
+            .collect()
+        )
+        return {self._part_key(tuple(r)) for r in located}
 
     # -- metadata-only aggregates -----------------------------------------
     def count_rows(

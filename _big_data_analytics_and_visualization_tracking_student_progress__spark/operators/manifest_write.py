@@ -317,16 +317,10 @@ class _ManifestWriteMixin:
                 ]
                 frags = {self._part_key(c) for c in touched} & set(prev)
             else:
-                scan_cols = sorted(set(self.keys) | set(self.partition_by))
-                located = (
-                    self._read_fragments(prev, dv=self._dv_map(prev_doc))
-                    .select(*scan_cols)
-                    .join(keys, on=self.keys, how="left_semi")
-                    .select(*self.partition_by)
-                    .distinct()
-                    .collect()
-                )
-                frags = {self._part_key(tuple(r)) for r in located}
+                # stable_partitions: keys don't name their partitions —
+                # bloom-bounded location when sidecars allow, else one
+                # column-pruned semi-join locate scan
+                frags = self._locate_key_fragments(keys, prev_doc, prev)
             v, committed = self._commit_delete(
                 new_v,
                 vdir,
@@ -618,16 +612,8 @@ class _ManifestWriteMixin:
                 ]
                 frags = {self._part_key(c) for c in touched} & set(prev)
             else:
-                scan_cols = sorted(set(self.keys) | set(self.partition_by))
-                located = (
-                    self._read_fragments(prev, dv=self._dv_map(prev_doc))
-                    .select(*scan_cols)
-                    .join(keys, on=self.keys, how="left_semi")
-                    .select(*self.partition_by)
-                    .distinct()
-                    .collect()
-                )
-                frags = {self._part_key(tuple(r)) for r in located}
+                # see delete(): bloom-bounded location when possible
+                frags = self._locate_key_fragments(keys, prev_doc, prev)
             v, committed = self._commit_dv(
                 new_v,
                 vdir,

@@ -1224,7 +1224,7 @@ def ivf_centroids_cached(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     )
 
 
-def _ivf_oracle_sql(sf_dir: str) -> str:
+def _ivf_oracle_sql(sf_dir: str, corpus_pred: str = "TRUE") -> str:
     """Data-dependent oracle: trains the SAME coarse quantizer as the
     Spark query — identical md5-hash-ordered sample, identical `_lloyd`
     numpy iterations — from a DuckDB read of the same parquet, then
@@ -1232,7 +1232,12 @@ def _ivf_oracle_sql(sf_dir: str) -> str:
     literals.  Assignment mirrors `with_cluster` exactly: squared
     distance is the same sequential (x−y)² fold (`list_dot_product` of
     the diff with itself ⇔ Spark's zip_with/aggregate), ties break to
-    the lower centroid index, then cosine top-k over the probed cells."""
+    the lower centroid index, then cosine top-k over the probed cells.
+
+    ``corpus_pred``: extra SQL predicate restricting which vectors are
+    IN the index (the erasure twin deletes a slice) — the quantizer
+    still trains on the FULL corpus either way, mirroring the frozen
+    offline quantizer of the maintained index."""
     import duckdb
 
     con = duckdb.connect()
@@ -1257,7 +1262,8 @@ def _ivf_oracle_sql(sf_dir: str) -> str:
     )
     return f"""
     WITH cent(c, cv) AS (VALUES {cent_values}),
-    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE {corpus_pred}),
     assigned AS (
         SELECT e.vec_id, e.v,
                (SELECT c FROM cent ORDER BY {sqd} ASC, c ASC LIMIT 1) AS cl
@@ -1391,6 +1397,55 @@ def managed_ivf_index(spark: SparkSession, sf_dir: str):
 )
 def q_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = managed_ivf_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    out = idx.probe(qv, k=10, nprobe=_IVF_NPROBE)
+    return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+# delete vec_id % 17 == 5 from the index — never vec_id 0 (the query)
+_IVF_ERASE_PRED = "vec_id % 17 <> 5"
+
+
+def managed_ivf_index_erased(spark: SparkSession, sf_dir: str):
+    """The managed index AFTER right-to-erasure: full corpus indexed,
+    then an erasure batch deleted by id.  A separate artifact (its own
+    table path) so the shared `managed_ivf_index` stays the full
+    corpus for its oracle.  The delete's key location is metadata-only
+    — the table blooms its ids (`bloom_ids=True` default), so the
+    erasure batch probes bitsets instead of scanning every cell
+    (`_locate_key_fragments` bloom fast path)."""
+
+    def build():
+        import tempfile
+
+        from ..operators.ann_index import ManagedIvfIndex
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ManagedIvfIndex(
+            spark,
+            tempfile.mkdtemp(prefix="sparkgraft_ivferase_"),
+            ivf_centroids_cached(spark, sf_dir),
+        )
+        idx.upsert(emb)
+        idx.delete(emb.filter(~F.expr(_IVF_ERASE_PRED)).select("vec_id"))
+        return idx
+
+    return artifact("ivf_index_erased", sf_dir, build)
+
+
+@register(
+    "ann_ivf_index_erasure",
+    lambda sf_dir: _ivf_oracle_sql(sf_dir, corpus_pred=_IVF_ERASE_PRED),
+    doc="right-to-erasure on the managed IVF index: delete a keyed "
+    "slice of vectors (bloom-located — the per-file id bitsets bound "
+    "the locate step to metadata, no corpus scan), then probe; the "
+    "oracle is the same retrained-literal IVF top-k computed over the "
+    "corpus MINUS the erased ids (quantizer still trained on the full "
+    "corpus — the frozen offline quantizer is not retrained by "
+    "deletes, matching FAISS remove_ids semantics)",
+)
+def q_ivf_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = managed_ivf_index_erased(spark, sf_dir)
     qv = _query_vec(spark, sf_dir, 0)
     out = idx.probe(qv, k=10, nprobe=_IVF_NPROBE)
     return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))

@@ -157,3 +157,34 @@ def test_maybe_compact_bounds_scatter(spark, tmp_path):
     assert set(idx.table.manifest().values()) == {v}
     # content unscathed
     assert idx.table.read().count() == emb.count()
+
+
+def test_delete_locates_cells_via_blooms(spark, tmp_path):
+    """The erasure batch must find its cells from bloom metadata, not
+    a corpus scan: the locate fast path engages (bloom_ids default)
+    and returns fewer candidate fragments than the table holds."""
+    import types
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = S.train_ivf_centroids_sample(
+        emb, "embedding", "vec_id", k=8, iters=5
+    )
+    idx = ManagedIvfIndex(spark, str(tmp_path / "mgd"), centroids)
+    idx.upsert(emb)
+
+    seen = {}
+    real = type(idx.table)._bloom_locate_fragments
+
+    def spy(self, keys, doc, prev):
+        out = real(self, keys, doc, prev)
+        seen["frags"], seen["total"] = out, len(prev)
+        return out
+
+    idx.table._bloom_locate_fragments = types.MethodType(spy, idx.table)
+    victims = spark.createDataFrame([(3,), (7,)], "vec_id bigint")
+    idx.delete(victims)
+    assert seen["frags"] is not None, "bloom locate did not engage"
+    assert 0 < len(seen["frags"]) < seen["total"], seen
+    assert idx.table.read().filter(
+        F.col("vec_id").isin(3, 7)
+    ).count() == 0

@@ -299,3 +299,102 @@ def test_bloom_probe_casts_to_column_type(spark, root):
         import shutil as _sh
 
         _sh.rmtree(t2.path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-bounded key LOCATION for keyed deletes under stable_partitions
+# (round 12): when the key can't name its partition, the locate step
+# should come from bloom sidecars (metadata only) for erasure-sized
+# batches, falling back to the semi-join scan otherwise.  False
+# positives cost a needless fragment visit, never a wrong result.
+# ---------------------------------------------------------------------------
+def _stable_table(spark, root, **kw):
+    base = dict(
+        keys=["k"],
+        order_cols=["seq"],
+        partition_by=["day"],
+        stable_partitions=True,
+        bloom_cols=["k"],
+        bloom_bits=1 << 12,
+        bloom_k=5,
+    )
+    base.update(kw)
+    return ManifestSnapshotTable(spark, os.path.join(root, "st"), **base)
+
+
+def _stable_seed(spark, t, days=4, keys_per_day=100):
+    rows = [
+        (d, d * 10_000 + k, 1)
+        for d in range(days)
+        for k in range(keys_per_day)
+    ]
+    t.upsert(spark.createDataFrame(rows, "day int, k long, seq int"))
+    return rows
+
+
+def test_bloom_locate_agrees_with_scan_and_prunes(spark, root):
+    t = _stable_table(spark, root)
+    _stable_seed(spark, t)
+    # keys living in day=2 only, plus one absent key
+    keys = spark.createDataFrame(
+        [(20_001,), (20_055,), (999_999,)], "k long"
+    )
+    prev_doc = t._manifest_doc()
+    prev = {f: int(v) for f, v in prev_doc["partitions"].items()}
+    frags = t._bloom_locate_fragments(
+        keys.select(*t.keys).distinct(), prev_doc, prev
+    )
+    assert frags is not None  # the fast path applied
+    assert "day=2" in frags   # no false negatives ever
+    assert len(frags) < len(prev)  # and it actually pruned
+    # end to end: the delete commit touches only the located fragments
+    v = t.delete(keys)
+    moved = {f for f, hv in t.manifest().items() if hv == v}
+    assert moved <= frags and "day=2" in moved
+    assert t.read().filter(F.col("k").isin(20_001, 20_055)).count() == 0
+    assert t.read().count() == 4 * 100 - 2
+
+
+def test_bloom_locate_dv_twin(spark, root):
+    t = _stable_table(spark, root)
+    _stable_seed(spark, t)
+    keys = spark.createDataFrame([(30_010,)], "k long")
+    v = t.delete_dv(keys)
+    # merge-on-read: data holders unmoved, the DV rides the new commit
+    assert all(hv < v for hv in t.manifest().values())
+    assert t.read().filter(F.col("k") == 30_010).count() == 0
+    assert t.read().count() == 4 * 100 - 1
+
+
+def test_bloom_locate_falls_back_without_blooms_or_on_big_batches(
+    spark, root
+):
+    t = _stable_table(spark, root, bloom_cols=None)
+    _stable_seed(spark, t)
+    prev_doc = t._manifest_doc()
+    prev = {f: int(v) for f, v in prev_doc["partitions"].items()}
+    keys = spark.createDataFrame([(10_001,)], "k long")
+    assert t._bloom_locate_fragments(keys, prev_doc, prev) is None
+    # the scan fallback still deletes correctly
+    t.delete(keys)
+    assert t.read().filter(F.col("k") == 10_001).count() == 0
+
+    t2 = _stable_table(spark, os.path.join(root, "big"))
+    _stable_seed(spark, t2)
+    doc2 = t2._manifest_doc()
+    prev2 = {f: int(v) for f, v in doc2["partitions"].items()}
+    over = t2._BLOOM_LOCATE_MAX_KEYS + 1
+    big = spark.range(over).select(F.col("id").alias("k"))
+    assert t2._bloom_locate_fragments(big, doc2, prev2) is None
+
+
+def test_bloom_locate_absent_keys_is_cheap_noop(spark, root):
+    t = _stable_table(spark, root)
+    _stable_seed(spark, t)
+    before = t.versions()[-1]
+    # absent values: with 12-bit bitsets over 100 keys/file the probe
+    # should prune every fragment (no false positive at this density),
+    # and the delete must be a clean no-op either way
+    v = t.delete(spark.createDataFrame([(777_777,), (888_888,)], "k long"))
+    assert t.read().count() == 4 * 100
+    assert t.versions()[-1] == v >= before
