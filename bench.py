@@ -88,6 +88,14 @@ HEADLINE = [
     # is the per-query partition-pruned probe, the production shape)
     "manifest_partition_evolution",
     "ann_ivf_indexed_topk",
+    # round-12 additions: the manifest-MAINTAINED IVF index and the
+    # drop-folder→CDC→stream→matview→dashboard composition.  Both
+    # build once in warmup via the artifact cache, so the measured
+    # wall is the steady-state SERVE cost: the manifest-pruned nprobe
+    # probe for the index, the view read (dashboard refresh without
+    # re-aggregation — the app.py:58 contrast) for the e2e loop.
+    "ann_ivf_index_upsert",
+    "e2e_drop_to_dashboard",
 ]
 
 
