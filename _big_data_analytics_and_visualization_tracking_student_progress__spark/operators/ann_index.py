@@ -36,7 +36,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import cosine_topk, nearest_clusters, with_cluster
+from .similarity import (
+    _sq_dist,
+    cosine,
+    cosine_topk,
+    nearest_clusters,
+    with_cluster,
+)
 from .upsert import ManifestSnapshotTable
 
 __all__ = ["ManagedIvfIndex"]
@@ -154,4 +160,87 @@ class ManagedIvfIndex:
             k=k,
             vec_col=self.vec_col,
             id_col=self.id_col,
+        )
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 3,
+        nprobe: int = 2,
+        q_id: str = "q_id",
+        q_vec: str | None = None,
+    ) -> DataFrame:
+        """Batch k-NN JOIN through the index: every query row gets its
+        top-k neighbors from the vectors in its nprobe nearest cells.
+
+        The per-query probe set is stamped ENGINE-side (the broadcast
+        centroid table, an array_sort over (distance, idx) structs —
+        ties to the lower cell, the `with_cluster` convention), then
+        exploded to (query, cell) rows; the index side reads ONLY the
+        union of probed cells (manifest partition pruning — across any
+        batch that union is at most n_cells, so per-batch I/O is
+        bounded by the index layout, never the corpus).  The equi-join
+        on the cell broadcasts the exploded query side, so index rows
+        never shuffle; exact cosine + per-query top-k window inside
+        the matched cells.  Approximate in recall only (unprobed
+        cells), never in precision — the IVF batch-lookup contract.
+
+        Returns (q_id, <id_col>, cos_sim, rank) with rank 1..k per
+        query (ties break to the lower id)."""
+        from pyspark.sql import Window
+
+        q_vec = q_vec or self.vec_col
+        spark = queries.sparkSession
+        cent_df = spark.createDataFrame(
+            [(self.centroids,)], "__cent array<array<double>>"
+        )
+        qv = F.col("__qv")
+        scored = F.transform(
+            F.col("__cent"),
+            lambda c, i: F.struct(
+                _sq_dist(qv, c).alias("d"), i.cast("int").alias("i")
+            ),
+        )
+        probed = (
+            queries.select(
+                F.col(q_id),
+                F.col(q_vec).cast("array<double>").alias("__qv"),
+            )
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn(
+                "__c",
+                F.explode(
+                    F.transform(
+                        F.slice(F.array_sort(scored), 1, nprobe),
+                        lambda s: s["i"],
+                    )
+                ),
+            )
+            .drop("__cent")
+        )
+        # the probed-cell UNION is bounded by n_cells — a driver
+        # collect of at most len(centroids) ints, never corpus data
+        cells = sorted(
+            r["__c"] for r in probed.select("__c").distinct().collect()
+        )
+        cand, _, _ = self.table.read_partitions([(c,) for c in cells])
+        if cand is None:
+            raise ValueError("index is empty — nothing to join")
+        w = Window.partitionBy(q_id).orderBy(
+            F.col("cos_sim").desc(), F.col(self.id_col)
+        )
+        return (
+            cand.select(
+                F.col(self.id_col),
+                F.col(self.vec_col).cast("array<double>").alias("__cv"),
+                "__c",
+            )
+            .join(F.broadcast(probed), "__c")
+            .select(
+                q_id,
+                self.id_col,
+                cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
         )

@@ -1451,6 +1451,98 @@ def q_ivf_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
+_KNN_QPRED = "vec_id % 97 = 1"
+_KNN_K, _KNN_NPROBE = 3, 2
+
+
+def _ivf_knn_join_oracle_sql(sf_dir: str) -> str:
+    """Retrained-literal oracle for the index-backed batch k-NN join:
+    the same centroids / assignment / tie-breaks as `_ivf_oracle_sql`,
+    plus per-QUERY probe-cell selection (top-nprobe cells by the same
+    squared distance, ties to the lower cell — the `array_sort` over
+    (d, i) structs convention) and a per-query top-k window."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    centroids = S.train_ivf_centroids_rows(
+        rows, k=_IVF_K, iters=_IVF_ITERS, sample_size=_IVF_SAMPLE
+    )
+    cent_values = ", ".join(
+        f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(centroids)
+    )
+
+    def sqd(vec: str) -> str:
+        d = f"[{vec}[i] - cv[i] FOR i IN generate_series(1, len({vec}))]"
+        return f"list_dot_product({d}, {d})"
+
+    return f"""
+    WITH cent(c, cv) AS (VALUES {cent_values}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assigned AS (
+        SELECT e.vec_id, e.v,
+               (SELECT c FROM cent ORDER BY {sqd("e.v")} ASC, c ASC
+                LIMIT 1) AS cl
+        FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE {_KNN_QPRED}),
+    qc AS (
+        SELECT q_id, qv, c FROM (
+            SELECT q.q_id, q.qv, cent.c,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY {sqd("q.qv")} ASC, cent.c ASC) AS rn
+            FROM q, cent
+        ) WHERE rn <= {_KNN_NPROBE}
+    ),
+    scored AS (
+        SELECT qc.q_id, a.vec_id,
+               {_COS_SQL.format(a="a.v", b="qc.qv")} AS cos
+        FROM qc JOIN assigned a ON a.cl = qc.c
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT q_id, vec_id,
+           FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+           CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= {_KNN_K}
+    """
+
+
+@register(
+    "ann_index_knn_join",
+    _ivf_knn_join_oracle_sql,
+    doc="batch k-NN JOIN through the managed IVF index: every query "
+    "vector's probe cells stamped engine-side (broadcast centroid "
+    "table), the index side reads only the UNION of probed cell "
+    "fragments (manifest partition pruning — bounded by the cell "
+    "count, never the corpus), exploded queries broadcast into the "
+    "equi-join so index rows never shuffle, exact cosine + per-query "
+    "top-k window inside the matched cells; oracle retrains identical "
+    "literal centroids and replays the same probe/rank tie-breaks",
+)
+def q_ivf_index_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = managed_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(_KNN_QPRED)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = idx.knn_join(queries, k=_KNN_K, nprobe=_KNN_NPROBE)
+    return out.select(
+        "q_id",
+        "vec_id",
+        dround(F.col("cos_sim"), 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register(
     "winnow_fingerprints",
     """

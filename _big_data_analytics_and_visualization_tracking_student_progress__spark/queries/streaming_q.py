@@ -1647,3 +1647,111 @@ def q_e2e_drop_to_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN-index maintenance: the vector-index twin of
+# stream_index_maintenance.  Each micro-batch of newly-arrived
+# embeddings is stamped with its (frozen) coarse-quantizer cell and
+# pruned-MERGEd into the manifest-backed IVF index inside foreachBatch
+# — commit cost tracks the batch's cells; scatter-triggered OPTIMIZE
+# after each commit bounds per-cell small files as drips accumulate.
+# A post-stream probe must reproduce the batch-built index's ranking —
+# which is exactly what the (retrained-literal) oracle computes.
+# ---------------------------------------------------------------------------
+_EMB_STAGED: dict[str, str] = {}
+
+
+def _embeddings_parts_path(sf_dir: str) -> str:
+    """The embeddings fixture split into 4 deterministic part files so
+    availableNow + maxFilesPerTrigger=1 yields FOUR micro-batches (a
+    single-file stage would collapse the stream into one commit and
+    prove nothing about incremental maintenance)."""
+    if sf_dir not in _EMB_STAGED:
+        import tempfile
+
+        import duckdb
+
+        d = tempfile.mkdtemp(prefix="sparkgraft_emb_parts_")
+        con = duckdb.connect()
+        for i in range(4):
+            con.execute(
+                f"COPY (SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet') "
+                f"WHERE vec_id % 4 = {i}) TO "
+                f"'{os.path.join(d, f'part-{i}.parquet')}' (FORMAT PARQUET)"
+            )
+        con.close()
+        _EMB_STAGED[sf_dir] = d
+    return _EMB_STAGED[sf_dir]
+
+
+def _stream_ann_sql(sf_dir: str) -> str:
+    from .northstar import _ivf_oracle_sql
+
+    return _ivf_oracle_sql(sf_dir)
+
+
+_ANN_STREAMED: dict[str, object] = {}
+
+
+def stream_built_ivf_index(spark: SparkSession, sf_dir: str):
+    """Build the managed IVF index FROM A STREAM once per fixture:
+    4 micro-batches (maxFilesPerTrigger=1 over the 4-part staging),
+    each a pruned manifest commit + scatter check."""
+    if sf_dir in _ANN_STREAMED:
+        return _ANN_STREAMED[sf_dir]
+    from ..operators.ann_index import ManagedIvfIndex
+    from .northstar import ivf_centroids_cached
+
+    wd = _workdir("stream_annidx")
+    idx = ManagedIvfIndex(
+        spark,
+        os.path.join(wd, "index"),
+        ivf_centroids_cached(spark, sf_dir),
+    )
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_embeddings_parts_path(sf_dir))
+    )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idx.upsert(batch_df)
+        idx.maybe_compact(max_scatter=4)
+
+    (
+        sdf.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _ANN_STREAMED[sf_dir] = idx
+    return idx
+
+
+@register(
+    "stream_ann_index_maintenance",
+    _stream_ann_sql,
+    doc="streaming ANN-index maintenance: per-micro-batch cell-stamped "
+    "pruned MERGEs into the manifest-backed IVF index (foreachBatch, "
+    "4 micro-batches via maxFilesPerTrigger) with scatter-triggered "
+    "OPTIMIZE, then a manifest-pruned probe — stream-built index ≡ "
+    "batch-built index ≡ the retrained-literal IVF oracle; the "
+    "vector twin of stream_index_maintenance",
+)
+def q_stream_ann_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .northstar import _IVF_NPROBE, _query_vec
+
+    idx = stream_built_ivf_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    out = idx.probe(qv, k=10, nprobe=_IVF_NPROBE)
+    return out.select(
+        "vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim")
+    )

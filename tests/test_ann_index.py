@@ -188,3 +188,57 @@ def test_delete_locates_cells_via_blooms(spark, tmp_path):
     assert idx.table.read().filter(
         F.col("vec_id").isin(3, 7)
     ).count() == 0
+
+
+def test_knn_join_broadcasts_queries_and_prunes_cells(spark, tmp_path):
+    """The batch k-NN join's plan contract: the exploded query side is
+    broadcast (index rows never shuffle) and the index scan touches
+    only the union of probed cells' directories."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = S.train_ivf_centroids_sample(
+        emb, "embedding", "vec_id", k=8, iters=5
+    )
+    idx = _fixture_index(spark, tmp_path, emb, centroids)
+    queries = emb.filter(F.col("vec_id") % 101 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = idx.knn_join(queries, k=3, nprobe=2)
+    rows = out.collect()
+    nq = queries.count()
+    assert len(rows) == 3 * nq
+    per_q = {r["q_id"] for r in rows}
+    assert len(per_q) == nq
+    # every query's rank-1 neighbor at least as similar as its rank-3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["cos_sim"]))
+    for sims in by_q.values():
+        ordered = [s for _r, s in sorted(sims)]
+        assert ordered == sorted(ordered, reverse=True)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+    # index-side scan limited to the probed-cell union
+    probed_union = set()
+    for q in queries.select("embedding").collect():
+        probed_union.update(idx.probe_cells(list(q[0]), 2))
+    cand, kept, total = idx.table.read_partitions(
+        [(c,) for c in sorted(probed_union)]
+    )
+    assert kept == len(probed_union) <= total
+
+
+def test_stream_built_index_equals_batch_built(spark):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.streaming_q import (
+        stream_built_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = stream_built_ivf_index(spark, SF_SMALL)
+    # one commit per micro-batch (4-part staging, maxFilesPerTrigger=1),
+    # possibly plus scatter-triggered OPTIMIZE commits
+    assert len(idx.table.versions()) >= 4
+    got = idx.table.read()
+    assert got.count() == emb.count()
+    assert got.groupBy("vec_id").count().filter("count > 1").count() == 0
