@@ -87,10 +87,13 @@ def search_inverted_index(
     output contract to `text.text_search` ((distinct terms, total tf)
     ranking, same tie-breaks)."""
     buckets = sorted({_portable_hash_py(t) % n_buckets for t in query_terms})
-    postings = (
+    postings = live_postings(
+        spark,
+        path,
         spark.read.parquet(path)
         .filter(F.col("__b").isin(buckets))
-        .filter(F.col("term").isin(query_terms))
+        .filter(F.col("term").isin(query_terms)),
+        id_col,
     )
     scored = postings.groupBy(id_col).agg(
         F.count_distinct(F.col("term")).cast("int").alias("n_terms_matched"),
@@ -131,10 +134,16 @@ def bm25_search(
     )
     n_docs, avgdl = int(meta["n"]), float(meta["t"]) / int(meta["n"])
     buckets = sorted({_portable_hash_py(t) % n_buckets for t in query_terms})
-    postings = (
+    # liveDocs applied BEFORE scoring: df(t) reflects live postings;
+    # N/avgdl (meta) stay pre-delete until compact_index — Lucene's
+    # deletes-don't-touch-stats-until-merge semantics
+    postings = live_postings(
+        spark,
+        path,
         spark.read.parquet(path)
         .filter(F.col("__b").isin(buckets))
-        .filter(F.col("term").isin(query_terms))
+        .filter(F.col("term").isin(query_terms)),
+        id_col,
     )
     wdf = Window.partitionBy("term")
     df_t = F.count(F.lit(1)).over(wdf).cast("double")
@@ -218,10 +227,13 @@ def phrase_search(
     i's positions shifted by one.  Per-query cost is O(postings of the
     phrase terms); the corpus text is never touched."""
     buckets = sorted({_portable_hash_py(t) % n_buckets for t in phrase})
-    postings = (
+    postings = live_postings(
+        spark,
+        path,
         spark.read.parquet(path)
         .filter(F.col("__b").isin(buckets))
-        .filter(F.col("term").isin(phrase))
+        .filter(F.col("term").isin(phrase)),
+        id_col,
     )
     joined = None
     for i, t in enumerate(phrase):
@@ -262,10 +274,13 @@ def proximity_search(
     buckets = sorted(
         {_portable_hash_py(t) % n_buckets for t in (term_a, term_b)}
     )
-    postings = (
+    postings = live_postings(
+        spark,
+        path,
         spark.read.parquet(path)
         .filter(F.col("__b").isin(buckets))
-        .filter(F.col("term").isin([term_a, term_b]))
+        .filter(F.col("term").isin([term_a, term_b])),
+        id_col,
     )
     a = postings.filter(F.col("term") == term_a).select(
         F.col(id_col), F.col("positions").alias("pa")
@@ -287,3 +302,105 @@ def proximity_search(
         id_col, near.cast("int").alias("n_matches")
     ).filter(F.col("n_matches") > 0)
     return scored.orderBy(F.col("n_matches").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure for the text index — the Lucene live-docs pattern
+# (round 12, parity with ManagedIvfIndex.delete): postings are bucketed
+# by TERM, so a document's rows scatter across every bucket and an
+# eager delete would rewrite the whole index.  Instead `delete_docs`
+# appends the doomed ids to a `<path>__deletes` tombstone set (O(batch)
+# — never touches postings), every query anti-joins the broadcast
+# tombstones out, and `compact_index` purges them physically (one
+# rewrite, amortized) and refreshes the meta sidecar.  Exactly Lucene:
+# deletes are a liveDocs bitmap applied at query time; corpus-level
+# stats (N, avgdl → BM25 idf/norms) stay at their pre-delete values
+# until a merge/compaction makes them exact again.
+# ---------------------------------------------------------------------------
+_DELETES_SUFFIX = "__deletes"
+
+
+def delete_docs(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "doc_id",
+) -> None:
+    """Tombstone documents out of the index (plain or positional).
+    ``ids``: a DataFrame carrying ``id_col``, or an iterable of ids.
+    Idempotent — re-deleting already-tombstoned ids changes nothing a
+    query can observe (the anti-join is a set filter)."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    (
+        ids.select(id_col)
+        .distinct()
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path + _DELETES_SUFFIX)
+    )
+
+
+def live_postings(
+    spark: SparkSession, path: str, postings: DataFrame, id_col: str
+) -> DataFrame:
+    """Apply the tombstone set (if any) to a postings frame: a
+    broadcast anti-join on the id — the erasure batch is operational
+    metadata, never corpus-sized."""
+    import os
+
+    ddir = path + _DELETES_SUFFIX
+    if not os.path.exists(os.path.join(ddir, "_SUCCESS")):
+        return postings
+    doomed = spark.read.parquet(ddir).select(id_col).distinct()
+    return postings.join(F.broadcast(doomed), id_col, "left_anti")
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Physically purge tombstoned documents: rewrite every bucket
+    minus the deleted ids (postings are self-contained — term, tf, dl
+    [, positions] — so no corpus access), refresh the meta sidecar
+    from the surviving postings (BM25's N and avgdl become exact
+    again), and clear the tombstone set.  After compaction the index
+    is indistinguishable from a fresh build over the remaining
+    documents (pinned in tests)."""
+    import os
+    import shutil
+
+    ddir = path + _DELETES_SUFFIX
+    if not os.path.exists(os.path.join(ddir, "_SUCCESS")):
+        return
+    live = live_postings(
+        spark, path, spark.read.parquet(path), id_col
+    ).persist()
+    tmp = path + "__compacting"
+    (
+        live.repartition(F.col("__b"))
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(tmp)
+    )
+    meta_path = path + "__meta"
+    if os.path.exists(meta_path):
+        # dl rides denormalized in every posting: one row per doc
+        # recovers the exact per-doc length without the corpus
+        meta = (
+            live.groupBy(id_col)
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("total_dl"),
+            )
+        )
+        meta.write.mode("overwrite").parquet(meta_path + "__compacting")
+    live.unpersist()
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    if os.path.exists(meta_path + "__compacting"):
+        shutil.rmtree(meta_path)
+        os.replace(meta_path + "__compacting", meta_path)
+    shutil.rmtree(ddir)

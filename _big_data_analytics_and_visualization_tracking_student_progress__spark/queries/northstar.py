@@ -886,6 +886,57 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.text_search(docs, _SEARCH_TERMS, k=10)
 
 
+# documents tombstoned out of the search index (right-to-erasure)
+_TEXT_ERASE_PRED = "doc_id % 3 = 1"
+
+
+def erased_inverted_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """A dedicated inverted-index artifact with a third of the corpus
+    TOMBSTONED (`textindex.delete_docs` — the Lucene live-docs shape:
+    the erasure batch lands in a `__deletes` sidecar, postings are
+    untouched, queries anti-join the broadcast tombstones out until
+    `compact_index` purges them physically).  Separate from the shared
+    `inverted_index_path` artifact, which must stay full-corpus."""
+
+    def build() -> str:
+        import tempfile
+
+        from ..operators.textindex import build_inverted_index, delete_docs
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="sparkgraft_tidx_erased_") + "/idx"
+        build_inverted_index(docs, path)
+        delete_docs(
+            spark, path, docs.filter(F.expr(_TEXT_ERASE_PRED)).select("doc_id")
+        )
+        return path
+
+    return artifact("inverted_index_erased", sf_dir, build)
+
+
+@register(
+    "text_search_after_erasure",
+    _TEXT_SEARCH_SQL.replace(
+        "FROM documents", f"FROM documents WHERE NOT ({_TEXT_ERASE_PRED})"
+    ),
+    doc="right-to-erasure on the inverted text index, the Lucene "
+    "live-docs way: deleted doc ids land in a tombstone sidecar "
+    "(postings untouched — a doc's postings scatter across every term "
+    "bucket, so an eager rewrite would touch the whole index), the "
+    "bucket-pruned search anti-joins the broadcast tombstones out, "
+    "and compact_index later purges them physically (compaction ≡ "
+    "fresh rebuild, pinned in tests); oracle = brute-force match over "
+    "the corpus minus the erased docs",
+)
+def q_text_search_after_erasure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.textindex import search_inverted_index
+
+    idx = erased_inverted_index_path(spark, sf_dir)
+    return search_inverted_index(spark, idx, _SEARCH_TERMS, k=10)
+
+
 @register(
     "indexed_text_search",
     _TEXT_SEARCH_SQL,

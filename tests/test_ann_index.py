@@ -242,3 +242,126 @@ def test_stream_built_index_equals_batch_built(spark):
     got = idx.table.read()
     assert got.count() == emb.count()
     assert got.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test: ANY interleaving of upsert-new /
+# reassign-upsert / delete must leave the index equal to a plain dict
+# model, both in CONTENT (id → vector, cell = argmin distance, ties to
+# the lower centroid) and in PROBE results (cosine top-k over the
+# probed cells' model entries, ties to the lower id).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_CENTROIDS = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+_VEC = st.tuples(
+    st.integers(1, 9).map(float), st.integers(1, 9).map(float)
+)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("up"),
+            st.dictionaries(st.integers(0, 9), _VEC, min_size=1, max_size=4),
+        ),
+        st.tuples(
+            st.just("reassign"),
+            st.dictionaries(st.integers(0, 9), _VEC, min_size=1, max_size=4),
+        ),
+        st.tuples(
+            st.just("del"),
+            st.lists(st.integers(0, 9), min_size=1, max_size=3).map(
+                lambda xs: dict.fromkeys(xs)
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _cell_of(vec):
+    d = [
+        sum((x - c) ** 2 for x, c in zip(vec, cent)) for cent in _CENTROIDS
+    ]
+    return min(range(len(_CENTROIDS)), key=lambda i: (d[i], i))
+
+
+def _cos(a, b):
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+
+
+@given(ops=_OPS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_index_matches_dict_model(spark, tmp_path_factory, ops):
+    idx = ManagedIvfIndex(
+        spark,
+        str(tmp_path_factory.mktemp("mgd_prop")),
+        _CENTROIDS,
+        bloom_ids=True,
+    )
+    model: dict[int, tuple] = {}
+    for kind, payload in ops:
+        if kind == "del":
+            ids = [i for i in payload if i in model] or list(payload)
+            if model:
+                idx.delete(
+                    spark.createDataFrame([(i,) for i in ids], "vec_id int")
+                )
+            for i in ids:
+                model.pop(i, None)
+            continue
+        batch = dict(payload)
+        if kind == "up":
+            # plain upsert's contract: new ids and same-cell updates
+            batch = {
+                i: v
+                for i, v in batch.items()
+                if i not in model or _cell_of(v) == _cell_of(model[i])
+            }
+            if not batch:
+                continue
+        df = spark.createDataFrame(
+            [(i, list(v)) for i, v in batch.items()],
+            "vec_id int, embedding array<double>",
+        )
+        idx.upsert(df, reassign=(kind == "reassign" and bool(model)))
+        model.update(batch)
+
+    got = (
+        sorted(
+            (r["vec_id"], tuple(r["embedding"]), r["__c"])
+            for r in idx.table.read().collect()
+        )
+        if model
+        else []
+    )
+    want = sorted(
+        (i, v, _cell_of(v)) for i, v in model.items()
+    )
+    assert got == want
+
+    if model:
+        qv = [5.0, 5.0]
+        probe_cells = set(idx.probe_cells(qv, 2))
+        cand = {i: v for i, v in model.items() if _cell_of(v) in probe_cells}
+        if cand:
+            want_ids = [
+                i
+                for i, _ in sorted(
+                    cand.items(), key=lambda kv: (-_cos(kv[1], qv), kv[0])
+                )[:5]
+            ]
+            got_ids = [
+                r["vec_id"] for r in idx.probe(qv, k=5, nprobe=2).collect()
+            ]
+            assert got_ids == want_ids
