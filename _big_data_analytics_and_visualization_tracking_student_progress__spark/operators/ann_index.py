@@ -38,8 +38,9 @@ from pyspark.sql import functions as F
 
 from .similarity import (
     _sq_dist,
-    cosine,
     cosine_topk,
+    dot,
+    l2norm,
     nearest_clusters,
     with_cluster,
 )
@@ -201,11 +202,17 @@ class ManagedIvfIndex:
                 _sq_dist(qv, c).alias("d"), i.cast("int").alias("i")
             ),
         )
+        # norms are computed ONCE per side (pre-explode for queries,
+        # per index row for candidates): the per-PAIR work is a single
+        # dot-product fold — same subexpressions as cosine(), so the
+        # float results are bit-identical to the one-query probe path
+        # and the SQL oracle, at a third of the per-pair array work
         probed = (
             queries.select(
                 F.col(q_id),
                 F.col(q_vec).cast("array<double>").alias("__qv"),
             )
+            .withColumn("__qn", l2norm(F.col("__qv")))
             .crossJoin(F.broadcast(cent_df))
             .withColumn(
                 "__c",
@@ -235,11 +242,15 @@ class ManagedIvfIndex:
                 F.col(self.vec_col).cast("array<double>").alias("__cv"),
                 "__c",
             )
+            .withColumn("__cn", l2norm(F.col("__cv")))
             .join(F.broadcast(probed), "__c")
             .select(
                 q_id,
                 self.id_col,
-                cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+                (
+                    dot(F.col("__qv"), F.col("__cv"))
+                    / (F.col("__qn") * F.col("__cn"))
+                ).alias("cos_sim"),
             )
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -151,6 +151,19 @@ def main() -> None:
 
     phase("brute_force_full_scan", brute)
 
+    # batch k-NN JOIN through the index: 512 queries in ONE job —
+    # per-query probe cells stamped engine-side, index side reads only
+    # the union of probed cells, exploded queries broadcast
+    def knn_batch() -> None:
+        queries = emb.filter(F.col("vec_id") % 4096 == 1).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        got["knn_rows"] = idx.knn_join(queries, k=5, nprobe=NPROBE).count()
+
+    phase("knn_join_512_queries", knn_batch)
+    if got["knn_rows"] < 5 * 400:
+        raise RuntimeError(f"knn join too few rows: {got['knn_rows']}")
+
     victims = got["ids"][:3]
     phase(
         "delete_3_ids",
@@ -189,8 +202,12 @@ def main() -> None:
         "full-corpus brute-force scan "
         f"({timings[f'probe_nprobe{NPROBE}_of_{N_CELLS}']} s vs "
         f"{timings['brute_force_full_scan']} s); per-query I/O is "
-        "nprobe/n_cells of the files at any corpus size.  DELETE "
-        "removed probed ids without a rebuild (re-probe asserted).",
+        "nprobe/n_cells of the files at any corpus size.  The batch "
+        f"k-NN JOIN answered ~512 queries ({got['knn_rows']:,} result "
+        f"rows) in ONE job ({timings['knn_join_512_queries']} s — "
+        "per-query probe cells stamped engine-side, index rows never "
+        "shuffle).  DELETE removed probed ids without a rebuild "
+        "(re-probe asserted; bloom-located, see the re-measure note).",
         "",
     ]
     with open(os.path.join(ROOT, "SCALE.md"), "a") as fh:
