@@ -674,12 +674,16 @@ class _ManifestMetadataMixin:
             return None  # no bloom metadata: pruning would keep all
         # engine-side candidate positions for every (value, shape) in
         # ONE tiny job over the distinct values — the same cast + hash
-        # expression as the build side (see _probe_positions)
+        # expression as the build side (see _probe_positions).  The
+        # probe MUST cast to the column's declared type first (the
+        # build hashed the column's native rendering — probing int 7
+        # against a double column must hash "7.0"); without a declared
+        # schema a mistyped probe would be a bloom FALSE NEGATIVE (a
+        # silently missed delete), so fall back to the exact scan.
         col_type = dict(prev_doc.get("schema") or []).get(c)
-        lit = F.col("__v")
-        if col_type:
-            lit = lit.cast(col_type)
-        s = lit.cast("string")
+        if col_type is None:
+            return None
+        s = F.col("__v").cast(col_type).cast("string")
         shape_list = sorted(shapes)
         rows = (
             keys.select(F.col(c).alias("__v"))

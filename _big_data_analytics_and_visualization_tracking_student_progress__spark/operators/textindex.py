@@ -398,9 +398,19 @@ def compact_index(
         )
         meta.write.mode("overwrite").parquet(meta_path + "__compacting")
     live.unpersist()
-    shutil.rmtree(path)
+    # swap via rename-aside, never delete-then-rename: a crash between
+    # the two renames leaves either the old index intact (tombstones
+    # still applied at query time) or the new one fully in place —
+    # never a missing index dir
+    old = path + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
     os.replace(tmp, path)
     if os.path.exists(meta_path + "__compacting"):
-        shutil.rmtree(meta_path)
+        meta_old = meta_path + "__old"
+        shutil.rmtree(meta_old, ignore_errors=True)
+        os.replace(meta_path, meta_old)
         os.replace(meta_path + "__compacting", meta_path)
+        shutil.rmtree(meta_old, ignore_errors=True)
     shutil.rmtree(ddir)
+    shutil.rmtree(old, ignore_errors=True)

@@ -398,3 +398,35 @@ def test_bloom_locate_absent_keys_is_cheap_noop(spark, root):
     v = t.delete(spark.createDataFrame([(777_777,), (888_888,)], "k long"))
     assert t.read().count() == 4 * 100
     assert t.versions()[-1] == v >= before
+
+
+def test_bloom_locate_casts_probe_to_column_type(spark, root):
+    """An INT-typed erasure batch against a DOUBLE key column must
+    still locate (the build hashed "7.0", a raw int probe would hash
+    "7" — a bloom false negative = a silently missed delete).  The
+    locate probe casts through the declared manifest schema first."""
+    t = ManifestSnapshotTable(
+        spark,
+        os.path.join(root, "typed"),
+        keys=["k"],
+        order_cols=["seq"],
+        partition_by=["day"],
+        stable_partitions=True,
+        bloom_cols=["k"],
+        bloom_bits=1 << 12,
+        bloom_k=5,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(d, float(d * 100 + i), 1) for d in range(3) for i in range(40)],
+            "day int, k double, seq int",
+        )
+    )
+    prev_doc = t._manifest_doc()
+    prev = {f: int(v) for f, v in prev_doc["partitions"].items()}
+    int_keys = spark.createDataFrame([(205,)], "k int")
+    frags = t._bloom_locate_fragments(int_keys, prev_doc, prev)
+    assert frags is not None and "day=2" in frags
+    t.delete(int_keys)
+    assert t.read().filter(F.col("k") == 205.0).count() == 0
+    assert t.read().count() == 119
