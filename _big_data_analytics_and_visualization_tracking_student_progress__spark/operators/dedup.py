@@ -196,16 +196,40 @@ def portable_minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
     )
 
 
-def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """bands band-keys, each an md5 over one signature slice (prefixed by
-    the band index so keys from different bands never collide)."""
+def lsh_band_keys(
+    signature: Column,
+    bands: int,
+    rows_per_band: int,
+    portable: bool = True,
+) -> Column:
+    """bands band-keys, one per signature slice, prefixed/seeded by the
+    band index so keys from different bands never collide.
+
+    portable=True (default): md5 hex strings over the '_'-joined slice —
+    reproducible in any engine with md5 (the oracle-checked twin's SQL
+    replicates them verbatim).  portable=False: a single xxhash64 long
+    per band (band index as the leading lane) — the band shuffle then
+    carries an 8-byte key instead of a 32-char string, and skips the
+    cast-to-string + concat + md5 per row per band.  Key contents differ
+    between the two modes but bucket semantics are identical modulo
+    hash collisions (~2^-64 per pair)."""
     keys = []
     for b in range(bands):
         parts = [
-            signature[b * rows_per_band + j].cast("string")
-            for j in range(rows_per_band)
+            signature[b * rows_per_band + j] for j in range(rows_per_band)
         ]
-        keys.append(F.md5(F.concat_ws("_", F.lit(str(b)), *parts)))
+        if portable:
+            keys.append(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(b)),
+                        *[p.cast("string") for p in parts],
+                    )
+                )
+            )
+        else:
+            keys.append(F.xxhash64(F.lit(b), *parts))
     return F.array(*keys)
 
 
@@ -276,7 +300,9 @@ def minhash_lsh_pairs(
         )
     banded = signed.select(
         "doc",
-        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band"),
+        F.explode(
+            lsh_band_keys(F.col("sig"), bands, rows_per_band, portable=portable)
+        ).alias("band"),
     )
     buckets = banded.groupBy("band").agg(
         F.sort_array(F.collect_list("doc")).alias("ds")
