@@ -87,6 +87,10 @@ class ManagedIvfIndex:
         # key location (stable_partitions = keys don't name their cell)
         # is metadata-only for erasure-sized batches instead of a scan
         # of every cell (`_locate_key_fragments` bloom fast path).
+        # stats_cols=[id_col]: zone-map envelopes carry exact per-
+        # fragment row counts (#rows), which makes `cell_stats` skew
+        # telemetry and COUNT(*) metadata-only; maintained per touched
+        # fragment, so the commit overhead tracks the batch.
         self.table = ManifestSnapshotTable(
             spark,
             path,
@@ -95,12 +99,22 @@ class ManagedIvfIndex:
             partition_by=["__c"],
             stable_partitions=True,
             keep_versions=keep_versions,
+            stats_cols=[id_col],
             bloom_cols=[id_col] if bloom_ids else None,
         )
 
     # -- write path -----------------------------------------------------
     def _stamp(self, batch: DataFrame) -> DataFrame:
-        seq = len(self.table.versions()) + 1
+        # __seq must identify COMMIT ORDER, not the length of the
+        # readable-version list: with keep_versions set, upsert()'s
+        # vacuum trims versions() to a fixed length, so len()+1 would
+        # saturate and stamp equal __seq on every later commit (leaving
+        # latest-write-wins to the merge tie-break and making __seq
+        # useless to readers).  Version numbers are claimed from the
+        # max committed dir (holders included) and never regress, so
+        # last-readable+1 is monotone across vacuum.
+        vs = self.table.versions()
+        seq = (vs[-1] + 1) if vs else 1
         return with_cluster(
             batch.select(
                 F.col(self.id_col),
@@ -138,6 +152,19 @@ class ManagedIvfIndex:
             self.centroids, [float(x) for x in query_vec], nprobe
         )
 
+    def _id_type(self, version: int | None = None) -> str:
+        """DDL type of the id column at a snapshot (for typed empty
+        results).  Every upsert commit records the logical schema;
+        'long' is the conservative fallback for pre-schema manifests."""
+        sch = self.table.table_schema(version) or []
+        for name, ddl in sch:
+            if name == self.id_col:
+                return ddl
+        return "long"
+
+    def _empty(self, spark: SparkSession, ddl: str) -> DataFrame:
+        return spark.createDataFrame([], ddl)
+
     def probe(
         self,
         query_vec: Sequence[float],
@@ -148,13 +175,23 @@ class ManagedIvfIndex:
         """ANN top-k: read ONLY the nprobe nearest cells' fragments
         from the (optionally time-traveled) snapshot, exact cosine
         top-k inside them.  The scan lists nprobe cell directories —
-        per-query I/O independent of corpus size."""
+        per-query I/O independent of corpus size.
+
+        A non-empty index whose probed cells hold no live vectors
+        (erasure drained them, or an incremental build has not reached
+        them yet) is a legitimate empty top-k, not an error — only a
+        table with no live fragments at all raises."""
         cells = self.probe_cells(query_vec, nprobe)
-        cand, _, _ = self.table.read_partitions(
+        cand, _, total = self.table.read_partitions(
             [(c,) for c in cells], version=version
         )
         if cand is None:
-            raise ValueError("index is empty — nothing to probe")
+            if total == 0:
+                raise ValueError("index is empty — nothing to probe")
+            return self._empty(
+                self.table.spark,
+                f"{self.id_col} {self._id_type(version)}, cos_sim double",
+            )
         return cosine_topk(
             cand.drop("__c", "__seq"),
             [float(x) for x in query_vec],
@@ -170,9 +207,12 @@ class ManagedIvfIndex:
         nprobe: int = 2,
         q_id: str = "q_id",
         q_vec: str | None = None,
+        version: int | None = None,
+        broadcast_bytes: int = 10 << 20,
     ) -> DataFrame:
         """Batch k-NN JOIN through the index: every query row gets its
-        top-k neighbors from the vectors in its nprobe nearest cells.
+        top-k neighbors from the vectors in its nprobe nearest cells
+        of the (optionally time-traveled via ``version``) snapshot.
 
         The per-query probe set is stamped ENGINE-side (the broadcast
         centroid table, an array_sort over (distance, idx) structs —
@@ -181,10 +221,17 @@ class ManagedIvfIndex:
         union of probed cells (manifest partition pruning — across any
         batch that union is at most n_cells, so per-batch I/O is
         bounded by the index layout, never the corpus).  The equi-join
-        on the cell broadcasts the exploded query side, so index rows
-        never shuffle; exact cosine + per-query top-k window inside
-        the matched cells.  Approximate in recall only (unprobed
-        cells), never in precision — the IVF batch-lookup contract.
+        on the cell is SIZE-GATED: when the exploded query side's
+        estimated bytes (|queries| × nprobe × row width, dominated by
+        the dim×8 vector payload) fit under ``broadcast_bytes``
+        (default = Spark's 10 MB autoBroadcastJoinThreshold default),
+        it is broadcast so index rows never shuffle; above the gate it
+        falls back to a shuffled hash equi-join on ``__c`` — both
+        sides exchange, but the index side is already cell-pruned, so
+        the shuffle moves only probed-cell rows, never the corpus.
+        Exact cosine + per-query top-k window inside the matched
+        cells.  Approximate in recall only (unprobed cells), never in
+        precision — the IVF batch-lookup contract.
 
         Returns (q_id, <id_col>, cos_sim, rank) with rank 1..k per
         query (ties break to the lower id)."""
@@ -230,9 +277,33 @@ class ManagedIvfIndex:
         cells = sorted(
             r["__c"] for r in probed.select("__c").distinct().collect()
         )
-        cand, _, _ = self.table.read_partitions([(c,) for c in cells])
+        cand, _, total = self.table.read_partitions(
+            [(c,) for c in cells], version=version
+        )
         if cand is None:
-            raise ValueError("index is empty — nothing to join")
+            if total == 0:
+                raise ValueError("index is empty — nothing to join")
+            # probed cells hold no live vectors (erased / not yet
+            # built): a legitimate empty join, typed like the real one
+            qt = queries.schema[q_id].dataType.simpleString()
+            return self._empty(
+                self.table.spark,
+                f"{q_id} {qt}, "
+                f"{self.id_col} {self._id_type(version)}, "
+                "cos_sim double, rank int",
+            )
+        # broadcast gate: the exploded query side is |q|×nprobe rows of
+        # (id, dim×8B vector, norm, cell) — estimate and compare before
+        # pinning the join strategy.  queries.count() is one job over
+        # the (small, batch-sized) query side, never the index.
+        dim = len(self.centroids[0]) if self.centroids else 0
+        est = queries.count() * nprobe * (dim * 8 + 48)
+        q_side = F.broadcast(probed) if est <= broadcast_bytes else (
+            # above the gate: shuffled hash join on the cell — hinted
+            # so AQE cannot flip a known-oversized side back to
+            # broadcast; sort-merge is pointless for n_cells keys
+            probed.hint("shuffle_hash")
+        )
         w = Window.partitionBy(q_id).orderBy(
             F.col("cos_sim").desc(), F.col(self.id_col)
         )
@@ -243,7 +314,7 @@ class ManagedIvfIndex:
                 "__c",
             )
             .withColumn("__cn", l2norm(F.col("__cv")))
-            .join(F.broadcast(probed), "__c")
+            .join(q_side, "__c")
             .select(
                 q_id,
                 self.id_col,
@@ -255,3 +326,60 @@ class ManagedIvfIndex:
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+
+    # -- telemetry --------------------------------------------------------
+    def cell_stats(self, version: int | None = None) -> dict:
+        """Per-cell occupancy from manifest metadata — zero data reads.
+
+        IVF cells are data-dependent: a hot cell makes probes and
+        compaction lopsided, which is the realistic failure mode at
+        100 TB (a probe touching the hot cell pays its whole row count;
+        OPTIMIZE rewrites it end-to-end).  This surfaces the skew so
+        operators can see it coming: per cell, the LIVE row count
+        (fragment #rows envelope minus deletion-vector cardinality;
+        None for pre-stats commits) and the data-file count (file-stats
+        sidecar when recorded, else a directory listing of the holder
+        version's fragment).
+
+        Returns ``{"cells": {cell: {"rows": int|None, "files": int}},
+        "rows_total", "rows_max", "rows_mean", "skew"}`` where ``skew``
+        = max/mean live rows over recorded cells (1.0 = perfectly
+        balanced; None when no cell has recorded counts).  Rebalance
+        posture: skew is fixed by RETRAINING the coarse quantizer into
+        a new index build (the FAISS stance — see the class docstring),
+        not by splitting cells in place; the metric tells you when."""
+        import os
+
+        doc = self.table._manifest_doc(version)
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
+        st = doc.get("stats", {})
+        dvr = {k: int(n) for k, n in (doc.get("dv_rows") or {}).items()}
+        fst = self.table._file_stats_for(doc) if m else {}
+        rk = self.table._ROWS_KEY
+        cells: dict[int, dict] = {}
+        for frag, hv in m.items():
+            cell = int(frag.split("=", 1)[1])
+            env = st.get(frag)
+            rows = (
+                int(env[rk]) - dvr.get(frag, 0)
+                if env and rk in env
+                else None
+            )
+            files = len(fst.get(frag, {}))
+            if not files:
+                d = os.path.join(self.table._data_dir(hv), frag)
+                files = (
+                    sum(n.endswith(".parquet") for n in os.listdir(d))
+                    if os.path.isdir(d)
+                    else 0
+                )
+            cells[cell] = {"rows": rows, "files": files}
+        counted = [c["rows"] for c in cells.values() if c["rows"] is not None]
+        mean = (sum(counted) / len(counted)) if counted else None
+        return {
+            "cells": cells,
+            "rows_total": sum(counted) if counted else None,
+            "rows_max": max(counted) if counted else None,
+            "rows_mean": mean,
+            "skew": (max(counted) / mean) if counted and mean else None,
+        }

@@ -365,3 +365,144 @@ def test_index_matches_dict_model(spark, tmp_path_factory, ops):
                 r["vec_id"] for r in idx.probe(qv, k=5, nprobe=2).collect()
             ]
             assert got_ids == want_ids
+
+
+# ---------------------------------------------------------------------------
+# Round-13 lifecycle hardening: broadcast gate + version on knn_join,
+# drained-cell empties, monotone __seq under vacuum, skew telemetry.
+# ---------------------------------------------------------------------------
+_GRID = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+
+
+def _grid_index(spark, tmp_path, rows, **kw):
+    idx = ManagedIvfIndex(
+        spark, str(tmp_path / "g"), _GRID, **kw
+    )
+    idx.upsert(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    return idx
+
+
+def test_knn_join_shuffle_fallback_above_gate(spark, tmp_path):
+    """Above the broadcast gate the join degrades to a shuffled hash
+    equi-join on __c (exchange on the cell, both sides) — and returns
+    the exact same rows as the broadcast regime."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = S.train_ivf_centroids_sample(
+        emb, "embedding", "vec_id", k=8, iters=5
+    )
+    idx = _fixture_index(spark, tmp_path, emb, centroids)
+    queries = emb.filter(F.col("vec_id") % 101 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    small = idx.knn_join(queries, k=3, nprobe=2)
+    big = idx.knn_join(queries, k=3, nprobe=2, broadcast_bytes=1)
+
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small, plan_small[:2000]
+    assert "ShuffledHashJoin" in plan_big, plan_big[:2000]
+    assert "hashpartitioning(__c" in plan_big, plan_big[:2000]
+
+    key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+    a = sorted(map(tuple, small.collect()), key=lambda t: (t[0], t[3]))
+    b = sorted(map(tuple, big.collect()), key=lambda t: (t[0], t[3]))
+    assert a == b
+
+
+def test_knn_join_version_time_travel(spark, tmp_path):
+    """knn_join(version=) pins the snapshot the join reads, like
+    probe(version=): ids upserted after the pinned version are
+    invisible to the batch join."""
+    idx = _grid_index(
+        spark, tmp_path, [(1, [1.0, 1.0]), (2, [2.0, 2.0])]
+    )
+    v1 = idx.table.versions()[-1]
+    idx.upsert(
+        spark.createDataFrame(
+            [(3, [1.5, 1.5])], "vec_id long, embedding array<double>"
+        )
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "q_id long, embedding array<double>"
+    )
+    now = idx.knn_join(queries, k=3, nprobe=1)
+    then = idx.knn_join(queries, k=3, nprobe=1, version=v1)
+    assert {r.vec_id for r in now.collect()} == {1, 2, 3}
+    assert {r.vec_id for r in then.collect()} == {1, 2}
+
+
+def test_probe_and_knn_join_empty_probed_cells(spark, tmp_path):
+    """A non-empty index whose probed cells hold no live vectors is a
+    legitimate empty result (typed like the real one), not an error —
+    only a truly empty index raises."""
+    import pytest
+
+    # vectors only in cell 0; probe lands in cell 3
+    idx = _grid_index(
+        spark, tmp_path, [(1, [1.0, 1.0]), (2, [2.0, 2.0])]
+    )
+    out = idx.probe([10.0, 10.0], k=3, nprobe=1)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cos_sim"]
+    assert out.schema["vec_id"].dataType.simpleString() == "bigint"
+
+    queries = spark.createDataFrame(
+        [(7, [10.0, 10.0])], "q_id long, embedding array<double>"
+    )
+    j = idx.knn_join(queries, k=3, nprobe=1)
+    assert j.count() == 0
+    assert j.columns == ["q_id", "vec_id", "cos_sim", "rank"]
+
+    empty = ManagedIvfIndex(spark, str(tmp_path / "none"), _GRID)
+    with pytest.raises(ValueError, match="empty"):
+        empty.probe([1.0, 1.0], k=3)
+    with pytest.raises(ValueError, match="empty"):
+        empty.knn_join(queries, k=3)
+
+
+def test_seq_monotone_across_vacuum(spark, tmp_path):
+    """__seq identifies commit order even after vacuum trims the
+    readable-version list: len(versions())+1 would saturate at
+    keep_versions+1, stamping equal __seq on later commits."""
+    idx = ManagedIvfIndex(
+        spark, str(tmp_path / "kv"), _GRID, keep_versions=2
+    )
+    for i in range(1, 5):
+        idx.upsert(
+            spark.createDataFrame(
+                [(1, [float(i), 1.0])], "vec_id long, embedding array<double>"
+            )
+        )
+    row = idx.table.read().select("embedding", "__seq").head()
+    # content reflects the LAST write and __seq is the 4th commit's
+    # version-derived stamp, strictly above the saturated len()+1 value
+    assert row["embedding"][0] == 4.0
+    assert row["__seq"] == idx.table.versions()[-1]
+    assert row["__seq"] >= 4
+
+
+def test_cell_stats_surfaces_skew(spark, tmp_path):
+    """cell_stats is metadata-only telemetry: per-cell live rows/files
+    from the manifest, with a max/mean skew summary that flags a hot
+    cell on a deliberately skewed corpus."""
+    rows = [(i, [1.0 + (i % 3) * 0.1, 1.0]) for i in range(90)]  # cell 0
+    rows += [(100, [10.0, 0.1]), (101, [0.1, 10.0])]  # cells 1, 2
+    idx = _grid_index(spark, tmp_path, rows)
+    stats = idx.cell_stats()
+    assert set(stats["cells"]) == {0, 1, 2}
+    assert stats["rows_total"] == 92
+    assert stats["cells"][0]["rows"] == 90
+    assert all(c["files"] >= 1 for c in stats["cells"].values())
+    assert stats["skew"] > 2.0  # 90 / mean(~30.7) ≈ 2.9
+
+    # erasure moves the metric: delete the hot cell's rows
+    idx.delete(
+        spark.createDataFrame(
+            [(i,) for i in range(90)], "vec_id long"
+        )
+    )
+    after = idx.cell_stats()
+    assert after["rows_total"] == 2
+    assert 0 not in after["cells"] or after["cells"][0]["rows"] == 0
