@@ -90,7 +90,7 @@ def search_inverted_index(
     postings = live_postings(
         spark,
         path,
-        spark.read.parquet(path)
+        _read_index(spark, path)
         .filter(F.col("__b").isin(buckets))
         .filter(F.col("term").isin(query_terms)),
         id_col,
@@ -128,7 +128,7 @@ def bm25_search(
     mirroring these formulas reproduces the ranking bit-for-bit — the
     registered `bm25_search_topk` query is DuckDB-oracle-checked."""
     meta = (
-        spark.read.parquet(path + "__meta")
+        _read_index(spark, path + "__meta")
         .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t"))
         .head()
     )
@@ -140,7 +140,7 @@ def bm25_search(
     postings = live_postings(
         spark,
         path,
-        spark.read.parquet(path)
+        _read_index(spark, path)
         .filter(F.col("__b").isin(buckets))
         .filter(F.col("term").isin(query_terms)),
         id_col,
@@ -230,7 +230,7 @@ def phrase_search(
     postings = live_postings(
         spark,
         path,
-        spark.read.parquet(path)
+        _read_index(spark, path)
         .filter(F.col("__b").isin(buckets))
         .filter(F.col("term").isin(phrase)),
         id_col,
@@ -277,7 +277,7 @@ def proximity_search(
     postings = live_postings(
         spark,
         path,
-        spark.read.parquet(path)
+        _read_index(spark, path)
         .filter(F.col("__b").isin(buckets))
         .filter(F.col("term").isin([term_a, term_b])),
         id_col,
@@ -320,6 +320,33 @@ def proximity_search(
 _DELETES_SUFFIX = "__deletes"
 
 
+def _recover_swap(path: str) -> None:
+    """Crash recovery for `compact_index`'s rename-aside swap: between
+    its two os.replace calls the directory at ``path`` does not exist
+    (the swap is two renames, not one atomic exchange — true atomicity
+    would need renameat2(RENAME_EXCHANGE) or pointer indirection).  If
+    a crash landed there, roll the swap FORWARD when the replacement is
+    fully written (`__compacting` carries Spark's _SUCCESS marker),
+    else roll BACK to the set-aside original (`__old`).  Idempotent,
+    no-op whenever ``path`` exists; every read/write entry point probes
+    it before touching the index, so the window is self-healing."""
+    import os
+
+    if os.path.exists(path):
+        return
+    tmp, old = path + "__compacting", path + "__old"
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.replace(tmp, path)
+    elif os.path.exists(old):
+        os.replace(old, path)
+
+
+def _read_index(spark: SparkSession, path: str) -> DataFrame:
+    """Open an index (or meta sidecar) dir with swap recovery."""
+    _recover_swap(path)
+    return spark.read.parquet(path)
+
+
 def delete_docs(
     spark: SparkSession,
     path: str,
@@ -329,11 +356,16 @@ def delete_docs(
     """Tombstone documents out of the index (plain or positional).
     ``ids``: a DataFrame carrying ``id_col``, or an iterable of ids.
     Idempotent — re-deleting already-tombstoned ids changes nothing a
-    query can observe (the anti-join is a set filter)."""
+    query can observe (the anti-join is a set filter).  The tombstone
+    id type is derived from the INDEX's own id column (one footer
+    read), so string-id indexes work on the iterable path and
+    alternating DataFrame/iterable calls can never mix types in the
+    tombstone parquet."""
+    idt = _read_index(spark, path).schema[id_col].dataType.simpleString()
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} {idt}")
     (
-        ids.select(id_col)
+        ids.select(F.col(id_col).cast(idt))
         .distinct()
         .coalesce(1)
         .write.mode("append")
@@ -374,8 +406,10 @@ def compact_index(
     ddir = path + _DELETES_SUFFIX
     if not os.path.exists(os.path.join(ddir, "_SUCCESS")):
         return
+    meta_recover = path + "__meta"
+    _recover_swap(meta_recover)
     live = live_postings(
-        spark, path, spark.read.parquet(path), id_col
+        spark, path, _read_index(spark, path), id_col
     ).persist()
     tmp = path + "__compacting"
     (
@@ -398,10 +432,15 @@ def compact_index(
         )
         meta.write.mode("overwrite").parquet(meta_path + "__compacting")
     live.unpersist()
-    # swap via rename-aside, never delete-then-rename: a crash between
-    # the two renames leaves either the old index intact (tombstones
-    # still applied at query time) or the new one fully in place —
-    # never a missing index dir
+    # swap via rename-aside, never delete-then-rename.  The two renames
+    # are NOT one atomic exchange: between them the index dir does not
+    # exist.  That window is covered by `_recover_swap`, which every
+    # entry point probes first — a crash (or a straggling concurrent
+    # reader) finds either the fully-written replacement (__compacting
+    # + _SUCCESS, rolled forward) or the set-aside original (__old,
+    # rolled back); the tombstone dir survives until the very end, so
+    # a rolled-back index still filters the deleted ids at query time
+    # and the next compact converges.
     old = path + "__old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)

@@ -128,3 +128,62 @@ def test_positional_index_erasure(spark, tmp_path):
     assert all(r[0] != victim for r in after)
     compact_index(spark, idx)  # positional index has no meta sidecar
     assert _rows(phrase_search(spark, idx, phrase, k=10)) == after
+
+
+def test_string_id_iterable_delete(spark, tmp_path):
+    """delete_docs derives the tombstone type from the INDEX's id
+    column, so string-id indexes work on the plain-iterable path and
+    alternating DataFrame/iterable calls never mix tombstone types."""
+    docs = _docs(spark).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    idx = str(tmp_path / "sidx")
+    build_inverted_index(docs, idx)
+    hit_ids = [
+        r.doc_id for r in search_inverted_index(spark, idx, TERMS, k=3).collect()
+    ]
+    delete_docs(spark, idx, hit_ids[:1])  # iterable of strings
+    delete_docs(
+        spark,
+        idx,
+        spark.createDataFrame([(hit_ids[1],)], "doc_id string"),
+    )  # DataFrame form appended to the same tombstone parquet
+    left = {
+        r.doc_id for r in search_inverted_index(spark, idx, TERMS, k=10).collect()
+    }
+    assert hit_ids[0] not in left and hit_ids[1] not in left
+    compact_index(spark, idx)
+    after = {
+        r.doc_id for r in search_inverted_index(spark, idx, TERMS, k=10).collect()
+    }
+    assert after == left
+
+
+def test_swap_crash_window_recovers(spark, tmp_path):
+    """compact_index's rename-aside swap has a window where the index
+    dir is absent; `_recover_swap` (probed by every entry point) rolls
+    a crash there forward to the fully-written replacement, or back to
+    the set-aside original — queries keep answering either way."""
+    import shutil
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "cidx")
+    build_inverted_index(docs, idx)
+    delete_docs(spark, idx, docs.filter(F.expr(PRED)).select("doc_id"))
+    want = _rows(search_inverted_index(spark, idx, TERMS, k=10))
+
+    # crash AFTER set-aside, BEFORE the forward rename, replacement not
+    # yet complete (no __compacting): roll BACK to __old — tombstones
+    # still present, so results are unchanged
+    os.replace(idx, idx + "__old")
+    assert _rows(search_inverted_index(spark, idx, TERMS, k=10)) == want
+
+    # crash BETWEEN the two renames with the replacement fully written
+    # (__compacting + _SUCCESS): roll FORWARD
+    compact_index(spark, idx)  # clean state, tombstones purged
+    want2 = _rows(search_inverted_index(spark, idx, TERMS, k=10))
+    shutil.copytree(idx, idx + "__compacting")
+    os.replace(idx, idx + "__old2")  # not a recovery-known name
+    assert _rows(search_inverted_index(spark, idx, TERMS, k=10)) == want2
+    assert os.path.isdir(idx) and not os.path.exists(idx + "__compacting")
