@@ -1534,9 +1534,16 @@ def _e2e_dashboard_artifact(spark: SparkSession, sf_dir: str) -> dict:
     os.makedirs(drop)
 
     header = ["event_id", "user_id", "event_type", "value"]
+    # The drop file is a small operational spreadsheet (driver-localized
+    # by design — pro.py reads workbooks row-wise on one node too), so
+    # the collect is BOUNDED the same way q_modified_file_reingest's is:
+    # a deterministic 1/17 thinning keeps the xlsx at upload size at any
+    # fixture SF instead of materializing the whole events table on the
+    # driver.  The oracle applies the identical predicate.
     data = [
         [r["event_id"], r["user_id"], r["event_type"], r["value"]]
         for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
         .select(*header)
         .collect()
     ]
@@ -1629,7 +1636,7 @@ def _e2e_dashboard_artifact(spark: SparkSession, sf_dir: str) -> dict:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY event_type
+    FROM events WHERE event_id % 17 = 0 GROUP BY event_type
     """,
     doc="the reference's full loop as ONE verified composition: xlsx "
     "drop + modified-file re-upload → watcher row-hash CDC (only the "
