@@ -177,6 +177,96 @@ def bm25_search(
     )
 
 
+def bm25_msearch(
+    spark: SparkSession,
+    path: str,
+    queries: dict[object, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Batched multi-query BM25 — the `_msearch` shape (dashboards and
+    eval harnesses issue hundreds of queries at once; one Spark job per
+    query would pay the scan/job overhead N times).
+
+    One pass serves every query: the UNION of all queries' term
+    buckets is read once (driver-side portable-hash pruning, same as
+    the single-query path), the per-(doc, term) fixed-point score is
+    computed ONCE per posting row — it does not depend on the query —
+    and a broadcast join against the tiny (q_id, term) table fans each
+    posting out to the queries that asked for its term; per-query sums
+    and a rank window finish it.  Because df(t), N/avgdl, and the 1e-4
+    quantization are the single-query path's exact subexpressions,
+    each query's (doc, score) set is BIT-IDENTICAL to running
+    `bm25_search` alone (pinned in tests); only job count changes.
+
+    Returns (q_id, <id_col>, bm25, rank) with rank 1..k per query
+    (ties to the lower id)."""
+    meta = (
+        _read_index(spark, path + "__meta")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t"))
+        .head()
+    )
+    n_docs, avgdl = int(meta["n"]), float(meta["t"]) / int(meta["n"])
+    pairs = sorted(
+        {(qid, t) for qid, terms in queries.items() for t in terms}
+    )
+    all_terms = sorted({t for _q, t in pairs})
+    buckets = sorted({_portable_hash_py(t) % n_buckets for t in all_terms})
+    postings = live_postings(
+        spark,
+        path,
+        _read_index(spark, path)
+        .filter(F.col("__b").isin(buckets))
+        .filter(F.col("term").isin(all_terms)),
+        id_col,
+    )
+    # identical subexpressions to bm25_search: df over the pruned
+    # postings (pruning to the term UNION cannot change a per-term
+    # count), idf at integer (N, df) points, 1e-4 fixed-point floor
+    wdf = Window.partitionBy("term")
+    df_t = F.count(F.lit(1)).over(wdf).cast("double")
+    idf = F.log(
+        (F.lit(float(n_docs)) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf * F.lit(k1 + 1.0) / (
+        tf
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        )
+    )
+    scored = postings.select(
+        F.col(id_col),
+        F.col("term"),
+        F.floor(idf * norm * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("s_fp"),
+    )
+    qt = spark.createDataFrame(pairs, ["q_id", "term"])
+    per_q = (
+        scored.join(F.broadcast(qt), "term")
+        .groupBy("q_id", id_col)
+        .agg(F.sum("s_fp").alias("s"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col(id_col))
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            id_col,
+            (F.col("s") / F.lit(10000.0)).alias("bm25"),
+            "rank",
+        )
+    )
+
+
 def build_positional_index(
     df: DataFrame,
     path: str,

@@ -1008,6 +1008,88 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(spark, path, _SEARCH_TERMS, k=10)
 
 
+# Batched multi-query BM25 (the ES `_msearch` shape).  Query 1 is the
+# single-query fixture verbatim, so the msearch ≡ single-path identity
+# is externally visible, not just unit-tested.
+_MSEARCH_QUERIES: dict[int, list[str]] = {
+    1: ["spark", "merge", "window"],
+    2: ["join", "hash"],
+    3: ["stream", "batch", "filter"],
+    4: ["vector", "scan"],
+}
+
+
+def _msearch_values() -> str:
+    return ", ".join(
+        f"({qid}, '{t}')"
+        for qid in sorted(_MSEARCH_QUERIES)
+        for t in _MSEARCH_QUERIES[qid]
+    )
+
+
+@register(
+    "bm25_msearch_topk",
+    f"""
+    WITH q AS (
+        SELECT CAST(q_id AS BIGINT) AS q_id, term
+        FROM (VALUES {_msearch_values()}) AS v(q_id, term)
+    ),
+    toks AS (
+        SELECT doc_id, unnest({_NE_TOKS}) AS term,
+               len({_NE_TOKS}) AS dl
+        FROM documents
+    ),
+    meta AS (
+        SELECT COUNT(*) AS n, SUM(len({_NE_TOKS})) AS t FROM documents
+    ),
+    p AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf,
+               CAST(any_value(dl) AS INT) AS dl
+        FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+        GROUP BY term, doc_id
+    ),
+    d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+        SELECT p.term, p.doc_id,
+               CAST(FLOOR(
+                   (ln((CAST(meta.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(p.tf AS DOUBLE) * 2.2
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                                   / (CAST(meta.t AS DOUBLE)
+                                      / CAST(meta.n AS DOUBLE))))))
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM p JOIN d USING (term) CROSS JOIN meta
+    ),
+    per_q AS (
+        SELECT q.q_id, scored.doc_id, SUM(s_fp) AS s
+        FROM scored JOIN q USING (term)
+        GROUP BY q.q_id, scored.doc_id
+    ),
+    ranked AS (
+        SELECT q_id, doc_id, CAST(s AS DOUBLE) / 10000.0 AS bm25,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY s DESC, doc_id
+               ) AS INT) AS rank
+        FROM per_q
+    )
+    SELECT q_id, doc_id, bm25, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="batched multi-query BM25 (`_msearch`): the bucket UNION of all "
+    "queries' terms is read once, the per-(doc,term) fixed-point score "
+    "is computed once per posting (query-independent), and a broadcast "
+    "(q_id, term) join fans postings out to their queries — per-query "
+    "results bit-identical to running bm25_search per query, at one "
+    "job instead of N; oracle = from-scratch DuckDB BM25 per query",
+)
+def q_bm25_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import bm25_msearch
+
+    path = inverted_index_path(spark, sf_dir)
+    return bm25_msearch(spark, path, _MSEARCH_QUERIES, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -248,6 +248,43 @@ class TestBM25:
             t in top.text.lower().split() for t in ["spark", "merge", "window"]
         )
 
+    def test_msearch_identical_to_per_query_single_path(self, spark, tmp_path):
+        # the _msearch contract: each query's (doc, bm25) rows are
+        # bit-identical to running bm25_search alone, and the batched
+        # index read prunes to the UNION of the queries' term buckets
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (
+            bm25_msearch,
+            bm25_search,
+            build_inverted_index,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        idx = str(tmp_path / "midx")
+        build_inverted_index(docs, idx)
+        queries = {
+            1: ["spark", "merge", "window"],
+            2: ["join", "hash"],
+            3: ["nosuchterm"],
+        }
+        got = bm25_msearch(spark, idx, queries, k=10).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.q_id, []).append((r.doc_id, r.bm25))
+        for qid, terms in queries.items():
+            single = [
+                (r.doc_id, r.bm25)
+                for r in bm25_search(spark, idx, terms, k=10).collect()
+            ]
+            assert by_q.get(qid, []) == single, qid
+        # ranks are 1..n per query, ordered with the single path
+        for qid, rows in by_q.items():
+            n = len(rows)
+            ranks = sorted(
+                r.rank for r in got if r.q_id == qid
+            )
+            assert ranks == list(range(1, n + 1))
+
+
 
 class TestIVFPQ:
     def test_ivfpq_subset_of_probed_cells_and_no_shuffle(self, spark):
