@@ -96,6 +96,12 @@ HEADLINE = [
     # re-aggregation — the app.py:58 contrast) for the e2e loop.
     "ann_ivf_index_upsert",
     "e2e_drop_to_dashboard",
+    # round-13 addition: batched multi-query BM25 (the ES _msearch
+    # shape).  Index built once in warmup via the artifact cache; the
+    # measured wall is the steady-state batch-serve cost — one
+    # bucket-union read + broadcast (q_id, term) fan-out for 4 queries
+    # (~8x cheaper than sequential at 64 queries, SCALE.md).
+    "bm25_msearch_topk",
 ]
 
 
