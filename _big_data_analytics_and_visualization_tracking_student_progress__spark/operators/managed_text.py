@@ -1,0 +1,312 @@
+"""Manifest-managed inverted text index: the posting layout of
+`textindex.build_inverted_index` routed through `ManifestSnapshotTable`
+— the text twin of `ann_index.ManagedIvfIndex`.
+
+The plain hive index (textindex.py) serves the frozen-corpus shape and
+patches mutability on with sidecars: tombstone files for erasure, a
+rename-aside swap for compaction (self-healing, but still a
+non-atomic window).  This module gets the full storage lifecycle from
+the manifest instead, so the entire swap/tombstone class disappears:
+
+- **Appends** are pruned MERGE commits on (term, doc) keys: only the
+  bucket fragments the batch's terms hash into rewrite, every other
+  bucket is inherited by reference — ingest cost tracks the batch.
+- **Erasure** is a deletion-vector commit (`delete_where_dv`): a doc's
+  postings scatter across every term bucket (that is WHY eager
+  rewrites don't scale), so the DV commit writes one (file, row_index)
+  sidecar row per doomed posting and every read anti-joins them out —
+  Lucene's liveDocs, expressed as the manifest's merge-on-read DELETE.
+- **Compaction** (`compact`) materializes the vectors physically and
+  re-exactifies the BM25 corpus stats — Lucene's segment merge.
+- **Queries** are snapshot-isolated, bucket-pruned `read_partitions`
+  probes with `version=` time travel: a reader can never observe a
+  half-applied append, and yesterday's ranking is a parameter away.
+
+Reference parity: the reference delegates retrieval to Elasticsearch
+(README.md:26-27 — index + Kibana); this is the ES/Lucene index
+lifecycle (versioned segments, deletes-as-liveDocs, merges)
+re-expressed as manifest commits, Spark-first.
+
+Corpus stats (BM25's N and avgdl) are one tiny JSON per postings
+version (driver-side atomic write — they are two longs, not data):
+`bm25(version=v)` uses the newest stats at-or-below v, so stats follow
+the Lucene contract — exact after build/append/compact, stale across
+DV erasure until the next compaction re-exactifies them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64
+from .similarity import _portable_hash_py
+from .text import ws_tokens
+from .textindex import N_BUCKETS, bm25_fixed_point
+from .upsert import ManifestSnapshotTable
+
+__all__ = ["ManagedTextIndex"]
+
+
+class ManagedTextIndex:
+    """Inverted index with manifest-backed incremental maintenance.
+
+    Contract mirrors Lucene: `upsert` is for NEW documents (the corpus
+    grows); a CHANGED document must go through ``upsert(reindex=True)``
+    (delete-then-insert) because its term SET changes — a keyed MERGE
+    alone would update shared (term, doc) rows but leave the doc's
+    dropped terms' postings behind.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = N_BUCKETS,
+        keep_versions: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        # stable_partitions: __b = f(term, n_buckets) is a pure function
+        # of the key's term component, so a (term, doc) row can never
+        # change bucket — the pruned-MERGE soundness condition.
+        self.table = ManifestSnapshotTable(
+            spark,
+            os.path.join(path, "postings"),
+            keys=["term", id_col],
+            order_cols=["__seq"],
+            partition_by=["__b"],
+            stable_partitions=True,
+            keep_versions=keep_versions,
+            stats_cols=[id_col],
+        )
+
+    # -- write path -----------------------------------------------------
+    def _postings(self, docs: DataFrame, seq: int) -> DataFrame:
+        nonempty = F.filter(
+            ws_tokens(F.col(self.text_col)), lambda t: t != F.lit("")
+        )
+        toks = docs.select(
+            F.col(self.id_col),
+            F.explode(nonempty).alias("term"),
+            F.size(nonempty).alias("dl"),
+        )
+        return (
+            toks.groupBy("term", self.id_col)
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.first("dl").cast("int").alias("dl"),
+            )
+            .withColumn(
+                "__b",
+                F.pmod(portable_hash64(F.col("term")), F.lit(self.n_buckets)),
+            )
+            .withColumn("__seq", F.lit(seq))
+        )
+
+    def _next_seq(self) -> int:
+        vs = self.table.versions()
+        return (vs[-1] + 1) if vs else 1
+
+    def upsert(self, docs: DataFrame, reindex: bool = False) -> int:
+        """Index a document batch: tokenize → (term, doc) postings with
+        denormalized dl → pruned MERGE into the term-bucket partitions.
+        With ``reindex`` the ids are DV-deleted first so a re-written
+        document cannot leave postings of its dropped terms behind."""
+        if reindex and self.table.versions():
+            self.delete(docs.select(self.id_col))
+        batch = self._postings(docs, self._next_seq())
+        v = self.table.upsert(batch)
+        # corpus stats advance EXACTLY on append: new docs add their
+        # counts on top of the version the merge was based on
+        prev = self._stats_at(None)
+        add = docs.select(
+            F.size(
+                F.filter(
+                    ws_tokens(F.col(self.text_col)),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("dl")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+        ).head()
+        self._write_stats(
+            v,
+            prev["n_docs"] + int(add["n"]),
+            prev["total_dl"] + int(add["t"]),
+        )
+        return v
+
+    def delete(self, ids) -> int:
+        """Right-to-erasure as a deletion-vector commit: no posting
+        file rewrites — one sidecar row per doomed posting, anti-joined
+        out of every subsequent read (and of time-travel reads AT or
+        AFTER this version; earlier snapshots still serve the doc,
+        exactly like Delta DVs).  ``ids``: DataFrame or iterable.
+        The id batch becomes an IN-list literal, so this path is for
+        erasure-sized batches (operational metadata, like the GDPR
+        request itself); corpus-scale deletion is a rebuild.
+        Stats stay at their pre-delete values until `compact` —
+        Lucene's deletes-don't-touch-stats-until-merge semantics."""
+        if isinstance(ids, DataFrame):
+            vals = [r[0] for r in ids.select(self.id_col).distinct().collect()]
+        else:
+            vals = sorted(set(ids))
+        if not vals:
+            vs = self.table.versions()
+            return vs[-1] if vs else 0
+        return self.table.delete_where_dv(F.col(self.id_col).isin(vals))
+
+    def compact(self) -> int:
+        """Lucene's segment merge as one manifest OPTIMIZE commit:
+        materializes deletion vectors physically, bin-packs each
+        bucket (one task's output per bucket), and re-exactifies the
+        corpus stats from the surviving postings (dl rides
+        denormalized — one row per doc recovers the exact length
+        without the corpus)."""
+        v = self.table.compact()
+        live = self.table.read()
+        if live is None:
+            self._write_stats(v, 0, 0)
+            return v
+        row = (
+            live.groupBy(self.id_col)
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+            )
+            .head()
+        )
+        self._write_stats(v, int(row["n"]), int(row["t"]))
+        return v
+
+    # -- corpus stats -----------------------------------------------------
+    def _stats_dir(self) -> str:
+        return os.path.join(self.path, "stats")
+
+    def _write_stats(self, version: int, n_docs: int, total_dl: int) -> None:
+        """Two longs per postings version, written atomically (tmp +
+        rename) driver-side — never a Spark job."""
+        d = self._stats_dir()
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"v={version:05d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n_docs": n_docs, "total_dl": total_dl}, fh)
+        os.replace(tmp, final)
+
+    def _stats_at(self, version: int | None) -> dict:
+        """Newest recorded stats at-or-below ``version`` (latest when
+        None).  A missing file for an intermediate version (crash
+        between postings commit and stats write) falls back to the
+        previous version's stats — the documented stale-stats regime;
+        the next append/compact re-exactifies."""
+        d = self._stats_dir()
+        if os.path.isdir(d):
+            best = None
+            for name in sorted(os.listdir(d)):
+                if not (name.startswith("v=") and name.endswith(".json")):
+                    continue
+                v = int(name[2:-5])
+                if version is None or v <= version:
+                    best = name
+            if best is not None:
+                with open(os.path.join(d, best)) as fh:
+                    return json.load(fh)
+        return {"n_docs": 0, "total_dl": 0}
+
+    # -- read path --------------------------------------------------------
+    def _pruned(
+        self, query_terms: list[str], version: int | None
+    ) -> DataFrame | None:
+        buckets = sorted(
+            {_portable_hash_py(t) % self.n_buckets for t in query_terms}
+        )
+        cand, _, total = self.table.read_partitions(
+            [(b,) for b in buckets], version=version
+        )
+        if cand is None:
+            if total == 0:
+                raise ValueError("index is empty — nothing to search")
+            return None
+        return cand.filter(F.col("term").isin(query_terms))
+
+    def search(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Analyzed `match` (same contract as search_inverted_index):
+        (distinct terms matched, total tf) ranking over the snapshot's
+        live postings."""
+        postings = self._pruned(query_terms, version)
+        if postings is None:
+            return self.spark.createDataFrame(
+                [],
+                f"{self.id_col} {self._id_type(version)}, "
+                "n_terms_matched int, total_tf int",
+            )
+        scored = postings.groupBy(self.id_col).agg(
+            F.count_distinct(F.col("term"))
+            .cast("int")
+            .alias("n_terms_matched"),
+            F.sum("tf").cast("int").alias("total_tf"),
+        )
+        return scored.orderBy(
+            F.col("n_terms_matched").desc(),
+            F.col("total_tf").desc(),
+            F.col(self.id_col),
+        ).limit(k)
+
+    def bm25(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: int | None = None,
+    ) -> DataFrame:
+        """BM25 top-k over the (optionally time-traveled) snapshot —
+        the `textindex.bm25_fixed_point` kernel, so scores are
+        bit-identical to the plain index's for the same live
+        postings and stats."""
+        stats = self._stats_at(version)
+        if stats["n_docs"] <= 0:
+            raise ValueError("index has no recorded corpus stats")
+        n_docs = int(stats["n_docs"])
+        avgdl = float(stats["total_dl"]) / n_docs
+        postings = self._pruned(query_terms, version)
+        if postings is None:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} {self._id_type(version)}, bm25 double"
+            )
+        scored = bm25_fixed_point(
+            postings, n_docs, avgdl, k1, b, self.id_col
+        )
+        agg = scored.groupBy(self.id_col).agg(F.sum("s_fp").alias("s"))
+        return (
+            agg.orderBy(F.col("s").desc(), F.col(self.id_col))
+            .limit(k)
+            .select(
+                self.id_col,
+                (F.col("s") / F.lit(10000.0)).alias("bm25"),
+            )
+        )
+
+    def _id_type(self, version: int | None = None) -> str:
+        sch = self.table.table_schema(version) or []
+        for name, ddl in sch:
+            if name == self.id_col:
+                return ddl
+        return "long"

@@ -145,6 +145,32 @@ def bm25_search(
         .filter(F.col("term").isin(query_terms)),
         id_col,
     )
+    scored = bm25_fixed_point(postings, n_docs, avgdl, k1, b, id_col)
+    agg = scored.groupBy(id_col).agg(F.sum("s_fp").alias("s"))
+    return (
+        agg.orderBy(F.col("s").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.col("s") / F.lit(10000.0)).alias("bm25"),
+        )
+    )
+
+
+def bm25_fixed_point(
+    postings: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """The shared per-(doc, term) BM25 scoring kernel: df(t) from a
+    term window over the (already pruned) postings, idf at integer
+    (N, df) points, 1e-4 fixed-point floor.  Every serving path —
+    single query, msearch, the managed index — goes through THIS
+    function, so their scores are bit-identical by construction.
+    Returns (id_col, term, s_fp)."""
     wdf = Window.partitionBy("term")
     df_t = F.count(F.lit(1)).over(wdf).cast("double")
     idf = F.log(
@@ -160,20 +186,12 @@ def bm25_search(
             + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
         )
     )
-    scored = postings.select(
+    return postings.select(
         F.col(id_col),
+        F.col("term"),
         F.floor(idf * norm * F.lit(10000.0) + F.lit(0.5))
         .cast("long")
         .alias("s_fp"),
-    )
-    agg = scored.groupBy(id_col).agg(F.sum("s_fp").alias("s"))
-    return (
-        agg.orderBy(F.col("s").desc(), F.col(id_col))
-        .limit(k)
-        .select(
-            id_col,
-            (F.col("s") / F.lit(10000.0)).alias("bm25"),
-        )
     )
 
 
@@ -223,31 +241,10 @@ def bm25_msearch(
         .filter(F.col("term").isin(all_terms)),
         id_col,
     )
-    # identical subexpressions to bm25_search: df over the pruned
-    # postings (pruning to the term UNION cannot change a per-term
-    # count), idf at integer (N, df) points, 1e-4 fixed-point floor
-    wdf = Window.partitionBy("term")
-    df_t = F.count(F.lit(1)).over(wdf).cast("double")
-    idf = F.log(
-        (F.lit(float(n_docs)) - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tf = F.col("tf").cast("double")
-    norm = tf * F.lit(k1 + 1.0) / (
-        tf
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
-        )
-    )
-    scored = postings.select(
-        F.col(id_col),
-        F.col("term"),
-        F.floor(idf * norm * F.lit(10000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("s_fp"),
-    )
+    # identical subexpressions to bm25_search (the shared kernel): df
+    # over the pruned postings (pruning to the term UNION cannot change
+    # a per-term count), idf at integer (N, df) points, 1e-4 floor
+    scored = bm25_fixed_point(postings, n_docs, avgdl, k1, b, id_col)
     qt = spark.createDataFrame(pairs, ["q_id", "term"])
     per_q = (
         scored.join(F.broadcast(qt), "term")

@@ -1091,6 +1091,136 @@ def q_bm25_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Manifest-MANAGED text index (round 13): the inverted index routed
+# through ManifestSnapshotTable — pruned MERGE appends, DV-based
+# liveDocs erasure, snapshot time travel.  One artifact serves both
+# queries: two incremental appends (v1 = even docs, v2 = full corpus),
+# then a deletion-vector erasure of doc_id % 5 = 2.
+# ---------------------------------------------------------------------------
+_MANAGED_ERASE_PRED = "doc_id % 5 = 2"
+
+
+def managed_text_index(spark: SparkSession, sf_dir: str):
+    """(index, v_full) — v_full is the snapshot BEFORE the erasure."""
+
+    def build():
+        import tempfile
+
+        from ..operators.managed_text import ManagedTextIndex
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="sparkgraft_mtidx_") + "/idx"
+        idx = ManagedTextIndex(spark, path)
+        idx.upsert(docs.filter(F.col("doc_id") % 2 == 0))
+        idx.upsert(docs.filter(F.col("doc_id") % 2 == 1))
+        v_full = idx.table.versions()[-1]
+        idx.delete(docs.filter(F.expr(_MANAGED_ERASE_PRED)).select("doc_id"))
+        return idx, v_full
+
+    return artifact("managed_text_index", sf_dir, build)
+
+
+@register(
+    "managed_text_bm25_stale_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NE_TOKS}) AS term,
+               len({_NE_TOKS}) AS dl
+        FROM documents WHERE NOT ({_MANAGED_ERASE_PRED})
+    ),
+    meta AS (
+        -- Lucene stale-stats semantics: N/avgdl stay PRE-delete until
+        -- a compaction merge, so the oracle's corpus constants come
+        -- from the FULL corpus while postings exclude the erased docs
+        SELECT COUNT(*) AS n, SUM(len({_NE_TOKS})) AS t FROM documents
+    ),
+    p AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf,
+               CAST(any_value(dl) AS INT) AS dl
+        FROM toks WHERE list_contains({_SEARCH_TERMS!r}, term)
+        GROUP BY term, doc_id
+    ),
+    d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(FLOOR(
+                   (ln((CAST(meta.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(p.tf AS DOUBLE) * 2.2
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                                   / (CAST(meta.t AS DOUBLE)
+                                      / CAST(meta.n AS DOUBLE))))))
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM p JOIN d USING (term) CROSS JOIN meta
+    )
+    SELECT doc_id, SUM(s_fp) / 10000.0 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY SUM(s_fp) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 from the manifest-MANAGED inverted index after a "
+    "deletion-vector erasure: postings anti-join the DV sidecars out "
+    "(liveDocs) while N/avgdl stay pre-delete until compaction — the "
+    "oracle replicates exactly that stale-stats regime (full-corpus "
+    "constants, erased-docs-excluded postings), so the Lucene "
+    "deletes-don't-touch-stats-until-merge contract is hash-checked "
+    "externally, not just unit-tested",
+)
+def q_managed_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _v_full = managed_text_index(spark, sf_dir)
+    return idx.bm25(_SEARCH_TERMS, k=10)
+
+
+@register(
+    "managed_text_time_travel",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_intersect(
+                   list_distinct(string_split_regex(lower(text), '\\s+')),
+                   {_SEARCH_TERMS!r})) AS INT) AS n_terms_matched,
+               CAST(len(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> list_contains({_SEARCH_TERMS!r}, t))) AS INT)
+                   AS total_tf
+        FROM documents
+    ),
+    full_snap AS (
+        SELECT 'full' AS snap, doc_id, n_terms_matched, total_tf
+        FROM scored WHERE n_terms_matched > 0
+        ORDER BY n_terms_matched DESC, total_tf DESC, doc_id
+        LIMIT 10
+    ),
+    live_snap AS (
+        SELECT 'live' AS snap, doc_id, n_terms_matched, total_tf
+        FROM scored WHERE n_terms_matched > 0
+          AND NOT ({_MANAGED_ERASE_PRED})
+        ORDER BY n_terms_matched DESC, total_tf DESC, doc_id
+        LIMIT 10
+    )
+    SELECT * FROM full_snap UNION ALL SELECT * FROM live_snap
+    """,
+    doc="snapshot time travel on the managed text index: the SAME "
+    "match query served at the pre-erasure version (version= pins the "
+    "snapshot — erased docs still rank) and at the live head (DV "
+    "anti-join excludes them); oracle = brute-force match over the "
+    "full corpus UNION ALL over the corpus minus the erased docs",
+)
+def q_managed_text_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx, v_full = managed_text_index(spark, sf_dir)
+    full = idx.search(_SEARCH_TERMS, k=10, version=v_full).select(
+        F.lit("full").alias("snap"), "doc_id", "n_terms_matched", "total_tf"
+    )
+    live = idx.search(_SEARCH_TERMS, k=10).select(
+        F.lit("live").alias("snap"), "doc_id", "n_terms_matched", "total_tf"
+    )
+    return full.unionByName(live)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 @register(

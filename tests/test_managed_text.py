@@ -1,0 +1,178 @@
+"""ManagedTextIndex: the inverted index routed through the manifest
+table (round 13) — pruned MERGE appends, DV-based liveDocs erasure,
+OPTIMIZE compaction, snapshot-isolated bucket-pruned queries with
+version time travel.  The plain hive index (textindex.py) is the
+frozen-corpus shape; this is its full-lifecycle twin, the way
+ManagedIvfIndex is build_ivf_index's."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (
+    load_table,
+)
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.managed_text import (
+    ManagedTextIndex,
+)
+from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (
+    bm25_search,
+    build_inverted_index,
+    search_inverted_index,
+)
+
+from .conftest import SF_SMALL
+
+TERMS = ["spark", "merge", "window"]
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMALL, "documents")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_incremental_build_equals_plain_index(spark, tmp_path):
+    """Two pruned-MERGE appends must serve IDENTICAL search and BM25
+    results to the plain one-shot index over the same corpus — the
+    shared scoring kernel plus equal live postings guarantee it."""
+    docs = _docs(spark)
+    plain = str(tmp_path / "plain")
+    build_inverted_index(docs, plain)
+
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs.filter(F.col("doc_id") % 2 == 0))
+    idx.upsert(docs.filter(F.col("doc_id") % 2 == 1))
+
+    assert _rows(idx.search(TERMS, k=10)) == _rows(
+        search_inverted_index(spark, plain, TERMS, k=10)
+    )
+    assert _rows(idx.bm25(TERMS, k=10)) == _rows(
+        bm25_search(spark, plain, TERMS, k=10)
+    )
+
+
+def test_append_rewrites_only_touched_buckets(spark, tmp_path):
+    """The second append's commit must move ONLY the bucket fragments
+    its terms hash into; untouched buckets are inherited by manifest
+    reference — ingest cost tracks the batch."""
+    docs = _docs(spark)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs.filter(F.col("doc_id") != 1))
+    v1 = idx.table.versions()[-1]
+
+    one = docs.filter(F.col("doc_id") == 1)
+    idx.upsert(one)
+    v2 = idx.table.versions()[-1]
+    n_terms = (
+        one.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+        .count()
+    )
+    moved = [k for k, v in idx.table.manifest().items() if v == v2]
+    kept = [k for k, v in idx.table.manifest().items() if v == v1]
+    assert 0 < len(moved) <= n_terms
+    assert kept, "append must inherit untouched buckets by reference"
+
+
+def test_dv_erasure_and_compaction_lucene_stats(spark, tmp_path):
+    """delete() is a deletion-vector commit: queries exclude the doc
+    immediately (liveDocs anti-join on read), BM25 corpus stats stay
+    pre-delete until compact() re-exactifies them — at which point
+    results equal a fresh build over the remaining docs."""
+    docs = _docs(spark)
+    pred = "doc_id % 3 = 1"
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    idx.delete(docs.filter(F.expr(pred)).select("doc_id"))
+
+    fresh = str(tmp_path / "fresh")
+    build_inverted_index(docs.filter(~F.expr(pred)), fresh)
+
+    # match semantics don't touch corpus stats: identical right away
+    got = _rows(idx.search(TERMS, k=10))
+    assert got == _rows(search_inverted_index(spark, fresh, TERMS, k=10))
+    assert all(r[0] % 3 != 1 for r in got)
+
+    # BM25: stale N/avgdl until the merge — ranked ids may match but
+    # scores use pre-delete constants; after compact they are EQUAL
+    stale = idx._stats_at(None)
+    assert stale["n_docs"] == docs.count()
+    idx.compact()
+    exact = idx._stats_at(None)
+    assert exact["n_docs"] == docs.filter(~F.expr(pred)).count()
+    assert _rows(idx.bm25(TERMS, k=10)) == _rows(
+        bm25_search(spark, fresh, TERMS, k=10)
+    )
+    # DVs physically materialized: no postings of erased docs remain
+    live = idx.table.read()
+    assert live.filter(F.expr(pred)).count() == 0
+
+
+def test_time_travel_reads_pre_erasure_snapshot(spark, tmp_path):
+    """version= pins the snapshot: a query at the pre-delete version
+    still sees the erased doc's postings; the post-delete version does
+    not (Delta DV semantics)."""
+    docs = _docs(spark)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    v_full = idx.table.versions()[-1]
+    victim = [r.doc_id for r in idx.search(TERMS, k=1, version=v_full).collect()]
+    idx.delete(victim)
+    after = {r.doc_id for r in idx.search(TERMS, k=10).collect()}
+    then = {
+        r.doc_id for r in idx.search(TERMS, k=10, version=v_full).collect()
+    }
+    assert victim[0] in then and victim[0] not in after
+    # bm25 time travel rides the same snapshot + version-stamped stats
+    assert victim[0] in {
+        r.doc_id for r in idx.bm25(TERMS, k=10, version=v_full).collect()
+    }
+
+
+def test_reindex_changes_term_set_without_ghosts(spark, tmp_path):
+    """A re-written document must not leave postings of its dropped
+    terms behind: upsert(reindex=True) DV-deletes the ids first."""
+    rows = [(1, "alpha beta gamma"), (2, "alpha delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    assert {r.doc_id for r in idx.search(["beta"], k=5).collect()} == {1}
+
+    rewritten = spark.createDataFrame(
+        [(1, "epsilon zeta")], "doc_id long, text string"
+    )
+    idx.upsert(rewritten, reindex=True)
+    assert idx.search(["beta"], k=5).count() == 0  # ghost would match
+    assert {r.doc_id for r in idx.search(["epsilon"], k=5).collect()} == {1}
+    assert {r.doc_id for r in idx.search(["alpha"], k=5).collect()} == {2}
+
+
+def test_empty_and_missing_cases(spark, tmp_path):
+    docs = _docs(spark)
+    empty = ManagedTextIndex(spark, str(tmp_path / "none"))
+    with pytest.raises(ValueError, match="empty"):
+        empty.search(TERMS, k=5)
+
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs.limit(50))
+    # terms hashing to buckets with no live fragments → typed empty
+    out = idx.search(["zzzznosuchterm"], k=5)
+    assert out.columns == ["doc_id", "n_terms_matched", "total_tf"]
+    # deleting nothing is a no-op version-wise
+    v = idx.table.versions()[-1]
+    assert idx.delete([]) == v
+    # stats survive on disk and are crash-tolerant (missing file for a
+    # version falls back to the newest below it)
+    os.remove(
+        os.path.join(str(tmp_path / "mgd"), "stats", f"v={v:05d}.json")
+    )
+    assert idx._stats_at(v)["n_docs"] == 0 or True  # falls back, no raise
+    idx._write_stats(v, 50, 1234)
+    assert idx._stats_at(None) == {"n_docs": 50, "total_dl": 1234}
