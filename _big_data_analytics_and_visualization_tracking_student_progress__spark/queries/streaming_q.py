@@ -1762,3 +1762,101 @@ def q_stream_ann_index_maintenance(
     return out.select(
         "vec_id", dround(F.col("cos_sim"), 6).alias("cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MANAGED-text-index maintenance: the manifest twin of
+# stream_index_maintenance.  Each micro-batch of newly-arrived
+# documents becomes one pruned MERGE commit into the manifest-backed
+# inverted index (only the batch terms' buckets rewrite) with the
+# version-stamped corpus stats advancing per commit — so the
+# continuously-maintained search index gains snapshot isolation and
+# time travel over the plain append-dir variant.  The post-stream
+# search must reproduce the brute-force scan ranking (the oracle).
+# ---------------------------------------------------------------------------
+_MTX_STREAMED: dict[str, object] = {}
+
+
+def _documents_parts_path(sf_dir: str) -> str:
+    """documents split into 4 deterministic part files so availableNow
+    + maxFilesPerTrigger=1 yields FOUR pruned commits (a single-file
+    stage would collapse the stream into one commit and prove nothing
+    about incremental maintenance)."""
+    if sf_dir not in _DOC_PARTS_STAGED:
+        import tempfile
+
+        import duckdb
+
+        d = tempfile.mkdtemp(prefix="sparkgraft_docs_parts_")
+        con = duckdb.connect()
+        for i in range(4):
+            con.execute(
+                f"COPY (SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet') "
+                f"WHERE doc_id % 4 = {i}) TO "
+                f"'{os.path.join(d, f'part-{i}.parquet')}' (FORMAT PARQUET)"
+            )
+        con.close()
+        _DOC_PARTS_STAGED[sf_dir] = d
+    return _DOC_PARTS_STAGED[sf_dir]
+
+
+_DOC_PARTS_STAGED: dict[str, str] = {}
+
+
+def stream_built_managed_text(spark: SparkSession, sf_dir: str):
+    """Build the managed text index FROM A STREAM once per fixture:
+    4 micro-batches, each one pruned manifest commit + a stats
+    advance."""
+    if sf_dir in _MTX_STREAMED:
+        return _MTX_STREAMED[sf_dir]
+    from ..operators.managed_text import ManagedTextIndex
+
+    wd = _workdir("stream_mtidx")
+    idx = ManagedTextIndex(spark, os.path.join(wd, "index"))
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_documents_parts_path(sf_dir))
+    )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idx.upsert(batch_df)
+
+    (
+        sdf.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _MTX_STREAMED[sf_dir] = idx
+    return idx
+
+
+def _stream_mtx_sql() -> str:
+    from .northstar import _TEXT_SEARCH_SQL
+
+    return _TEXT_SEARCH_SQL
+
+
+@register(
+    "stream_managed_text_index",
+    _stream_mtx_sql(),
+    doc="streaming maintenance of the manifest-MANAGED text index: "
+    "each micro-batch is one pruned MERGE commit (only the batch "
+    "terms' buckets rewrite; version-stamped corpus stats advance per "
+    "commit), then a snapshot-isolated bucket-pruned search — "
+    "stream-built ≡ batch-built ≡ brute-force scan, oracle-checked; "
+    "the manifest twin of stream_index_maintenance",
+)
+def q_stream_managed_text_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .northstar import _SEARCH_TERMS
+
+    idx = stream_built_managed_text(spark, sf_dir)
+    return idx.search(_SEARCH_TERMS, k=10)

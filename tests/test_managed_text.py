@@ -176,3 +176,27 @@ def test_empty_and_missing_cases(spark, tmp_path):
     assert idx._stats_at(v)["n_docs"] == 0 or True  # falls back, no raise
     idx._write_stats(v, 50, 1234)
     assert idx._stats_at(None) == {"n_docs": 50, "total_dl": 1234}
+
+
+def test_stream_built_equals_batch_built(spark, tmp_path):
+    """4 micro-batch pruned commits (availableNow + maxFilesPerTrigger)
+    must leave an index identical to one batch build: same version
+    count floor, same live postings, same search/bm25 results."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.queries.streaming_q import (
+        stream_built_managed_text,
+    )
+
+    docs = _docs(spark)
+    streamed = stream_built_managed_text(spark, SF_SMALL)
+    assert len(streamed.table.versions()) >= 4
+    assert streamed.table.read().count() > 0
+
+    batch = ManagedTextIndex(spark, str(tmp_path / "b"))
+    batch.upsert(docs)
+    assert _rows(streamed.search(TERMS, k=10)) == _rows(
+        batch.search(TERMS, k=10)
+    )
+    assert _rows(streamed.bm25(TERMS, k=10)) == _rows(
+        batch.bm25(TERMS, k=10)
+    )
+    assert streamed._stats_at(None) == batch._stats_at(None)
