@@ -102,6 +102,11 @@ HEADLINE = [
     # bucket-union read + broadcast (q_id, term) fan-out for 4 queries
     # (~8x cheaper than sequential at 64 queries, SCALE.md).
     "bm25_msearch_topk",
+    # round-13 addition: the manifest-MANAGED text index (artifact —
+    # two pruned appends + a DV erasure — built in warmup; the
+    # measured wall is the steady-state snapshot-isolated bucket-
+    # pruned BM25 serve, liveDocs anti-join included).
+    "managed_text_bm25_stale_stats",
 ]
 
 
