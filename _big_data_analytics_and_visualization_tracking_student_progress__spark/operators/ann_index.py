@@ -46,7 +46,23 @@ from .similarity import (
 )
 from .upsert import ManifestSnapshotTable
 
-__all__ = ["ManagedIvfIndex"]
+__all__ = ["ManagedIvfIndex", "occupancy_summary"]
+
+
+def occupancy_summary(key_name: str, units: dict) -> dict:
+    """Shared skew rollup over `partition_stats`-shaped units (IVF
+    cells, term buckets): total/max/mean live rows plus ``skew`` =
+    max/mean (1.0 = perfectly balanced; None when no unit has recorded
+    counts)."""
+    counted = [u["rows"] for u in units.values() if u["rows"] is not None]
+    mean = (sum(counted) / len(counted)) if counted else None
+    return {
+        key_name: units,
+        "rows_total": sum(counted) if counted else None,
+        "rows_max": max(counted) if counted else None,
+        "rows_mean": mean,
+        "skew": (max(counted) / mean) if counted and mean else None,
+    }
 
 
 class ManagedIvfIndex:
@@ -348,38 +364,8 @@ class ManagedIvfIndex:
         posture: skew is fixed by RETRAINING the coarse quantizer into
         a new index build (the FAISS stance — see the class docstring),
         not by splitting cells in place; the metric tells you when."""
-        import os
-
-        doc = self.table._manifest_doc(version)
-        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
-        st = doc.get("stats", {})
-        dvr = {k: int(n) for k, n in (doc.get("dv_rows") or {}).items()}
-        fst = self.table._file_stats_for(doc) if m else {}
-        rk = self.table._ROWS_KEY
-        cells: dict[int, dict] = {}
-        for frag, hv in m.items():
-            cell = int(frag.split("=", 1)[1])
-            env = st.get(frag)
-            rows = (
-                int(env[rk]) - dvr.get(frag, 0)
-                if env and rk in env
-                else None
-            )
-            files = len(fst.get(frag, {}))
-            if not files:
-                d = os.path.join(self.table._data_dir(hv), frag)
-                files = (
-                    sum(n.endswith(".parquet") for n in os.listdir(d))
-                    if os.path.isdir(d)
-                    else 0
-                )
-            cells[cell] = {"rows": rows, "files": files}
-        counted = [c["rows"] for c in cells.values() if c["rows"] is not None]
-        mean = (sum(counted) / len(counted)) if counted else None
-        return {
-            "cells": cells,
-            "rows_total": sum(counted) if counted else None,
-            "rows_max": max(counted) if counted else None,
-            "rows_mean": mean,
-            "skew": (max(counted) / mean) if counted and mean else None,
+        cells = {
+            int(frag.split("=", 1)[1]): {"rows": s["rows"], "files": s["files"]}
+            for frag, s in self.table.partition_stats(version).items()
         }
+        return occupancy_summary("cells", cells)

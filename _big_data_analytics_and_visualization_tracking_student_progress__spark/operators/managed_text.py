@@ -310,3 +310,24 @@ class ManagedTextIndex:
             if name == self.id_col:
                 return ddl
         return "long"
+
+    # -- telemetry --------------------------------------------------------
+    def bucket_stats(self, version: int | None = None) -> dict:
+        """Per-term-bucket occupancy from manifest metadata (zero data
+        reads) with a max/mean skew summary — the text twin of
+        `ManagedIvfIndex.cell_stats`.  Term buckets skew when a few
+        very-high-df terms (stopwords, boilerplate) dominate: a hot
+        bucket makes its queries and compaction lopsided.  Unlike IVF
+        cells, the fix is analyzer-side (stopword filtering at index
+        time) or a larger ``n_buckets`` at the next rebuild — the
+        bucket function is frozen with the index either way."""
+        from .ann_index import occupancy_summary
+
+        buckets = {
+            int(frag.split("=", 1)[1]): {
+                "rows": s["rows"],
+                "files": s["files"],
+            }
+            for frag, s in self.table.partition_stats(version).items()
+        }
+        return occupancy_summary("buckets", buckets)

@@ -30,6 +30,45 @@ class _ManifestMetadataMixin:
     # tables (true 100 TB cardinality) off the driver's heap.
     _FSTATS_SIDECAR = "filestats.parquet"
 
+    def partition_stats(self, version: int | None = None) -> dict:
+        """Per-fragment occupancy from manifest metadata — zero data
+        reads: LIVE row count (fragment ``#rows`` envelope minus
+        deletion-vector cardinality; None for pre-stats commits) and
+        data-file count (file-stats sidecar when recorded, else a
+        directory listing of the holder version's fragment).  The raw
+        material for partition-keyed-index skew telemetry
+        (`ManagedIvfIndex.cell_stats`, `ManagedTextIndex.bucket_stats`)
+        and for maintenance planning generally.
+
+        Returns ``{fragment: {"rows": int|None, "files": int,
+        "holder": int}}``."""
+        import os
+
+        doc = self._manifest_doc(version)
+        m = {k: int(v) for k, v in doc.get("partitions", {}).items()}
+        st = doc.get("stats", {})
+        dvr = {k: int(n) for k, n in (doc.get("dv_rows") or {}).items()}
+        fst = self._file_stats_for(doc) if m else {}
+        rk = self._ROWS_KEY
+        out: dict[str, dict] = {}
+        for frag, hv in m.items():
+            env = st.get(frag)
+            rows = (
+                int(env[rk]) - dvr.get(frag, 0)
+                if env and rk in env
+                else None
+            )
+            files = len(fst.get(frag, {}))
+            if not files:
+                d = os.path.join(self._data_dir(hv), frag)
+                files = (
+                    sum(n.endswith(".parquet") for n in os.listdir(d))
+                    if os.path.isdir(d)
+                    else 0
+                )
+            out[frag] = {"rows": rows, "files": files, "holder": hv}
+        return out
+
     def _write_fstats_sidecar(
         self, vdir: str, file_stats: dict[str, dict[str, dict]]
     ) -> None:

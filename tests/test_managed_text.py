@@ -200,3 +200,28 @@ def test_stream_built_equals_batch_built(spark, tmp_path):
         batch.bm25(TERMS, k=10)
     )
     assert streamed._stats_at(None) == batch._stats_at(None)
+
+
+def test_bucket_stats_metadata_only_occupancy(spark, tmp_path):
+    """bucket_stats mirrors cell_stats: per-bucket live rows/files from
+    manifest metadata, exact against the real postings distribution,
+    and the DV erasure moves the live counts without a rewrite."""
+    docs = _docs(spark)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    want = {
+        r["__b"]: r["n"]
+        for r in idx.table.read().groupBy("__b").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    stats = idx.bucket_stats()
+    got = {b: s["rows"] for b, s in stats["buckets"].items()}
+    assert got == want
+    assert stats["rows_total"] == sum(want.values())
+    assert stats["skew"] >= 1.0
+
+    before = stats["rows_total"]
+    idx.delete(docs.limit(10).select("doc_id"))
+    after = idx.bucket_stats()
+    assert after["rows_total"] < before  # DV cardinality subtracted
