@@ -304,6 +304,62 @@ class ManagedTextIndex:
             )
         )
 
+    def msearch(
+        self,
+        queries: dict[object, list[str]],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Batched multi-query BM25 over one snapshot — the managed
+        twin of `textindex.bm25_msearch`: the UNION of all queries'
+        term buckets is read once (snapshot-isolated, DV-filtered),
+        the per-(doc, term) kernel score is computed once per posting,
+        and a broadcast (q_id, term) join fans postings out to their
+        queries.  Per-query results are bit-identical to `bm25` alone
+        at the same version.  Returns (q_id, <id_col>, bm25, rank)."""
+        stats = self._stats_at(version)
+        if stats["n_docs"] <= 0:
+            raise ValueError("index has no recorded corpus stats")
+        n_docs = int(stats["n_docs"])
+        avgdl = float(stats["total_dl"]) / n_docs
+        pairs = sorted(
+            {(qid, t) for qid, terms in queries.items() for t in terms}
+        )
+        all_terms = sorted({t for _q, t in pairs})
+        postings = self._pruned(all_terms, version)
+        if postings is None:
+            return self.spark.createDataFrame(
+                [],
+                f"q_id long, {self.id_col} {self._id_type(version)}, "
+                "bm25 double, rank int",
+            )
+        scored = bm25_fixed_point(
+            postings, n_docs, avgdl, k1, b, self.id_col
+        )
+        qt = self.spark.createDataFrame(pairs, ["q_id", "term"])
+        per_q = (
+            scored.join(F.broadcast(qt), "term")
+            .groupBy("q_id", self.id_col)
+            .agg(F.sum("s_fp").alias("s"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("s").desc(), F.col(self.id_col)
+        )
+        return (
+            per_q.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "q_id",
+                self.id_col,
+                (F.col("s") / F.lit(10000.0)).alias("bm25"),
+                "rank",
+            )
+        )
+
     def _id_type(self, version: int | None = None) -> str:
         sch = self.table.table_schema(version) or []
         for name, ddl in sch:

@@ -225,3 +225,37 @@ def test_bucket_stats_metadata_only_occupancy(spark, tmp_path):
     idx.delete(docs.limit(10).select("doc_id"))
     after = idx.bucket_stats()
     assert after["rows_total"] < before  # DV cardinality subtracted
+
+
+def test_msearch_identical_to_per_query_bm25_per_version(spark, tmp_path):
+    """The managed msearch contract: each query's (doc, bm25) rows are
+    bit-identical to bm25() alone at the SAME version — including a
+    time-traveled pre-erasure snapshot."""
+    docs = _docs(spark)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    v_full = idx.table.versions()[-1]
+    victims = [r.doc_id for r in idx.bm25(TERMS, k=2).collect()]
+    idx.delete(victims)
+
+    queries = {1: TERMS, 2: ["join", "hash"], 3: ["nosuchterm"]}
+    for ver in (None, v_full):
+        got = idx.msearch(queries, k=10, version=ver).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.q_id, []).append((r.doc_id, r.bm25))
+        for qid, terms in queries.items():
+            single = [
+                (r.doc_id, r.bm25)
+                for r in idx.bm25(terms, k=10, version=ver).collect()
+            ]
+            assert by_q.get(qid, []) == single, (qid, ver)
+    # the live head really excludes the erased docs; the pinned
+    # snapshot really retains them
+    live_ids = {r.doc_id for r in idx.msearch({1: TERMS}, k=10).collect()}
+    then_ids = {
+        r.doc_id
+        for r in idx.msearch({1: TERMS}, k=10, version=v_full).collect()
+    }
+    assert not set(victims) & live_ids
+    assert set(victims) <= then_ids
