@@ -264,6 +264,103 @@ def bm25_msearch(
     )
 
 
+def more_like_this(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    doc_id,
+    m: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Elasticsearch's `more_like_this`, index-served: rank the source
+    document's OWN terms by fixed-point tf·idf (df from the pruned
+    postings, idf at integer (N, df) points — the MLT "interesting
+    terms" selection), take the top ``m`` (ties to the lexicographically
+    smaller term), then BM25-search those terms through the index with
+    the source document excluded from the results (df still counts it,
+    the ES behavior).
+
+    Driver materialization is bounded by ONE document's vocabulary:
+    the (term, tf) collect and the top-m collect — the same class as a
+    literal query's term list.  Index I/O is two bucket-pruned reads
+    (the doc's term buckets, then the selected terms' buckets)."""
+    meta = (
+        _read_index(spark, path + "__meta")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t"))
+        .head()
+    )
+    n_docs, avgdl = int(meta["n"]), float(meta["t"]) / int(meta["n"])
+    nonempty = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    src = [
+        (r["term"], int(r["tf"]))
+        for r in docs.filter(F.col(id_col) == doc_id)
+        .select(F.explode(nonempty).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .collect()
+    ]
+    if not src:
+        raise ValueError(f"document {doc_id!r} not found or has no terms")
+    src_terms = sorted(t for t, _tf in src)
+    buckets = sorted({_portable_hash_py(t) % n_buckets for t in src_terms})
+    # df(t) for the doc's terms straight from the pruned postings (one
+    # row per (term, doc) ⇒ COUNT(*) per term is the document frequency)
+    dfs = live_postings(
+        spark,
+        path,
+        _read_index(spark, path)
+        .filter(F.col("__b").isin(buckets))
+        .filter(F.col("term").isin(src_terms)),
+        id_col,
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf_tbl = spark.createDataFrame(src, ["term", "tf"])
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    ranked = (
+        dfs.join(F.broadcast(tf_tbl), "term")
+        .select(
+            "term",
+            F.floor(F.col("tf").cast("double") * idf * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("s_fp"),
+        )
+        .orderBy(F.col("s_fp").desc(), F.col("term"))
+        .limit(m)
+    )
+    query_terms = [r["term"] for r in ranked.collect()]
+    q_buckets = sorted({_portable_hash_py(t) % n_buckets for t in query_terms})
+    postings = live_postings(
+        spark,
+        path,
+        _read_index(spark, path)
+        .filter(F.col("__b").isin(q_buckets))
+        .filter(F.col("term").isin(query_terms)),
+        id_col,
+    )
+    scored = bm25_fixed_point(postings, n_docs, avgdl, k1, b, id_col)
+    agg = (
+        scored.filter(F.col(id_col) != doc_id)
+        .groupBy(id_col)
+        .agg(F.sum("s_fp").alias("s"))
+    )
+    return (
+        agg.orderBy(F.col("s").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.col("s") / F.lit(10000.0)).alias("bm25"),
+        )
+    )
+
+
 def build_positional_index(
     df: DataFrame,
     path: str,

@@ -1090,6 +1090,83 @@ def q_bm25_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_msearch(spark, path, _MSEARCH_QUERIES, k=10)
 
 
+# Elasticsearch MLT parity: the source doc's terms ranked by
+# fixed-point tf·idf, top-5 become the query, source excluded from
+# the hits (df still counts it — the ES behavior).
+_MLT_DOC_ID = 7
+
+
+@register(
+    "mlt_similar_docs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NE_TOKS}) AS term,
+               len({_NE_TOKS}) AS dl
+        FROM documents
+    ),
+    meta AS (
+        SELECT COUNT(*) AS n, SUM(len({_NE_TOKS})) AS t FROM documents
+    ),
+    src AS (
+        SELECT term, CAST(COUNT(*) AS INT) AS tf
+        FROM toks WHERE doc_id = {_MLT_DOC_ID} GROUP BY term
+    ),
+    p0 AS (
+        SELECT term, doc_id FROM toks
+        WHERE term IN (SELECT term FROM src) GROUP BY term, doc_id
+    ),
+    alldf AS (SELECT term, COUNT(*) AS df FROM p0 GROUP BY term),
+    ranked AS (
+        SELECT s.term,
+               CAST(FLOOR(CAST(s.tf AS DOUBLE)
+                   * ln((CAST(meta.n AS DOUBLE) - CAST(alldf.df AS DOUBLE)
+                         + 0.5) / (CAST(alldf.df AS DOUBLE) + 0.5) + 1.0)
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM src s JOIN alldf USING (term) CROSS JOIN meta
+    ),
+    top_terms AS (SELECT term FROM ranked ORDER BY s_fp DESC, term LIMIT 5),
+    p AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf,
+               CAST(any_value(dl) AS INT) AS dl
+        FROM toks WHERE term IN (SELECT term FROM top_terms)
+        GROUP BY term, doc_id
+    ),
+    d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(FLOOR(
+                   (ln((CAST(meta.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(p.tf AS DOUBLE) * 2.2
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                                   / (CAST(meta.t AS DOUBLE)
+                                      / CAST(meta.n AS DOUBLE))))))
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM p JOIN d USING (term) CROSS JOIN meta
+    )
+    SELECT doc_id, SUM(s_fp) / 10000.0 AS bm25
+    FROM scored WHERE doc_id <> {_MLT_DOC_ID}
+    GROUP BY doc_id
+    ORDER BY SUM(s_fp) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Elasticsearch `more_like_this`, index-served: the source "
+    "document's own terms ranked by fixed-point tf*idf (df from the "
+    "pruned postings — the MLT 'interesting terms' pass), top-5 become "
+    "the BM25 query, source doc excluded from the hits while its df "
+    "contribution stays (ES behavior); driver materialization bounded "
+    "by one document's vocabulary; oracle replays both stages "
+    "from scratch in DuckDB",
+)
+def q_mlt_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import more_like_this
+
+    path = inverted_index_path(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return more_like_this(spark, path, docs, _MLT_DOC_ID, m=5, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Manifest-MANAGED text index (round 13): the inverted index routed
 # through ManifestSnapshotTable — pruned MERGE appends, DV-based

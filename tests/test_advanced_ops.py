@@ -548,3 +548,31 @@ class TestStagingCollision:
         rows = {r.id: r for r in enc.collect()}
         assert rows[1]["__pq0"]["i"] == 0 and rows[2]["__pq0"]["i"] == 1
         assert rows[1]["__books"] == "mine"  # user column intact
+
+
+class TestMoreLikeThis:
+    def test_mlt_sane_and_missing_doc_raises(self, spark, tmp_path):
+        import pytest
+
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (
+            build_inverted_index,
+            more_like_this,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        idx = str(tmp_path / "mlt")
+        build_inverted_index(docs, idx)
+        hits = more_like_this(spark, idx, docs, 7, m=5, k=10).collect()
+        assert 0 < len(hits) <= 10
+        assert all(r.doc_id != 7 for r in hits)  # source excluded
+        scores = [r.bm25 for r in hits]
+        assert scores == sorted(scores, reverse=True)
+        # every hit shares at least one term with the source document
+        src_terms = set(
+            docs.filter(F.col("doc_id") == 7).head().text.lower().split()
+        )
+        top = docs.filter(F.col("doc_id") == hits[0].doc_id).head()
+        assert src_terms & set(top.text.lower().split())
+
+        with pytest.raises(ValueError, match="not found"):
+            more_like_this(spark, idx, docs, -999)
