@@ -259,3 +259,105 @@ def test_msearch_identical_to_per_query_bm25_per_version(spark, tmp_path):
     }
     assert not set(victims) & live_ids
     assert set(victims) <= then_ids
+
+
+# ---------------------------------------------------------------------------
+# Model-based property test (the text twin of the ANN index's
+# dict-model test): ANY interleaving of upsert-new / reindex / delete
+# must leave the index equal to a plain {doc_id: text} model — in
+# POSTINGS content and in SEARCH results (match ranking computed
+# brute-force over the model, same tie-breaks).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon"]
+_TEXT = st.lists(
+    st.sampled_from(_WORDS), min_size=1, max_size=6
+).map(" ".join)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("up"),
+            st.dictionaries(st.integers(0, 9), _TEXT, min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("reindex"),
+            st.dictionaries(st.integers(0, 9), _TEXT, min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("del"),
+            st.lists(st.integers(0, 9), min_size=1, max_size=3).map(
+                lambda xs: dict.fromkeys(xs)
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _model_search(model, terms, k):
+    scored = []
+    for d, text in model.items():
+        toks = text.split()
+        n = len(set(toks) & set(terms))
+        tf = sum(1 for t in toks if t in terms)
+        if n > 0:
+            scored.append((-n, -tf, d))
+    return [
+        (d, -n, -tf) for n, tf, d in sorted(scored)[:k]
+    ]
+
+
+@given(ops=_OPS)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_text_index_matches_dict_model(spark, tmp_path_factory, ops):
+    idx = ManagedTextIndex(
+        spark, str(tmp_path_factory.mktemp("mtx_prop"))
+    )
+    model: dict[int, str] = {}
+    for kind, payload in ops:
+        if kind == "del":
+            ids = list(payload)
+            if model:
+                idx.delete(ids)
+            for i in ids:
+                model.pop(i, None)
+            continue
+        batch = dict(payload)
+        if kind == "up":
+            # plain upsert's contract: NEW documents only
+            batch = {i: t for i, t in batch.items() if i not in model}
+            if not batch:
+                continue
+        df = spark.createDataFrame(
+            list(batch.items()), "doc_id long, text string"
+        )
+        idx.upsert(df, reindex=(kind == "reindex" and bool(model)))
+        model.update(batch)
+
+    if not model:
+        return
+    # postings equal the model's exact term multiset per doc
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["dl"])
+        for r in idx.table.read().collect()
+    )
+    want = sorted(
+        (d, t, text.split().count(t), len(text.split()))
+        for d, text in model.items()
+        for t in set(text.split())
+    )
+    assert got == want
+    # search ≡ brute-force model ranking (same tie-breaks)
+    terms = ["alpha", "gamma"]
+    hits = [
+        (r.doc_id, r.n_terms_matched, r.total_tf)
+        for r in idx.search(terms, k=5).collect()
+    ]
+    assert hits == _model_search(model, terms, 5)
