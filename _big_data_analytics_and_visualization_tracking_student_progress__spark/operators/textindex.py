@@ -86,6 +86,25 @@ def search_inverted_index(
     directories, filter to the terms, aggregate per doc — identical
     output contract to `text.text_search` ((distinct terms, total tf)
     ranking, same tie-breaks)."""
+    scored = match_docs(spark, path, query_terms, id_col, n_buckets)
+    return scored.orderBy(
+        F.col("n_terms_matched").desc(),
+        F.col("total_tf").desc(),
+        F.col(id_col),
+    ).limit(k)
+
+
+def match_docs(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """EVERY matching doc's (n_terms_matched, total_tf) — the unranked,
+    unlimited match aggregate `search_inverted_index` tops-k and facet
+    aggregations consume whole.  Output size is bounded by the query
+    terms' document frequencies, never the corpus."""
     buckets = sorted({_portable_hash_py(t) % n_buckets for t in query_terms})
     postings = live_postings(
         spark,
@@ -95,15 +114,10 @@ def search_inverted_index(
         .filter(F.col("term").isin(query_terms)),
         id_col,
     )
-    scored = postings.groupBy(id_col).agg(
+    return postings.groupBy(id_col).agg(
         F.count_distinct(F.col("term")).cast("int").alias("n_terms_matched"),
         F.sum("tf").cast("int").alias("total_tf"),
     )
-    return scored.orderBy(
-        F.col("n_terms_matched").desc(),
-        F.col("total_tf").desc(),
-        F.col(id_col),
-    ).limit(k)
 
 
 def bm25_search(

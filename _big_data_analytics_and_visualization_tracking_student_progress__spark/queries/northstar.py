@@ -1090,6 +1090,49 @@ def q_bm25_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_msearch(spark, path, _MSEARCH_QUERIES, k=10)
 
 
+@register(
+    "text_search_facets",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_intersect(
+                   list_distinct(string_split_regex(lower(text), '\\s+')),
+                   {_SEARCH_TERMS!r})) AS INT) AS n_terms_matched,
+               CAST(len(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> list_contains({_SEARCH_TERMS!r}, t))) AS INT)
+                   AS total_tf
+        FROM documents
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.total_tf) AS BIGINT) AS total_tf
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE s.n_terms_matched > 0
+    GROUP BY d.lang
+    """,
+    doc="search facets (the ES terms-aggregation-on-query / Kibana "
+    "dashboard shape): per-language matching-doc counts and total term "
+    "frequency over ALL docs matching >=1 query term — the index-served "
+    "match aggregate (bounded by the query terms' document "
+    "frequencies) joined to the docs dimension for the facet key",
+)
+def q_text_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import match_docs
+
+    path = inverted_index_path(spark, sf_dir)
+    matched = match_docs(spark, path, _SEARCH_TERMS)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        matched.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("total_tf").cast("long").alias("total_tf"),
+        )
+    )
+
+
 # Elasticsearch MLT parity: the source doc's terms ranked by
 # fixed-point tf·idf, top-5 become the query, source excluded from
 # the hits (df still counts it — the ES behavior).
