@@ -375,6 +375,59 @@ def more_like_this(
     )
 
 
+def build_term_dictionary(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Completion-suggester dictionary (the ES suggest shape): one row
+    per distinct term with its document frequency, hive-partitioned by
+    the term's FIRST CHARACTER — the prefix analogue of the postings'
+    hash buckets (a hash bucket can never serve a prefix query, which
+    is why ES keeps a separate FST/completion structure).  One
+    tokenize + distinct-per-doc + per-term count pass; |terms| rows."""
+    nonempty = F.filter(ws_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    terms = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(nonempty)).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .withColumn("__c1", F.substring(F.col("term"), 1, 1))
+    )
+    (
+        terms.repartition(F.col("__c1"))
+        .write.mode("overwrite")
+        .partitionBy("__c1")
+        .parquet(path)
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    path: str,
+    prefix: str,
+    k: int = 10,
+) -> DataFrame:
+    """Prefix completion ranked by document frequency (ties to the
+    lexicographically smaller term) — ES's completion suggester served
+    from the first-char-partitioned dictionary: the scan lists ONE
+    partition directory, the prefix filter prunes inside it, and the
+    result is a k-row TakeOrdered.  Per-query cost is O(terms sharing
+    the first character), independent of corpus size."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    d = spark.read.parquet(path).filter(F.col("__c1") == prefix[0])
+    return (
+        d.filter(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def build_positional_index(
     df: DataFrame,
     path: str,

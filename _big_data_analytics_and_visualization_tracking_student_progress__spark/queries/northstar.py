@@ -1090,6 +1090,52 @@ def q_bm25_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_msearch(spark, path, _MSEARCH_QUERIES, k=10)
 
 
+def term_dictionary_path(spark: SparkSession, sf_dir: str) -> str:
+    """Shared first-char-partitioned completion dictionary."""
+
+    def build() -> str:
+        import tempfile
+
+        from ..operators.textindex import build_term_dictionary
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="sparkgraft_tdict_")
+        build_term_dictionary(docs, path)
+        return path
+
+    return artifact("term_dictionary", sf_dir, build)
+
+
+@register(
+    "suggest_terms_prefix",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> t <> ''))) AS term
+        FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM toks WHERE term LIKE 's%'
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 10
+    """,
+    doc="completion suggester (the ES suggest shape): prefix 's' "
+    "completions ranked by document frequency from a first-char-"
+    "partitioned term dictionary — the scan lists ONE partition dir "
+    "(a hash bucket can never serve a prefix query, hence the "
+    "dedicated structure, ES's FST analogue); per-query cost "
+    "independent of corpus size",
+)
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import suggest_terms
+
+    path = term_dictionary_path(spark, sf_dir)
+    return suggest_terms(spark, path, "s", k=10)
+
+
 @register(
     "text_search_facets",
     f"""

@@ -576,3 +576,41 @@ class TestMoreLikeThis:
 
         with pytest.raises(ValueError, match="not found"):
             more_like_this(spark, idx, docs, -999)
+
+
+class TestSuggest:
+    def test_prefix_completion_prunes_to_one_partition(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (
+            build_term_dictionary,
+            suggest_terms,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        d = str(tmp_path / "dict")
+        build_term_dictionary(docs, d)
+        got = suggest_terms(spark, d, "s", k=10)
+        rows = got.collect()
+        assert rows and all(r.term.startswith("s") for r in rows)
+        dfs = [r.df for r in rows]
+        assert dfs == sorted(dfs, reverse=True)
+        # df is the true per-term distinct-doc count
+        term0 = rows[0].term
+        want = (
+            docs.filter(
+                F.array_contains(
+                    F.split(F.lower("text"), r"\s+"), term0
+                )
+            ).count()
+        )
+        assert rows[0].df == want
+        # the scan partition-prunes to the single first-char directory
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "__c1" in pf.group(1), plan[:1500]
+
+        import pytest
+
+        with pytest.raises(ValueError, match="non-empty"):
+            suggest_terms(spark, d, "")
