@@ -120,7 +120,12 @@ class ManagedTextIndex:
         """Index a document batch: tokenize → (term, doc) postings with
         denormalized dl → pruned MERGE into the term-bucket partitions.
         With ``reindex`` the ids are DV-deleted first so a re-written
-        document cannot leave postings of its dropped terms behind."""
+        document cannot leave postings of its dropped terms behind.
+
+        Stats note: a reindexed document counts toward n_docs/total_dl
+        AGAIN (its DV-deleted postings never decremented them) — the
+        Lucene maxDoc semantics, where an updated doc occupies two
+        slots until a merge; `compact` re-exactifies."""
         if reindex and self.table.versions():
             self.delete(docs.select(self.id_col))
         batch = self._postings(docs, self._next_seq())

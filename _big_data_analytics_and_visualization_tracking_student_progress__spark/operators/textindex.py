@@ -416,9 +416,11 @@ def suggest_terms(
     from the first-char-partitioned dictionary: the scan lists ONE
     partition directory, the prefix filter prunes inside it, and the
     result is a k-row TakeOrdered.  Per-query cost is O(terms sharing
-    the first character), independent of corpus size."""
+    the first character), independent of corpus size.  The prefix is
+    lowercased to match the analyzer (terms are lowercase tokens)."""
     if not prefix:
         raise ValueError("prefix must be non-empty")
+    prefix = prefix.lower()
     d = spark.read.parquet(path).filter(F.col("__c1") == prefix[0])
     return (
         d.filter(F.col("term").startswith(prefix))
