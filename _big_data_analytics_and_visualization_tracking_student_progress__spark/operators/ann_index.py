@@ -40,13 +40,17 @@ from .similarity import (
     _sq_dist,
     cosine_topk,
     dot,
+    double_array_sql,
     l2norm,
     nearest_clusters,
+    pq_adc_tables,
+    pq_encode,
+    pq_subspace_offsets,
     with_cluster,
 )
 from .upsert import ManifestSnapshotTable
 
-__all__ = ["ManagedIvfIndex", "occupancy_summary"]
+__all__ = ["ManagedIvfIndex", "ManagedPqIndex", "occupancy_summary"]
 
 
 def occupancy_summary(key_name: str, units: dict) -> dict:
@@ -369,3 +373,221 @@ class ManagedIvfIndex:
             for frag, s in self.table.partition_stats(version).items()
         }
         return occupancy_summary("cells", cells)
+
+
+class ManagedPqIndex(ManagedIvfIndex):
+    """IVF-PQ ANN index with the same manifest lifecycle — the
+    memory-bound tier of the managed family: instead of raw vectors,
+    each row stores its m PQ codes (dim×8 B double → m×4 B int codes;
+    m bytes in a binary layout), so a 100 TB embedding corpus indexes
+    into ~TBs of postings while keeping every lifecycle property of
+    `ManagedIvfIndex` (pruned appends, reassign, bloom-located
+    erasure, scatter-bounded compaction, snapshot time travel,
+    cell_stats telemetry — all inherited).
+
+    Both quantizers (coarse centroids AND per-subspace codebooks) are
+    trained once offline and frozen: cell assignment and codes must be
+    pure functions of the vector, or history would go stale.  Probes
+    are ADC (asymmetric distance computation): the query builds m
+    k-entry lookup tables driver-side; a candidate's distance is m
+    array lookups + a fixed left-fold — no vector arithmetic against
+    the corpus at all (the FAISS IVFPQ serve path).  Approximate in
+    recall (unprobed cells) AND in distance (quantization error),
+    exact in ranking over the reconstructed distances."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        centroids: list[list[float]],
+        codebooks: list[list[list[float]]],
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        keep_versions: int | None = None,
+        bloom_ids: bool = True,
+    ) -> None:
+        super().__init__(
+            spark,
+            path,
+            centroids,
+            vec_col=vec_col,
+            id_col=id_col,
+            keep_versions=keep_versions,
+            bloom_ids=bloom_ids,
+        )
+        self.codebooks = [
+            [[float(x) for x in c] for c in cb] for cb in codebooks
+        ]
+
+    # -- write path -----------------------------------------------------
+    def _stamp(self, batch: DataFrame) -> DataFrame:
+        vs = self.table.versions()
+        seq = (vs[-1] + 1) if vs else 1
+        enc = pq_encode(
+            with_cluster(
+                batch.select(
+                    F.col(self.id_col),
+                    F.col(self.vec_col)
+                    .cast("array<double>")
+                    .alias(self.vec_col),
+                ),
+                self.vec_col,
+                self.centroids,
+            ),
+            self.vec_col,
+            self.codebooks,
+        )
+        code = F.array(
+            *[F.col(f"__pq{j}")["i"] for j in range(len(self.codebooks))]
+        )
+        return enc.select(
+            F.col(self.id_col), code.alias("pq_code"), F.col("__c")
+        ).withColumn("__seq", F.lit(seq))
+
+    # -- probe path -----------------------------------------------------
+    def _adc(self, tabs_col: Column) -> Column:
+        """ADC distance: per-subspace table lookup by code, fixed
+        left-fold sum (0.0 + x is IEEE-exact, so the fold equals the
+        oracle's first-element-seeded list_reduce bit-for-bit)."""
+        terms = F.zip_with(
+            tabs_col,
+            F.col("pq_code"),
+            lambda t, c: F.element_at(t, c + F.lit(1)),
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+
+    def probe(
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        nprobe: int = 4,
+        version: int | None = None,
+    ) -> DataFrame:
+        """ADC top-k over the nprobe nearest cells of the (optionally
+        time-traveled) snapshot.  Returns (id, approx_d2) ascending —
+        squared L2 to the quantized reconstruction, ties to the lower
+        id (the ann_pq_adc_topk conventions)."""
+        cells = self.probe_cells(query_vec, nprobe)
+        cand, _, total = self.table.read_partitions(
+            [(c,) for c in cells], version=version
+        )
+        if cand is None:
+            if total == 0:
+                raise ValueError("index is empty — nothing to probe")
+            return self._empty(
+                self.table.spark,
+                f"{self.id_col} {self._id_type(version)}, approx_d2 double",
+            )
+        tabs = pq_adc_tables(
+            self.codebooks, [float(x) for x in query_vec]
+        )
+        d2 = self._adc(F.expr(double_array_sql(tabs)))
+        return (
+            cand.select(F.col(self.id_col), d2.alias("approx_d2"))
+            .orderBy(F.col("approx_d2").asc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+    def knn_join(
+        self,
+        queries: DataFrame,
+        k: int = 3,
+        nprobe: int = 2,
+        q_id: str = "q_id",
+        q_vec: str | None = None,
+        version: int | None = None,
+        broadcast_bytes: int = 10 << 20,
+    ) -> DataFrame:
+        """Batch ADC k-NN join: per-query lookup tables are built
+        ENGINE-side (broadcast codebook table + slice/sq-dist per
+        subspace — no driver pass over the query batch), the query
+        vector is DROPPED after table construction so the join side
+        carries only (id, cell, m×k-double tables), and the index side
+        reads only the probed-cell union of codes.  Size-gated
+        broadcast with a shuffled-hash fallback, like the parent.
+        Returns (q_id, <id_col>, approx_d2, rank), rank by ascending
+        distance, ties to the lower id — per-query rows bit-identical
+        to `probe` at the same version."""
+        from pyspark.sql import Window
+
+        q_vec = q_vec or self.vec_col
+        spark = queries.sparkSession
+        cent_df = spark.createDataFrame(
+            [(self.centroids,)], "__cent array<array<double>>"
+        )
+        books_df = spark.createDataFrame(
+            [(self.codebooks,)], "__books array<array<array<double>>>"
+        )
+        qv = F.col("__qv")
+        scored = F.transform(
+            F.col("__cent"),
+            lambda c, i: F.struct(
+                _sq_dist(qv, c).alias("d"), i.cast("int").alias("i")
+            ),
+        )
+        offs = pq_subspace_offsets(self.codebooks)
+
+        def tab_for(j: int) -> Column:
+            sub = F.slice(qv, offs[j], len(self.codebooks[j][0]))
+            return F.transform(
+                F.col("__books")[j], lambda cent: _sq_dist(sub, cent)
+            )
+
+        probed = (
+            queries.select(
+                F.col(q_id),
+                F.col(q_vec).cast("array<double>").alias("__qv"),
+            )
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn(
+                "__c",
+                F.explode(
+                    F.transform(
+                        F.slice(F.array_sort(scored), 1, nprobe),
+                        lambda s: s["i"],
+                    )
+                ),
+            )
+            .crossJoin(F.broadcast(books_df))
+            .withColumn(
+                "__tabs",
+                F.array(*[tab_for(j) for j in range(len(self.codebooks))]),
+            )
+            .drop("__cent", "__books", "__qv")
+        )
+        cells = sorted(
+            r["__c"] for r in probed.select("__c").distinct().collect()
+        )
+        cand, _, total = self.table.read_partitions(
+            [(c,) for c in cells], version=version
+        )
+        if cand is None:
+            if total == 0:
+                raise ValueError("index is empty — nothing to join")
+            qt = queries.schema[q_id].dataType.simpleString()
+            return self._empty(
+                self.table.spark,
+                f"{q_id} {qt}, {self.id_col} {self._id_type(version)}, "
+                "approx_d2 double, rank int",
+            )
+        # per-row width is dominated by the m×k-double tables
+        m = len(self.codebooks)
+        kq = max(len(cb) for cb in self.codebooks)
+        est = queries.count() * nprobe * (m * kq * 8 + 48)
+        q_side = F.broadcast(probed) if est <= broadcast_bytes else (
+            probed.hint("shuffle_hash")
+        )
+        w = Window.partitionBy(q_id).orderBy(
+            F.col("approx_d2").asc(), F.col(self.id_col)
+        )
+        return (
+            cand.select(F.col(self.id_col), "pq_code", "__c")
+            .join(q_side, "__c")
+            .select(
+                q_id,
+                self.id_col,
+                self._adc(F.col("__tabs")).alias("approx_d2"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )

@@ -734,12 +734,19 @@ def pq_adc_tables(
     Tiny (m×k doubles) control data, embedded as literals in BOTH the
     Spark plan and the DuckDB oracle, so the per-row distance is just
     m lookups + sequential adds on identical constants."""
-    q = np.asarray(query_vec, dtype=np.float64)
+    q = [float(x) for x in query_vec]
     tabs: list[list[float]] = []
     for cb, start in zip(codebooks, pq_subspace_offsets(codebooks)):
         ds = len(cb[0])
         qs = q[start - 1 : start - 1 + ds]
+        # sequential left fold from 0.0 — the same association as the
+        # engine-side `_sq_dist` (zip_with + aggregate), so tables built
+        # here are BIT-IDENTICAL to tables built engine-side (the batch
+        # knn_join path); numpy's pairwise .sum() differs by ulps
         tabs.append(
-            [float(((qs - np.asarray(c, dtype=np.float64)) ** 2).sum()) for c in cb]
+            [
+                sum(((qs[i] - float(c[i])) ** 2 for i in range(ds)), 0.0)
+                for c in cb
+            ]
         )
     return tabs

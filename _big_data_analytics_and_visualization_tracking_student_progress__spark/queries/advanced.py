@@ -732,7 +732,10 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # portable bounded sample, so the oracle retrains bit-identical
 # centroids AND codebooks and replays the exact two-stage plan.
 # ---------------------------------------------------------------------------
-def _ivfpq_oracle_sql(sf_dir: str) -> str:
+def _ivfpq_oracle_sql(sf_dir: str, corpus_pred: str = "TRUE") -> str:
+    """``corpus_pred``: which vectors are IN the index (the managed-PQ
+    erasure twin deletes a slice); both quantizers still train on the
+    FULL corpus — the frozen offline-quantizer model."""
     import duckdb
 
     from .northstar import _IVF_ITERS, _IVF_K, _IVF_NPROBE, _IVF_SAMPLE
@@ -769,7 +772,8 @@ def _ivfpq_oracle_sql(sf_dir: str) -> str:
                    AS cl
         FROM e
     ),
-    cand AS (SELECT vec_id, v FROM assigned WHERE cl IN ({probe_list})),"""
+    cand AS (SELECT vec_id, v FROM assigned
+             WHERE cl IN ({probe_list}) AND ({corpus_pred})),"""
     tab_values = ", ".join(
         f"({j}, {c}, {t!r})"
         for j, tab in enumerate(tabs)
@@ -828,6 +832,112 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("__d2").asc(), F.col("vec_id").asc())
         .limit(10)
         .select("vec_id", dround(F.col("__d2"), 6).alias("approx_d2"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Managed IVF-PQ index (round 13): the memory-bound tier of the managed
+# ANN family — PQ codes (not raw vectors) routed through the manifest
+# lifecycle.  Built INCREMENTALLY like managed_ivf_index (bulk + pruned
+# append + same-cell re-upsert + compaction); final content = the full
+# corpus's codes, so the ADC probe shares ann_ivfpq_topk's
+# dual-retrained-literal oracle.
+# ---------------------------------------------------------------------------
+def managed_pq_index(spark: SparkSession, sf_dir: str):
+    def build():
+        import tempfile
+
+        from ..operators.ann_index import ManagedPqIndex
+        from .northstar import ivf_centroids_cached
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ManagedPqIndex(
+            spark,
+            tempfile.mkdtemp(prefix="sparkgraft_pqmgd_"),
+            ivf_centroids_cached(spark, sf_dir),
+            _pq_books_cached(spark, sf_dir),
+        )
+        idx.upsert(emb.filter(F.col("vec_id") % 5 != 0))   # bulk build
+        idx.upsert(emb.filter(F.col("vec_id") % 5 == 0))   # pruned append
+        idx.upsert(emb.filter(F.col("vec_id") % 10 == 1))  # re-upsert
+        idx.maybe_compact(max_scatter=2)
+        return idx
+
+    from .northstar import artifact
+
+    return artifact("pq_index_managed", sf_dir, build)
+
+
+@register(
+    "ann_pq_index_topk",
+    _ivfpq_oracle_sql,
+    doc="IVF-PQ over the MANAGED index (ManagedPqIndex): m-byte PQ "
+    "codes — not raw vectors — routed through the manifest lifecycle "
+    "(pruned appends, same-cell re-upsert, compaction, snapshot "
+    "isolation), then an ADC probe that reads only the nprobe cell "
+    "fragments of CODES: per-candidate cost is m table lookups, "
+    "per-query I/O is nprobe/n_cells of an already-32x-smaller index. "
+    "Final content equals the full corpus, so it shares "
+    "ann_ivfpq_topk's dual-retrained-literal oracle.",
+)
+def q_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .northstar import _IVF_NPROBE, _query_vec
+
+    idx = managed_pq_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    out = idx.probe(qv, k=10, nprobe=_IVF_NPROBE)
+    return out.select(
+        "vec_id", dround(F.col("approx_d2"), 6).alias("approx_d2")
+    )
+
+
+# erasure twin: delete vec_id % 13 == 2 (never vec 0, the query vector)
+_PQ_ERASE_PRED = "vec_id % 13 <> 2"
+
+
+def managed_pq_index_erased(spark: SparkSession, sf_dir: str):
+    """Full corpus indexed, then a slice DV-erased by id — a separate
+    artifact path so `managed_pq_index` stays full-corpus."""
+
+    def build():
+        import tempfile
+
+        from ..operators.ann_index import ManagedPqIndex
+        from .northstar import ivf_centroids_cached
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = ManagedPqIndex(
+            spark,
+            tempfile.mkdtemp(prefix="sparkgraft_pqmgd_erased_"),
+            ivf_centroids_cached(spark, sf_dir),
+            _pq_books_cached(spark, sf_dir),
+        )
+        idx.upsert(emb)
+        idx.delete(emb.filter(~F.expr(_PQ_ERASE_PRED)).select("vec_id"))
+        return idx
+
+    from .northstar import artifact
+
+    return artifact("pq_index_managed_erased", sf_dir, build)
+
+
+@register(
+    "ann_pq_index_erasure",
+    lambda sf_dir: _ivfpq_oracle_sql(sf_dir, corpus_pred=_PQ_ERASE_PRED),
+    doc="right-to-erasure on the managed PQ index: ids removed through "
+    "the bloom-located keyed delete, ADC probe excludes them "
+    "immediately; oracle = the same dual-retrained-literal IVF-PQ "
+    "computation over the corpus minus the erased slice (quantizers "
+    "still full-corpus — the frozen offline-quantizer model)",
+)
+def q_pq_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .northstar import _IVF_NPROBE, _query_vec
+
+    idx = managed_pq_index_erased(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    out = idx.probe(qv, k=10, nprobe=_IVF_NPROBE)
+    return out.select(
+        "vec_id", dround(F.col("approx_d2"), 6).alias("approx_d2")
     )
 
 

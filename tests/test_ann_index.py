@@ -506,3 +506,95 @@ def test_cell_stats_surfaces_skew(spark, tmp_path):
     after = idx.cell_stats()
     assert after["rows_total"] == 2
     assert 0 not in after["cells"] or after["cells"][0]["rows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Managed IVF-PQ index (round 13): codes-not-vectors through the same
+# manifest lifecycle; ADC probes and the batch ADC join.
+# ---------------------------------------------------------------------------
+def test_pq_index_probe_and_knn_join(spark, tmp_path):
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.ann_index import (
+        ManagedPqIndex,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = S.train_ivf_centroids_sample(
+        emb, "embedding", "vec_id", k=8, iters=5
+    )
+    books = S.train_pq_codebooks_portable(
+        emb, "embedding", "vec_id", m=4, k=16, iters=4
+    )
+    idx = ManagedPqIndex(spark, str(tmp_path / "pq"), centroids, books)
+    idx.upsert(emb.filter(F.col("vec_id") != 0))
+    v1 = idx.table.versions()[-1]
+    idx.upsert(emb.filter(F.col("vec_id") == 0))  # one vector, ONE cell
+    v2 = idx.table.versions()[-1]
+    # the append rewrote exactly one cell; the rest inherited (parent
+    # contract holds for the codes layout too)
+    moved = [k for k, v in idx.table.manifest().items() if v == v2]
+    assert len(moved) == 1
+    assert any(v == v1 for v in idx.table.manifest().values())
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    # probe ≡ the inline IVF-PQ computation over the same corpus
+    probes = S.nearest_clusters(centroids, qv, 3)
+    cand = (
+        S.with_cluster(emb, "embedding", centroids)
+        .filter(F.col("__c").isin(probes))
+        .drop("__c")
+    )
+    tabs = S.pq_adc_tables(books, qv)
+    enc = S.pq_encode(cand, "embedding", books)
+    d2 = None
+    for j, tab in enumerate(tabs):
+        term = F.element_at(
+            F.expr(S.double_array_sql(tab)), F.col(f"__pq{j}")["i"] + F.lit(1)
+        )
+        d2 = term if d2 is None else d2 + term
+    want = [
+        (r.vec_id, r.d2)
+        for r in cand.sparkSession.createDataFrame(
+            enc.select("vec_id", d2.alias("d2"))
+            .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        ).collect()
+    ]
+    got = [(r.vec_id, r.approx_d2) for r in idx.probe(qv, k=10, nprobe=3).collect()]
+    assert got == want
+
+    # batch knn_join ≡ per-query probe, in BOTH join regimes
+    queries = emb.filter(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    for bc in (10 << 20, 1):
+        out = idx.knn_join(queries, k=3, nprobe=3, broadcast_bytes=bc)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if bc == 1:
+            assert "ShuffledHashJoin" in plan, plan[:1500]
+        else:
+            assert "BroadcastHashJoin" in plan, plan[:1500]
+        by_q = {}
+        for r in out.collect():
+            by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.approx_d2))
+        for q in queries.collect():
+            single = [
+                (i + 1, r.vec_id, r.approx_d2)
+                for i, r in enumerate(
+                    idx.probe(list(q.embedding), k=3, nprobe=3).collect()
+                )
+            ]
+            assert sorted(by_q[q.q_id]) == single, q.q_id
+
+    # erasure + time travel: deleted ids vanish from the live probe,
+    # remain in the pinned snapshot
+    v_full = idx.table.versions()[-1]
+    victims = [r.vec_id for r in idx.probe(qv, k=2, nprobe=3).collect()]
+    idx.delete(spark.createDataFrame([(v,) for v in victims], "vec_id bigint"))
+    live = {r.vec_id for r in idx.probe(qv, k=10, nprobe=3).collect()}
+    then = {
+        r.vec_id
+        for r in idx.probe(qv, k=10, nprobe=3, version=v_full).collect()
+    }
+    assert not set(victims) & live
+    assert set(victims) <= then
