@@ -107,6 +107,11 @@ HEADLINE = [
     # measured wall is the steady-state snapshot-isolated bucket-
     # pruned BM25 serve, liveDocs anti-join included).
     "managed_text_bm25_stale_stats",
+    # round-13 addition: the managed IVF-PQ index (built incrementally
+    # in warmup via the artifact cache; the measured wall is the
+    # zero-shuffle ADC probe over the nprobe pruned cells of CODES —
+    # the memory-bound production ANN serve path).
+    "ann_pq_index_topk",
 ]
 
 
