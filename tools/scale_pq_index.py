@@ -1,0 +1,149 @@
+"""Managed IVF-PQ index vs the raw-vector managed index at scale: on a
+FACTORx embeddings replica, build BOTH indexes from the same frozen
+quantizers and show the memory-bound trade concretely:
+
+(a) index bytes on disk — PQ codes vs raw double vectors (the reason
+    the PQ tier exists at 100 TB),
+(b) probe wall — zero-shuffle ADC over pruned code cells vs exact
+    cosine over pruned vector cells,
+(c) ADC recall@10 against the exact probe on the same cells
+    (quantization is the only approximation added).
+
+Appends a `## FACTORx managed PQ index` section to SCALE.md.
+
+Usage: python tools/scale_pq_index.py [sf_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_smoke import build_scaled_dir  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+N_CELLS = 64
+NPROBE = 4
+PQ_M, PQ_K = 8, 64
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    import atexit
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.datasets import (  # noqa: E501
+        load_table,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators import (  # noqa: E501
+        similarity as S,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.ann_index import (  # noqa: E501
+        ManagedIvfIndex,
+        ManagedPqIndex,
+    )
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.session import (  # noqa: E501
+        get_spark,
+    )
+
+    spark = get_spark("scale-pq-index", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scaled_dir = build_scaled_dir(SF_DIR, FACTOR, tables={"embeddings"})
+    atexit.register(shutil.rmtree, scaled_dir, ignore_errors=True)
+    tdir = tempfile.mkdtemp(prefix="sparkgraft_pqscale_")
+    atexit.register(shutil.rmtree, tdir, ignore_errors=True)
+
+    emb = load_table(spark, scaled_dir, "embeddings")
+    n_vec = emb.count()
+    cent = S.train_ivf_centroids_sample(
+        emb, "embedding", "vec_id", k=N_CELLS, iters=5
+    )
+    books = S.train_pq_codebooks_portable(
+        emb, "embedding", "vec_id", m=PQ_M, k=PQ_K, iters=5
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]
+    ]
+
+    timings: dict[str, float] = {}
+
+    def phase(label: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[label] = round(time.perf_counter() - t0, 2)
+
+    raw = ManagedIvfIndex(spark, os.path.join(tdir, "raw"), cent)
+    pq = ManagedPqIndex(spark, os.path.join(tdir, "pq"), cent, books)
+    phase("raw_bulk_build", lambda: raw.upsert(emb))
+    phase("pq_bulk_build", lambda: pq.upsert(emb))
+    raw_b, pq_b = _du(os.path.join(tdir, "raw")), _du(os.path.join(tdir, "pq"))
+
+    got: dict[str, list] = {}
+    phase(
+        "raw_probe_exact",
+        lambda: got.__setitem__(
+            "exact", [r.vec_id for r in raw.probe(qv, k=10, nprobe=NPROBE).collect()]
+        ),
+    )
+    phase(
+        "pq_probe_adc",
+        lambda: got.__setitem__(
+            "adc", [r.vec_id for r in pq.probe(qv, k=10, nprobe=NPROBE).collect()]
+        ),
+    )
+    recall = len(set(got["exact"]) & set(got["adc"])) / 10.0
+    if recall < 0.5:
+        raise RuntimeError(f"ADC recall@10 {recall:.1f} below the 0.5 floor")
+
+    ratio = raw_b / max(pq_b, 1)
+    lines = [
+        f"## {FACTOR}x managed PQ index",
+        "",
+        f"{n_vec:,} vectors (dim 64, {FACTOR}x sf replica), {N_CELLS} "
+        f"cells, PQ m={PQ_M} k={PQ_K}; `tools/scale_pq_index.py`, "
+        "local[32]:",
+        "",
+        f"- raw managed index: {raw_b/1e6:.1f} MB on disk, bulk build "
+        f"{timings['raw_bulk_build']} s, exact probe "
+        f"{timings['raw_probe_exact']} s",
+        f"- PQ managed index: {pq_b/1e6:.1f} MB on disk "
+        f"(**{ratio:.1f}x smaller**), bulk build "
+        f"{timings['pq_bulk_build']} s, zero-shuffle ADC probe "
+        f"{timings['pq_probe_adc']} s",
+        f"- ADC recall@10 vs the exact probe on the same cells: "
+        f"**{recall:.0%}** (near-uniform fixture vectors are the PQ "
+        "worst case; real embedding manifolds quantize far better)",
+        "",
+        "Same manifest lifecycle on both (pruned appends, bloom-located "
+        "erasure, compaction, time travel — inherited, see "
+        "tools/scale_ann_index.py for those measurements); the PQ tier "
+        "trades bounded recall for an index whose per-cell reads are "
+        "code columns, which is what keeps a 100 TB embedding corpus "
+        "servable from a fraction of the storage and I/O.",
+        "",
+    ]
+    with open(os.path.join(ROOT, "SCALE.md"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
