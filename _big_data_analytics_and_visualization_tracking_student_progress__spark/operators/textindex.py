@@ -421,7 +421,13 @@ def suggest_terms(
     if not prefix:
         raise ValueError("prefix must be non-empty")
     prefix = prefix.lower()
-    d = spark.read.parquet(path).filter(F.col("__c1") == prefix[0])
+    # cast the partition column: hive partition-type INFERENCE types
+    # __c1 as int on an all-numeric-first-char dictionary, and an
+    # int-vs-string comparison would miss (the filter still prunes —
+    # Spark pushes the casted equality into partition pruning)
+    d = spark.read.parquet(path).filter(
+        F.col("__c1").cast("string") == prefix[0]
+    )
     return (
         d.filter(F.col("term").startswith(prefix))
         .select("term", "df")
