@@ -218,14 +218,17 @@ class ManagedTextIndex:
         the next append/compact re-exactifies."""
         d = self._stats_dir()
         if os.path.isdir(d):
-            best = None
-            for name in sorted(os.listdir(d)):
-                if not (name.startswith("v=") and name.endswith(".json")):
-                    continue
-                v = int(name[2:-5])
-                if version is None or v <= version:
-                    best = name
-            if best is not None:
+            # select by PARSED version int, not filename order: past
+            # v=99999 the zero-padded name sorts wrong (v=100000 <
+            # v=99999 lexicographically) but the int comparison doesn't
+            cands = [
+                int(name[2:-5])
+                for name in os.listdir(d)
+                if name.startswith("v=") and name.endswith(".json")
+            ]
+            cands = [v for v in cands if version is None or v <= version]
+            if cands:
+                best = f"v={max(cands):05d}.json"
                 with open(os.path.join(d, best)) as fh:
                     return json.load(fh)
         return {"n_docs": 0, "total_dl": 0}
@@ -335,9 +338,13 @@ class ManagedTextIndex:
         all_terms = sorted({t for _q, t in pairs})
         postings = self._pruned(all_terms, version)
         if postings is None:
+            # empty-result schema must agree with the non-empty path,
+            # which infers q_id's type from the dict keys — derive the
+            # DDL the same way instead of hardcoding long
+            q_ddl = "string" if isinstance(pairs[0][0], str) else "long"
             return self.spark.createDataFrame(
                 [],
-                f"q_id long, {self.id_col} {self._id_type(version)}, "
+                f"q_id {q_ddl}, {self.id_col} {self._id_type(version)}, "
                 "bm25 double, rank int",
             )
         scored = bm25_fixed_point(

@@ -896,8 +896,10 @@ _PQ_ERASE_PRED = "vec_id % 13 <> 2"
 
 
 def managed_pq_index_erased(spark: SparkSession, sf_dir: str):
-    """Full corpus indexed, then a slice DV-erased by id — a separate
-    artifact path so `managed_pq_index` stays full-corpus."""
+    """Full corpus indexed, then a slice keyed-deleted by id (the
+    bloom-located copy-on-write manifest delete, not a deletion
+    vector) — a separate artifact path so `managed_pq_index` stays
+    full-corpus."""
 
     def build():
         import tempfile

@@ -150,6 +150,11 @@ def main() -> None:
         raise RuntimeError(
             f"metadata row count {cs['rows_total']} != corpus {n_vec}"
         )
+    if cs["skew"] is None:
+        raise RuntimeError(
+            "no cell occupancy recorded (index predates stats_cols "
+            "commits?) — cannot check skew"
+        )
     if cs["skew"] > 6.0:
         raise RuntimeError(f"hot cell: skew {cs['skew']:.1f}x > 6x bound")
     max_files = max(c["files"] for c in cs["cells"].values())
