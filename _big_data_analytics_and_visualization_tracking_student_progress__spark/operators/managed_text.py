@@ -91,19 +91,32 @@ class ManagedTextIndex:
 
     # -- write path -----------------------------------------------------
     def _postings(self, docs: DataFrame, seq: int) -> DataFrame:
+        """POSITIONAL postings (term, doc, tf, dl, positions): the
+        managed index carries the Lucene position-list shape from the
+        start (textindex.build_positional_index:437), so phrase and
+        proximity queries serve from the same manifest-maintained
+        postings as BM25 — ES serves match AND match_phrase from one
+        index, and so does this tier.  Positions are 1-based indices
+        into the non-empty token sequence, sorted ascending."""
         nonempty = F.filter(
             ws_tokens(F.col(self.text_col)), lambda t: t != F.lit("")
         )
         toks = docs.select(
             F.col(self.id_col),
-            F.explode(nonempty).alias("term"),
+            F.posexplode(nonempty).alias("pos0", "term"),
             F.size(nonempty).alias("dl"),
+        ).select(
+            self.id_col,
+            "term",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            "dl",
         )
         return (
             toks.groupBy("term", self.id_col)
             .agg(
                 F.count(F.lit(1)).cast("int").alias("tf"),
                 F.first("dl").cast("int").alias("dl"),
+                F.array_sort(F.collect_list("pos")).alias("positions"),
             )
             .withColumn(
                 "__b",
@@ -371,6 +384,230 @@ class ManagedTextIndex:
                 "rank",
             )
         )
+
+    def match_docs(
+        self,
+        query_terms: list[str],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Unranked match aggregate (every doc matching ≥1 query term,
+        with n_terms_matched / total_tf) — the facet feed: join it to
+        a dimension and aggregate for the ES terms-aggregation-on-query
+        shape, snapshot-isolated like every other managed read.
+        Bounded by the query terms' document frequencies."""
+        postings = self._pruned(query_terms, version)
+        if postings is None:
+            return self.spark.createDataFrame(
+                [],
+                f"{self.id_col} {self._id_type(version)}, "
+                "n_terms_matched int, total_tf int",
+            )
+        return postings.groupBy(self.id_col).agg(
+            F.count_distinct(F.col("term"))
+            .cast("int")
+            .alias("n_terms_matched"),
+            F.sum("tf").cast("int").alias("total_tf"),
+        )
+
+    def more_like_this(
+        self,
+        docs: DataFrame,
+        doc_id,
+        m: int = 5,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: int | None = None,
+    ) -> DataFrame:
+        """ES `more_like_this` on the managed index (the frozen
+        textindex.more_like_this:281 recipe, snapshot-served): rank the
+        source doc's own terms by fixed-point tf·idf — df from the
+        bucket-pruned LIVE postings at the pinned version, N from the
+        version's corpus stats — take the top ``m`` (ties to the
+        lexicographically smaller term), BM25-search them with the
+        source doc excluded from the hits while its df contribution
+        stays (ES behavior).  Driver materialization is bounded by one
+        document's vocabulary; after a DV erasure the erased docs
+        neither count toward df nor appear in the hits at the live
+        head, but a `version=` pin replays the old neighborhood."""
+        stats = self._stats_at(version)
+        if stats["n_docs"] <= 0:
+            raise ValueError("index has no recorded corpus stats")
+        n_docs = int(stats["n_docs"])
+        avgdl = float(stats["total_dl"]) / n_docs
+        nonempty = F.filter(
+            ws_tokens(F.col(self.text_col)), lambda t: t != F.lit("")
+        )
+        src = [
+            (r["term"], int(r["tf"]))
+            for r in docs.filter(F.col(self.id_col) == doc_id)
+            .select(F.explode(nonempty).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            .collect()
+        ]
+        if not src:
+            raise ValueError(f"document {doc_id!r} not found or has no terms")
+        src_terms = sorted(t for t, _tf in src)
+        pruned = self._pruned(src_terms, version)
+        if pruned is None:
+            raise ValueError(
+                f"none of document {doc_id!r}'s terms are in the index"
+            )
+        dfs = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        tf_tbl = self.spark.createDataFrame(src, ["term", "tf"])
+        idf = F.log(
+            (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        ranked = (
+            dfs.join(F.broadcast(tf_tbl), "term")
+            .select(
+                "term",
+                F.floor(
+                    F.col("tf").cast("double") * idf * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("s_fp"),
+            )
+            .orderBy(F.col("s_fp").desc(), F.col("term"))
+            .limit(m)
+        )
+        query_terms = [r["term"] for r in ranked.collect()]
+        scored = bm25_fixed_point(
+            self._pruned(query_terms, version), n_docs, avgdl, k1, b,
+            self.id_col,
+        )
+        agg = (
+            scored.filter(F.col(self.id_col) != doc_id)
+            .groupBy(self.id_col)
+            .agg(F.sum("s_fp").alias("s"))
+        )
+        return (
+            agg.orderBy(F.col("s").desc(), F.col(self.id_col))
+            .limit(k)
+            .select(
+                self.id_col,
+                (F.col("s") / F.lit(10000.0)).alias("bm25"),
+            )
+        )
+
+    def phrase_search(
+        self,
+        phrase: list[str],
+        k: int = 10,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Exact phrase match (ES match_phrase) from the managed
+        index's positional postings — the same `phrase_scores` kernel
+        as the frozen index (textindex.py:475), but over the
+        snapshot-isolated, DV-filtered, bucket-pruned read: erased
+        docs can never phrase-match at the live head, and a
+        `version=` pin replays yesterday's corpus exactly."""
+        postings = self._pruned(phrase, version)
+        if postings is None:
+            return self.spark.createDataFrame(
+                [],
+                f"{self.id_col} {self._id_type(version)}, n_matches int",
+            )
+        from .textindex import phrase_scores
+
+        scored = phrase_scores(postings, phrase, self.id_col)
+        return scored.orderBy(
+            F.col("n_matches").desc(), F.col(self.id_col)
+        ).limit(k)
+
+    def proximity_search(
+        self,
+        term_a: str,
+        term_b: str,
+        slop: int = 3,
+        k: int = 10,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Unordered proximity (Lucene slop) query over the managed
+        positional postings; same snapshot/DV/pruning contract as
+        `phrase_search`."""
+        postings = self._pruned([term_a, term_b], version)
+        if postings is None:
+            return self.spark.createDataFrame(
+                [],
+                f"{self.id_col} {self._id_type(version)}, n_matches int",
+            )
+        from .textindex import proximity_scores
+
+        scored = proximity_scores(
+            postings, term_a, term_b, slop, self.id_col
+        )
+        return scored.orderBy(
+            F.col("n_matches").desc(), F.col(self.id_col)
+        ).limit(k)
+
+    def suggest(
+        self,
+        prefix: str,
+        k: int = 10,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-consistent completion suggester: term completions
+        ranked by document frequency, derived FROM THE POSTINGS at the
+        pinned version — df per term is one count over the live
+        (term, doc) rows, so suggest can never serve terms from a
+        different snapshot than search (the frozen
+        `build_term_dictionary` artifact goes stale after every
+        append; ES avoids that by keeping the FST inside the live
+        index, and so does this).
+
+        Scale posture: a term-HASH bucket can never prune a PREFIX
+        query, so this reads postings metadata across buckets — one
+        aggregate over (term, doc) rows, no corpus text.  At serving
+        scale, `materialize_dictionary` freezes a first-char-
+        partitioned dictionary FROM a pinned snapshot (recorded
+        version) for O(one partition) lookups."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        prefix = prefix.lower()
+        live = self.table.read(version=version)
+        if live is None:
+            return self.spark.createDataFrame([], "term string, df bigint")
+        return (
+            live.filter(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(k)
+        )
+
+    def materialize_dictionary(
+        self, path: str, version: int | None = None
+    ) -> int:
+        """Freeze the suggester dictionary (term, df) from a pinned
+        snapshot into the first-char-partitioned layout
+        `textindex.suggest_terms` serves from, and return the postings
+        version it was derived from — the documented rebuild cadence
+        for high-QPS prefix serving: the artifact is stale the moment
+        the index advances past the returned version, and a caller
+        comparing it to `table.versions()[-1]` knows exactly when to
+        re-freeze."""
+        vs = self.table.versions()
+        v = vs[-1] if version is None and vs else version
+        live = self.table.read(version=v)
+        if live is None:
+            raise ValueError("index is empty — nothing to materialize")
+        terms = (
+            live.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .withColumn("__c1", F.substring(F.col("term"), 1, 1))
+        )
+        (
+            terms.repartition(F.col("__c1"))
+            .write.mode("overwrite")
+            .partitionBy("__c1")
+            .parquet(path)
+        )
+        return int(v)
 
     def _id_type(self, version: int | None = None) -> str:
         sch = self.table.table_schema(version) or []

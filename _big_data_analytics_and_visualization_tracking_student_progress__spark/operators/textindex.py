@@ -472,28 +472,15 @@ def build_positional_index(
     )
 
 
-def phrase_search(
-    spark: SparkSession,
-    path: str,
-    phrase: list[str],
-    k: int = 10,
-    id_col: str = "doc_id",
-    n_buckets: int = N_BUCKETS,
+def phrase_scores(
+    postings: DataFrame, phrase: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact phrase match from positional postings: read only the
-    phrase terms' buckets, join the terms' postings per doc, and count
-    adjacency chains — term i+1's position list intersected with term
-    i's positions shifted by one.  Per-query cost is O(postings of the
-    phrase terms); the corpus text is never touched."""
-    buckets = sorted({_portable_hash_py(t) % n_buckets for t in phrase})
-    postings = live_postings(
-        spark,
-        path,
-        _read_index(spark, path)
-        .filter(F.col("__b").isin(buckets))
-        .filter(F.col("term").isin(phrase)),
-        id_col,
-    )
+    """Position-list phrase kernel, shared by the frozen hive index
+    and `ManagedTextIndex`: given positional postings (id_col, term,
+    positions) already restricted to the phrase's terms, join the
+    terms' position lists per doc and count adjacency chains — term
+    i+1's list intersected with term i's positions shifted by one.
+    Returns (id_col, n_matches) for docs with ≥1 match, unranked."""
     joined = None
     for i, t in enumerate(phrase):
         side = postings.filter(F.col("term") == t).select(
@@ -508,39 +495,22 @@ def phrase_search(
             F.col(f"p{i}"),
         )
         chain = F.transform(chain, lambda x, i=i: x - i)
-    scored = joined.select(
+    return joined.select(
         id_col, F.size(chain).cast("int").alias("n_matches")
     ).filter(F.col("n_matches") > 0)
-    return scored.orderBy(
-        F.col("n_matches").desc(), F.col(id_col)
-    ).limit(k)
 
 
-def proximity_search(
-    spark: SparkSession,
-    path: str,
+def proximity_scores(
+    postings: DataFrame,
     term_a: str,
     term_b: str,
-    slop: int = 3,
-    k: int = 10,
+    slop: int,
     id_col: str = "doc_id",
-    n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
-    """Unordered proximity query over the positional index: count
-    positions of `term_a` that have `term_b` within ±`slop` positions.
-    Same bucket-pruned read as `phrase_search`; the per-doc count is a
-    nested array expression over the two (small) position lists."""
-    buckets = sorted(
-        {_portable_hash_py(t) % n_buckets for t in (term_a, term_b)}
-    )
-    postings = live_postings(
-        spark,
-        path,
-        _read_index(spark, path)
-        .filter(F.col("__b").isin(buckets))
-        .filter(F.col("term").isin([term_a, term_b])),
-        id_col,
-    )
+    """Unordered-proximity kernel over positional postings (shared
+    like `phrase_scores`): count positions of `term_a` with `term_b`
+    within ±`slop` — a nested array expression over the two (small)
+    position lists.  Returns (id_col, n_matches), matches only."""
     a = postings.filter(F.col("term") == term_a).select(
         F.col(id_col), F.col("positions").alias("pa")
     )
@@ -557,9 +527,63 @@ def proximity_search(
             ),
         )
     )
-    scored = joined.select(
+    return joined.select(
         id_col, near.cast("int").alias("n_matches")
     ).filter(F.col("n_matches") > 0)
+
+
+def phrase_search(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Exact phrase match from positional postings: read only the
+    phrase terms' buckets, then the `phrase_scores` kernel.  Per-query
+    cost is O(postings of the phrase terms); the corpus text is never
+    touched."""
+    buckets = sorted({_portable_hash_py(t) % n_buckets for t in phrase})
+    postings = live_postings(
+        spark,
+        path,
+        _read_index(spark, path)
+        .filter(F.col("__b").isin(buckets))
+        .filter(F.col("term").isin(phrase)),
+        id_col,
+    )
+    scored = phrase_scores(postings, phrase, id_col)
+    return scored.orderBy(
+        F.col("n_matches").desc(), F.col(id_col)
+    ).limit(k)
+
+
+def proximity_search(
+    spark: SparkSession,
+    path: str,
+    term_a: str,
+    term_b: str,
+    slop: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Unordered proximity query over the positional index: same
+    bucket-pruned read as `phrase_search`, then the
+    `proximity_scores` kernel."""
+    buckets = sorted(
+        {_portable_hash_py(t) % n_buckets for t in (term_a, term_b)}
+    )
+    postings = live_postings(
+        spark,
+        path,
+        _read_index(spark, path)
+        .filter(F.col("__b").isin(buckets))
+        .filter(F.col("term").isin([term_a, term_b])),
+        id_col,
+    )
+    scored = proximity_scores(postings, term_a, term_b, slop, id_col)
     return scored.orderBy(F.col("n_matches").desc(), F.col(id_col)).limit(k)
 
 

@@ -1386,6 +1386,250 @@ def q_managed_text_time_travel(
     return full.unionByName(live)
 
 
+_MANAGED_PHRASE = ["part", "filter"]
+
+
+@register(
+    "managed_phrase_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(generate_series(1, len(t) - 1),
+                    i -> t[i] = '{_MANAGED_PHRASE[0]}'
+                         AND t[i+1] = '{_MANAGED_PHRASE[1]}')) AS INT)
+                   AS n_matches
+        FROM toks
+    ),
+    full_snap AS (
+        SELECT 'full' AS snap, doc_id, n_matches FROM m
+        WHERE n_matches > 0
+        ORDER BY n_matches DESC, doc_id LIMIT 10
+    ),
+    live_snap AS (
+        SELECT 'live' AS snap, doc_id, n_matches FROM m
+        WHERE n_matches > 0 AND NOT ({_MANAGED_ERASE_PRED})
+        ORDER BY n_matches DESC, doc_id LIMIT 10
+    )
+    SELECT * FROM full_snap UNION ALL SELECT * FROM live_snap
+    """,
+    doc="ES match_phrase on the manifest-MANAGED text index (the r13 "
+    "seam: the managed tier served only BM25/msearch, so a corpus "
+    "maintained through the manifest could not answer phrase queries "
+    "without a frozen rebuild): the managed postings now carry the "
+    "Lucene position-list shape, and the SAME phrase query is served "
+    "at the pre-erasure snapshot (erased docs still phrase-match "
+    "under version=) and at the live head (DV anti-join removes "
+    "them) — adjacency via shifted position-list intersections, "
+    "bucket-pruned to the phrase terms; oracle = brute-force "
+    "adjacency over the corpus, full UNION ALL erased-excluded",
+)
+def q_managed_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, v_full = managed_text_index(spark, sf_dir)
+    full = idx.phrase_search(_MANAGED_PHRASE, k=10, version=v_full).select(
+        F.lit("full").alias("snap"), "doc_id", "n_matches"
+    )
+    live = idx.phrase_search(_MANAGED_PHRASE, k=10).select(
+        F.lit("live").alias("snap"), "doc_id", "n_matches"
+    )
+    return full.unionByName(live)
+
+
+@register(
+    "managed_proximity_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents WHERE NOT ({_MANAGED_ERASE_PRED})
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(generate_series(1, len(t)),
+                    i -> t[i] = '{_MANAGED_PHRASE[0]}'
+                         AND len(list_filter(generate_series(1, len(t)),
+                             j -> t[j] = '{_MANAGED_PHRASE[1]}'
+                                  AND abs(j - i) <= 3 AND j <> i)) > 0))
+                    AS INT) AS n_matches
+        FROM toks
+    )
+    SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+    ORDER BY n_matches DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Lucene slop (unordered proximity ≤ 3) on the managed text "
+    "index's positional postings at the live head — the erased docs' "
+    "positions are DV-filtered out before the kernel, so a "
+    "right-to-erasure commit immediately stops the doc from "
+    "proximity-matching; same snapshot/pruning contract as "
+    "managed_phrase_search",
+)
+def q_managed_proximity_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    idx, _v_full = managed_text_index(spark, sf_dir)
+    return idx.proximity_search(
+        _MANAGED_PHRASE[0], _MANAGED_PHRASE[1], slop=3, k=10
+    )
+
+
+@register(
+    "managed_suggest_prefix",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> t <> ''))) AS term
+        FROM documents WHERE NOT ({_MANAGED_ERASE_PRED})
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM toks WHERE term LIKE 's%'
+    GROUP BY term
+    ORDER BY df DESC, term
+    LIMIT 10
+    """,
+    doc="snapshot-consistent completion suggester (the r13 seam: the "
+    "frozen build_term_dictionary artifact serves stale terms after "
+    "managed-index appends): df per term is ONE aggregate over the "
+    "live (term, doc) postings at the read's snapshot — erased docs "
+    "stop counting toward df the moment the DV commit lands, and "
+    "suggest(version=) can never disagree with search(version=) at "
+    "the same pin (ES keeps the completion FST inside the live index "
+    "for exactly this reason); materialize_dictionary freezes the "
+    "first-char-partitioned serving artifact FROM a pinned snapshot "
+    "with its version recorded for the rebuild cadence",
+)
+def q_managed_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _v_full = managed_text_index(spark, sf_dir)
+    return idx.suggest("s", k=10)
+
+
+@register(
+    "managed_text_facets",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_intersect(
+                   list_distinct(string_split_regex(lower(text), '\\s+')),
+                   {_SEARCH_TERMS!r})) AS INT) AS n_terms_matched,
+               CAST(len(list_filter(
+                   string_split_regex(lower(text), '\\s+'),
+                   t -> list_contains({_SEARCH_TERMS!r}, t))) AS INT)
+                   AS total_tf
+        FROM documents WHERE NOT ({_MANAGED_ERASE_PRED})
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.total_tf) AS BIGINT) AS total_tf
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE s.n_terms_matched > 0
+    GROUP BY d.lang
+    """,
+    doc="ES terms-aggregation facets on the MANAGED text index: the "
+    "unranked match aggregate (`match_docs` — every live doc matching "
+    ">=1 query term, bounded by the terms' document frequencies) "
+    "joined to the docs dimension, so the facet counts are snapshot-"
+    "consistent with search — a DV-erased doc drops out of every "
+    "facet bucket the moment the erasure commits (the frozen-index "
+    "facets would keep counting it until a rebuild)",
+)
+def q_managed_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _v_full = managed_text_index(spark, sf_dir)
+    matched = idx.match_docs(_SEARCH_TERMS)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        matched.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("total_tf").cast("long").alias("total_tf"),
+        )
+    )
+
+
+# source doc for the managed MLT: must be LIVE in the erased artifact
+# (doc 7, the frozen MLT's source, is erased by doc_id % 5 = 2)
+_MANAGED_MLT_DOC_ID = 11
+
+
+@register(
+    "managed_mlt",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NE_TOKS}) AS term,
+               len({_NE_TOKS}) AS dl
+        FROM documents WHERE NOT ({_MANAGED_ERASE_PRED})
+    ),
+    meta AS (
+        -- stale Lucene stats: N/avgdl stay pre-delete until compaction
+        SELECT COUNT(*) AS n, SUM(len({_NE_TOKS})) AS t FROM documents
+    ),
+    src AS (
+        SELECT term, CAST(COUNT(*) AS INT) AS tf
+        FROM toks WHERE doc_id = {_MANAGED_MLT_DOC_ID} GROUP BY term
+    ),
+    p0 AS (
+        SELECT term, doc_id FROM toks
+        WHERE term IN (SELECT term FROM src) GROUP BY term, doc_id
+    ),
+    alldf AS (SELECT term, COUNT(*) AS df FROM p0 GROUP BY term),
+    ranked AS (
+        SELECT s.term,
+               CAST(FLOOR(CAST(s.tf AS DOUBLE)
+                   * ln((CAST(meta.n AS DOUBLE) - CAST(alldf.df AS DOUBLE)
+                         + 0.5) / (CAST(alldf.df AS DOUBLE) + 0.5) + 1.0)
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM src s JOIN alldf USING (term) CROSS JOIN meta
+    ),
+    top_terms AS (SELECT term FROM ranked ORDER BY s_fp DESC, term LIMIT 5),
+    p AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf,
+               CAST(any_value(dl) AS INT) AS dl
+        FROM toks WHERE term IN (SELECT term FROM top_terms)
+        GROUP BY term, doc_id
+    ),
+    d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(FLOOR(
+                   (ln((CAST(meta.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(p.tf AS DOUBLE) * 2.2
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                                   / (CAST(meta.t AS DOUBLE)
+                                      / CAST(meta.n AS DOUBLE))))))
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM p JOIN d USING (term) CROSS JOIN meta
+    )
+    SELECT doc_id, SUM(s_fp) / 10000.0 AS bm25
+    FROM scored WHERE doc_id <> {_MANAGED_MLT_DOC_ID}
+    GROUP BY doc_id
+    ORDER BY SUM(s_fp) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="ES `more_like_this` on the MANAGED text index, post-erasure: "
+    "the interesting-terms tf*idf pass takes df from the LIVE "
+    "(DV-filtered) postings and N/avgdl from the stale pre-delete "
+    "corpus stats (the Lucene contract the managed BM25 already "
+    "hash-checks), the top-5 terms BM25-search the live snapshot with "
+    "the source doc excluded — erased docs neither count toward df "
+    "nor appear as neighbors, completing the frozen-only retrieval "
+    "family (MLT/facets/suggest) on the managed tier",
+)
+def q_managed_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _v_full = managed_text_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return idx.more_like_this(docs, _MANAGED_MLT_DOC_ID, m=5, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

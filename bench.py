@@ -112,6 +112,16 @@ HEADLINE = [
     # zero-shuffle ADC probe over the nprobe pruned cells of CODES —
     # the memory-bound production ANN serve path).
     "ann_pq_index_topk",
+    # round-14 additions: the managed tier's positional + suggest
+    # serves (same cached artifact as managed_text_bm25_stale_stats,
+    # so the measured wall is steady-state serve cost): phrase = two
+    # snapshot reads (version-pinned + live head) of the phrase
+    # terms' buckets; suggest = the snapshot-consistent prefix df
+    # aggregate (hash buckets cannot prune a prefix — the documented
+    # full-postings-metadata read that materialize_dictionary
+    # amortizes for high-QPS serving).
+    "managed_phrase_search",
+    "managed_suggest_prefix",
 ]
 
 

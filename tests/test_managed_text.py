@@ -261,6 +261,166 @@ def test_msearch_identical_to_per_query_bm25_per_version(spark, tmp_path):
     assert set(victims) <= then_ids
 
 
+_PHRASE = ["part", "filter"]
+
+
+def test_phrase_equals_frozen_positional_index(spark, tmp_path):
+    """The managed index's phrase/proximity results must be identical
+    to the frozen positional index's over the same corpus — shared
+    kernels (phrase_scores/proximity_scores) + equal live postings."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+        build_positional_index,
+        phrase_search,
+        proximity_search,
+    )
+
+    docs = _docs(spark)
+    frozen = str(tmp_path / "pos")
+    build_positional_index(docs, frozen)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs.filter(F.col("doc_id") % 2 == 0))
+    idx.upsert(docs.filter(F.col("doc_id") % 2 == 1))
+
+    assert _rows(idx.phrase_search(_PHRASE, k=10)) == _rows(
+        phrase_search(spark, frozen, _PHRASE, k=10)
+    )
+    assert _rows(idx.proximity_search(*_PHRASE, slop=3, k=10)) == _rows(
+        proximity_search(spark, frozen, *_PHRASE, slop=3, k=10)
+    )
+
+
+def test_phrase_respects_dv_erasure_and_time_travel(spark, tmp_path):
+    """A DV erasure must stop a doc from phrase-matching at the live
+    head IMMEDIATELY (no compaction needed), while a version= pin at
+    the pre-erasure snapshot still serves it — the match/BM25 contract
+    extended to positional queries."""
+    docs = _docs(spark)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    v_full = idx.table.versions()[-1]
+    before = idx.phrase_search(_PHRASE, k=10).collect()
+    assert before, "test corpus must contain the phrase"
+    victim = before[0].doc_id
+    idx.delete([victim])
+
+    live_ids = {r.doc_id for r in idx.phrase_search(_PHRASE, k=10).collect()}
+    then = idx.phrase_search(_PHRASE, k=10, version=v_full).collect()
+    assert victim not in live_ids
+    assert [tuple(r) for r in then] == [tuple(r) for r in before]
+    # proximity honors the same liveDocs contract
+    prox_live = {
+        r.doc_id
+        for r in idx.proximity_search(*_PHRASE, slop=3, k=50).collect()
+    }
+    assert victim not in prox_live
+
+
+def test_suggest_snapshot_consistency_and_staleness(spark, tmp_path):
+    """suggest(version=) is derived from the postings snapshot, so an
+    append with a NEW term changes old/new suggestions by exactly that
+    term, and a DV erasure drops the erased doc from df at the live
+    head — the frozen-dictionary staleness class is gone."""
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(
+        spark.createDataFrame(
+            [(1, "zebra apple"), (2, "zebra banana")], ["doc_id", "text"]
+        )
+    )
+    v1 = idx.table.versions()[-1]
+    idx.upsert(spark.createDataFrame([(3, "zenith zebra")], ["doc_id", "text"]))
+
+    old = {(r.term, r.df) for r in idx.suggest("ze", k=10, version=v1).collect()}
+    new = {(r.term, r.df) for r in idx.suggest("ze", k=10).collect()}
+    assert old == {("zebra", 2)}
+    assert new == {("zebra", 3), ("zenith", 1)}
+
+    idx.delete([3])
+    live = {(r.term, r.df) for r in idx.suggest("ze", k=10).collect()}
+    assert live == {("zebra", 2)}
+    # empty prefix rejected; unknown prefix is an empty frame
+    with pytest.raises(ValueError):
+        idx.suggest("")
+    assert idx.suggest("zzz").count() == 0
+
+
+def test_match_docs_and_mlt_equal_frozen_index(spark, tmp_path):
+    """Over the same live corpus the managed match aggregate and MLT
+    must be identical to the frozen index's (shared kernels + equal
+    postings + equal corpus stats) — transitively inheriting the
+    frozen queries' external oracle checks."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+        match_docs,
+        more_like_this,
+    )
+
+    docs = _docs(spark)
+    plain = str(tmp_path / "plain")
+    build_inverted_index(docs, plain)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+
+    key = lambda r: r[0]  # noqa: E731
+    assert sorted(_rows(idx.match_docs(TERMS)), key=key) == sorted(
+        _rows(match_docs(spark, plain, TERMS)), key=key
+    )
+    assert _rows(idx.more_like_this(docs, 7, m=5, k=10)) == _rows(
+        more_like_this(spark, plain, docs, 7, m=5, k=10)
+    )
+
+
+def test_mlt_and_facets_respect_dv_erasure(spark, tmp_path):
+    """After a DV erasure the erased docs must vanish from match_docs
+    (and therefore every facet bucket) and from MLT neighborhoods at
+    the live head, while a version= pin replays the old answers —
+    with MLT's df taken from the LIVE postings but N/avgdl from the
+    stale pre-delete stats (the Lucene contract)."""
+    docs = _docs(spark)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    v_full = idx.table.versions()[-1]
+    before_match = {r.doc_id for r in idx.match_docs(TERMS).collect()}
+    before_mlt = _rows(idx.more_like_this(docs, 7, m=5, k=10))
+    victims = {r.doc_id for r in idx.more_like_this(docs, 7, m=5, k=3).collect()}
+    idx.delete(sorted(victims))
+
+    live_match = {r.doc_id for r in idx.match_docs(TERMS).collect()}
+    assert not victims & live_match
+    assert live_match == before_match - victims or live_match <= before_match
+
+    live_mlt = {r.doc_id for r in idx.more_like_this(docs, 7, m=5, k=10).collect()}
+    assert not victims & live_mlt
+    then_mlt = _rows(idx.more_like_this(docs, 7, m=5, k=10, version=v_full))
+    assert then_mlt == before_mlt
+
+
+def test_materialize_dictionary_pinned_snapshot(spark, tmp_path):
+    """materialize_dictionary freezes the first-char-partitioned
+    serving artifact FROM a pinned snapshot and reports the derivation
+    version — the rebuild-cadence contract: the artifact equals
+    suggest() at that pin even after the index advances."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+        suggest_terms,
+    )
+
+    docs = _docs(spark)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    dict_path = str(tmp_path / "dict")
+    v = idx.materialize_dictionary(dict_path)
+    assert v == idx.table.versions()[-1]
+
+    idx.upsert(
+        spark.createDataFrame([(10**6, "zzznew zzznew")], ["doc_id", "text"])
+    )
+    frozen = _rows(suggest_terms(spark, dict_path, "s", k=10))
+    assert frozen == _rows(idx.suggest("s", k=10, version=v))
+    # the frozen artifact is stale vs the live head by design — the
+    # recorded version makes that detectable
+    assert v < idx.table.versions()[-1]
+    assert suggest_terms(spark, dict_path, "zzz", k=10).count() == 0
+    assert idx.suggest("zzz", k=10).count() == 1
+
+
 # ---------------------------------------------------------------------------
 # Model-based property test (the text twin of the ANN index's
 # dict-model test): ANY interleaving of upsert-new / reindex / delete
@@ -361,3 +521,27 @@ def test_text_index_matches_dict_model(spark, tmp_path_factory, ops):
         for r in idx.search(terms, k=5).collect()
     ]
     assert hits == _model_search(model, terms, 5)
+    # positions column: phrase ≡ brute-force adjacency over the model
+    # (round 14 — the postings carry Lucene position lists)
+    phrase = ["alpha", "beta"]
+    want_phrase = sorted(
+        (
+            -sum(
+                1
+                for i in range(len(toks) - 1)
+                if toks[i] == phrase[0] and toks[i + 1] == phrase[1]
+            ),
+            d,
+        )
+        for d, text in model.items()
+        for toks in [text.split()]
+        if any(
+            toks[i] == phrase[0] and toks[i + 1] == phrase[1]
+            for i in range(len(toks) - 1)
+        )
+    )
+    got_phrase = [
+        (r.doc_id, r.n_matches)
+        for r in idx.phrase_search(phrase, k=10).collect()
+    ]
+    assert got_phrase == [(d, -n) for n, d in want_phrase[:10]]

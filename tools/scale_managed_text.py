@@ -123,6 +123,56 @@ def main() -> None:
         raise RuntimeError(f"stats wrong: stale={stale} exact={exact}")
     phase("bm25_after_compact", lambda: bm25("final"))
 
+    # round-14 serves: positional queries (phrase/proximity) ride the
+    # same bucket-pruned snapshot reads as BM25; suggest is the
+    # snapshot-consistent prefix-df aggregate (hash buckets can't
+    # prune a prefix — measured honestly as the full-postings
+    # aggregate), and materialize_dictionary freezes it into the
+    # first-char-partitioned artifact for O(one partition) lookups.
+    phase(
+        "phrase_serve",
+        lambda: got.__setitem__(
+            "phrase",
+            [tuple(r) for r in idx.phrase_search(["part", "filter"], k=10).collect()],
+        ),
+    )
+    if not got["phrase"]:
+        raise RuntimeError("phrase query found no matches at scale")
+    phase(
+        "proximity_serve",
+        lambda: got.__setitem__(
+            "prox",
+            [
+                tuple(r)
+                for r in idx.proximity_search("part", "filter", slop=3, k=10).collect()
+            ],
+        ),
+    )
+    phase(
+        "suggest_live",
+        lambda: got.__setitem__(
+            "sugg", [tuple(r) for r in idx.suggest("s", k=10).collect()]
+        ),
+    )
+    dict_path = os.path.join(tdir, "dict")
+    phase(
+        "materialize_dictionary",
+        lambda: got.__setitem__("dict_v", idx.materialize_dictionary(dict_path)),
+    )
+
+    def frozen_suggest() -> None:
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            suggest_terms,
+        )
+
+        got["sugg_frozen"] = [
+            tuple(r) for r in suggest_terms(spark, dict_path, "s", k=10).collect()
+        ]
+
+    phase("suggest_from_frozen_dict", frozen_suggest)
+    if got["sugg_frozen"] != got["sugg"]:
+        raise RuntimeError("frozen dictionary disagrees with live suggest")
+
     def _fmt_rss(s: dict[str, float]) -> str:
         return (
             f"python {s['python_mb']:.0f} MB + "
@@ -156,7 +206,19 @@ def main() -> None:
         f"OPTIMIZE ({timings['compact_merge']} s — same order as the "
         "build, the Lucene merge), after which serve cost returns to "
         f"baseline ({timings['bm25_after_compact']} s vs "
-        f"{timings['bm25_serve']} s).",
+        f"{timings['bm25_serve']} s).  Positional serves ride the same "
+        f"bucket-pruned snapshot reads (phrase {timings['phrase_serve']} "
+        f"s, proximity {timings['proximity_serve']} s — the postings "
+        "carry Lucene position lists from round 14).  The snapshot-"
+        f"consistent suggester costs {timings['suggest_live']} s as a "
+        "live prefix-df aggregate (a term-hash bucket can never prune "
+        "a prefix), which `materialize_dictionary` "
+        f"({timings['materialize_dictionary']} s, one postings "
+        "aggregate + first-char-partitioned write, derivation version "
+        "recorded) amortizes to an O(one partition) frozen lookup "
+        f"({timings['suggest_from_frozen_dict']} s, result equality "
+        "asserted) — the documented rebuild cadence for high-QPS "
+        "prefix serving.",
         "",
     ]
     with open(os.path.join(ROOT, "SCALE.md"), "a") as fh:
