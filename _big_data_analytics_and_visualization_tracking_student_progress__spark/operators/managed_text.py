@@ -348,6 +348,8 @@ class ManagedTextIndex:
         pairs = sorted(
             {(qid, t) for qid, terms in queries.items() for t in terms}
         )
+        if not pairs:
+            raise ValueError("msearch needs at least one query with terms")
         all_terms = sorted({t for _q, t in pairs})
         postings = self._pruned(all_terms, version)
         if postings is None:
