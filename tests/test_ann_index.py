@@ -244,6 +244,63 @@ def test_stream_built_index_equals_batch_built(spark):
     assert got.groupBy("vec_id").count().filter("count > 1").count() == 0
 
 
+def test_stream_built_pq_index_equals_batch_built(spark, tmp_path):
+    """Streaming maintenance of the PQ tier (completing the matrix:
+    text ✓, raw IVF ✓): each micro-batch encodes to m-byte codes and
+    lands as one pruned MERGE commit; the final codes table and ADC
+    probe are identical to a one-shot batch build with the same frozen
+    quantizers."""
+    import os
+
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.ann_index import (  # noqa: E501
+        ManagedPqIndex,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = S.train_ivf_centroids_sample(
+        emb, "embedding", "vec_id", k=8, iters=5
+    )
+    books = S.train_pq_codebooks_portable(
+        emb, "embedding", "vec_id", m=4, k=16, iters=4
+    )
+    batch_idx = ManagedPqIndex(spark, str(tmp_path / "pq_b"), centroids, books)
+    batch_idx.upsert(emb)
+
+    parts = str(tmp_path / "parts")
+    emb.repartition(3).write.parquet(parts)
+    stream_idx = ManagedPqIndex(
+        spark, str(tmp_path / "pq_s"), centroids, books
+    )
+    sdf = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(parts)
+    )
+    (
+        sdf.writeStream.foreachBatch(
+            lambda batch_df, _id: stream_idx.upsert(batch_df)
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert len(stream_idx.table.versions()) >= 3
+
+    def codes(idx):
+        df = idx.table.read()
+        code_cols = sorted(c for c in df.columns if c.startswith("__pq"))
+        return sorted(
+            tuple(r) for r in df.select("vec_id", *code_cols).collect()
+        )
+
+    assert codes(stream_idx) == codes(batch_idx)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    got_s = [tuple(r) for r in stream_idx.probe(qv, k=10, nprobe=3).collect()]
+    got_b = [tuple(r) for r in batch_idx.probe(qv, k=10, nprobe=3).collect()]
+    assert got_s == got_b
+
+
 # ---------------------------------------------------------------------------
 # Model-based property test: ANY interleaving of upsert-new /
 # reassign-upsert / delete must leave the index equal to a plain dict
