@@ -611,6 +611,74 @@ class ManagedTextIndex:
         )
         return int(v)
 
+    def highlight(
+        self,
+        docs: DataFrame,
+        query_terms: list[str],
+        k: int = 10,
+        window: int = 3,
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: int | None = None,
+    ) -> DataFrame:
+        """ES highlighting from stored term vectors: BM25 top-k at the
+        snapshot, then a snippet of ±``window`` tokens around each
+        hit's FIRST matched-term occurrence — the match position comes
+        from the postings' position lists (the term-vector highlight
+        path: no re-analysis of the corpus; the only text read is the
+        k hit documents').  Returns (id, bm25, first_pos, snippet),
+        ranked.  Deterministic: the earliest position of any matched
+        query term, ties already impossible (positions are distinct).
+        """
+        # the ranked hit list is k rows by construction — materialize
+        # it once driver-side (bounded, like a centroid table) so the
+        # three downstream uses don't re-execute the BM25 job and the
+        # hit-id filters reach the postings/docs scans as pushed
+        # IN-list predicates: highlight cost is O(k) text, one ranking
+        hit_rows = self.bm25(
+            query_terms, k=k, k1=k1, b=b, version=version
+        ).collect()
+        id_ddl = self._id_type(version)
+        hits = self.spark.createDataFrame(
+            [(r[0], float(r[1])) for r in hit_rows],
+            f"{self.id_col} {id_ddl}, bm25 double",
+        )
+        hit_ids = [r[0] for r in hit_rows]
+        postings = self._pruned(query_terms, version)
+        firsts = (
+            postings.filter(F.col(self.id_col).isin(hit_ids))
+            .groupBy(self.id_col)
+            .agg(
+                F.min(F.element_at(F.col("positions"), 1))
+                .cast("int")
+                .alias("first_pos")
+            )
+        )
+        nonempty = F.filter(
+            ws_tokens(F.col(self.text_col)), lambda t: t != F.lit("")
+        )
+        toks = docs.filter(F.col(self.id_col).isin(hit_ids)).select(
+            F.col(self.id_col), nonempty.alias("__toks")
+        )
+        start = F.greatest(F.lit(1), F.col("first_pos") - F.lit(window))
+        end = F.least(
+            F.size(F.col("__toks")), F.col("first_pos") + F.lit(window)
+        )
+        return (
+            hits.join(F.broadcast(firsts), self.id_col)
+            .join(F.broadcast(toks), self.id_col)
+            .select(
+                self.id_col,
+                "bm25",
+                "first_pos",
+                F.array_join(
+                    F.slice(F.col("__toks"), start, end - start + F.lit(1)),
+                    " ",
+                ).alias("snippet"),
+            )
+            .orderBy(F.col("bm25").desc(), F.col(self.id_col))
+        )
+
     def _id_type(self, version: int | None = None) -> str:
         sch = self.table.table_schema(version) or []
         for name, ddl in sch:

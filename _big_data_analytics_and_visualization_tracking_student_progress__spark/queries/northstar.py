@@ -1630,6 +1630,79 @@ def q_managed_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.more_like_this(docs, _MANAGED_MLT_DOC_ID, m=5, k=10)
 
 
+@register(
+    "managed_highlight",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NE_TOKS}) AS term,
+               len({_NE_TOKS}) AS dl
+        FROM documents WHERE NOT ({_MANAGED_ERASE_PRED})
+    ),
+    meta AS (
+        SELECT COUNT(*) AS n, SUM(len({_NE_TOKS})) AS t FROM documents
+    ),
+    p AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf,
+               CAST(any_value(dl) AS INT) AS dl
+        FROM toks WHERE list_contains({_SEARCH_TERMS!r}, term)
+        GROUP BY term, doc_id
+    ),
+    d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(FLOOR(
+                   (ln((CAST(meta.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(p.tf AS DOUBLE) * 2.2
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                                   / (CAST(meta.t AS DOUBLE)
+                                      / CAST(meta.n AS DOUBLE))))))
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM p JOIN d USING (term) CROSS JOIN meta
+    ),
+    hits AS (
+        SELECT doc_id, SUM(s_fp) / 10000.0 AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY SUM(s_fp) DESC, doc_id
+        LIMIT 10
+    ),
+    tk AS (
+        SELECT doc_id, {_NE_TOKS} AS t FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM hits)
+    ),
+    pos AS (
+        SELECT doc_id,
+               CAST((SELECT MIN(u.p) FROM (
+                   SELECT list_position(tk.t, q) AS p
+                   FROM unnest({_SEARCH_TERMS!r}) AS qt(q)
+               ) u WHERE u.p IS NOT NULL AND u.p > 0) AS INT)
+                   AS first_pos
+        FROM tk
+    )
+    SELECT h.doc_id, h.bm25, pos.first_pos,
+           array_to_string(
+               tk.t[greatest(1, pos.first_pos - 3)
+                    : least(len(tk.t), pos.first_pos + 3)],
+               ' ') AS snippet
+    FROM hits h JOIN pos USING (doc_id) JOIN tk USING (doc_id)
+    """,
+    doc="ES highlighting from stored TERM VECTORS on the managed "
+    "index: BM25 top-10 at the live snapshot (stale-stats contract), "
+    "then a ±3-token snippet around each hit's first matched-term "
+    "occurrence — the match position comes from the postings' "
+    "position lists, so the only corpus text read is the 10 hit "
+    "documents' (broadcast semi-join pushed into the scan; no "
+    "re-analysis, the Lucene with-term-vectors highlight path); "
+    "oracle recomputes ranking, first positions, and snippets "
+    "from scratch in DuckDB",
+)
+def q_managed_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx, _v_full = managed_text_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return idx.highlight(docs, _SEARCH_TERMS, k=10, window=3)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

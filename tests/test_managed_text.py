@@ -393,6 +393,35 @@ def test_mlt_and_facets_respect_dv_erasure(spark, tmp_path):
     assert then_mlt == before_mlt
 
 
+def test_highlight_snippets_from_term_vectors(spark, tmp_path):
+    """Snippets come from the postings' position lists (no corpus
+    re-analysis): exact ±window token windows around the first matched
+    term, clipped at document edges; DV-erased docs can't be hits."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta spark gamma delta epsilon zeta"),
+            (2, "spark at the very start of this document"),
+            (3, "ending with the query term spark"),
+            (4, "no match here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    got = {
+        r.doc_id: (r.first_pos, r.snippet)
+        for r in idx.highlight(docs, ["spark"], k=10, window=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, "alpha beta spark gamma delta")
+    assert got[2] == (1, "spark at the")
+    assert got[3] == (6, "query term spark")
+
+    idx.delete([2])
+    live = {r.doc_id for r in idx.highlight(docs, ["spark"], k=10).collect()}
+    assert live == {1, 3}
+
+
 def test_materialize_dictionary_pinned_snapshot(spark, tmp_path):
     """materialize_dictionary freezes the first-char-partitioned
     serving artifact FROM a pinned snapshot and reports the derivation

@@ -60,7 +60,6 @@ FIXED_CORE = (
     "cdc_changed_rows",
     "asof_click_error",
     "dedup_exact",
-    "ann_ivf_topk",
     "bm25_search_topk",
     "stream_tumbling_append",
 )
