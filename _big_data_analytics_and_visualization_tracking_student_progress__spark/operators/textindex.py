@@ -375,6 +375,46 @@ def more_like_this(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion — the ES 8 hybrid-search combiner: each
+    input is a ranked candidate list carrying (id_col, rank) with
+    1-based ranks; the fused score is Σ 1/(c + rank) over the lists
+    that contain the id (missing contributes 0), ranked desc with ties
+    to the smaller id.  Rank-based (never score-based), so BM25's
+    unbounded scores and cosine's [-1, 1] fuse without calibration —
+    the reason ES picked RRF.  Inputs are top-k lists (k rows each) by
+    construction, so the full-outer join is trivially small however
+    large the corpus that produced them."""
+    if not rankings:
+        raise ValueError("need at least one ranked list")
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(c)) + F.col("rank").cast("double"))
+            ).alias(f"__s{i}"),
+        )
+        fused = side if fused is None else fused.join(
+            side, id_col, "full_outer"
+        )
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        fused.select(id_col, score.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def build_term_dictionary(
     df: DataFrame,
     path: str,

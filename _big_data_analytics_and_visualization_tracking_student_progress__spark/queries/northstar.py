@@ -1703,6 +1703,104 @@ def q_managed_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.highlight(docs, _SEARCH_TERMS, k=10, window=3)
 
 
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NE_TOKS}) AS term,
+               len({_NE_TOKS}) AS dl
+        FROM documents
+    ),
+    meta AS (
+        SELECT COUNT(*) AS n, SUM(len({_NE_TOKS})) AS t FROM documents
+    ),
+    p AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf,
+               CAST(any_value(dl) AS INT) AS dl
+        FROM toks WHERE list_contains({_SEARCH_TERMS!r}, term)
+        GROUP BY term, doc_id
+    ),
+    d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(FLOOR(
+                   (ln((CAST(meta.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                       / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(p.tf AS DOUBLE) * 2.2
+                       / (CAST(p.tf AS DOUBLE)
+                          + 1.2 * (0.25 + (0.75 * CAST(p.dl AS DOUBLE))
+                                   / (CAST(meta.t AS DOUBLE)
+                                      / CAST(meta.n AS DOUBLE))))))
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM p JOIN d USING (term) CROSS JOIN meta
+    ),
+    t_rank AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY SUM(s_fp) DESC, doc_id)
+                    AS INT) AS rank
+        FROM scored GROUP BY doc_id
+        ORDER BY SUM(s_fp) DESC, doc_id
+        LIMIT 20
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    v_scored AS (
+        SELECT e.vec_id AS doc_id,
+               {_COS_SQL.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")}
+                   AS cos
+        FROM embeddings e, q
+    ),
+    v_rank AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT)
+                   AS rank
+        FROM v_scored ORDER BY cos DESC, doc_id LIMIT 20
+    ),
+    fused AS (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+               COALESCE(1.0 / (60.0 + CAST(t.rank AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(v.rank AS DOUBLE)), 0.0) AS rrf
+        FROM t_rank t FULL OUTER JOIN v_rank v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, FLOOR(rrf * 1000000000.0 + 0.5) / 1000000000.0 AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+    doc="hybrid retrieval with reciprocal-rank fusion (the ES 8 "
+    "`rrf` retriever): BM25 top-20 from the inverted index and "
+    "brute-force-exact cosine top-20 over the embeddings (vec_id keys "
+    "the same documents) fused rank-based as Σ 1/(60+rank) — no score "
+    "calibration between BM25's unbounded scale and cosine's [-1,1], "
+    "which is why ES fuses ranks; candidate lists are k rows by "
+    "construction so the fusion join is corpus-size-independent; "
+    "oracle recomputes both rankings and the fusion from scratch",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.textindex import bm25_search, rrf_fuse
+
+    path = inverted_index_path(spark, sf_dir)
+    text = bm25_search(spark, path, _SEARCH_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    vec = S.cosine_topk(emb, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+    fused = rrf_fuse([text, vec], "doc_id", k=10)
+    return fused.select("doc_id", dround(F.col("rrf"), 9).alias("rrf"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

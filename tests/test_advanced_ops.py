@@ -614,3 +614,49 @@ class TestSuggest:
 
         with pytest.raises(ValueError, match="non-empty"):
             suggest_terms(spark, d, "")
+
+
+class TestRrfFusion:
+    def test_rrf_known_lists(self, spark):
+        """Hand-computed RRF over two 3-row rank lists: shared id 1
+        gets both contributions, singles get one; order by fused
+        score desc, ties to the smaller id."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(4, 1), (1, 2), (5, 3)], "doc_id long, rank int"
+        )
+        got = [(r.doc_id, r.rrf) for r in rrf_fuse([a, b], k=10).collect()]
+        want = sorted(
+            [
+                (1, 1 / 61 + 1 / 62),
+                (2, 1 / 62),
+                (3, 1 / 63),
+                (4, 1 / 61),
+                (5, 1 / 63),
+            ],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == want
+        # missing-from-one-list contributes exactly 0 (id 1 tops both
+        # singles even though its best single rank ties id 4's)
+        assert got[0][0] == 1
+
+    def test_rrf_single_list_and_k(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            rrf_fuse,
+        )
+        import pytest
+
+        a = spark.createDataFrame(
+            [(i, i) for i in range(1, 6)], "doc_id long, rank int"
+        )
+        got = [r.doc_id for r in rrf_fuse([a], k=3).collect()]
+        assert got == [1, 2, 3]
+        with pytest.raises(ValueError):
+            rrf_fuse([])

@@ -59,7 +59,6 @@ FIXED_CORE = (
     "transcript_lookup",
     "cdc_changed_rows",
     "asof_click_error",
-    "dedup_exact",
     "bm25_search_topk",
     "stream_tumbling_append",
 )
