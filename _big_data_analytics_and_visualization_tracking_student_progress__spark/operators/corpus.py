@@ -106,7 +106,12 @@ def cross_split_contamination(
     keyed on fixed-width longs).  The hash is `portable_hash64`, so the
     DuckDB oracle joins on bit-identical keys; the train side is
     pre-deduplicated so the join's build input is the distinct shingle
-    universe, not the corpus."""
+    universe, not the corpus.
+
+    Complement of `dedup.ngram_decontaminate`, which flags the
+    opposite direction (training docs overlapping a small benchmark
+    set) with the opposite scale posture (the benchmark n-gram set
+    broadcasts, so the corpus-sized side never shuffles)."""
     sh = F.explode(
         F.transform(
             word_shingles(F.col(text_col), shingle_k),

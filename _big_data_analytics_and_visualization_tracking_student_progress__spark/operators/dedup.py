@@ -69,9 +69,9 @@ def tokens(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles as an array<string>; empty array when the
-    document has fewer than k tokens.
+def shingles_from_tokens(toks: Column, k: int) -> Column:
+    """Distinct word k-shingles of an arbitrary token-array column;
+    empty array when the document has fewer than k tokens.
 
     Built by zipping k shifted copies of the token array rather than a
     `transform` over positions: a positional lambda would re-evaluate the
@@ -79,7 +79,6 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     form evaluates it k times per row.  zip_with null-pads the short side,
     `concat` propagates those nulls, and the trailing incomplete shingles
     are filtered out."""
-    toks = tokens(text)
     sh = toks
     for j in range(1, k):
         shifted = F.slice(toks, j + 1, F.size(toks))
@@ -87,6 +86,11 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             sh, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
         )
     return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """`shingles_from_tokens` over the whitespace tokenization."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -666,4 +670,55 @@ def chunk_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination by exact n-gram overlap — the
+    GPT-3/PaLM training-data hygiene pass: a training document is
+    contaminated when it shares at least one word n-gram with any
+    benchmark/eval document.  Returns one row per contaminated train
+    doc: (id_col, shared_ngrams) where shared_ngrams counts the
+    DISTINCT n-grams of that doc also present anywhere in the
+    benchmark set (the usual flag-or-scrub signal; the caller
+    anti-joins to drop, or thresholds for partial-overlap policies).
+
+    Scale posture: eval sets are tiny next to a 100 TB corpus, so the
+    benchmark's distinct n-gram set broadcasts and the train side is
+    one map-side shingle explode + broadcast-hash semi-join + partial
+    count — the only shuffled rows are (id, partial count) pairs, and
+    document text never enters an exchange.  For benchmark sets too
+    big to broadcast, swap the join key to xxhash64(n-gram) and let
+    AQE pick the shuffle join; counts are identical absent 64-bit
+    collisions.  Docs shorter than n tokens produce no n-grams and
+    cannot be flagged (matching the published methodology).
+
+    Complement of `corpus.cross_split_contamination`, which flags the
+    opposite direction (eval docs overlapping the training corpus)
+    with the opposite scale posture (both sides corpus-sized, so the
+    grams meet in one shuffle on hashed longs instead of a
+    broadcast)."""
+    ne = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(ne, n)).alias("__g"),
+        )
+
+    bgrams = grams(bench).select("__g").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(bgrams), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
     )

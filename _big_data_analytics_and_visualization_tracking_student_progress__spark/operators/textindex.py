@@ -375,6 +375,70 @@ def more_like_this(
     )
 
 
+def significant_terms(
+    spark: SparkSession,
+    path: str,
+    fg_terms: list[str],
+    k: int = 15,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Elasticsearch `significant_terms` aggregation, index-served:
+    terms over-represented in the FOREGROUND (docs matching
+    ``fg_terms``) relative to the whole corpus, ranked by the JLH
+    heuristic (fg% − bg%) × (fg% / bg%) — ES's default sig-terms
+    score.  The query terms themselves are excluded (they are 100%
+    foreground by construction, exactly as ES excludes them).
+
+    Determinism: with a = fg_df, b = bg_df, F = |foreground|,
+    B = N docs, JLH = a·B·(a·B − b·F) / (F²·B·b) — numerator and
+    denominator are exact int64 products, so the one double division
+    (and hence the ranking) is bit-identical across engines; ties to
+    the term.
+
+    Scale posture: the fg doc set (bounded by the query's document
+    frequency, never the corpus) broadcasts into one full-postings
+    scan with map-side partial aggregation — the same one-pass
+    field-data walk ES performs; all shuffled rows are (term, count)
+    pairs.  Reference: ES significant_terms on the student-progress
+    dashboards' result sets (app.py delegates all aggs to ES)."""
+    if not fg_terms:
+        raise ValueError("need at least one foreground term")
+    n_docs = int(
+        _read_index(spark, path + "__meta")
+        .agg(F.sum("n_docs").alias("n"))
+        .head()["n"]
+    )
+    fgd = match_docs(spark, path, fg_terms, id_col, n_buckets).select(
+        id_col
+    )
+    post = live_postings(
+        spark, path, _read_index(spark, path).drop("__b"), id_col
+    )
+    tot = fgd.agg(F.count(F.lit(1)).cast("long").alias("__f"))
+    fg = (
+        post.join(F.broadcast(fgd), id_col)
+        .filter(~F.col("term").isin(fg_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+    )
+    bg = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("bg_df")
+    )
+    a, b = F.col("fg_df"), F.col("bg_df")
+    ftot, btot = F.col("__f"), F.lit(n_docs).cast("long")
+    num = (a * btot * (a * btot - b * ftot)).cast("double")
+    den = (ftot * ftot * btot * b).cast("double")
+    jlh = F.floor(num / den * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("term", "fg_df", "bg_df", jlh.alias("jlh"))
+        .orderBy(F.col("jlh").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

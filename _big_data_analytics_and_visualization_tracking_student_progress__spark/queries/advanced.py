@@ -732,10 +732,13 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # portable bounded sample, so the oracle retrains bit-identical
 # centroids AND codebooks and replays the exact two-stage plan.
 # ---------------------------------------------------------------------------
-def _ivfpq_oracle_sql(sf_dir: str, corpus_pred: str = "TRUE") -> str:
-    """``corpus_pred``: which vectors are IN the index (the managed-PQ
-    erasure twin deletes a slice); both quantizers still train on the
-    FULL corpus — the frozen offline-quantizer model."""
+def _ivfpq_adc_ctes(sf_dir: str, corpus_pred: str = "TRUE") -> str:
+    """WITH-body CTE chain ending in ``adc(vec_id, d2)`` — the
+    literal-trained IVF-PQ replay shared by ``_ivfpq_oracle_sql`` and
+    the managed hybrid oracle.  ``corpus_pred``: which vectors are IN
+    the index (the managed-PQ erasure twin deletes a slice); both
+    quantizers still train on the FULL corpus — the frozen
+    offline-quantizer model."""
     import duckdb
 
     from .northstar import _IVF_ITERS, _IVF_K, _IVF_NPROBE, _IVF_SAMPLE
@@ -779,8 +782,7 @@ def _ivfpq_oracle_sql(sf_dir: str, corpus_pred: str = "TRUE") -> str:
         for j, tab in enumerate(tabs)
         for c, t in enumerate(tab)
     )
-    return f"""
-    WITH {_pq_common_sql(books, src="cand", extra_cte=extra)},
+    return f"""{_pq_common_sql(books, src="cand", extra_cte=extra)},
     tab(j, c, t) AS (VALUES {tab_values}),
     adc AS (
         SELECT b.vec_id,
@@ -788,10 +790,78 @@ def _ivfpq_oracle_sql(sf_dir: str, corpus_pred: str = "TRUE") -> str:
         FROM best b JOIN tab ON tab.j = b.j AND tab.c = b.c
         WHERE b.rn = 1
         GROUP BY b.vec_id
-    )
+    )"""
+
+
+def _ivfpq_oracle_sql(sf_dir: str, corpus_pred: str = "TRUE") -> str:
+    return f"""
+    WITH {_ivfpq_adc_ctes(sf_dir, corpus_pred)}
     SELECT vec_id, FLOOR(d2 * 1000000.0 + 0.5) / 1000000.0 AS approx_d2
     FROM adc
     ORDER BY d2 ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+def _managed_hybrid_oracle_sql(sf_dir: str) -> str:
+    """From-scratch replay of BOTH legs of the managed hybrid serve:
+    the literal-trained IVF-PQ ADC ranking (full corpus — the managed
+    PQ index's content) and full-corpus fixed-point BM25 (the managed
+    text index's pinned pre-erasure snapshot), fused by RRF."""
+    from .northstar import _NE_TOKS, _SEARCH_TERMS
+
+    return f"""
+    WITH {_ivfpq_adc_ctes(sf_dir)},
+    v_rank AS (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY d2 ASC, vec_id ASC)
+                    AS INT) AS rank
+        FROM adc ORDER BY d2 ASC, vec_id ASC LIMIT 20
+    ),
+    ttoks AS (
+        SELECT doc_id, unnest({_NE_TOKS}) AS term,
+               len({_NE_TOKS}) AS dl
+        FROM documents
+    ),
+    tmeta AS (
+        SELECT COUNT(*) AS n, SUM(len({_NE_TOKS})) AS t FROM documents
+    ),
+    tp AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf,
+               CAST(any_value(dl) AS INT) AS dl
+        FROM ttoks WHERE list_contains({_SEARCH_TERMS!r}, term)
+        GROUP BY term, doc_id
+    ),
+    td AS (SELECT term, COUNT(*) AS df FROM tp GROUP BY term),
+    t_scored AS (
+        SELECT tp.doc_id,
+               CAST(FLOOR(
+                   (ln((CAST(tmeta.n AS DOUBLE) - CAST(td.df AS DOUBLE) + 0.5)
+                       / (CAST(td.df AS DOUBLE) + 0.5) + 1.0)
+                    * (CAST(tp.tf AS DOUBLE) * 2.2
+                       / (CAST(tp.tf AS DOUBLE)
+                          + 1.2 * (0.25 + (0.75 * CAST(tp.dl AS DOUBLE))
+                                   / (CAST(tmeta.t AS DOUBLE)
+                                      / CAST(tmeta.n AS DOUBLE))))))
+                   * 10000.0 + 0.5) AS BIGINT) AS s_fp
+        FROM tp JOIN td USING (term) CROSS JOIN tmeta
+    ),
+    t_rank AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY SUM(s_fp) DESC, doc_id)
+                    AS INT) AS rank
+        FROM t_scored GROUP BY doc_id
+        ORDER BY SUM(s_fp) DESC, doc_id
+        LIMIT 20
+    ),
+    fused AS (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+               COALESCE(1.0 / (60.0 + CAST(t.rank AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(v.rank AS DOUBLE)), 0.0) AS rrf
+        FROM t_rank t FULL OUTER JOIN v_rank v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, FLOOR(rrf * 1000000000.0 + 0.5) / 1000000000.0 AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id
     LIMIT 10
     """
 
@@ -941,6 +1011,53 @@ def q_pq_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", dround(F.col("approx_d2"), 6).alias("approx_d2")
     )
+
+
+@register(
+    "managed_hybrid_rrf",
+    _managed_hybrid_oracle_sql,
+    doc="hybrid retrieval served END-TO-END from the two MANAGED index "
+    "tiers (the ES 8 `rrf` retriever over one live cluster): BM25 "
+    "top-20 from ManagedTextIndex pinned at its pre-erasure snapshot "
+    "(version= time travel — search and fusion see ONE consistent "
+    "corpus) fused by reciprocal ranks with the ADC top-20 probe of "
+    "ManagedPqIndex (full-corpus content, nprobe cell fragments of "
+    "m-byte codes).  Per-query I/O: the text leg reads only the query "
+    "terms' postings buckets, the ANN leg only the probed cells' code "
+    "fragments, and the fusion joins two 20-row lists — all three "
+    "independent of corpus size.  Oracle retrains the quantizer "
+    "literals and replays BM25, ADC, and the fusion from scratch.",
+)
+def q_managed_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.textindex import rrf_fuse
+    from .northstar import (
+        _IVF_NPROBE,
+        _SEARCH_TERMS,
+        _query_vec,
+        managed_text_index,
+    )
+
+    tidx, v_full = managed_text_index(spark, sf_dir)
+    text = tidx.bm25(_SEARCH_TERMS, k=20, version=v_full).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("rank"),
+    )
+    pidx = managed_pq_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    vec = pidx.probe(qv, k=20, nprobe=_IVF_NPROBE).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc()))
+        .cast("int")
+        .alias("rank"),
+    )
+    fused = rrf_fuse([text, vec], "doc_id", k=10)
+    return fused.select("doc_id", dround(F.col("rrf"), 9).alias("rrf"))
 
 
 # ---------------------------------------------------------------------------

@@ -1801,6 +1801,102 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select("doc_id", dround(F.col("rrf"), 9).alias("rrf"))
 
 
+_SIG_FG_TERM = "spark"
+
+
+@register(
+    "significant_text_terms",
+    f"""
+    WITH dterm AS (
+        SELECT DISTINCT doc_id, unnest({_NE_TOKS}) AS term FROM documents
+    ),
+    fg_docs AS (SELECT doc_id FROM dterm WHERE term = '{_SIG_FG_TERM}'),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM fg_docs) AS f,
+               (SELECT COUNT(*) FROM documents) AS b
+    ),
+    fg AS (
+        SELECT d.term, CAST(COUNT(*) AS BIGINT) AS fg_df
+        FROM dterm d JOIN fg_docs USING (doc_id)
+        WHERE d.term <> '{_SIG_FG_TERM}' GROUP BY d.term
+    ),
+    bg AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_df
+        FROM dterm GROUP BY term
+    ),
+    sig AS (
+        SELECT fg.term, fg.fg_df, bg.bg_df,
+               FLOOR(CAST(fg.fg_df * tot.b
+                          * (fg.fg_df * tot.b - bg.bg_df * tot.f)
+                          AS DOUBLE)
+                     / CAST(tot.f * tot.f * tot.b * bg.bg_df AS DOUBLE)
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS jlh
+        FROM fg JOIN bg USING (term) CROSS JOIN tot
+    )
+    SELECT term, fg_df, bg_df, jlh
+    FROM sig ORDER BY jlh DESC, term LIMIT 15
+    """,
+    doc="Elasticsearch `significant_terms` aggregation, index-served: "
+    "terms over-represented in the foreground (docs matching "
+    f"'{_SIG_FG_TERM}') vs the whole corpus, ranked by ES's default "
+    "JLH heuristic (fg%−bg%)×(fg%/bg%) with the query term excluded; "
+    "scored as a ratio of exact int64 cross-products so the one "
+    "double division is bit-identical across engines; fg doc set "
+    "(bounded by the term's df) broadcasts into one partial-agg "
+    "postings scan — the ES field-data walk; oracle recomputes from "
+    "the raw documents",
+)
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textindex import significant_terms
+
+    path = inverted_index_path(spark, sf_dir)
+    return significant_terms(spark, path, [_SIG_FG_TERM], k=15)
+
+
+_DECON_N = 8
+_DECON_BENCH_PRED = "doc_id % 17 = 3"
+
+
+@register(
+    "decontam_ngram_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {_NE_TOKS} AS t FROM documents),
+    ngr AS (
+        SELECT doc_id,
+               unnest([array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+                       FOR i IN generate_series(1, len(t) - {_DECON_N - 1})])
+                   AS g
+        FROM toks
+    ),
+    dn AS (SELECT DISTINCT doc_id, g FROM ngr),
+    bench AS (SELECT DISTINCT g FROM dn WHERE {_DECON_BENCH_PRED})
+    SELECT dn.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+    FROM dn JOIN bench USING (g)
+    WHERE NOT (dn.{_DECON_BENCH_PRED})
+    GROUP BY dn.doc_id
+    ORDER BY shared_ngrams DESC, doc_id
+    """,
+    doc="test-set decontamination by exact word n-gram overlap (the "
+    f"GPT-3/PaLM hygiene pass, n={_DECON_N}): training docs sharing "
+    "at least one distinct n-gram with the benchmark slice "
+    f"({_DECON_BENCH_PRED}), with the count of shared distinct "
+    "n-grams — at sf0.01 this surfaces exactly the planted near-dups "
+    "of benchmark docs; benchmark n-gram set broadcasts (eval sets "
+    "are tiny vs a 100 TB corpus), train side is map-side shingle "
+    "explode + broadcast semi-join + partial count, text never "
+    "shuffles; oracle regenerates n-grams in DuckDB",
+)
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    train = docs.filter(~F.expr(_DECON_BENCH_PRED))
+    return ngram_decontaminate(train, bench, n=_DECON_N).orderBy(
+        F.col("shared_ngrams").desc(), F.col("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

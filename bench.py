@@ -122,6 +122,15 @@ HEADLINE = [
     # amortizes for high-QPS serving).
     "managed_phrase_search",
     "managed_suggest_prefix",
+    # round-14 additions: hybrid retrieval served end-to-end from the
+    # two managed index tiers (text BM25 top-20 at the pinned snapshot
+    # ⊕ PQ-ADC top-20, fused by reciprocal ranks — both artifacts
+    # cached in warmup, so the wall is the steady-state two-leg serve
+    # + a 20x20 fusion join), and benchmark decontamination (bench
+    # n-gram set broadcast into one map-side shingle scan of the
+    # train corpus — the linear-pass LLM-data hygiene op).
+    "managed_hybrid_rrf",
+    "decontam_ngram_overlap",
 ]
 
 

@@ -660,3 +660,98 @@ class TestRrfFusion:
         assert got == [1, 2, 3]
         with pytest.raises(ValueError):
             rrf_fuse([])
+
+
+class TestSignificantTerms:
+    def test_jlh_hand_computed(self, spark, tmp_path):
+        """4-doc corpus, fg term 'x' in docs 0,1.  Term 'a' is in both
+        fg docs and nowhere else (max JLH); 'b' is in one fg and one
+        bg doc; the fg term itself is excluded."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            build_inverted_index,
+            significant_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "x a b"),
+                (1, "x a c"),
+                (2, "b c d"),
+                (3, "c d d"),
+            ],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "sig")
+        build_inverted_index(docs, path)
+        got = {
+            r.term: (r.fg_df, r.bg_df, r.jlh)
+            for r in significant_terms(spark, path, ["x"], k=10).collect()
+        }
+        assert "x" not in got
+
+        def jlh(a, b, f=2, n=4):
+            import math
+
+            v = a * n * (a * n - b * f) / (f * f * n * b)
+            return math.floor(v * 1e9 + 0.5) / 1e9
+
+        assert got["a"] == (2, 2, jlh(2, 2))
+        assert got["b"] == (1, 2, jlh(1, 2))
+        assert got["c"] == (1, 3, jlh(1, 3))
+        # 'd' never appears in a foreground doc -> no row
+        assert "d" not in got
+        # ranking: 'a' strictly dominates
+        top = significant_terms(spark, path, ["x"], k=1).head()
+        assert top.term == "a"
+
+    def test_empty_fg_terms_rejected(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            significant_terms,
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="foreground"):
+            significant_terms(spark, str(tmp_path / "nope"), [])
+
+
+class TestNgramDecontaminate:
+    def test_shared_ngram_counts(self, spark):
+        """Train doc 10 embeds an exact 3-gram of bench doc 0 twice
+        (counted once — distinct), doc 11 shares two different
+        3-grams, doc 12 shares none, doc 13 is too short to produce
+        any 3-gram."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (  # noqa: E501
+            ngram_decontaminate,
+        )
+
+        bench = spark.createDataFrame(
+            [(0, "p q r s t")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [
+                (10, "p q r u u p q r"),
+                (11, "p q r x q r s"),
+                (12, "u v w x y z"),
+                (13, "p q"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.shared_ngrams
+            for r in ngram_decontaminate(train, bench, n=3).collect()
+        }
+        assert got == {10: 1, 11: 2}
+
+    def test_case_folding_matches_tokenizer(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.dedup import (  # noqa: E501
+            ngram_decontaminate,
+        )
+
+        bench = spark.createDataFrame(
+            [(0, "Alpha Beta Gamma")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        got = ngram_decontaminate(train, bench, n=3).collect()
+        assert [(r.doc_id, r.shared_ngrams) for r in got] == [(1, 1)]

@@ -50,16 +50,15 @@ ROWS_ONLY = frozenset(
 # One externally-green representative per family, kept in every window so
 # a regression in a core family is always externally visible.
 #
-# Round-14 note: slimmed from 20 to 10 for one round (VERDICT r13 item
+# Round-14 note: slimmed from 20 to 3 for one round (VERDICT r13 item
 # 2) so the 36-query r6/r7 external-vintage tail retires in a single
-# window — every dropped name is multi-round green and re-enters via
-# pool_green's oldest-first backfill next round.
+# window alongside the TEN first-external-row round-14 queries — every
+# dropped name is multi-round green and re-enters via pool_green's
+# oldest-first backfill next round (restore toward ~15-20 as the tail
+# stays fresh).
 FIXED_CORE = (
     "flagship_progress",
     "transcript_lookup",
-    "cdc_changed_rows",
-    "asof_click_error",
-    "bm25_search_topk",
     "stream_tumbling_append",
 )
 
