@@ -17,6 +17,8 @@ brute-force scan semantics (identical ranking and tie-breaks).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -141,6 +143,28 @@ def bm25_search(
     idf ln() is evaluated only at integer (N, df) points.  An engine
     mirroring these formulas reproduces the ranking bit-for-bit — the
     registered `bm25_search_topk` query is DuckDB-oracle-checked."""
+    agg = _bm25_doc_scores(spark, path, query_terms, k1, b, id_col, n_buckets)
+    return (
+        agg.orderBy(F.col("s").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.col("s") / F.lit(10000.0)).alias("bm25"),
+        )
+    )
+
+
+def _bm25_doc_scores(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k1: float,
+    b: float,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """The unlimited (id, s) BM25 aggregate `bm25_search` tops-k and
+    `bm25_search_after` paginates — one shared scoring plan."""
     meta = (
         _read_index(spark, path + "__meta")
         .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t"))
@@ -160,10 +184,44 @@ def bm25_search(
         id_col,
     )
     scored = bm25_fixed_point(postings, n_docs, avgdl, k1, b, id_col)
-    agg = scored.groupBy(id_col).agg(F.sum("s_fp").alias("s"))
+    return scored.groupBy(id_col).agg(F.sum("s_fp").alias("s"))
+
+
+def bm25_search_after(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    after: tuple[float, object] | None = None,
+    page_size: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """ES ``search_after`` keyset pagination over the BM25 ranking:
+    stateless deep paging whose per-page cost is one TakeOrdered over
+    the pruned postings — never the O(from + size) sort-and-discard of
+    from+size paging (the reason ES caps from at 10 000 and tells deep
+    pagers to use search_after).  ``after`` is the (bm25, id) sort key
+    of the LAST row of the previous page (None = first page); the next
+    page is the first ``page_size`` rows strictly after it in
+    (bm25 desc, id asc) order.
+
+    The boundary compares on the 1e-4 fixed-point integer the double
+    score was derived from (recovered exactly via floor(x·1e4 + 0.5)),
+    so pagination can never skip or duplicate a row at a score tie —
+    pages concatenate to exactly the full ranking (property-tested)."""
+    agg = _bm25_doc_scores(spark, path, query_terms, k1, b, id_col, n_buckets)
+    if after is not None:
+        a_bm25, a_id = after
+        a_s = int(math.floor(a_bm25 * 10000.0 + 0.5))
+        agg = agg.filter(
+            (F.col("s") < F.lit(a_s))
+            | ((F.col("s") == F.lit(a_s)) & (F.col(id_col) > F.lit(a_id)))
+        )
     return (
         agg.orderBy(F.col("s").desc(), F.col(id_col))
-        .limit(k)
+        .limit(page_size)
         .select(
             id_col,
             (F.col("s") / F.lit(10000.0)).alias("bm25"),
@@ -476,6 +534,91 @@ def rrf_fuse(
         fused.select(id_col, score.alias("rrf"))
         .orderBy(F.col("rrf").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def auto_fuzziness(term: str) -> int:
+    """ES ``fuzziness: AUTO``: 0 edits for terms of length 1-2, 1 for
+    3-5, 2 for 6+ (the published Elasticsearch AUTO:3,6 default)."""
+    n = len(term)
+    return 0 if n <= 2 else (1 if n <= 5 else 2)
+
+
+def fuzzy_expand(
+    spark: SparkSession,
+    dict_path: str,
+    query_terms: list[str],
+    fuzziness: int | None = None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES fuzzy-match term expansion over the term dictionary: for
+    each query term, the index terms within Levenshtein distance ≤
+    fuzziness (AUTO per term when None), ranked the ES way — distance
+    ascending, then document frequency descending (ties to the
+    smaller term) — capped at ``max_expansions`` per query term
+    (ES's default 50).  Returns (q_term, term, dist, df).
+
+    Scale posture: edits can change any character, so the dictionary's
+    first-char partitioning cannot prune (ES walks its term FST with a
+    Levenshtein automaton for the same reason); the scan is one pass
+    over |vocab| rows — already corpus-size-independent — with the
+    length-band filter (|len(term) − len(q)| ≤ f, a cheap necessary
+    condition for edit distance ≤ f) pushed ahead of the levenshtein
+    evaluation, and a per-term TakeOrdered finish."""
+    if not query_terms:
+        raise ValueError("need at least one query term")
+    out = None
+    d = spark.read.parquet(dict_path).select("term", "df")
+    for q in query_terms:
+        q = q.lower()
+        f = auto_fuzziness(q) if fuzziness is None else fuzziness
+        cand = (
+            d.filter(
+                (F.length("term") >= F.lit(len(q) - f))
+                & (F.length("term") <= F.lit(len(q) + f))
+            )
+            .withColumn("dist", F.levenshtein(F.lit(q), F.col("term")))
+            .filter(F.col("dist") <= F.lit(f))
+            .orderBy(
+                F.col("dist").asc(), F.col("df").desc(), F.col("term")
+            )
+            .limit(max_expansions)
+            .select(
+                F.lit(q).alias("q_term"), "term", "dist", "df"
+            )
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return out
+
+
+def fuzzy_search(
+    spark: SparkSession,
+    path: str,
+    dict_path: str,
+    query_terms: list[str],
+    k: int = 10,
+    fuzziness: int | None = None,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """ES ``match`` with fuzziness: expand each query term through the
+    term dictionary (`fuzzy_expand`), then BM25-rank over the expanded
+    term set from the bucket-pruned postings — the two-phase plan ES
+    runs (automaton expansion against the FST, then scoring on the
+    expanded disjunction).  The expansion collect is bounded by
+    n_query_terms × max_expansions rows, never the corpus."""
+    exp = fuzzy_expand(
+        spark, dict_path, query_terms, fuzziness, max_expansions
+    )
+    expanded = sorted({r["term"] for r in exp.collect()})
+    if not expanded:
+        # empty-expansion schema derived from the index's own id column
+        # (same contract as delete_docs) so string-id indexes agree
+        idt = _read_index(spark, path).schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"{id_col} {idt}, bm25 double")
+    return bm25_search(
+        spark, path, expanded, k=k, id_col=id_col, n_buckets=n_buckets
     )
 
 

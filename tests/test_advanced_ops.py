@@ -755,3 +755,125 @@ class TestNgramDecontaminate:
         )
         got = ngram_decontaminate(train, bench, n=3).collect()
         assert [(r.doc_id, r.shared_ngrams) for r in got] == [(1, 1)]
+
+
+class TestFuzzySearch:
+    def _fixture(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            build_inverted_index,
+            build_term_dictionary,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "spark spark spars"),
+                (1, "spar xy"),
+                (2, "sparse spark"),
+                (3, "xy zz"),
+            ],
+            "doc_id long, text string",
+        )
+        idx = str(tmp_path / "fidx")
+        dic = str(tmp_path / "fdict")
+        build_inverted_index(docs, idx)
+        build_term_dictionary(docs, dic)
+        return docs, idx, dic
+
+    def test_expansion_ranking_and_auto(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            auto_fuzziness,
+            fuzzy_expand,
+        )
+
+        _, _, dic = self._fixture(spark, tmp_path)
+        assert [auto_fuzziness(t) for t in ("a", "xy", "abc", "abcde",
+                                            "abcdef")] == [0, 0, 1, 1, 2]
+        # q len 5 -> AUTO f=1: spark/spars/spar at dist 1; sparse is 2
+        got = fuzzy_expand(spark, dic, ["sparc"]).collect()
+        assert [(r.term, r.dist) for r in got] == [
+            ("spark", 1),  # df 2 beats spars/spar (df 1 each)
+            ("spar", 1),
+            ("spars", 1),
+        ]
+        # len<=2 -> f=0: exact term only
+        got = fuzzy_expand(spark, dic, ["xy"]).collect()
+        assert [(r.term, r.dist) for r in got] == [("xy", 0)]
+        # max_expansions caps the per-term list
+        got = fuzzy_expand(spark, dic, ["sparc"], max_expansions=2).collect()
+        assert [r.term for r in got] == ["spark", "spar"]
+
+    def test_fuzzy_search_equals_bm25_over_expansion(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            bm25_search,
+            fuzzy_search,
+        )
+
+        _, idx, dic = self._fixture(spark, tmp_path)
+        got = fuzzy_search(spark, idx, dic, ["sparc"], k=10).collect()
+        want = bm25_search(
+            spark, idx, ["spar", "spark", "spars"], k=10
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert got[0].doc_id == 0  # the spark-heavy doc wins
+
+    def test_no_expansion_is_empty_with_index_schema(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            fuzzy_search,
+        )
+
+        _, idx, dic = self._fixture(spark, tmp_path)
+        out = fuzzy_search(spark, idx, dic, ["qqqqqqqq"], fuzziness=0)
+        assert out.count() == 0
+        assert dict(out.dtypes) == {"doc_id": "bigint", "bm25": "double"}
+
+
+class TestSearchAfter:
+    def test_pages_concatenate_to_full_ranking(self, spark, tmp_path):
+        """Paging 3-at-a-time through the whole result set reproduces
+        the one-shot ranking exactly — no skip, no dup, including
+        across score ties (every doc here shares tf=1 so ties abound)."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            bm25_search,
+            bm25_search_after,
+            build_inverted_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "common filler" if i % 2 else "common alone")
+             for i in range(10)],
+            "doc_id long, text string",
+        )
+        idx = str(tmp_path / "pidx")
+        build_inverted_index(docs, idx)
+        full = [tuple(r) for r in bm25_search(
+            spark, idx, ["common"], k=100).collect()]
+        assert len(full) == 10
+        paged, after = [], None
+        while True:
+            page = [tuple(r) for r in bm25_search_after(
+                spark, idx, ["common"], after=after, page_size=3
+            ).collect()]
+            if not page:
+                break
+            paged.extend(page)
+            after = (page[-1][1], page[-1][0])
+        assert paged == full
+
+    def test_first_page_equals_topk(self, spark, tmp_path):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            bm25_search,
+            bm25_search_after,
+            build_inverted_index,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i} shared") for i in range(6)],
+            "doc_id long, text string",
+        )
+        idx = str(tmp_path / "pidx2")
+        build_inverted_index(docs, idx)
+        a = [tuple(r) for r in bm25_search(
+            spark, idx, ["shared"], k=4).collect()]
+        b = [tuple(r) for r in bm25_search_after(
+            spark, idx, ["shared"], page_size=4).collect()]
+        assert a == b
