@@ -302,20 +302,11 @@ class ManagedTextIndex:
         the `textindex.bm25_fixed_point` kernel, so scores are
         bit-identical to the plain index's for the same live
         postings and stats."""
-        stats = self._stats_at(version)
-        if stats["n_docs"] <= 0:
-            raise ValueError("index has no recorded corpus stats")
-        n_docs = int(stats["n_docs"])
-        avgdl = float(stats["total_dl"]) / n_docs
-        postings = self._pruned(query_terms, version)
-        if postings is None:
+        agg = self._bm25_agg(query_terms, k1, b, version)
+        if agg is None:
             return self.spark.createDataFrame(
                 [], f"{self.id_col} {self._id_type(version)}, bm25 double"
             )
-        scored = bm25_fixed_point(
-            postings, n_docs, avgdl, k1, b, self.id_col
-        )
-        agg = scored.groupBy(self.id_col).agg(F.sum("s_fp").alias("s"))
         return (
             agg.orderBy(F.col("s").desc(), F.col(self.id_col))
             .limit(k)
@@ -324,6 +315,150 @@ class ManagedTextIndex:
                 (F.col("s") / F.lit(10000.0)).alias("bm25"),
             )
         )
+
+    def _bm25_agg(
+        self,
+        query_terms: list[str],
+        k1: float,
+        b: float,
+        version: int | None,
+    ):
+        """The unlimited (id, s) fixed-point aggregate `bm25` tops-k
+        and `bm25_after` paginates; None when no bucket has live
+        postings for the terms."""
+        stats = self._stats_at(version)
+        if stats["n_docs"] <= 0:
+            raise ValueError("index has no recorded corpus stats")
+        n_docs = int(stats["n_docs"])
+        avgdl = float(stats["total_dl"]) / n_docs
+        postings = self._pruned(query_terms, version)
+        if postings is None:
+            return None
+        scored = bm25_fixed_point(
+            postings, n_docs, avgdl, k1, b, self.id_col
+        )
+        return scored.groupBy(self.id_col).agg(F.sum("s_fp").alias("s"))
+
+    def bm25_after(
+        self,
+        query_terms: list[str],
+        after: tuple[float, object] | None = None,
+        page_size: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: int | None = None,
+    ) -> DataFrame:
+        """ES ``search_after`` keyset pagination over the snapshot's
+        BM25 ranking — the managed twin of
+        `textindex.bm25_search_after`: the boundary compares on the
+        exact 1e-4 fixed-point integer (no skip/dup at score ties),
+        and pinning ``version`` makes deep paging IMMUNE to concurrent
+        appends/erasures — every page reads the same snapshot, the
+        consistency ES approximates with its point-in-time (PIT)
+        contexts."""
+        import math
+
+        agg = self._bm25_agg(query_terms, k1, b, version)
+        if agg is None:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} {self._id_type(version)}, bm25 double"
+            )
+        if after is not None:
+            a_bm25, a_id = after
+            a_s = int(math.floor(a_bm25 * 10000.0 + 0.5))
+            agg = agg.filter(
+                (F.col("s") < F.lit(a_s))
+                | (
+                    (F.col("s") == F.lit(a_s))
+                    & (F.col(self.id_col) > F.lit(a_id))
+                )
+            )
+        return (
+            agg.orderBy(F.col("s").desc(), F.col(self.id_col))
+            .limit(page_size)
+            .select(
+                self.id_col,
+                (F.col("s") / F.lit(10000.0)).alias("bm25"),
+            )
+        )
+
+    def fuzzy_expand(
+        self,
+        query_terms: list[str],
+        fuzziness: int | None = None,
+        max_expansions: int = 50,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-consistent ES fuzzy term expansion: candidate
+        terms and their df come from ONE aggregate over the pinned
+        version's live (term, doc) postings — like `suggest`, the
+        expansion can never rank by dfs from a different snapshot
+        than the search that consumes it.  Ranking and caps match
+        `textindex.fuzzy_expand` (distance asc, df desc, term asc,
+        ``max_expansions`` per query term; AUTO:3,6 edit budgets).
+        Term-hash buckets cannot prune an edit neighborhood (ES walks
+        a Levenshtein automaton over its FST for the same reason), so
+        this is a postings-metadata scan with the length-band filter
+        pushed ahead of the levenshtein evaluation."""
+        from .textindex import auto_fuzziness
+
+        if not query_terms:
+            raise ValueError("need at least one query term")
+        live = self.table.read(version=version)
+        out = None
+        for q in query_terms:
+            q = q.lower()
+            f = auto_fuzziness(q) if fuzziness is None else fuzziness
+            if live is None:
+                cand = self.spark.createDataFrame(
+                    [], "q_term string, term string, dist int, df bigint"
+                )
+            else:
+                cand = (
+                    live.filter(
+                        (F.length("term") >= F.lit(len(q) - f))
+                        & (F.length("term") <= F.lit(len(q) + f))
+                    )
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                    .withColumn(
+                        "dist", F.levenshtein(F.lit(q), F.col("term"))
+                    )
+                    .filter(F.col("dist") <= F.lit(f))
+                    .orderBy(
+                        F.col("dist").asc(),
+                        F.col("df").desc(),
+                        F.col("term"),
+                    )
+                    .limit(max_expansions)
+                    .select(
+                        F.lit(q).alias("q_term"), "term", "dist", "df"
+                    )
+                )
+            out = cand if out is None else out.unionByName(cand)
+        return out
+
+    def fuzzy_search(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        fuzziness: int | None = None,
+        max_expansions: int = 50,
+        version: int | None = None,
+    ) -> DataFrame:
+        """ES ``match`` with fuzziness, snapshot-consistent end to
+        end: the expansion and the BM25 scoring read the SAME pinned
+        version.  The expansion collect is bounded by n_query_terms ×
+        max_expansions rows."""
+        exp = self.fuzzy_expand(
+            query_terms, fuzziness, max_expansions, version
+        )
+        expanded = sorted({r["term"] for r in exp.collect()})
+        if not expanded:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} {self._id_type(version)}, bm25 double"
+            )
+        return self.bm25(expanded, k=k, version=version)
 
     def msearch(
         self,

@@ -574,3 +574,98 @@ def test_text_index_matches_dict_model(spark, tmp_path_factory, ops):
         for r in idx.phrase_search(phrase, k=10).collect()
     ]
     assert got_phrase == [(d, -n) for n, d in want_phrase[:10]]
+
+
+def test_fuzzy_search_snapshot_consistent_with_frozen_parity(
+    spark, tmp_path
+):
+    """Managed fuzzy expansion + search equal the frozen-index pair
+    over the same corpus; pinning the pre-append version keeps BOTH
+    the expansion dfs and the ranking on the old snapshot (a term
+    introduced by the append is invisible at the pinned version)."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+        build_term_dictionary,
+        fuzzy_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spars"),
+            (1, "spar xy"),
+            (2, "sparse spark"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = str(tmp_path / "plain")
+    dic = str(tmp_path / "dic")
+    build_inverted_index(docs, plain)
+    build_term_dictionary(docs, dic)
+
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    v1 = idx.table.versions()[-1]
+
+    assert _rows(idx.fuzzy_search(["sparc"], k=10)) == _rows(
+        fuzzy_search(spark, plain, dic, ["sparc"], k=10)
+    )
+
+    # append introduces 'sparc' itself: live expansion now has an
+    # exact dist-0 hit, but the pinned version still ranks without it
+    idx.upsert(
+        spark.createDataFrame(
+            [(9, "sparc sparc")], "doc_id long, text string"
+        )
+    )
+    live_exp = {
+        (r.term, r.dist) for r in idx.fuzzy_expand(["sparc"]).collect()
+    }
+    old_exp = {
+        (r.term, r.dist)
+        for r in idx.fuzzy_expand(["sparc"], version=v1).collect()
+    }
+    assert ("sparc", 0) in live_exp
+    assert ("sparc", 0) not in old_exp
+    assert 9 in {r.doc_id for r in idx.fuzzy_search(["sparc"], k=10).collect()}
+    assert 9 not in {
+        r.doc_id
+        for r in idx.fuzzy_search(["sparc"], k=10, version=v1).collect()
+    }
+
+
+def test_bm25_after_pages_stable_under_concurrent_append(spark, tmp_path):
+    """Keyset pages at a pinned version concatenate to the pinned
+    full ranking even when an append lands mid-pagination — the PIT
+    guarantee ES needs a point-in-time context for."""
+    docs = spark.createDataFrame(
+        [(i, "common filler" if i % 2 else "common alone")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    idx = ManagedTextIndex(spark, str(tmp_path / "pidx"))
+    idx.upsert(docs)
+    v1 = idx.table.versions()[-1]
+    full = _rows(idx.bm25(["common"], k=100, version=v1))
+    assert len(full) == 8
+
+    paged, after, appended = [], None, False
+    while True:
+        page = _rows(
+            idx.bm25_after(
+                ["common"], after=after, page_size=3, version=v1
+            )
+        )
+        if not page:
+            break
+        paged.extend(page)
+        after = (page[-1][1], page[-1][0])
+        if not appended:  # land an append between pages 1 and 2
+            idx.upsert(
+                spark.createDataFrame(
+                    [(99, "common common common")],
+                    "doc_id long, text string",
+                )
+            )
+            appended = True
+    assert paged == full
+    # and the live head DOES see the new doc at the top
+    assert idx.bm25_after(["common"], page_size=1).head().doc_id == 99
