@@ -433,6 +433,70 @@ def more_like_this(
     )
 
 
+def collapse_search(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    query_terms: list[str],
+    group_col: str,
+    k: int = 10,
+    inner_k: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """ES field collapsing (``collapse`` + ``inner_hits``): the BM25
+    result list collapsed to the best ``inner_k`` hits per distinct
+    ``group_col`` value, with groups ranked by their TOP hit's score
+    (ES's collapse ordering) — "best page per site", "best doc per
+    language".  Returns (group_col, id_col, bm25, hit_rank) for the
+    top ``k`` groups; hit_rank is 1-based within the group.
+
+    Scale posture: the hit set is bounded by the query terms' document
+    frequencies (never the corpus), and only that bounded set joins
+    the doc-side attribute (ES reads it from doc values the same way);
+    the per-group window partitions by group_col over hits only.
+    Determinism: fixed-point scores, ties to the smaller id; group
+    order ties to the smaller group value."""
+    agg = _bm25_doc_scores(spark, path, query_terms, k1, b, id_col, n_buckets)
+    hits = agg.join(
+        docs.select(F.col(id_col), F.col(group_col)), id_col
+    )
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col("s").desc(), F.col(id_col)
+    )
+    inner = hits.select(
+        group_col,
+        id_col,
+        "s",
+        F.row_number().over(wg).cast("int").alias("hit_rank"),
+    ).filter(F.col("hit_rank") <= inner_k)
+    best = inner.filter(F.col("hit_rank") == 1).select(
+        F.col(group_col).alias("__g"), F.col("s").alias("__top")
+    )
+    top_groups = (
+        best.orderBy(F.col("__top").desc(), F.col("__g")).limit(k)
+    )
+    return (
+        inner.join(
+            F.broadcast(top_groups),
+            inner[group_col] == top_groups["__g"],
+        )
+        .orderBy(
+            F.col("__top").desc(),
+            F.col("__g"),
+            F.col("hit_rank"),
+        )
+        .select(
+            group_col,
+            id_col,
+            (F.col("s") / F.lit(10000.0)).alias("bm25"),
+            "hit_rank",
+        )
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     path: str,

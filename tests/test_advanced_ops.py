@@ -877,3 +877,51 @@ class TestSearchAfter:
         b = [tuple(r) for r in bm25_search_after(
             spark, idx, ["shared"], page_size=4).collect()]
         assert a == b
+
+
+class TestCollapseSearch:
+    def test_collapse_groups_and_inner_hits(self, spark, tmp_path):
+        """Groups ranked by their best hit; inner_k bounds hits per
+        group; hit_rank is the within-group BM25 order."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            bm25_search,
+            build_inverted_index,
+            collapse_search,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "hit hit hit", "en"),
+                (1, "hit hit filler pad", "en"),
+                (2, "hit pad pad pad pad", "fr"),
+                (3, "hit hit hit hit", "fr"),
+                (4, "nope", "de"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        idx = str(tmp_path / "cidx")
+        build_inverted_index(docs, idx)
+        full = {r.doc_id: r.bm25 for r in bm25_search(
+            spark, idx, ["hit"], k=10).collect()}
+
+        got = collapse_search(
+            spark, idx, docs, ["hit"], "lang", k=10, inner_k=1
+        ).collect()
+        # one row per matched group, ordered by its best hit's score
+        assert [(r.lang, r.doc_id, r.hit_rank) for r in got] == [
+            ("fr", 3, 1),
+            ("en", 0, 1),
+        ] or [(r.lang, r.doc_id, r.hit_rank) for r in got] == [
+            ("en", 0, 1),
+            ("fr", 3, 1),
+        ]
+        # scores carried through unchanged from the BM25 ranking
+        for r in got:
+            assert r.bm25 == full[r.doc_id]
+
+        got2 = collapse_search(
+            spark, idx, docs, ["hit"], "lang", k=1, inner_k=2
+        ).collect()
+        assert len(got2) == 2  # one group survives k=1, two inner hits
+        assert {r.lang for r in got2} == {got2[0].lang}
+        assert [r.hit_rank for r in got2] == [1, 2]
