@@ -686,6 +686,56 @@ def fuzzy_search(
     )
 
 
+def rrf_fuse_grouped(
+    rankings: list[DataFrame],
+    group_col: str = "q_id",
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Batched reciprocal-rank fusion: `rrf_fuse` per group in one
+    plan — the ES 8 msearch-with-rrf-retrievers shape.  Each input
+    carries (group_col, id_col, rank) with 1-based ranks WITHIN its
+    group (a batched BM25 msearch, a batched ANN knn_join); the fused
+    score is Σ 1/(c + rank) per (group, id), topped to k per group
+    (ties to the smaller id).  Inputs are per-group top-k lists, so
+    the full-outer join and the per-group window both run over
+    n_groups × k rows — batch-size-bounded, corpus-independent."""
+    if not rankings:
+        raise ValueError("need at least one ranked list")
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(group_col),
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(float(c)) + F.col("rank").cast("double"))
+            ).alias(f"__s{i}"),
+        )
+        fused = side if fused is None else fused.join(
+            side, [group_col, id_col], "full_outer"
+        )
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    scored = fused.select(group_col, id_col, score.alias("rrf"))
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col)
+    )
+    return (
+        scored.select(
+            group_col,
+            id_col,
+            "rrf",
+            F.row_number().over(wg).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy(group_col, "rank")
+    )
+
+
 def build_term_dictionary(
     df: DataFrame,
     path: str,

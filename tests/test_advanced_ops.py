@@ -925,3 +925,52 @@ class TestCollapseSearch:
         assert len(got2) == 2  # one group survives k=1, two inner hits
         assert {r.lang for r in got2} == {got2[0].lang}
         assert [r.hit_rank for r in got2] == [1, 2]
+
+
+class TestRrfFusionGrouped:
+    def test_grouped_equals_per_group_rrf_fuse(self, spark):
+        """rrf_fuse_grouped over two groups must reproduce rrf_fuse
+        run independently per group."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            rrf_fuse,
+            rrf_fuse_grouped,
+        )
+
+        a = spark.createDataFrame(
+            [(1, 1, 1), (1, 2, 2), (2, 5, 1), (2, 6, 2)],
+            "q_id long, doc_id long, rank int",
+        )
+        b = spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 2), (2, 6, 1), (2, 1, 2)],
+            "q_id long, doc_id long, rank int",
+        )
+        got = rrf_fuse_grouped([a, b], k=10).collect()
+        for q in (1, 2):
+            aq = a.filter(F.col("q_id") == q).drop("q_id")
+            bq = b.filter(F.col("q_id") == q).drop("q_id")
+            want = [
+                (q, r.doc_id, r.rrf)
+                for r in rrf_fuse([aq, bq], k=10).collect()
+            ]
+            sub = [
+                (r.q_id, r.doc_id, r.rrf) for r in got if r.q_id == q
+            ]
+            assert sub == want
+        # rank is 1-based dense within each group
+        for q in (1, 2):
+            assert [r.rank for r in got if r.q_id == q] == [1, 2, 3]
+
+    def test_k_caps_per_group(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            rrf_fuse_grouped,
+        )
+
+        a = spark.createDataFrame(
+            [(1, d, d) for d in range(1, 6)]
+            + [(2, d, d) for d in range(1, 4)],
+            "q_id long, doc_id long, rank int",
+        )
+        got = rrf_fuse_grouped([a], k=2).collect()
+        assert [(r.q_id, r.doc_id) for r in got] == [
+            (1, 1), (1, 2), (2, 1), (2, 2),
+        ]
