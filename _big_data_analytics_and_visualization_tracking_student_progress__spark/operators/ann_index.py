@@ -664,3 +664,41 @@ class ManagedPqIndex(ManagedIvfIndex):
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+
+
+def pq_probe_refine(
+    index: "ManagedPqIndex",
+    base: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """FAISS-style refinement (`IndexRefineFlat`): the ADC probe
+    shortlists ``k × refine`` candidates from the m-byte PQ codes,
+    then ONLY those rows are re-ranked by exact squared L2 against
+    their raw vectors from ``base`` (the embeddings table, or the raw
+    managed IVF tier) — the standard production recipe that recovers
+    most of the recall PQ quantization loses while still scanning
+    codes, not vectors.
+
+    Returns (id, exact_d2) ascending, ties to the lower id.
+
+    Scale posture: the shortlist is k·refine rows (corpus-independent)
+    and broadcasts into the base-side fetch — a point-read by id that
+    bloom/zone-map pruning serves without a scan on a manifest-backed
+    base; the exact arithmetic touches ≤ k·refine full vectors per
+    query, so refine multiplies recall, not I/O."""
+    cand = index.probe(
+        query_vec, k=k * refine, nprobe=nprobe, version=version
+    ).select(index.id_col)
+    qlit = F.expr(double_array_sql([float(x) for x in query_vec]))
+    d2 = _sq_dist(F.col(vec_col).cast("array<double>"), qlit)
+    return (
+        base.join(F.broadcast(cand), index.id_col)
+        .select(F.col(index.id_col), d2.alias("exact_d2"))
+        .orderBy(F.col("exact_d2").asc(), F.col(index.id_col))
+        .limit(k)
+    )

@@ -655,3 +655,79 @@ def test_pq_index_probe_and_knn_join(spark, tmp_path):
     }
     assert not set(victims) & live
     assert set(victims) <= then
+
+
+def test_pq_probe_refine_exact_rerank(spark, tmp_path):
+    """FAISS refine: with refine covering every probed-cell candidate,
+    the refined result IS the exact squared-L2 top-k over the probed
+    cells; with a small shortlist it is the exact re-rank OF that
+    shortlist; recall vs exact is never below the raw ADC probe's."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.ann_index import (
+        ManagedPqIndex,
+        pq_probe_refine,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = S.train_ivf_centroids_sample(
+        emb, "embedding", "vec_id", k=8, iters=5
+    )
+    books = S.train_pq_codebooks_portable(
+        emb, "embedding", "vec_id", m=4, k=16, iters=4
+    )
+    idx = ManagedPqIndex(spark, str(tmp_path / "pqr"), centroids, books)
+    idx.upsert(emb)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]
+    ]
+
+    probes = S.nearest_clusters(centroids, qv, 3)
+    cand = (
+        S.with_cluster(emb, "embedding", centroids)
+        .filter(F.col("__c").isin(probes))
+        .drop("__c")
+    )
+    qlit = F.expr(S.double_array_sql(qv))
+    exact = cand.select(
+        "vec_id",
+        S._sq_dist(
+            F.col("embedding").cast("array<double>"), qlit
+        ).alias("d2"),
+    ).orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    n_cand = cand.count()
+
+    # refine big enough to cover every candidate -> exact over cells
+    got_full = [
+        (r.vec_id, r.exact_d2)
+        for r in pq_probe_refine(
+            idx, emb, qv, k=10, nprobe=3, refine=(n_cand // 10) + 1
+        ).collect()
+    ]
+    want_full = [(r.vec_id, r.d2) for r in exact.limit(10).collect()]
+    assert got_full == want_full
+
+    # small shortlist: exact re-rank of exactly the ADC top-20
+    short = {
+        r.vec_id for r in idx.probe(qv, k=20, nprobe=3).collect()
+    }
+    got_small = [
+        (r.vec_id, r.exact_d2)
+        for r in pq_probe_refine(
+            idx, emb, qv, k=10, nprobe=3, refine=2
+        ).collect()
+    ]
+    assert {v for v, _ in got_small} <= short
+    in_short = [
+        (r.vec_id, r.d2)
+        for r in exact.collect()
+        if r.vec_id in short
+    ][:10]
+    assert got_small == in_short
+
+    # recall@10 vs exact: refined >= raw ADC
+    exact_top = {v for v, _ in want_full}
+    adc_top = {
+        r.vec_id for r in idx.probe(qv, k=10, nprobe=3).collect()
+    }
+    refined_top = {v for v, _ in got_small}
+    assert len(refined_top & exact_top) >= len(adc_top & exact_top)
