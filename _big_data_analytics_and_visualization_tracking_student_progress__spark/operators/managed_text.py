@@ -438,6 +438,36 @@ class ManagedTextIndex:
             out = cand if out is None else out.unionByName(cand)
         return out
 
+    def collapse(
+        self,
+        docs: DataFrame,
+        query_terms: list[str],
+        group_col: str,
+        k: int = 10,
+        inner_k: int = 1,
+        k1: float = 1.2,
+        b: float = 0.75,
+        version: int | None = None,
+    ) -> DataFrame:
+        """ES field collapsing over the snapshot's BM25 ranking — the
+        managed twin of `textindex.collapse_search` (same kernel, so
+        both tiers rank identically); ``version`` pins the postings
+        snapshot the hits come from.  ``docs`` supplies the group
+        attribute; only the df-bounded hit set joins it."""
+        from .textindex import collapse_from_scores
+
+        agg = self._bm25_agg(query_terms, k1, b, version)
+        if agg is None:
+            gt = docs.schema[group_col].dataType.simpleString()
+            return self.spark.createDataFrame(
+                [],
+                f"{group_col} {gt}, {self.id_col} "
+                f"{self._id_type(version)}, bm25 double, hit_rank int",
+            )
+        return collapse_from_scores(
+            agg, docs, group_col, self.id_col, k, inner_k
+        )
+
     def fuzzy_search(
         self,
         query_terms: list[str],

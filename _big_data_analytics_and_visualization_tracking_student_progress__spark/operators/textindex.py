@@ -460,6 +460,20 @@ def collapse_search(
     Determinism: fixed-point scores, ties to the smaller id; group
     order ties to the smaller group value."""
     agg = _bm25_doc_scores(spark, path, query_terms, k1, b, id_col, n_buckets)
+    return collapse_from_scores(agg, docs, group_col, id_col, k, inner_k)
+
+
+def collapse_from_scores(
+    agg: DataFrame,
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    inner_k: int,
+) -> DataFrame:
+    """The collapse kernel over an (id, s) fixed-point score aggregate
+    — shared by the frozen index's `collapse_search` and
+    `ManagedTextIndex.collapse` so both tiers rank identically."""
     hits = agg.join(
         docs.select(F.col(id_col), F.col(group_col)), id_col
     )

@@ -669,3 +669,44 @@ def test_bm25_after_pages_stable_under_concurrent_append(spark, tmp_path):
     assert paged == full
     # and the live head DOES see the new doc at the top
     assert idx.bm25_after(["common"], page_size=1).head().doc_id == 99
+
+
+def test_collapse_equals_frozen_and_respects_version(spark, tmp_path):
+    """Managed collapse equals the frozen collapse_search over the
+    same corpus (shared kernel), and pinning the pre-append version
+    keeps a later-appended better hit out of its group."""
+    from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+        collapse_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hit hit hit", "en"),
+            (1, "hit filler pad pad", "en"),
+            (2, "hit pad pad pad pad", "fr"),
+            (3, "hit hit hit hit", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    plain = str(tmp_path / "plain")
+    build_inverted_index(docs, plain)
+    idx = ManagedTextIndex(spark, str(tmp_path / "mgd"))
+    idx.upsert(docs)
+    v1 = idx.table.versions()[-1]
+
+    assert _rows(idx.collapse(docs, ["hit"], "lang", k=10)) == _rows(
+        collapse_search(spark, plain, docs, ["hit"], "lang", k=10)
+    )
+
+    extra = spark.createDataFrame(
+        [(9, "hit hit hit hit hit hit", "en")],
+        "doc_id long, text string, lang string",
+    )
+    idx.upsert(extra)
+    all_docs = docs.unionByName(extra)
+    live = _rows(idx.collapse(all_docs, ["hit"], "lang", k=10, inner_k=1))
+    old = _rows(
+        idx.collapse(all_docs, ["hit"], "lang", k=10, inner_k=1, version=v1)
+    )
+    assert 9 in {r[1] for r in live}
+    assert 9 not in {r[1] for r in old}
