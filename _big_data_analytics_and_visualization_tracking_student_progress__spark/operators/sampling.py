@@ -80,3 +80,21 @@ def stratified_hash_sample(
         else thresh.otherwise(int(default_fraction * buckets))
     )
     return df.filter(bucket < thresh)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key: Column, seed: int = 0, out_col: str = "shuffle_key"
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: every
+    row gets a pseudorandom sort key xxhash64(key, seed) — the same
+    (data, seed) always yields the same permutation on any cluster
+    size or partitioning, unlike `orderBy(rand())` whose seed is
+    per-partition and whose result moves with the split layout.
+    Changing ``seed`` gives an independent epoch permutation.
+
+    Returns the frame with ``out_col`` added; callers `orderBy`/
+    `sortWithinPartitions`/`repartitionByRange` on it as their writer
+    requires — at 100 TB the usual shape is repartitionByRange(
+    out_col) + sortWithinPartitions(out_col), one range shuffle to
+    totally ordered output files."""
+    return df.withColumn(out_col, F.xxhash64(key, F.lit(seed)))

@@ -974,3 +974,27 @@ class TestRrfFusionGrouped:
         assert [(r.q_id, r.doc_id) for r in got] == [
             (1, 1), (1, 2), (2, 1), (2, 2),
         ]
+
+
+class TestDeterministicShuffle:
+    def test_reproducible_and_seed_independent(self, spark):
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.sampling import (  # noqa: E501
+            deterministic_shuffle,
+        )
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        o1 = [r.doc_id for r in deterministic_shuffle(
+            df, F.col("doc_id"), seed=1
+        ).orderBy("shuffle_key", "doc_id").collect()]
+        o1b = [r.doc_id for r in deterministic_shuffle(
+            df.repartition(7), F.col("doc_id"), seed=1
+        ).orderBy("shuffle_key", "doc_id").collect()]
+        o2 = [r.doc_id for r in deterministic_shuffle(
+            df, F.col("doc_id"), seed=2
+        ).orderBy("shuffle_key", "doc_id").collect()]
+        assert o1 == o1b            # partitioning-independent
+        assert o1 != o2             # epochs differ
+        assert o1 != sorted(o1)     # actually shuffled
+        assert sorted(o1) == sorted(o2) == list(range(200))
