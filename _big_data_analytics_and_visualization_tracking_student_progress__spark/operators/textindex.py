@@ -533,11 +533,12 @@ def significant_terms(
     the term.
 
     Scale posture: the fg doc set (bounded by the query's document
-    frequency, never the corpus) broadcasts into one full-postings
-    scan with map-side partial aggregation — the same one-pass
-    field-data walk ES performs; all shuffled rows are (term, count)
-    pairs.  Reference: ES significant_terms on the student-progress
-    dashboards' result sets (app.py delegates all aggs to ES)."""
+    frequency, never the corpus) broadcasts a membership flag into ONE
+    full-postings scan that partial-aggregates fg_df and bg_df
+    together — the same one-pass field-data walk ES performs; all
+    shuffled rows are (term, count, count) triples.  Reference: ES
+    significant_terms on the student-progress dashboards' result sets
+    (app.py delegates all aggs to ES)."""
     if not fg_terms:
         raise ValueError("need at least one foreground term")
     n_docs = int(
@@ -552,14 +553,16 @@ def significant_terms(
         spark, path, _read_index(spark, path).drop("__b"), id_col
     )
     tot = fgd.agg(F.count(F.lit(1)).cast("long").alias("__f"))
-    fg = (
-        post.join(F.broadcast(fgd), id_col)
-        .filter(~F.col("term").isin(fg_terms))
+    stats = (
+        post.join(
+            F.broadcast(fgd.withColumn("__fg", F.lit(1))), id_col, "left"
+        )
         .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
-    )
-    bg = post.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("bg_df")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bg_df"),
+            F.count("__fg").cast("long").alias("fg_df"),
+        )
+        .filter((F.col("fg_df") > 0) & ~F.col("term").isin(fg_terms))
     )
     a, b = F.col("fg_df"), F.col("bg_df")
     ftot, btot = F.col("__f"), F.lit(n_docs).cast("long")
@@ -567,8 +570,7 @@ def significant_terms(
     den = (ftot * ftot * btot * b).cast("double")
     jlh = F.floor(num / den * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
     return (
-        fg.join(bg, "term")
-        .crossJoin(F.broadcast(tot))
+        stats.crossJoin(F.broadcast(tot))
         .select("term", "fg_df", "bg_df", jlh.alias("jlh"))
         .orderBy(F.col("jlh").desc(), F.col("term"))
         .limit(k)
@@ -580,24 +582,30 @@ def rrf_fuse(
     id_col: str = "doc_id",
     k: int = 10,
     c: int = 60,
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion — the ES 8 hybrid-search combiner: each
     input is a ranked candidate list carrying (id_col, rank) with
-    1-based ranks; the fused score is Σ 1/(c + rank) over the lists
+    1-based ranks; the fused score is Σ wᵢ/(c + rankᵢ) over the lists
     that contain the id (missing contributes 0), ranked desc with ties
-    to the smaller id.  Rank-based (never score-based), so BM25's
-    unbounded scores and cosine's [-1, 1] fuse without calibration —
-    the reason ES picked RRF.  Inputs are top-k lists (k rows each) by
-    construction, so the full-outer join is trivially small however
-    large the corpus that produced them."""
+    to the smaller id.  ``weights`` (default all-1.0) is the ES 8.16
+    weighted-RRF retriever knob for biasing one leg (e.g. lexical 1.0
+    vs semantic 1.5) without score calibration.  Rank-based (never
+    score-based), so BM25's unbounded scores and cosine's [-1, 1] fuse
+    without calibration — the reason ES picked RRF.  Inputs are top-k
+    lists (k rows each) by construction, so the full-outer join is
+    trivially small however large the corpus that produced them."""
     if not rankings:
         raise ValueError("need at least one ranked list")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError("need one weight per ranked list")
     fused = None
     for i, r in enumerate(rankings):
+        w = 1.0 if weights is None else float(weights[i])
         side = r.select(
             F.col(id_col),
             (
-                F.lit(1.0)
+                F.lit(w)
                 / (F.lit(float(c)) + F.col("rank").cast("double"))
             ).alias(f"__s{i}"),
         )

@@ -998,3 +998,25 @@ class TestDeterministicShuffle:
         assert o1 != o2             # epochs differ
         assert o1 != sorted(o1)     # actually shuffled
         assert sorted(o1) == sorted(o2) == list(range(200))
+
+
+class TestWeightedRrf:
+    def test_weights_bias_a_leg(self, spark):
+        """Weighted RRF (the ES 8.16 retriever knob): with weight 2 on
+        list b, its top doc overtakes the doc that tops list a."""
+        from _big_data_analytics_and_visualization_tracking_student_progress__spark.operators.textindex import (  # noqa: E501
+            rrf_fuse,
+        )
+        import pytest
+
+        a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+        b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+        # unweighted: docs 1 and 3 tie at 1/61 -> smaller id wins
+        flat = [r.doc_id for r in rrf_fuse([a, b], k=1).collect()]
+        assert flat == [1]
+        # weight 2 on list b: doc 3 = 2/61 overtakes doc 1 = 1/61
+        biased = rrf_fuse([a, b], k=1, weights=[1.0, 2.0]).collect()
+        assert biased[0].doc_id == 3
+        assert biased[0].rrf == pytest.approx(2 / 61)
+        with pytest.raises(ValueError, match="one weight"):
+            rrf_fuse([a, b], weights=[1.0])
