@@ -344,30 +344,131 @@ class _ManifestReadMixin:
         self, new_v: int
     ) -> tuple[dict, dict]:
         """Zone maps for the files just written under ``new_v``, BOTH
-        tiers from ONE stats-column read: per-file [min, max] envelopes
-        for ``stats_cols`` (one aggregate row per data file — bounded
-        control data), with the per-fragment envelopes folded from them
+        tiers without re-scanning the data: per-file [min, max]
+        envelopes for ``stats_cols`` come straight from the parquet
+        FOOTERS the write already produced (column-chunk statistics are
+        exact for integer/boolean columns — a metadata-only read, no
+        Spark job), with the per-fragment envelopes folded from them
         in plain Python (min of file-mins / max of file-maxes, NULLs
         ignored like the SQL aggregates would).  Every envelope also
         carries the exact row count under the reserved ``#rows`` key
         (both tiers), which is what serves `count_rows` without
         touching data.  Returns ``(fragment_stats, file_stats)``.
-        Columns absent from this commit's schema get no envelope, and a
-        commit that wrote no data files at all (a delete that emptied
-        every touched partition) gets empty stats — readers keep
-        envelope-less entries conservatively."""
+
+        Fallback: a stats column whose footer statistics are missing
+        or not provably exact (strings can be truncated by the writer,
+        float stats misbehave around NaN) sends the whole computation
+        down the original one-pass Spark aggregate (`_stats_over`), so
+        the envelopes are bit-identical either way — the footer path
+        is purely an optimization (measured 0.02 s vs 0.57 s per
+        commit at sf0.1; OPTIMIZATION_r14.md).  Columns absent from
+        this commit's schema get no envelope, and a commit that wrote
+        no data files at all (a delete that emptied every touched
+        partition) gets empty stats — readers keep envelope-less
+        entries conservatively."""
         if not self.stats_cols:
             return {}, {}
         data_dir = self._data_dir(new_v)
-        has_files = any(
-            name.endswith(".parquet")
-            for _dir, _subdirs, names in os.walk(data_dir)
+        files = [
+            os.path.join(dirpath, name)
+            for dirpath, _subdirs, names in os.walk(data_dir)
             for name in names
-        )
-        if not has_files:
+            if name.endswith(".parquet")
+        ]
+        if not files:
             return {}, {}
+        footer = self._stats_from_footers(data_dir, files)
+        if footer is not None:
+            return footer
         df = self.spark.read.option("basePath", data_dir).parquet(data_dir)
         return self._stats_over(df)
+
+    # Parquet physical types whose column-chunk min/max are exact and
+    # JSON-representable.  Strings are excluded (writers may truncate
+    # binary stats), floats are excluded (NaN handling differs across
+    # writers), date/timestamp logical types are excluded (their Python
+    # values are not JSON-serializable like the Spark-aggregate path's).
+    _FOOTER_EXACT_PHYSICAL = ("INT32", "INT64", "BOOLEAN")
+
+    def _stats_from_footers(
+        self, data_dir: str, files: list[str]
+    ) -> tuple[dict, dict] | None:
+        """Both zone-map tiers from parquet footers alone, or None when
+        any stats column's footer statistics cannot be trusted to match
+        the exact Spark aggregate (caller then runs `_stats_over`).
+        Matches `_stats_over`'s output exactly: per-file envelopes for
+        the stats columns present in that file's schema ([None, None]
+        for an all-NULL column), fragment envelopes folded across files,
+        exact ``#rows`` counts on both tiers."""
+        import pyarrow.parquet as pq
+
+        rk = self._ROWS_KEY
+        want = set(self.stats_cols)
+        file_stats: dict[str, dict[str, dict]] = {}
+        frag_stats: dict[str, dict] = {}
+        for fp in files:
+            frag = os.path.relpath(os.path.dirname(fp), data_dir)
+            frag = frag.replace(os.sep, "/")
+            try:
+                md = pq.ParquetFile(fp).metadata
+            except Exception:
+                return None
+            if md.num_rows == 0:
+                # `_stats_over`'s groupBy emits no row for an empty
+                # file — mirror that by skipping it entirely
+                continue
+            # column name → flat column indexes (nested fields have
+            # dotted paths and never match a top-level stats col)
+            idx: dict[str, list[int]] = {}
+            for ci in range(md.num_columns):
+                path = md.row_group(0).column(ci).path_in_schema
+                if path in want:
+                    idx.setdefault(path, []).append(ci)
+            fenv: dict = {}
+            for c in self.stats_cols:
+                cis = idx.get(c)
+                if not cis:
+                    continue  # column absent from this file's schema
+                if len(cis) != 1:
+                    return None
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(cis[0])
+                    if col.physical_type not in self._FOOTER_EXACT_PHYSICAL:
+                        return None
+                    st = col.statistics
+                    if st is None:
+                        return None
+                    if not st.has_min_max:
+                        if st.num_values == 0:
+                            continue  # all-NULL row group: no envelope
+                        return None
+                    smn, smx = st.min, st.max
+                    # exact only for plain int/bool values — a logical
+                    # type that decodes to date/datetime/decimal lands
+                    # here as a non-int and sends us to the Spark path
+                    if not isinstance(smn, (int, bool)) or not isinstance(
+                        smx, (int, bool)
+                    ):
+                        return None
+                    mn = smn if mn is None else min(mn, smn)
+                    mx = smx if mx is None else max(mx, smx)
+                fenv[c] = [mn, mx]
+            fenv[rk] = int(md.num_rows)
+            fname = os.path.basename(fp)
+            file_stats.setdefault(frag, {})[fname] = fenv
+            env = frag_stats.setdefault(frag, {rk: 0})
+            env[rk] += int(md.num_rows)
+            for c, (mn, mx) in (
+                (c, v) for c, v in fenv.items() if c != rk
+            ):
+                if c not in env:
+                    env[c] = [None, None]
+                if mn is not None and (env[c][0] is None or mn < env[c][0]):
+                    env[c][0] = mn
+                if mx is not None and (env[c][1] is None or mx > env[c][1]):
+                    env[c][1] = mx
+        return frag_stats, file_stats
 
     def _stats_over(self, df: DataFrame) -> tuple[dict, dict]:
         """One stats-column pass over a file scan → both zone-map
