@@ -71,21 +71,36 @@ def tokens(text: Column) -> Column:
 
 def shingles_from_tokens(toks: Column, k: int) -> Column:
     """Distinct word k-shingles of an arbitrary token-array column;
-    empty array when the document has fewer than k tokens.
+    empty array when the document has fewer than k tokens, NULL for a
+    NULL token array.
 
-    Built by zipping k shifted copies of the token array rather than a
-    `transform` over positions: a positional lambda would re-evaluate the
-    tokenizer expression per element (O(n²·len) per row); the shifted-copy
-    form evaluates it k times per row.  zip_with null-pads the short side,
-    `concat` propagates those nulls, and the trailing incomplete shingles
-    are filtered out."""
-    sh = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.size(toks))
-        sh = F.zip_with(
-            sh, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
+    Positional form with a let binding: ``transform(array(toks), t →
+    …)[0]`` evaluates the (possibly expensive) tokenizer expression
+    exactly ONCE per row and binds it to ``t``, so the per-position
+    lambda can reference it freely — a bare positional ``transform``
+    would re-evaluate the tokenizer per element (O(n²·len) per row),
+    which is why this used to be a chain of k−1 zip_with'd shifted
+    copies instead.  Each position then builds its final k-gram with
+    one slice + array_join, where the zip_with chain allocated k−1
+    full intermediate arrays of progressively longer strings per row
+    (O(n·k²·wordlen) bytes): measured 3.5x faster at k=8, and the
+    output is bit-identical (same strings, same first-occurrence
+    order into array_distinct; r14 A/B).  Token arrays are assumed
+    NULL-element-free (every caller tokenizes via split)."""
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        sh = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
         )
-    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+        return (
+            F.when(t.isNull(), F.lit(None).cast("array<string>"))
+            .when(n >= k, F.array_distinct(sh))
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.transform(F.array(toks), build)[0]
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -94,7 +109,15 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two pre-deduplicated string arrays."""
+    """Exact Jaccard over two pre-deduplicated string arrays.
+
+    Deliberately NOT |a|+|b|-|a∩b|: deriving the union size from the
+    intersection makes array_intersect appear in the CASE guard, the
+    pushed join condition AND the projection — Catalyst does not reuse
+    subexpressions across those contexts, so the "one array op" form
+    measured ~2x SLOWER end-to-end (r14 A/B, OPTIMIZATION_r14.md).
+    The independent array_union keeps each array op evaluated once per
+    context."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -286,20 +309,29 @@ def minhash_lsh_pairs(
     # per pair), far cheaper to store, join, and intersect than strings.
     # The portable (oracle-checked) twin keeps strings so its Jaccard is
     # bit-identical to the DuckDB SQL.
+    # Persist BEFORE the shingle-less filter: a filter on the computed
+    # column would be pushed below the projection inside the cache
+    # build, making the cache-materialization pass evaluate the whole
+    # shingle expression TWICE per row (once for the pushed size()
+    # predicate, once for the projected column — the guide §4.4
+    # duplicated-evaluation shape, with native expressions).  Caching
+    # the unfiltered projection evaluates it once; the handful of
+    # shingle-less docs ride the cache but can never produce a band or
+    # a candidate, so every downstream result is unchanged.
     raw = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    )
     if portable:
         sh_tbl = raw.persist()
-        signed = sh_tbl.withColumn(
+        signed = sh_tbl.filter(F.size("sh") > 0).withColumn(
             "sig", portable_minhash_signature(F.col("sh"), num_perm)
         )
     else:
         sh_tbl = raw.select(
             "doc", F.array_distinct(shingle_hashes(F.col("sh"))).alias("sh")
         ).persist()
-        signed = sh_tbl.withColumn(
+        signed = sh_tbl.filter(F.size("sh") > 0).withColumn(
             "sig", minhash_from_hashes(F.col("sh"), num_perm)
         )
     banded = signed.select(
