@@ -779,28 +779,44 @@ class DeltaAggView(_SnapshotDirStore):
     def _publish(
         self, state: DataFrame, base_version: int, mode: str
     ) -> dict:
-        state = state.localCheckpoint()
+        from pyspark.sql import Observation
+
         # every counter must stay non-negative — not just n: an
         # unmatched preimage can cancel n back to zero while leaving a
         # negative non-null count / impossible accumulator behind, and
-        # publishing that would compound in every later fold
+        # publishing that would compound in every later fold.  The
+        # violation counter rides the WRITE job itself (df.observe, the
+        # same zero-extra-scan pattern as the manifest CHECK
+        # constraints) — this used to be localCheckpoint + a separate
+        # count job + the write, three materializations of the fold
+        # (r14, guide §1.2: don't compute things twice).  Publish
+        # safety is unchanged: _SUCCESS lands only after the gate, so
+        # a violating state file is invisible debris, removed below.
         bad = F.col("n") < 0
         for c in self.sum_cols:
             bad = bad | (F.col(f"nn_{c}") < 0)
             bad = bad | (F.col(f"nn_{c}") > F.col("n"))
-        neg = state.filter(bad).count()
-        if neg:
-            raise RuntimeError(
-                f"{neg} groups went negative (or inconsistent) applying "
-                "the change feed — inconsistent feed, refusing to publish"
-            )
-        state = state.filter(F.col("n") > 0)
+        obs = Observation()
+        state = state.observe(
+            obs,
+            F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("neg"),
+        ).filter(F.col("n") > 0)
         new_v = (self.versions()[-1] + 1) if self.versions() else 1
         vdir = self._vdir(new_v)
         os.makedirs(vdir, exist_ok=True)
         state.write.mode("overwrite").parquet(
             os.path.join(vdir, "state.parquet")
         )
+        neg = obs.get["neg"]
+        if neg:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise RuntimeError(
+                f"{int(neg)} groups went negative (or inconsistent) "
+                "applying the change feed — inconsistent feed, refusing "
+                "to publish"
+            )
         with open(os.path.join(vdir, "state.json"), "w") as fh:
             json.dump(
                 {

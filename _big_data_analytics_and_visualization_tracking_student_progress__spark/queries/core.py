@@ -4993,10 +4993,13 @@ def q_manifest_bloom_point_read(
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts_nanos"
     )
-    # bounded control collects: the bucket origin + the probe values
-    dmin = e.agg(F.min("ts_nanos")).first()[0]
-    lohi = e.agg(F.min("event_id"), F.max("event_id")).first()
-    emn, emx = int(lohi[0]), int(lohi[1])
+    # bounded control collect: bucket origin + probe values in ONE
+    # aggregate job (was two sequential jobs over the same scan)
+    ctl = e.agg(
+        F.min("ts_nanos"), F.min("event_id"), F.max("event_id")
+    ).first()
+    dmin = ctl[0]
+    emn, emx = int(ctl[1]), int(ctl[2])
     probes = [emn, emx, (emn + emx) // 2]
     ev = e.withColumn(
         "day_bucket", F.expr(f"(ts_nanos - {dmin}) DIV {day_ns}")
