@@ -365,45 +365,51 @@ class _ManifestMetadataMixin:
             )
             .agg(F.bit_or(F.col("e.b")).alias(s_b))
         )
-        import numpy as np
+        from pyspark.sql.types import BinaryType, StructField, StructType
 
+        key_fields = [
+            f
+            for f in words.schema.fields
+            if f.name not in (s_w, s_b)
+        ]
+        key_names = [f.name for f in key_fields]
+        out_schema = StructType(
+            list(key_fields) + [StructField(s_bits, BinaryType())]
+        )
         nbytes = (m + 7) // 8
-        # Final assembly: gather each (file, column)'s bit_or-folded
-        # word rows into ONE list row and scatter them into the byte
-        # array on the driver.  This used to be an applyInPandas stage
-        # (a second shuffle + a Python-worker round trip) — measured
-        # ~1.0 s of the 1.4 s bloom build at sf0.1 (r14); the JVM
-        # collect_list keeps the same driver-payload class (≤ m/64
-        # 16-byte structs ≈ 16 KB per file-column vs the m/8 = 8 KB
-        # bitset the old path collected), so the load-bearing collapse
-        # — word rows, never position rows — is unchanged at scale.
-        lists = words.groupBy(s_fp, *self.partition_by, s_col).agg(
-            F.collect_list(
-                F.struct(F.col(s_w).alias("w"), F.col(s_b).alias("b"))
-            ).alias(s_bits)
+        nw = nwords
+
+        def _assemble(pdf):
+            # executors only; numpy/pandas imported in the worker.
+            # little-endian words give exactly the byte/bit layout the
+            # probe tests: bit p lives at byte p>>3, bit p&7
+            import numpy as np
+
+            arr = np.zeros(nw, dtype=np.uint64)
+            idx = pdf[s_w].to_numpy()
+            # per-word rows are already bit_or-folded: indices unique,
+            # fancy-indexed |= is safe
+            arr[idx] |= (
+                pdf[s_b].to_numpy().astype(np.int64).view(np.uint64)
+            )
+            head = pdf.iloc[[0]][key_names].copy()
+            head[s_bits] = [arr.astype("<u8").tobytes()[:nbytes]]
+            return head
+
+        bits_df = words.groupBy(s_fp, *self.partition_by, s_col).applyInPandas(
+            _assemble, out_schema
         )
         out: dict[str, dict[str, dict[str, dict]]] = {}
-        for r in lists.collect():
+        # one row per (file, bloom column): m/8 bytes each — the only
+        # driver-side payload
+        for r in bits_df.collect():
             d = r.asDict()
             frag = self._part_key([d[c] for c in self.partition_by])
             fname = os.path.basename(d[s_fp])
-            # little-endian words give exactly the byte/bit layout the
-            # probe tests: bit p lives at byte p>>3, bit p&7.  Word
-            # rows are already bit_or-folded: indices unique, so the
-            # fancy-indexed |= is safe.
-            arr = np.zeros(nwords, dtype=np.uint64)
-            entries = d[s_bits]
-            idx = np.fromiter(
-                (e["w"] for e in entries), dtype=np.int64, count=len(entries)
-            )
-            val = np.fromiter(
-                (e["b"] for e in entries), dtype=np.int64, count=len(entries)
-            ).view(np.uint64)
-            arr[idx] |= val
             out.setdefault(frag, {}).setdefault(fname, {})[d[s_col]] = {
                 "m": m,
                 "k": k,
-                "bits": arr.astype("<u8").tobytes()[:nbytes],
+                "bits": bytes(d[s_bits]),
             }
         return out
 
