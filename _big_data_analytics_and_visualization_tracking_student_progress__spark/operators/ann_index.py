@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 from .similarity import (
     _sq_dist,
     cosine_topk,
@@ -332,8 +334,8 @@ class ManagedIvfIndex:
 
         q_vec = q_vec or self.vec_col
         spark = queries.sparkSession
-        cent_df = spark.createDataFrame(
-            [(self.centroids,)], "__cent array<array<double>>"
+        cent_df = local_frame(
+            spark, [(self.centroids,)], "__cent array<array<double>>"
         )
         qv = F.col("__qv")
         scored = F.transform(
@@ -585,11 +587,11 @@ class ManagedPqIndex(ManagedIvfIndex):
 
         q_vec = q_vec or self.vec_col
         spark = queries.sparkSession
-        cent_df = spark.createDataFrame(
-            [(self.centroids,)], "__cent array<array<double>>"
+        cent_df = local_frame(
+            spark, [(self.centroids,)], "__cent array<array<double>>"
         )
-        books_df = spark.createDataFrame(
-            [(self.codebooks,)], "__books array<array<array<double>>>"
+        books_df = local_frame(
+            spark, [(self.codebooks,)], "__books array<array<array<double>>>"
         )
         qv = F.col("__qv")
         scored = F.transform(

@@ -42,6 +42,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 from .dedup import portable_hash64
 from .similarity import _portable_hash_py
 from .text import ws_tokens
@@ -530,7 +532,7 @@ class ManagedTextIndex:
         scored = bm25_fixed_point(
             postings, n_docs, avgdl, k1, b, self.id_col
         )
-        qt = self.spark.createDataFrame(pairs, ["q_id", "term"])
+        qt = local_frame(self.spark, pairs, ["q_id", "term"])
         per_q = (
             scored.join(F.broadcast(qt), "term")
             .groupBy("q_id", self.id_col)
@@ -622,7 +624,7 @@ class ManagedTextIndex:
                 f"none of document {doc_id!r}'s terms are in the index"
             )
         dfs = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        tf_tbl = self.spark.createDataFrame(src, ["term", "tf"])
+        tf_tbl = local_frame(self.spark, src, ["term", "tf"])
         idf = F.log(
             (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
             / (F.col("df").cast("double") + F.lit(0.5))

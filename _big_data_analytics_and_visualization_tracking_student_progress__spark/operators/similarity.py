@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 
 def _lit_vec(vec: list[float]) -> Column:
     # one SQL-parsed literal (see double_array_sql) instead of len(vec)
@@ -236,8 +238,8 @@ def with_cluster(
     shuffle: the cross join is a broadcast of one row."""
     spark = df.sparkSession
     cent_col = _staging_col(df, "__cent")
-    cent_df = spark.createDataFrame(
-        [(centroids,)], f"{cent_col} array<array<double>>"
+    cent_df = local_frame(
+        spark, [(centroids,)], f"{cent_col} array<array<double>>"
     )
     v = F.col(vec_col).cast("array<double>")
     scored = F.transform(
@@ -701,8 +703,8 @@ def pq_encode(
     the broadcast is one row."""
     spark = df.sparkSession
     books_col = _staging_col(df, "__books")
-    books_df = spark.createDataFrame(
-        [(codebooks,)], f"{books_col} array<array<array<double>>>"
+    books_df = local_frame(
+        spark, [(codebooks,)], f"{books_col} array<array<array<double>>>"
     )
     v = F.col(vec_col).cast("array<double>")
 

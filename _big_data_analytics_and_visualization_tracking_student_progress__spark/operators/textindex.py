@@ -22,6 +22,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localframe import local_frame
+
 from .dedup import portable_hash64
 from .similarity import _portable_hash_py
 from .text import ws_tokens
@@ -317,7 +319,7 @@ def bm25_msearch(
     # over the pruned postings (pruning to the term UNION cannot change
     # a per-term count), idf at integer (N, df) points, 1e-4 floor
     scored = bm25_fixed_point(postings, n_docs, avgdl, k1, b, id_col)
-    qt = spark.createDataFrame(pairs, ["q_id", "term"])
+    qt = local_frame(spark, pairs, ["q_id", "term"])
     per_q = (
         scored.join(F.broadcast(qt), "term")
         .groupBy("q_id", id_col)
@@ -390,7 +392,7 @@ def more_like_this(
         .filter(F.col("term").isin(src_terms)),
         id_col,
     ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    tf_tbl = spark.createDataFrame(src, ["term", "tf"])
+    tf_tbl = local_frame(spark, src, ["term", "tf"])
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))

@@ -53,6 +53,10 @@ def materialize_bounded(spark: SparkSession, df: DataFrame) -> DataFrame:
     rebuild it as a driver-local DataFrame, so every ephemeral dir the
     plan referenced can be removed before the query returns.  Callers
     must only pass aggregates/feeds whose cardinality is bounded by
-    design — this is the render edge, not a data path."""
+    design — this is the render edge, not a data path.  Rebuilt in ONE
+    partition (`local_frame`): the stock createDataFrame path would
+    launch a Python-worker task per core for a handful of rows."""
+    from ..localframe import local_frame
+
     rows, schema = df.collect(), df.schema
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
