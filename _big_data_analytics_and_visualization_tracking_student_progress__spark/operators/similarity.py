@@ -22,7 +22,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..localframe import local_frame
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -219,6 +218,76 @@ def _staging_col(df: DataFrame, base: str) -> str:
     return name
 
 
+def _np_kernels():
+    """Closure-local numpy helpers for the Arrow ANN kernels.  Defined
+    NESTED (and captured by the mapInArrow functions as closure cells,
+    not module globals) so cloudpickle ships them BY VALUE: the Python
+    workers of the external driver contract do not have this package on
+    their import path, and a module-level reference would die with
+    ModuleNotFoundError at deserialization."""
+    import numpy as np
+
+    def list_batch_views(col):
+        # (starts, lengths, list_null, values_f64, cum_null) numpy
+        # views of one Arrow list<float64> column — the exact
+        # per-row/per-element NULL information a bit-faithful kernel
+        # needs (a pandas round trip folds NULL elements into NaN,
+        # which have DIFFERENT engine semantics).  cum_null[i] = null
+        # elements among values[0:i), so any-null over a range is two
+        # lookups.
+        n = len(col)
+        if col.null_count:
+            list_null = col.is_null().to_numpy(zero_copy_only=False)
+        else:
+            list_null = np.zeros(n, dtype=bool)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        starts, ends = offs[:-1], offs[1:]
+        lengths = ends - starts
+        values = col.values
+        vals = values.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        if values.null_count:
+            vnull = values.is_null().to_numpy(zero_copy_only=False)
+            cum_null = np.concatenate(
+                ([0], np.cumsum(vnull.astype(np.int64)))
+            )
+        else:
+            cum_null = None
+        return starts, lengths, list_null, vals, cum_null
+
+    def range_has_null(cum_null, lo, hi):
+        if cum_null is None:
+            return np.zeros(len(lo), dtype=bool)
+        return (cum_null[hi] - cum_null[lo]) > 0
+
+    def fold_sq_dists(x, cents):
+        # Squared distances of row block x (n×dim) to every centroid,
+        # accumulated PER DIMENSION IN ORDER — the identical left fold
+        # (((0 + t0²) + t1²) + …) as the engine-side _sq_dist
+        # (zip_with + aggregate), so every double is bit-equal to the
+        # expression form and argmin ties resolve identically.
+        # numpy's pairwise-summing .sum()/einsum would differ by ulps
+        # — do not "optimize" this loop into one.
+        k = len(cents)
+        d = np.empty((k, x.shape[0]), dtype=np.float64)
+        # IEEE overflow/NaN are legal values here (they propagate the
+        # same as in the engine expression) — silence the warnings only
+        with np.errstate(over="ignore", invalid="ignore"):
+            for ci in range(k):
+                c = cents[ci]
+                acc = np.zeros(x.shape[0], dtype=np.float64)
+                for j in range(x.shape[1]):
+                    t = x[:, j] - c[j]
+                    acc = acc + t * t
+                d[ci] = acc
+        return d
+
+    return list_batch_views, range_has_null, fold_sq_dists
+
+
 def with_cluster(
     df: DataFrame,
     vec_col: str,
@@ -227,32 +296,79 @@ def with_cluster(
 ) -> DataFrame:
     """Stamp each row with the argmin-squared-distance centroid index.
 
-    The centroid table rides in as DATA (a broadcast single-row
-    array<array<double>> column), not as literals: a literal formulation
-    embeds k×dim constants in the expression tree, so every Lloyd
-    iteration produces a new plan and pays whole-stage-codegen
-    compilation again.  As data, the expression (one indexed transform +
-    array_min over (dist, idx) structs — struct ordering is
-    lexicographic, so min dist wins and ties break to the lower index)
-    is IDENTICAL across iterations and compiles once.  No UDF, no
-    shuffle: the cross join is a broadcast of one row."""
-    spark = df.sparkSession
-    cent_col = _staging_col(df, "__cent")
-    cent_df = local_frame(
-        spark, [(centroids,)], f"{cent_col} array<array<double>>"
+    Implemented as ONE Arrow kernel (`mapInArrow`): the k×dim distance
+    fold runs vectorized in numpy over whole record batches instead of
+    interpreted per element — the zip_with/aggregate HOF expression
+    this replaces is CodegenFallback, ~µs per (row, centroid, dim),
+    and dominated every IVF query's wall (guide §4.2).  Bit-faithful
+    to the expression form: per-dimension sequential fold (same IEEE
+    association), argmin ties to the LOWER index (numpy first-min ==
+    array_min's lexicographic struct order), and the expression's edge
+    semantics are reproduced exactly — a NULL vector, ragged length,
+    or NULL element yields distance NULL for every centroid and the
+    struct-min then falls to index 0; an all-NaN row ties to 0 the
+    same way (pinned by tests against the expression form).  No UDF
+    pickling per row, no shuffle; centroids ride the task closure."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    _k, dim = cents.shape
+    list_batch_views, range_has_null, fold_sq_dists = _np_kernels()
+    dtypes = dict(df.dtypes)
+    staged = dtypes.get(vec_col) != "array<double>"
+    vsrc = _staging_col(df, "__v64") if staged else vec_col
+    base = (
+        df.withColumn(vsrc, F.col(vec_col).cast("array<double>"))
+        if staged
+        else df
     )
-    v = F.col(vec_col).cast("array<double>")
-    scored = F.transform(
-        F.col(cent_col),
-        lambda c, i: F.struct(
-            _sq_dist(v, c).alias("d"), i.cast("int").alias("i")
-        ),
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
     )
-    return (
-        df.crossJoin(F.broadcast(cent_df))
-        .withColumn(out_col, F.array_min(scored)["i"])
-        .drop(cent_col)
-    )
+    out_names = [f.name for f in df.schema.fields] + [out_col]
+
+    def assign(batches):
+        for b in batches:
+            idx = b.schema.get_field_index(vsrc)
+            col = b.column(idx)
+            n = b.num_rows
+            cells = np.zeros(n, dtype=np.int32)
+            if n:
+                starts, lengths, lnull, vals, cnull = list_batch_views(
+                    col
+                )
+                clean = (~lnull) & (lengths == dim)
+                if clean.any():
+                    lo = starts[clean]
+                    bad = range_has_null(cnull, lo, lo + dim)
+                    if bad.any():
+                        sel = np.flatnonzero(clean)[~bad]
+                        clean = np.zeros(n, dtype=bool)
+                        clean[sel] = True
+                        lo = starts[clean]
+                    if lo.size:
+                        x = vals[lo[:, None] + np.arange(dim)]
+                        d = fold_sq_dists(x, cents)
+                        cells[clean] = np.argmin(d, axis=0).astype(
+                            np.int32
+                        )
+            if staged:
+                keep = [
+                    b.column(i)
+                    for i, f in enumerate(b.schema)
+                    if f.name != vsrc
+                ]
+            else:
+                keep = [b.column(i) for i in range(b.num_columns)]
+            yield pa.RecordBatch.from_arrays(
+                keep + [pa.array(cells, type=pa.int32())],
+                names=out_names,
+            )
+
+    return base.mapInArrow(assign, out_schema)
 
 
 def train_ivf_centroids(
@@ -687,46 +803,108 @@ def pq_encode(
     out_prefix: str = "__pq",
 ) -> DataFrame:
     """Stamp per-subspace struct(d=residual sqdist, i=code) columns —
-    one map-side expression per subspace, zero shuffles added.  All m
-    columns land in ONE select: chained withColumn adds a projection
-    node per subspace and the analyzer re-walks the growing plan each
-    time (O(m²) driver work for zero runtime benefit).
+    one Arrow kernel (`mapInArrow`), zero shuffles added.  Like
+    `with_cluster`, the m×k×ds residual folds run vectorized in numpy
+    over whole record batches instead of as interpreted
+    (CodegenFallback) HOF expressions, bit-faithful to the expression
+    form: per-dimension sequential fold, argmin ties to the lower
+    code, and the slice/zip edge semantics reproduced exactly — a
+    subspace whose slice is short of ds elements or carries a NULL
+    element scores (d=NULL, i=0), a NULL vector scores (d=NULL, i=0)
+    in every subspace, and an all-NaN slice ties to (NaN, 0) (pinned
+    by tests against the expression form).  Codebooks ride the task
+    closure — no literal expression tree (the analyzer paid ~1.7 s
+    resolving the m×k literal fold form), no per-row pickling."""
+    import numpy as np
+    import pyarrow as pa
 
-    The codebooks ride in as DATA (a broadcast single-row
-    array<array<array<double>>> column), the same pattern
-    `with_cluster` uses for centroids: the literal formulation embeds
-    m×k×ds constants in the expression tree and the analyzer pays
-    ~1.7 s per query resolving it (measured at m=8, k=64); as data the
-    per-subspace expression is small and identical in shape, so plan
-    build is milliseconds and whole-stage codegen compiles one
-    expression instead of m×k literal folds.  Runtime is unchanged —
-    the broadcast is one row."""
-    spark = df.sparkSession
-    books_col = _staging_col(df, "__books")
-    books_df = local_frame(
-        spark, [(codebooks,)], f"{books_col} array<array<array<double>>>"
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    v = F.col(vec_col).cast("array<double>")
 
-    def scorer(sub):
-        # factory, not a defaulted lambda param: Spark's HOF machinery
-        # reads the lambda's arity and would pass 3 arguments
-        return lambda c, i: F.struct(
-            _sq_dist(sub, c).alias("d"), i.cast("int").alias("i")
-        )
-
-    new_cols = []
-    for j, (cb, start) in enumerate(
-        zip(codebooks, pq_subspace_offsets(codebooks))
-    ):
-        sub = F.slice(v, start, len(cb[0]))
-        scored = F.transform(F.col(books_col)[j], scorer(sub))
-        new_cols.append(F.array_min(scored).alias(f"{out_prefix}{j}"))
-    return (
-        df.crossJoin(F.broadcast(books_df))
-        .select("*", *new_cols)
-        .drop(books_col)
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    offs = pq_subspace_offsets(codebooks)
+    m = len(books)
+    list_batch_views, range_has_null, fold_sq_dists = _np_kernels()
+    struct_t = StructType(
+        [StructField("d", DoubleType()), StructField("i", IntegerType())]
     )
+    pa_struct = pa.struct(
+        [pa.field("d", pa.float64()), pa.field("i", pa.int32())]
+    )
+    dtypes = dict(df.dtypes)
+    staged = dtypes.get(vec_col) != "array<double>"
+    vsrc = _staging_col(df, "__v64") if staged else vec_col
+    base = (
+        df.withColumn(vsrc, F.col(vec_col).cast("array<double>"))
+        if staged
+        else df
+    )
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"{out_prefix}{j}", struct_t) for j in range(m)]
+    )
+    out_names = [f.name for f in df.schema.fields] + [
+        f"{out_prefix}{j}" for j in range(m)
+    ]
+
+    def encode(batches):
+        for b in batches:
+            idx = b.schema.get_field_index(vsrc)
+            col = b.column(idx)
+            n = b.num_rows
+            new_cols = []
+            if n:
+                starts, lengths, lnull, vals, cnull = list_batch_views(
+                    col
+                )
+                for j in range(m):
+                    cb = books[j]
+                    ds = cb.shape[1]
+                    s0 = offs[j] - 1
+                    ok = (~lnull) & (lengths >= s0 + ds)
+                    if ok.any():
+                        lo = starts[ok] + s0
+                        bad = range_has_null(cnull, lo, lo + ds)
+                        if bad.any():
+                            sel = np.flatnonzero(ok)[~bad]
+                            ok = np.zeros(n, dtype=bool)
+                            ok[sel] = True
+                            lo = starts[ok] + s0
+                    d_out = np.full(n, np.nan, dtype=np.float64)
+                    i_out = np.zeros(n, dtype=np.int32)
+                    if ok.any():
+                        x = vals[lo[:, None] + np.arange(ds)]
+                        d = fold_sq_dists(x, cb)
+                        best = np.argmin(d, axis=0)
+                        i_out[ok] = best.astype(np.int32)
+                        d_out[ok] = d[best, np.arange(d.shape[1])]
+                    d_arr = pa.array(d_out, type=pa.float64(), mask=~ok)
+                    i_arr = pa.array(i_out, type=pa.int32())
+                    new_cols.append(
+                        pa.StructArray.from_arrays(
+                            [d_arr, i_arr], fields=list(pa_struct)
+                        )
+                    )
+            else:
+                for j in range(m):
+                    new_cols.append(pa.array([], type=pa_struct))
+            if staged:
+                keep = [
+                    b.column(i)
+                    for i, f in enumerate(b.schema)
+                    if f.name != vsrc
+                ]
+            else:
+                keep = [b.column(i) for i in range(b.num_columns)]
+            yield pa.RecordBatch.from_arrays(
+                keep + new_cols, names=out_names
+            )
+
+    return base.mapInArrow(encode, out_schema)
 
 
 def pq_adc_tables(
