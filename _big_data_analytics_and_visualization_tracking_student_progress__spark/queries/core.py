@@ -5029,11 +5029,21 @@ def q_manifest_bloom_point_read(
             bloom_cols=["event_id"],
         )
         table.compact(cluster_by=["user_id"], cluster_files=120)
-        frames, files_kept, files_total = [], 0, 0
-        for p in probes:
-            fr, _fk, _ft, flk, flt = table.read_where_eq(
-                [("event_id", p)]
+        # the three point probes are independent: overlap their
+        # metadata resolution + 1-row position jobs on driver threads
+        # (guide §2.6 — Spark schedules concurrent jobs FIFO and the
+        # probes' tiny jobs back-fill each other's idle gaps)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            results = list(
+                pool.map(
+                    lambda p: table.read_where_eq([("event_id", p)]),
+                    probes,
+                )
             )
+        frames, files_kept, files_total = [], 0, 0
+        for fr, _fk, _ft, flk, flt in results:
             files_kept += flk
             files_total += flt
             frames.append(
