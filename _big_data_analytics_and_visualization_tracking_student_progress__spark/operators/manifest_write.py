@@ -181,7 +181,14 @@ class _ManifestWriteMixin:
             ]
             self._raise_generated_violations(gen_obs)
             frags = {self._part_key(c) for c in touched}
-            if when_not_matched_by_source_delete is not None and prev:
+            # the by-source clause can only WIDEN the touch set: a
+            # partition the source already names is rewritten anyway
+            # (its by-source-unmatched rows flow through merge_clauses'
+            # reap logic there), so the locate scan only needs to look
+            # at the fragments the source did NOT name — and when the
+            # source names every live partition it is skipped outright
+            unseen = {f: v for f, v in prev.items() if f not in frags}
+            if when_not_matched_by_source_delete is not None and unseen:
                 hit = F.coalesce(
                     when_not_matched_by_source_delete, F.lit(False)
                 )
@@ -201,7 +208,7 @@ class _ManifestWriteMixin:
                 )
                 located = (
                     self._read_fragments(
-                            prev, dv=self._dv_map(prev_doc), align=prev_doc)
+                            unseen, dv=self._dv_map(prev_doc), align=prev_doc)
                     .alias("t")
                     .crossJoin(F.broadcast(null_s.alias("s")))
                     .filter(hit)
@@ -307,6 +314,10 @@ class _ManifestWriteMixin:
                 self._abandon_claim(vdir)
                 vs = self.versions()
                 return vs[-1] if vs else 0
+            # (measured: persisting this distinct across its two
+            # consumers costs MORE than the recompute — the cached
+            # relation materializes at full shuffle width and the
+            # broadcast build re-reads it; left unpersisted)
             keys = keys.select(*self.keys).distinct()
             if set(self.partition_by) <= set(self.keys):
                 touched = [
