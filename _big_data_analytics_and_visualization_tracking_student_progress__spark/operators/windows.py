@@ -128,8 +128,12 @@ def sequential_funnel(
     # step dimension — NOT an equality join on stage, which would report
     # 0 for a step no user stopped at exactly.
     by_stage = per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
-    steps_dim = df.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], ["step", "step_name"]
+    from ..localframe import local_frame
+
+    steps_dim = local_frame(
+        df.sparkSession,
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step bigint, step_name string",
     )
     reached = (
         steps_dim.join(by_stage, F.col("stage") >= F.col("step"), "left")
