@@ -37,6 +37,14 @@ def get_spark(
         # convert to broadcast joins when runtime stats allow, split skew.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default
+        # (true): the r14 A/B of false (respect the 64 MB advisory, the
+        # tuning guide's cluster recommendation) collapsed every small
+        # post-shuffle stage to ONE task and cost the bench ~1-4% —
+        # storage commits lost their write parallelism (30 sequential
+        # files beat 60 parallel ones nowhere) and small-shuffle engine
+        # stages serialized.  Revisit only with profiling on a real
+        # cluster, where task overhead vs parallelism trades differently.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Lenient casts (NULL on failure) to match reference semantics.
         .config("spark.sql.ansi.enabled", "false")
