@@ -915,27 +915,35 @@ class _ManifestWriteMixin:
             .alias(c)
             for c in cols
         ]
-        feed = (
-            j.withColumn("_change_type", ct)
-            .filter(F.col("_change_type").isNotNull())
-            .select("_change_type", *out_cols)
-        )
-        if emit_update_preimages:
-            # Delta CDF's full update shape: each update additionally
-            # emits its OLD row tagged 'update_preimage' — what a
-            # retraction-based consumer (incremental view maintenance)
-            # needs to subtract the old contribution.  Opt-in so the
-            # default feed keeps its one-row-per-changed-key contract.
-            pre = (
+        if not emit_update_preimages:
+            return (
                 j.withColumn("_change_type", ct)
-                .filter(F.col("_change_type") == "update_postimage")
-                .select(
-                    F.lit("update_preimage").alias("_change_type"),
-                    *[F.col(f"o.{c}").alias(c) for c in cols],
-                )
+                .filter(F.col("_change_type").isNotNull())
+                .select("_change_type", *out_cols)
             )
-            feed = feed.unionByName(pre)
-        return feed
+        # Delta CDF's full update shape: each update additionally emits
+        # its OLD row tagged 'update_preimage' — what a retraction-based
+        # consumer (incremental view maintenance) needs to subtract the
+        # old contribution.  Opt-in so the default feed keeps its
+        # one-row-per-changed-key contract.  Both rows come out of ONE
+        # pass over the diff join (explode of a 2-struct array, the
+        # non-emitting slot carrying a NULL tag that the filter drops) —
+        # the union-of-two-projections form executed the join twice per
+        # action (the exchanges were reused, the join itself was not).
+        main_s = F.struct(ct.alias("_change_type"), *out_cols)
+        pre_s = F.struct(
+            F.when(
+                ct == "update_postimage", F.lit("update_preimage")
+            ).alias("_change_type"),
+            *[F.col(f"o.{c}").alias(c) for c in cols],
+        )
+        return (
+            j.select(
+                F.explode(F.array(main_s, pre_s)).alias("__cdf_row")
+            )
+            .filter(F.col("__cdf_row._change_type").isNotNull())
+            .select("__cdf_row.*")
+        )
 
     def tail_changes(
         self,
