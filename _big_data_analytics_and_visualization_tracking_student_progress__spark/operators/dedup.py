@@ -576,13 +576,24 @@ def connected_components(
     smallest label among itself and its neighbors; fixpoint after
     O(component diameter) rounds.  Near-dup graphs are overwhelmingly
     tiny cliques/chains, so convergence is fast regardless of corpus
-    size.  Scale discipline per iteration: one join on node id (labels ×
-    symmetric edges) + one groupBy min — both shuffle only (id, label)
-    longs; `localCheckpoint` truncates the lineage each round so the plan
-    doesn't grow with iterations (the classic iterative-Spark trap), and
-    convergence is checked with a count of changed labels (no driver
-    collect of data rows).
+    size.
+
+    Iteration discipline: one join on node id (labels × symmetric
+    edges) + one groupBy min — both shuffle only (id, label) longs;
+    `localCheckpoint` truncates the lineage each round so the plan
+    doesn't grow with iterations (the classic iterative-Spark trap),
+    and convergence rides the SAME materialization job as an
+    ``observe`` metric (r15 — one job per round; the previous separate
+    changed-labels count job re-scanned the checkpoint).  A
+    persist()-co-partitioned variant (cache both sides hash(key, P) so
+    the per-round joins plan exchange-free) was A/B'd r15 and measured
+    ~1 s WORSE on dedup_fuzzy_clusters_fast: the extra up-front
+    exchange of the LSH edge pipeline's output plus columnar
+    cache encode cost more than the per-round exchanges they remove at
+    these state sizes — reverted, rationale pinned here.
     """
+    from pyspark.sql import Observation
+
     sym = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d")
     ).unionByName(
@@ -601,6 +612,9 @@ def connected_components(
             .groupBy("d")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # auto-named: a fixed name could collide when the loop runs
+        # twice in one session (bench reps)
+        obs = Observation()
         updated = (
             labels.join(neighbor_min, labels["n"] == neighbor_min["d"], "left")
             .select(
@@ -610,9 +624,14 @@ def connected_components(
                 ).alias("lbl"),
                 (F.col("nlbl") < F.col("lbl")).alias("__changed"),
             )
+            # the convergence counter rides the checkpoint
+            # materialization job (count_if counts TRUE only, exactly
+            # the rows the old filter().count() kept — NULL __changed
+            # means "no neighbor", not a change)
+            .observe(obs, F.count_if(F.col("__changed")).alias("changed"))
         )
         updated = updated.localCheckpoint(eager=True)
-        changed = updated.filter(F.col("__changed")).count()
+        changed = obs.get["changed"]
         labels = updated.drop("__changed")
         if changed == 0:
             break

@@ -329,9 +329,11 @@ class _ManifestMaintMixin:
                     cluster_files, *lay_cols
                 ).sortWithinPartitions(*lay_cols)
             else:
-                out = src.repartition(
-                    *[F.col(c) for c in self.partition_by]
-                )
+                # hash-distributed like the COW writes (see
+                # _distribute_for_write): one task ~one partition, in
+                # parallel, instead of an AQE-coalesced single task
+                # writing every partition dir sequentially
+                out = self._distribute_for_write(src, len(prev))
             out.write.partitionBy(*self.partition_by).parquet(
                 self._data_dir(new_v)
             )

@@ -18,8 +18,51 @@ from .manifest_base import merge_by_key, merge_clauses
 
 __all__ = ["_ManifestWriteMixin"]
 
+# Hash-spread factor for the pre-write distribution.  Measured (r15,
+# 30-partition 600k-row upsert, min-of-5): as-is 0.81 s, n_frags tasks
+# 0.42 s, 2x 0.46 s, 4x 0.72 s — extra buckets only add task-scheduling
+# overhead, which beats the occasional 2-deep hash stack they avoid
+# (a stacked task writes its 2 files sequentially at ~20 ms each).
+_WRITE_SPREAD = 1
+
 
 class _ManifestWriteMixin:
+    def _distribute_for_write(self, df: DataFrame, n_frags: int) -> DataFrame:
+        """Cluster a COW rewrite by its partition columns before the
+        partitioned write — Iceberg's ``write.distribution-mode=hash``.
+
+        Without this the rewrite lands partitioned by the MERGE key
+        hash, so every post-shuffle task opens a parquet writer for
+        every touched partition dir: O(tasks x partitions) small files
+        per commit (guide §6's small-files trap), written sequentially
+        per task.  Hashing by the partition value gives each touched
+        partition ~one task writing ~one right-sized file, and the
+        tasks run in parallel.  The EXPLICIT partition count matters:
+        a keyless ``repartition(pcols)`` is AQE-coalesced back to 1-2
+        tasks at commit sizes (measured r14 — that A/B was a wash for
+        exactly this reason), while REPARTITION_BY_NUM is left alone.
+        Measured r15 (30-partition 600k-row upsert, write stage only,
+        min-of-5): 0.81 s as-is -> 0.42 s at n_frags tasks.
+
+        The at-scale trade is one extra exchange of the rewritten
+        partitions' rows (only the touched partitions — commit cost
+        still tracks the batch, not the table) against a file count
+        that no longer multiplies by the writing task count; a giant
+        partition that needs multiple files per commit should bound
+        file size via ``spark.sql.files.maxRecordsPerFile`` rather
+        than task fan-out, which is what Iceberg's hash mode does.
+
+        ``sortWithinPartitions(keys)`` restores the merge write's
+        key-sorted-file property (the window's (keys, order) sort is
+        destroyed by the exchange): zone-map envelopes on key-tracking
+        stats columns stay tight, which the row-group-skip tests and
+        the pruned-read demos rely on."""
+        if not self.partition_by:
+            return df
+        n = max(1, int(n_frags)) * _WRITE_SPREAD
+        return df.repartition(
+            n, *[F.col(c) for c in self.partition_by]
+        ).sortWithinPartitions(*[F.col(c) for c in self.keys])
     # -- write ----------------------------------------------------------
     def upsert(
         self, batch: DataFrame, schema_evolution: bool = False
@@ -77,9 +120,9 @@ class _ManifestWriteMixin:
                 [F.col(c).desc() for c in self.order_cols],
             )
             merged, checks = self._observe_constraints(merged, prev_doc)
-            merged.write.partitionBy(*self.partition_by).parquet(
-                self._data_dir(new_v)
-            )
+            self._distribute_for_write(merged, len(frags)).write.partitionBy(
+                *self.partition_by
+            ).parquet(self._data_dir(new_v))
             self._raise_constraint_violations(checks)
             # the manifest is only sound if its fragments name the dirs
             # Spark ACTUALLY wrote — verify before committing, so a value
@@ -239,9 +282,9 @@ class _ManifestWriteMixin:
                 ),
             )
             merged, checks = self._observe_constraints(merged, prev_doc)
-            merged.write.partitionBy(*self.partition_by).parquet(
-                self._data_dir(new_v)
-            )
+            self._distribute_for_write(merged, len(frags)).write.partitionBy(
+                *self.partition_by
+            ).parquet(self._data_dir(new_v))
             self._raise_constraint_violations(checks)
             # delete/insert clauses may empty a touched partition or
             # skip it entirely, so (unlike upsert) written ⊆ touched —
@@ -423,9 +466,9 @@ class _ManifestWriteMixin:
                     {f: prev[f] for f in frags},
                     dv=self._dv_map(prev_doc), align=prev_doc,)
         )
-        kept.write.partitionBy(*self.partition_by).parquet(
-            self._data_dir(new_v)
-        )
+        self._distribute_for_write(kept, len(frags)).write.partitionBy(
+            *self.partition_by
+        ).parquet(self._data_dir(new_v))
         written = self._written_fragments(new_v)
         if not written <= frags:
             raise ValueError(
@@ -549,9 +592,9 @@ class _ManifestWriteMixin:
                 ]
             )
             updated, checks = self._observe_constraints(updated, prev_doc)
-            updated.write.partitionBy(*self.partition_by).parquet(
-                self._data_dir(new_v)
-            )
+            self._distribute_for_write(updated, len(frags)).write.partitionBy(
+                *self.partition_by
+            ).parquet(self._data_dir(new_v))
             self._raise_constraint_violations(checks)
             # an update never adds or empties a partition, so the
             # soundness gate is exact equality, like upsert()

@@ -124,10 +124,27 @@ def sequential_funnel(
     )
     per_user = out.groupBy(user_col).agg(stage.alias("stage"))
     # users_reached(k) = Σ users with stage ≥ k.  Aggregate to per-stage
-    # counts first (≤ |steps|+1 rows), then a tiny ≥-join against the
-    # step dimension — NOT an equality join on stage, which would report
-    # 0 for a step no user stopped at exactly.
+    # counts first (≤ |steps|+1 rows), then turn the ≥ relation into an
+    # EQUALITY join by exploding each stage row down to the steps it
+    # satisfies (sequence(1, stage) — stage ≤ |steps| by construction):
+    # same sums, but a broadcastable hash join instead of the ≥-theta
+    # BroadcastNestedLoopJoin, whose |steps| x |stages| row expansion is
+    # the textbook exploding-join shape if the funnel ever grows (guide
+    # §3.3; r15 — values identical, funnel oracle green).  The left join
+    # against the step dimension keeps steps no user reached at 0 (an
+    # equality join on raw stage would drop them).
     by_stage = per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+    reached_counts = (
+        by_stage.filter(F.col("stage") >= 1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("stage").cast("long"))
+            ).alias("step"),
+            "n",
+        )
+        .groupBy("step")
+        .agg(F.sum("n").alias("__n"))
+    )
     from ..localframe import local_frame
 
     steps_dim = local_frame(
@@ -135,10 +152,10 @@ def sequential_funnel(
         [(i + 1, s) for i, s in enumerate(steps)],
         "step bigint, step_name string",
     )
-    reached = (
-        steps_dim.join(by_stage, F.col("stage") >= F.col("step"), "left")
-        .groupBy("step", "step_name")
-        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("users_reached"))
+    reached = steps_dim.join(reached_counts, "step", "left").select(
+        "step",
+        "step_name",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("users_reached"),
     )
     return reached.withColumn(
         "conversion",

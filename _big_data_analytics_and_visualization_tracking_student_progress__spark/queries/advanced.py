@@ -186,7 +186,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuses across iterations) — the 1000×-node form.
     n_nodes = ranks.count()
     bcast = n_nodes <= 5_000_000
-    for _ in range(_PR_ITERS):
+    for i in range(_PR_ITERS):
         r = F.broadcast(ranks) if bcast else ranks
         contrib = ewd.join(r, ewd.sid == r.node).select(
             F.col("did").alias("node"), F.expr("r div d").alias("c")
@@ -200,12 +200,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r"),
             )
-            # truncate lineage: the next iteration (and the final top-k)
-            # plan against the materialized 2-longs/node state, not the
-            # re-expanded join tree — exact-integer ranks, so the
-            # checkpoint changes nothing semantically
-            .localCheckpoint(eager=True)
         )
+        # Lineage bound, two regimes (r15): on the SHUFFLE path the
+        # classic per-iteration eager checkpoint stands — without it
+        # the join tree re-expands and re-executes each round.  On the
+        # BROADCAST path nesting is already execution-safe: each
+        # iteration's ranks live inside a BroadcastExchange that is
+        # built exactly once per action, so per-iteration checkpoints
+        # only added a materialization job + a Python round trip per
+        # round; ONE eager checkpoint after the last iteration
+        # materializes the whole 3-deep nest in a single action and
+        # still lets the edge cache release before returning.  Depth
+        # is bounded by _PR_ITERS, so plan size stays fixed.
+        # Exact-integer ranks: checkpoint placement cannot change any
+        # value.
+        if not bcast or i == _PR_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     # the eager checkpoints materialized every dependent plan, so the
     # persisted edge+degree table can be released before returning —
     # long bench/serving sessions otherwise accumulate its blocks
@@ -2452,6 +2462,17 @@ def q_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.col("c").desc(), "l", "r")
             .limit(1)
+            # materialize the 1-row rule once: it is consumed TWICE (as
+            # an output row and broadcast into the next step's replace),
+            # and without this each consumer — and every deeper step's
+            # chain — re-executed the whole tokenize+explode+aggregate
+            # pass (5 heavy passes for 3 steps instead of 3; guide §1.2
+            # "don't compute things you throw away").  The final union
+            # is then three trivial scans of checkpointed rows, and the
+            # heavy work runs exactly once per step inside this eager
+            # materialization.  Still zero driver collects: the rule
+            # stays a (checkpointed) DataFrame.
+            .localCheckpoint(eager=True)
         )
         outs.append(
             rule.select(

@@ -1,12 +1,20 @@
 """Driver-gate replica: every registered query with an oracle must match
-DuckDB at sf0.01 (the driver's exact comparison scale)."""
+DuckDB at sf0.01 (the driver's exact comparison scale).
+
+The FULL 245-query sweep takes ~25-30 minutes and is redundant with the
+external driver's own oracle gate, so by default only a deterministic
+1-in-10 subset runs (sorted order, every 10th name — stable across
+sessions, covers every query family file).  Set SPARK_GRAFT_FULL_TESTS=1
+for the complete sweep (do this after touching anything query-shaped)."""
 
 from __future__ import annotations
 
 import pytest
 
-from .conftest import SF_ORACLE
+from .conftest import FULL_TESTS, SF_ORACLE
 from .oracle_harness import compare, duck_connection
+
+_SUBSET_STRIDE = 10
 
 
 def _query_names():
@@ -14,7 +22,10 @@ def _query_names():
         all_queries,
     )
 
-    return sorted(all_queries())
+    names = sorted(all_queries())
+    if FULL_TESTS:
+        return names
+    return names[::_SUBSET_STRIDE]
 
 
 @pytest.fixture(scope="module")

@@ -290,12 +290,26 @@ def test_token_packing_single_exchange(spark):
 # a full stream; their discipline is pinned by the streaming tests.
 # ---------------------------------------------------------------------------
 def test_no_cartesian_or_row_python_udf_anywhere(spark):
+    """Default: a deterministic 1-in-5 stride of the registry (building
+    a storage query's DataFrame runs its commits — the full sweep is
+    ~2.5 minutes, most of the suite's single-test budget).  The full
+    registry runs under SPARK_GRAFT_FULL_TESTS=1; the committed
+    PLAN_AUDIT.md (regenerated whenever the registry changes, pinned
+    fresh by test_plan_audit_fresh) covers every query between full
+    runs."""
     from _big_data_analytics_and_visualization_tracking_student_progress__spark.registry import (
         all_queries,
     )
 
+    from .conftest import FULL_TESTS
+
+    names = sorted(all_queries())
+    if not FULL_TESTS:
+        names = names[::5]
+    registry = all_queries()
     offenders = {}
-    for name, qd in sorted(all_queries().items()):
+    for name in names:
+        qd = registry[name]
         if name.startswith("stream_"):
             continue
         plan = _plan(qd.fn(spark, SF_SMALL))
