@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for named registered queries into
-plans/r14/<name>_<tag>.txt — the optimization round's plan evidence.
+plans/r15/<name>_<tag>.txt — the optimization round's plan evidence.
 
 Usage: python tools/opt_explain.py <tag> <name> [<name> ...]
        python tools/opt_explain.py <tag> --headline   (bench.HEADLINE set)
@@ -36,7 +36,7 @@ def main() -> None:
         import bench
 
         names = [n for n in bench.HEADLINE if n in registry]
-    outdir = os.path.join(ROOT, "plans", "r14")
+    outdir = os.path.join(ROOT, "plans", "r15")
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("opt-explain", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
