@@ -260,6 +260,111 @@ def lsh_band_keys(
     return F.array(*keys)
 
 
+def _lsh_band_rows(
+    filtered: DataFrame,
+    num_perm: int,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(doc, sh: array<long>) → exploded (doc, band: long) rows for the
+    FAST (xxhash64) LSH path — one `mapInArrow` numpy kernel replacing
+    the interpreted HOF pipeline (guide §4.2, the r14 ANN-kernel
+    pattern): ``minhash_from_hashes`` evaluated num_perm interpreted
+    ``transform``+``array_min`` passes per row (HOFs are
+    CodegenFallback) and ``lsh_band_keys`` re-hashed the slices per
+    band — measured 0.46 s of the 1.7 s LSH wall at sf0.1.
+
+    Bit-faithfulness is load-bearing (a different signature changes
+    which candidate pairs exist, hence query results): the kernel
+    reimplements Spark's XXH64 exactly —
+    ``xxhash64(h, lit(i))`` = hashInt(i, hashLong(h, 42)) and
+    ``xxhash64(lit(b), s0..s3)`` = hashLong-chain over
+    hashInt(b, 42) — with signed array_min semantics (int64 view), all
+    pinned bit-for-bit against the expression form by
+    tests/test_lsh_kernel.py.  Rows must be pre-filtered to non-null,
+    non-empty ``sh`` (the caller's ``size(sh) > 0`` filter — exactly
+    the rows the expression path banded).  Helpers are closure-local
+    so cloudpickle ships them by value (the external driver's Python
+    workers don't have this package on their import path)."""
+    doc_type = dict(filtered.dtypes)["doc"]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        np.seterr(over="ignore")
+        u64 = np.uint64
+        P1 = u64(0x9E3779B185EBCA87)
+        P2 = u64(0xC2B2AE3D27D4EB4F)
+        P3 = u64(0x165667B19E3779F9)
+        P4 = u64(0x85EBCA77C2B2AE63)
+        P5 = u64(0x27D4EB2F165667C5)
+
+        def rotl(x, r):
+            r = u64(r)
+            return (x << r) | (x >> u64(64 - int(r)))
+
+        def fmix(h):
+            h = h ^ (h >> u64(33))
+            h = h * P2
+            h = h ^ (h >> u64(29))
+            h = h * P3
+            return h ^ (h >> u64(32))
+
+        def hash_long(x, seed):
+            # Spark XXH64.hashLong: one 8-byte block + tail finalize
+            h = seed + P5 + u64(8)
+            k1 = rotl(x * P2, 31) * P1
+            h = h ^ k1
+            h = rotl(h, 27) * P1 + P4
+            return fmix(h)
+
+        def hash_int(x, seed):
+            h = seed + P5 + u64(4)
+            h = h ^ ((x & u64(0xFFFFFFFF)) * P1)
+            h = rotl(h, 23) * P2 + P3
+            return fmix(h)
+
+        SEED = u64(42)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {batch.schema.names[i]: batch.column(i) for i in range(batch.num_columns)}
+            sh = cols["sh"]
+            lengths = sh.value_lengths().to_numpy(zero_copy_only=False)
+            flat = sh.flatten().to_numpy(zero_copy_only=False)
+            flat_u = flat.astype(np.int64, copy=False).view(u64)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            base = hash_long(flat_u, SEED)  # xxhash64(h) chain prefix
+            sig = np.empty((num_perm, n), dtype=np.int64)
+            for j in range(num_perm):
+                hj = hash_int(u64(j), base).view(np.int64)
+                # signed min per row == array_min over long elements
+                sig[j] = np.minimum.reduceat(hj, starts)
+            band_cols = []
+            for b in range(bands):
+                h = np.full(n, hash_int(u64(b), SEED), dtype=u64)
+                for j in range(rows_per_band):
+                    h = hash_long(
+                        sig[b * rows_per_band + j].view(u64), h
+                    )
+                band_cols.append(h.view(np.int64))
+            # interleave exactly like explode: row r emits band 0..B-1
+            band_out = np.stack(band_cols, axis=1).reshape(-1)
+            idx = np.repeat(np.arange(n), bands)
+            doc_out = cols["doc"].take(pa.array(idx))
+            yield pa.RecordBatch.from_arrays(
+                [doc_out, pa.array(band_out, pa.int64())],
+                names=["doc", "band"],
+            )
+
+    return filtered.select("doc", "sh").mapInArrow(
+        kernel, f"doc {doc_type}, band bigint"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -327,19 +432,25 @@ def minhash_lsh_pairs(
         signed = sh_tbl.filter(F.size("sh") > 0).withColumn(
             "sig", portable_minhash_signature(F.col("sh"), num_perm)
         )
+        banded = signed.select(
+            "doc",
+            F.explode(
+                lsh_band_keys(
+                    F.col("sig"), bands, rows_per_band, portable=True
+                )
+            ).alias("band"),
+        )
     else:
         sh_tbl = raw.select(
             "doc", F.array_distinct(shingle_hashes(F.col("sh"))).alias("sh")
         ).persist()
-        signed = sh_tbl.filter(F.size("sh") > 0).withColumn(
-            "sig", minhash_from_hashes(F.col("sh"), num_perm)
+        # signatures + band keys in one Arrow/numpy kernel — bit-equal
+        # to explode(lsh_band_keys(minhash_from_hashes(sh))), see
+        # _lsh_band_rows (the expression form stays for the portable
+        # twin above, whose md5 hashing the oracle replicates)
+        banded = _lsh_band_rows(
+            sh_tbl.filter(F.size("sh") > 0), num_perm, bands, rows_per_band
         )
-    banded = signed.select(
-        "doc",
-        F.explode(
-            lsh_band_keys(F.col("sig"), bands, rows_per_band, portable=portable)
-        ).alias("band"),
-    )
     buckets = banded.groupBy("band").agg(
         F.sort_array(F.collect_list("doc")).alias("ds")
     ).filter(F.size("ds") > 1)
